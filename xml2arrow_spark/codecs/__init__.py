@@ -1,0 +1,54 @@
+"""Codec registry: name -> (encode, decode) over whole value streams.
+
+Integer codecs take/return numpy integer arrays; string codecs take/return
+:class:`~xml2arrow_spark.codecs.base.StrData`. Dispatch happens once per
+block per column — never per value — mirroring the reference's
+enum-dispatch builder design (/root/reference/src/xml_parser.rs:39-54).
+"""
+
+from __future__ import annotations
+
+from xml2arrow_spark.codecs import integers, strings
+from xml2arrow_spark.codecs.base import StrData
+
+INT_CODECS = {
+    "plain": (integers.encode_plain, integers.decode_plain),
+    "bitpack": (integers.encode_bitpack, integers.decode_bitpack),
+    "for": (integers.encode_for, integers.decode_for),
+    "rle": (integers.encode_rle, integers.decode_rle),
+    "dict": (integers.encode_dict, integers.decode_dict),
+}
+
+STR_CODECS = {
+    "plain_str": (strings.encode_plain_str, strings.decode_plain_str),
+    "dict_str": (strings.encode_dict_str, strings.decode_dict_str),
+    "fsst": (strings.encode_fsst, strings.decode_fsst),
+}
+
+ALL_CODECS = {**INT_CODECS, **STR_CODECS}
+
+
+def encode_values(codec: str, values):
+    """Encode a numpy int array or StrData with the named codec."""
+    try:
+        enc, _ = ALL_CODECS[codec]
+    except KeyError:
+        raise KeyError(f"unknown codec {codec!r}; known: {sorted(ALL_CODECS)}") from None
+    return enc(values)
+
+
+def decode_values(meta: dict, blob: bytes):
+    """Decode from a block header + blob; codec name is read from the header."""
+    codec = meta["codec"]
+    _, dec = ALL_CODECS[codec]
+    return dec(meta, blob)
+
+
+__all__ = [
+    "INT_CODECS",
+    "STR_CODECS",
+    "ALL_CODECS",
+    "StrData",
+    "encode_values",
+    "decode_values",
+]

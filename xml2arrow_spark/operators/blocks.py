@@ -1,0 +1,205 @@
+"""Arrow-level block encode/decode for one column.
+
+A *block* is a bounded run of rows (``manifest.block_rows``) from one input
+partition, all columns encoded over the same row span — the per-table
+RecordBatch finalize of the reference (``TableBuilder::finish``,
+/root/reference/src/xml_parser.rs:491-511), except the payload is a
+compressed byte stream per column instead of raw builders.
+
+Null handling follows the reference's uniform contract
+(/root/reference/src/xml_parser.rs:327-338, 2645-2838): validity is its own
+bitpacked section; the value stream holds non-null values only; decode
+re-expands exactly. Empty string != null round-trips (Utf8 asymmetry).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from xml2arrow_spark.codecs import decode_values, encode_values
+from xml2arrow_spark.codecs.base import (
+    StrData,
+    strdata_from_arrow,
+    strdata_to_arrow,
+)
+from xml2arrow_spark.plans.selector import choose_int_codec, choose_str_codec
+
+__all__ = ["encode_column", "decode_column", "ENCODED_COL_STRUCT"]
+
+ENCODED_COL_STRUCT = (
+    "name: string, codec: string, meta: string, data: binary, "
+    "in_bytes: long, out_bytes: long"
+)
+
+
+def _validity(arr: pa.Array) -> tuple[np.ndarray | None, bytes]:
+    if arr.null_count == 0:
+        return None, b""
+    mask = np.asarray(arr.is_valid())
+    return mask, np.packbits(mask).tobytes()
+
+
+def _resolve_int(codec: str, values: np.ndarray) -> str:
+    if codec == "auto":
+        return choose_int_codec(values)
+    if codec == "bitpack" and values.size and int(values.min()) < 0:
+        return "for"  # safety fallback; never silently corrupt
+    return codec
+
+
+def encode_column(arr: pa.Array, codec: str) -> tuple[str, str, bytes]:
+    """Encode one Arrow column chunk -> (resolved_codec, meta_json, payload).
+
+    Supports integer scalars, strings, and list/large_list of int32.
+    ``codec='auto'`` resolves per block via the selector.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    mask, validity = _validity(arr)
+    n = len(arr)
+
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        if not pa.types.is_integer(t.value_type):
+            raise TypeError(f"only integer list columns supported, got {t}")
+        # lengths stream (null slot -> 0) + flattened child values
+        lengths = np.zeros(n, dtype=np.int64)
+        valid_arr = arr.drop_null() if mask is not None else arr
+        offs = np.asarray(valid_arr.offsets)
+        lens_valid = np.diff(offs)
+        if mask is not None:
+            lengths[mask] = lens_valid
+        else:
+            lengths = lens_valid
+        child = valid_arr.flatten()
+        if child.null_count:
+            raise TypeError("nulls inside token arrays are not supported")
+        values = np.asarray(child)
+        resolved = _resolve_int(codec, values)
+        lmeta, lblob = encode_values("for", lengths)
+        vmeta, vblob = encode_values(resolved, values)
+        meta = {
+            "kind": "list_int",
+            "n": n,
+            "value_dtype": str(t.value_type),
+            "lengths_meta": lmeta,
+            "values_meta": vmeta,
+            "lengths_len": len(lblob),
+            "validity_len": len(validity),
+        }
+        return resolved, json.dumps(meta), validity + lblob + vblob
+
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        valid_arr = arr.drop_null() if mask is not None else arr
+        sd = strdata_from_arrow(valid_arr)
+        resolved = choose_str_codec(sd) if codec == "auto" else codec
+        smeta, sblob = encode_values(resolved, sd)
+        meta = {
+            "kind": "str",
+            "n": n,
+            "large": pa.types.is_large_string(t),
+            "str_meta": smeta,
+            "validity_len": len(validity),
+        }
+        return resolved, json.dumps(meta), validity + sblob
+
+    if pa.types.is_integer(t):
+        valid_arr = arr.drop_null() if mask is not None else arr
+        values = np.asarray(valid_arr)
+        resolved = _resolve_int(codec, values)
+        vmeta, vblob = encode_values(resolved, values)
+        meta = {
+            "kind": "int",
+            "n": n,
+            "dtype": str(t),
+            "values_meta": vmeta,
+            "validity_len": len(validity),
+        }
+        return resolved, json.dumps(meta), validity + vblob
+
+    raise TypeError(f"unsupported column type for encoding: {t}")
+
+
+def _unpack_validity(meta: dict, payload: bytes) -> tuple[np.ndarray | None, bytes]:
+    vlen = meta.get("validity_len", 0)
+    if not vlen:
+        return None, payload
+    mask = np.unpackbits(np.frombuffer(payload[:vlen], dtype=np.uint8))[: meta["n"]].astype(bool)
+    return mask, payload[vlen:]
+
+
+_PA_INT = {
+    "int8": pa.int8(),
+    "int16": pa.int16(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+}
+
+
+def decode_column(meta_json: str, payload: bytes) -> pa.Array:
+    """Exact inverse of :func:`encode_column`."""
+    meta = json.loads(meta_json)
+    kind = meta["kind"]
+    mask, payload = _unpack_validity(meta, payload)
+    n = meta["n"]
+
+    if kind == "list_int":
+        llen = meta["lengths_len"]
+        lengths = decode_values(meta["lengths_meta"], payload[:llen])
+        values = decode_values(meta["values_meta"], payload[llen:])
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        if offsets[-1] > np.iinfo(np.int32).max:
+            raise ValueError("block too large for int32 list offsets; lower block_rows")
+        child = pa.array(values, type=_PA_INT[meta["value_dtype"]])
+        return pa.Array.from_buffers(
+            pa.list_(_PA_INT[meta["value_dtype"]]),
+            n,
+            [_validity_buffer(mask), pa.py_buffer(offsets.astype(np.int32).tobytes())],
+            children=[child],
+        )
+
+    if kind == "str":
+        sd = decode_values(meta["str_meta"], payload)
+        if mask is None:
+            return strdata_to_arrow(sd, large=meta.get("large", False))
+        return _expand_str_nulls(sd, mask, large=meta.get("large", False))
+
+    if kind == "int":
+        values = decode_values(meta["values_meta"], payload)
+        if mask is None:
+            return pa.array(values, type=_PA_INT[meta["dtype"]])
+        full = np.zeros(n, dtype=values.dtype)
+        full[mask] = values
+        return pa.array(full, type=_PA_INT[meta["dtype"]], mask=~mask)
+
+    raise ValueError(f"unknown column kind {kind!r}")
+
+
+def _validity_buffer(mask: np.ndarray | None):
+    """Arrow validity bitmap buffer (bit=1 valid) from a boolean mask, or None."""
+    if mask is None:
+        return None
+    return pa.py_buffer(np.packbits(mask, bitorder="little").tobytes())
+
+
+def _expand_str_nulls(sd: StrData, mask: np.ndarray, large: bool) -> pa.Array:
+    n = mask.size
+    lengths = np.zeros(n, dtype=np.int64)
+    lengths[mask] = sd.lengths()
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    typ = pa.large_utf8() if large else pa.utf8()
+    odtype = np.int64 if large else np.int32
+    return pa.Array.from_buffers(
+        typ,
+        n,
+        [
+            _validity_buffer(mask),
+            pa.py_buffer(offsets.astype(odtype).tobytes()),
+            pa.py_buffer(sd.data),
+        ],
+    )
