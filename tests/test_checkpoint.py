@@ -1,0 +1,69 @@
+"""Checkpoint/resume — FIXTURES.md F4: a partially-completed run resumes by
+encoding exactly the missing units (left-anti join), re-encoding nothing."""
+
+import glob
+import os
+
+from xml2arrow_spark.manifest import CodecManifest
+from xml2arrow_spark.operators.checkpoint import (
+    completed_units,
+    encode_dataset,
+    plan_units,
+    read_encoded_dataset,
+)
+from xml2arrow_spark.operators.verify import verify_roundtrip
+from xml2arrow_spark.sources import tokens_dataframe
+
+
+def _data_files(path):
+    return set(glob.glob(os.path.join(path, "blocks", "**", "*.parquet"), recursive=True))
+
+
+def test_full_run_and_noop_resume(spark, tmp_path):
+    path = str(tmp_path / "enc")
+    df = tokens_dataframe(spark, 3000, variant="skewed_zipf", n_partitions=4).cache()
+    man = CodecManifest.auto_for(df.schema, block_rows=512)
+
+    m1 = encode_dataset(df, path, man, n_units=8)
+    assert m1["units"] == 8 and m1["rows"] == 3000
+    assert verify_roundtrip(df, read_encoded_dataset(spark, path))["ok"]
+
+    files_before = _data_files(path)
+    m2 = encode_dataset(df, path, man, n_units=8)  # no-op resume
+    assert m2["rows"] == 3000
+    assert _data_files(path) == files_before  # nothing re-encoded
+    assert read_encoded_dataset(spark, path).count() == 3000
+    df.unpersist()
+
+
+def test_partial_failure_resume(spark, tmp_path):
+    path = str(tmp_path / "enc2")
+    df = tokens_dataframe(spark, 3000, variant="low_card", n_partitions=4).cache()
+    man = CodecManifest.auto_for(df.schema, block_rows=512)
+
+    # simulate a run that died after 3 of 8 units
+    units = plan_units(df, 8)
+    partial = units.filter("unit_id < 3").drop("unit_id")
+    m1 = encode_dataset(partial, path, man, n_units=8)
+    assert m1["units"] == 3
+
+    # resume with the full input: must complete the other 5 and nothing else
+    files_before = _data_files(path)
+    encode_dataset(df, path, man, n_units=8)
+    done = completed_units(spark, path)
+    assert done.select("unit_id").distinct().count() == 8
+    new_files = _data_files(path) - files_before
+    touched_units = {f.split("unit_id=")[1].split("/")[0] for f in new_files}
+    assert touched_units.isdisjoint({"0", "1", "2"})  # completed units untouched
+    assert verify_roundtrip(df, read_encoded_dataset(spark, path))["ok"]
+    df.unpersist()
+
+
+def test_manifest_sidecar_written(spark, tmp_path):
+    path = str(tmp_path / "enc3")
+    df = tokens_dataframe(spark, 500, n_partitions=2)
+    encode_dataset(df, path, CodecManifest.auto_for(df.schema), n_units=2)
+    assert os.path.exists(os.path.join(path, "_manifest.yaml"))
+    meta = completed_units(spark, path)
+    row = meta.agg({"in_bytes": "sum", "out_bytes": "sum"}).collect()[0]
+    assert row[0] > 0 and row[1] > 0

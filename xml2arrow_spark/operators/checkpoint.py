@@ -1,0 +1,139 @@
+"""Checkpointed encode: per-partition lineage manifest + resume.
+
+The reference persists its resolved config via YAML round-trip
+(``Config::to_yaml_file``, /root/reference/src/config.rs:296-300); this
+engine persists a *metadata table* of completed work units so a failed run
+resumes without re-encoding — one row per (unit_id) with codec lineage, row
+counts, byte counts, and a checksum (the per-partition analog of the
+reference's per-table RecordBatch finalize bookkeeping,
+/root/reference/src/xml_parser.rs:491-511).
+
+Layout of an encoded dataset directory (Iceberg-style data/metadata split,
+parquet-backed so it runs in this sandbox; swap the writers for
+``format("iceberg")`` on a real catalog):
+
+    <path>/blocks/           encoded block rows, partitioned by unit_id
+    <path>/manifest/         one row per completed unit (the checkpoint table)
+    <path>/_manifest.yaml    resolved codec manifest + input schema DDL
+
+Resume = left-anti join of planned units against the manifest table —
+built from primitives, as SURVEY §4 prescribes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from xml2arrow_spark.manifest import CodecManifest
+from xml2arrow_spark.operators.encode import decode_table, encode_table
+
+__all__ = [
+    "plan_units",
+    "encode_dataset",
+    "read_encoded_dataset",
+    "completed_units",
+]
+
+MANIFEST_SIDEVAR = "_manifest.yaml"
+
+
+def plan_units(df: DataFrame, n_units: int, id_col: str = "doc_id") -> DataFrame:
+    """Assign every row a deterministic work unit (0..n_units-1).
+
+    Deterministic in the DATA (hash of id), not in the physical layout, so
+    the same row lands in the same unit on any cluster size / input split —
+    the property resume correctness rests on.
+    """
+    return df.withColumn(
+        "unit_id", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_units)).cast("int")
+    )
+
+
+def completed_units(spark: SparkSession, path: str) -> DataFrame:
+    """Manifest rows of completed units; empty DataFrame if none yet."""
+    mpath = os.path.join(path, "manifest")
+    try:
+        return spark.read.parquet(mpath)
+    except Exception:
+        return spark.createDataFrame(
+            [], "unit_id int, n_blocks long, n_rows long, n_values long, "
+            "in_bytes long, out_bytes long, checksum long",
+        )
+
+
+def encode_dataset(
+    df: DataFrame,
+    path: str,
+    manifest: CodecManifest,
+    n_units: int = 32,
+    id_col: str = "doc_id",
+) -> dict:
+    """Encode ``df`` into ``path`` with resume-from-checkpoint.
+
+    Returns run metrics. Re-running after a partial failure encodes only
+    units absent from the manifest table (left-anti join), re-encoding
+    nothing — FIXTURES.md F4 semantics.
+    """
+    spark = df.sparkSession
+    manifest.validate(df.schema)
+    units = plan_units(df, n_units, id_col)
+    done = completed_units(spark, path).select("unit_id")
+    # left-anti join against completed units; done is tiny -> broadcast
+    todo = units.join(F.broadcast(done), "unit_id", "left_anti")
+
+    todo = todo.repartition(n_units, "unit_id")  # co-locate each unit in one task
+    blocks = encode_table(todo, manifest, unit_col="unit_id")
+    blocks.write.mode("append").partitionBy("unit_id").parquet(
+        os.path.join(path, "blocks")
+    )
+    # Lineage rollup from what was just written: parquet column pruning keeps
+    # this scan metadata-light (payload bytes in `cols` are never read).
+    written = spark.read.parquet(os.path.join(path, "blocks")).join(
+        F.broadcast(done), "unit_id", "left_anti"
+    )
+    meta = written.groupBy("unit_id").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_values").alias("n_values"),
+        F.sum("in_bytes").alias("in_bytes"),
+        F.sum("out_bytes").alias("out_bytes"),
+        F.sum(F.xxhash64(F.col("block_id").cast("string"))).alias("checksum"),
+    )
+    meta.write.mode("append").parquet(os.path.join(path, "manifest"))
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.select(
+            *manifest.encodable_columns(df.schema)
+        ).schema.fields
+    )
+    with open(os.path.join(path, MANIFEST_SIDEVAR), "w") as f:
+        f.write(manifest.to_yaml() + f"\nschema_ddl: '{schema_ddl}'\n")
+    m = (
+        completed_units(spark, path)
+        .agg(
+            F.sum("n_rows").alias("rows"),
+            F.sum("n_values").alias("values"),
+            F.sum("in_bytes").alias("in_bytes"),
+            F.sum("out_bytes").alias("out_bytes"),
+            F.count("*").alias("units"),
+        )
+        .collect()[0]
+    )
+    return {
+        "units": m["units"],
+        "rows": int(m["rows"] or 0),
+        "values": int(m["values"] or 0),
+        "in_bytes": int(m["in_bytes"] or 0),
+        "out_bytes": int(m["out_bytes"] or 0),
+    }
+
+
+def read_encoded_dataset(spark: SparkSession, path: str) -> DataFrame:
+    """Decode an encoded dataset directory back to its original columns."""
+    import yaml
+
+    with open(os.path.join(path, MANIFEST_SIDEVAR)) as f:
+        side = yaml.safe_load(f.read())
+    blocks = spark.read.parquet(os.path.join(path, "blocks"))
+    return decode_table(blocks, side["schema_ddl"])

@@ -27,7 +27,7 @@ from xml2arrow_spark.operators.blocks import decode_column, encode_column
 __all__ = ["encode_table", "decode_table", "BLOCKS_SCHEMA_DDL", "blocks_metadata"]
 
 BLOCKS_SCHEMA_DDL = (
-    "part_id int, block_id long, n_rows int, n_values long, "
+    "part_id int, unit_id int, block_id long, n_rows int, n_values long, "
     "in_bytes long, out_bytes long, "
     "cols array<struct<name: string, codec: string, meta: string, data: binary, "
     "in_bytes: long, out_bytes: long>>"
@@ -36,6 +36,7 @@ BLOCKS_SCHEMA_DDL = (
 _BLOCKS_PA_SCHEMA = pa.schema(
     [
         pa.field("part_id", pa.int32()),
+        pa.field("unit_id", pa.int32()),
         pa.field("block_id", pa.int64()),
         pa.field("n_rows", pa.int32()),
         pa.field("n_values", pa.int64()),
@@ -77,27 +78,73 @@ def _blockify(batches: Iterator[pa.RecordBatch], block_rows: int) -> Iterator[pa
         yield pa.Table.from_batches(buf)
 
 
-def encode_table(df, manifest: CodecManifest):
+def _blockify_grouped(
+    batches: Iterator[pa.RecordBatch], block_rows: int, unit_col: str
+) -> Iterator[tuple[int, pa.Table]]:
+    """Like :func:`_blockify` but never lets a block span two ``unit_col``
+    values. Requires rows sorted by ``unit_col`` within the task (the caller
+    does ``sortWithinPartitions``). Unit-run splitting is one vectorized diff
+    per batch — no per-row Python."""
+    import numpy as np
+
+    def flush(unit, buf):
+        tbl = pa.Table.from_batches(buf)
+        for off in range(0, max(tbl.num_rows, 1), block_rows):
+            sl = tbl.slice(off, block_rows)
+            if sl.num_rows:
+                yield unit, sl
+
+    cur_unit = None
+    buf: list[pa.RecordBatch] = []
+    for b in batches:
+        units = b.column(b.schema.get_field_index(unit_col)).to_numpy(zero_copy_only=False)
+        if units.size == 0:
+            continue
+        starts = np.concatenate(([0], np.flatnonzero(units[1:] != units[:-1]) + 1, [units.size]))
+        for i in range(len(starts) - 1):
+            lo, hi = int(starts[i]), int(starts[i + 1])
+            unit = int(units[lo])
+            if unit != cur_unit and buf:
+                yield from flush(cur_unit, buf)
+                buf = []
+            cur_unit = unit
+            buf.append(b.slice(lo, hi - lo))
+    if buf:
+        yield from flush(cur_unit, buf)
+
+
+def encode_table(df, manifest: CodecManifest, unit_col: str | None = None):
     """Encode ``df``'s manifest columns into a blocks DataFrame.
 
     The manifest is validated driver-side first (``Config::validate`` analog,
     /root/reference/src/config.rs:152-237) so executor tasks can never see an
     invalid plan.
+
+    With ``unit_col`` set, rows are sorted by it within each task and no
+    block spans two unit values; block rows carry ``unit_id`` — the handle
+    the checkpoint/resume layer keys on. Without it, ``unit_id`` is -1.
     """
-    manifest.validate(df.schema)
+    manifest.validate(df.drop(unit_col).schema if unit_col else df.schema)
     cols = manifest.encodable_columns(df.schema)
     if not cols:
         raise ValueError("manifest selects no encodable columns")
     policies = {c: manifest.columns[c].codec for c in cols}
     block_rows = manifest.block_rows
-    projected = df.select(*cols)  # Catalyst prunes the scan to these columns
+    if unit_col is None:
+        projected = df.select(*cols)  # Catalyst prunes the scan to these columns
+    else:
+        projected = df.select(unit_col, *cols).sortWithinPartitions(unit_col)
 
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
         part_id = ctx.partitionId() if ctx is not None else 0
-        for seq, block in enumerate(_blockify(batches, block_rows)):
+        if unit_col is None:
+            blocks_iter = ((-1, blk) for blk in _blockify(batches, block_rows))
+        else:
+            blocks_iter = _blockify_grouped(batches, block_rows, unit_col)
+        for seq, (unit_id, block) in enumerate(blocks_iter):
             n_rows = block.num_rows
             out_cols = []
             n_values = 0
@@ -128,6 +175,7 @@ def encode_table(df, manifest: CodecManifest):
             yield pa.RecordBatch.from_pydict(
                 {
                     "part_id": [part_id],
+                    "unit_id": [unit_id],
                     "block_id": [(part_id << 32) | seq],
                     "n_rows": [n_rows],
                     "n_values": [n_values],

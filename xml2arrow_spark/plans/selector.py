@@ -91,7 +91,12 @@ def choose_str_codec(sd: StrData) -> str:
 
     arr = strdata_to_arrow(StrData(sd.offsets[: take + 1], sd.data[: int(sd.offsets[take])]), large=True)
     card = len(arr.dictionary_encode().dictionary)
-    card_scaled = card if take == n else min(n, int(card * n / take))
+    if take == n or card <= take * 0.1:
+        # low-card samples saturate: the distinct set is (nearly) complete,
+        # linear extrapolation would wrongly inflate the dict estimate
+        card_scaled = card
+    else:
+        card_scaled = min(n, int(card * n / take))
     avg_len = data_bytes / n
     est_plain = float(data_bytes)
     est_dict = n * bits_needed(max(card_scaled - 1, 0)) / 8 + card_scaled * avg_len
