@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Headline benchmark. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Covers the engine's flagship paths at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
+
+- synthetic-token encode (the north-rule workload): generate the F1 token
+  table on executors, range-partition by work, encode with auto-selected
+  codecs; reports tokens/sec and compression vs parquet-zstd of the SAME
+  table (the reference-codec size baseline from BASELINE.md).
+- tokenize→encode→decode round trip over the documents table.
+- dedup (exact, MinHash+LSH pairs, simhash groups), text analysis
+  (lang-id/quality/fingerprint), similarity (brute-force + LSH ANN),
+  un-nesting over lineitem.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+ENCODE_ROWS = int(os.environ.get("SPARK_GRAFT_ENCODE_ROWS", "200000"))
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    from xml2arrow_spark.manifest import CodecManifest
+    from xml2arrow_spark.operators.encode import decode_table, encode_table
+    from xml2arrow_spark.operators.partitioning import repartition_by_work
+    from xml2arrow_spark.pipeline import dedup, similarity, textstats
+    from xml2arrow_spark.plans.selector import resolve_manifest
+    from xml2arrow_spark.sources.tokens import tokenize_documents, tokens_dataframe
+
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("xml2arrow_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    extra: dict[str, object] = {}
+
+    def timed(name: str):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.time()
+                return self
+
+            def __exit__(self, *a):
+                queries[name] = round(time.time() - self.t0, 3)
+
+        return _T()
+
+    # -- q1: synthetic token encode (north-rule workload) --------------------
+    tok = tokens_dataframe(spark, ENCODE_ROWS, variant="uniform_vocab",
+                           n_partitions=CPUS * 4)
+    tok = repartition_by_work(tok, CPUS * 4)
+    manifest = CodecManifest.auto_for(tok.schema, block_rows=65536)
+    with timed("q1_encode_synthetic"):
+        blocks = encode_table(tok, resolve_manifest(tok, manifest))
+        agg = blocks.agg(
+            F.sum("n_values").alias("nv"),
+            F.sum("in_bytes").alias("ib"),
+            F.sum("out_bytes").alias("ob"),
+            F.sum("n_rows").alias("nr"),
+        ).collect()[0]
+    n_tokens = int(agg["nv"])
+    extra["encode_rows"] = int(agg["nr"])
+    extra["encode_values"] = n_tokens
+    extra["encode_in_bytes"] = int(agg["ib"])
+    extra["encode_out_bytes"] = int(agg["ob"])
+    extra["encode_tokens_per_sec"] = round(n_tokens / queries["q1_encode_synthetic"])
+
+    # reference-codec size baseline: parquet+zstd of the SAME table
+    tmp = tempfile.mkdtemp(prefix="bench_zstd_")
+    try:
+        with timed("q2_parquet_zstd_baseline"):
+            tok.write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+        zstd_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(tmp) for f in fs if f.endswith(".parquet")
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    extra["parquet_zstd_bytes"] = zstd_bytes
+    extra["compression_ratio_vs_zstd_parquet"] = round(int(agg["ob"]) / zstd_bytes, 4)
+
+    # -- q3: documents tokenize -> encode -> decode -> verify ----------------
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with timed("q3_encode_roundtrip_docs"):
+        t = tokenize_documents(docs)
+        man = resolve_manifest(t, CodecManifest.auto_for(t.schema, block_rows=8192))
+        decoded = decode_table(encode_table(t, man),
+                               "doc_id string, tokens array<int>, n_tok int, source string")
+        extra["roundtrip_rows"] = decoded.count()
+
+    # -- q4-q6: dedup ---------------------------------------------------------
+    with timed("q4_dedup_exact"):
+        dedup.exact_dedup(docs).count()
+    with timed("q5_lsh_near_dup_pairs"):
+        extra["near_dup_pairs"] = dedup.lsh_near_dup_pairs(docs).count()
+    with timed("q6_simhash_groups"):
+        dedup.simhash_groups(docs).count()
+
+    # -- q7: text analysis ----------------------------------------------------
+    with timed("q7_text_analysis"):
+        textstats.lang_id(docs).groupBy("predicted_lang").count().collect()
+        textstats.text_quality(docs).agg(F.sum("n_words")).collect()
+        textstats.doc_fingerprint(docs).agg(F.count_distinct("fingerprint")).collect()
+
+    # -- q8-q9: similarity ----------------------------------------------------
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with timed("q8_cosine_topk"):
+        similarity.cosine_topk(emb, query_id=0, k=10).collect()
+    with timed("q9_lsh_ann_topk"):
+        similarity.lsh_ann_topk(emb, query_id=0, k=5).collect()
+
+    # -- q10: un-nesting linkage ----------------------------------------------
+    with timed("q10_unnest_orders"):
+        entry.q_unnest_orders(spark, SF_DIR).count()
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        **extra,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -24,12 +24,14 @@ def with_work_bucket(df: DataFrame, n_tok_col: str = "n_tok", n_buckets: int = 8
     """Add ``work_bucket`` = log2-scaled n_tok bucket (0..n_buckets-1).
 
     Log-scale because n_tok is log-normal (FIXTURES.md F1): linear buckets
-    would put almost everything in bucket 0.
+    would put almost everything in bucket 0. floor(log2(n)) is computed as
+    ``length(bin(n)) - 1`` — exact integer arithmetic (float log2 can return
+    2.9999... for powers of two and disagree across engines/oracles).
     """
-    log2 = F.log2(F.greatest(F.col(n_tok_col).cast("double"), F.lit(1.0)))
+    bits = F.length(F.bin(F.greatest(F.col(n_tok_col).cast("bigint"), F.lit(1)))) - 1
     return df.withColumn(
         "work_bucket",
-        F.least(F.floor(log2).cast("int"), F.lit(n_buckets - 1)),
+        F.least(bits.cast("int"), F.lit(n_buckets - 1)),
     )
 
 

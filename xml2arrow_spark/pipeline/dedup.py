@@ -1,0 +1,214 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, sorted-neighborhood
+n-gram Jaccard.
+
+Scale stance (100 TB):
+
+- **exact_dedup** is a single hash aggregation on ``md5(text)`` — map-side
+  partial agg + one shuffle on the digest; never shuffles the text payload
+  twice.
+- **MinHash+LSH** computes per-doc signatures in one narrow pass (whole-stage
+  codegen, no shuffle), then *explodes only B band keys per doc* and
+  self-joins on (band, key) — the classic shingle→minhash→band→bucket-join.
+  Candidate verification (exact Jaccard) runs only inside buckets, with an
+  integer cross-multiplication filter (``inter * 1000 >= thr * union``) so no
+  float enters the gate.
+- **SimHash** is one narrow projection; near-dup grouping is a hash agg on
+  the 32-bit value.
+- **sorted-neighborhood** windows within ``source`` partitions (no global
+  sort) — the cheap O(n log n) pass used before pairwise verification.
+
+All expressions are rendered from :mod:`xml2arrow_spark.pipeline.sqlgen`
+templates shared with the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from xml2arrow_spark.pipeline import sqlgen as G
+
+__all__ = [
+    "exact_dedup",
+    "with_minhash",
+    "minhash_signatures",
+    "lsh_near_dup_pairs",
+    "with_simhash",
+    "simhash_groups",
+    "neighbor_jaccard",
+]
+
+SPARK = "spark"
+
+
+def _dtoks(text_col: str) -> str:
+    """Distinct word-token array (bigint) for a text column."""
+    return G.adistinct(G.word_tokens_arr(text_col, SPARK), SPARK)
+
+
+def _with_dshingles(docs: DataFrame, text_col: str) -> DataFrame:
+    """Add ``dtoks`` = distinct word-trigram shingle hashes — the MinHash
+    feature set.
+
+    Shingles (not unigrams): on a small shared vocabulary every document's
+    unigram SET converges to the whole vocab and all-pairs look like dups;
+    trigrams keep word order so only true near-duplicates collide.
+
+    The token array is materialized as an intermediate column first:
+    ``shingles_expr`` indexes it 3× per output element, and inlining the
+    tokenizer expression there would re-tokenize the doc per shingle —
+    O(len²) per row (measured ~10× slowdown at 500 docs)."""
+    out = docs.withColumn("_toks", F.expr(G.word_tokens_arr(text_col, SPARK)))
+    return out.withColumn(
+        "dtoks", F.expr(G.adistinct(G.shingles_expr("_toks", SPARK), SPARK))
+    ).drop("_toks")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct text: digest, surviving (minimum) id, copy count."""
+    return docs.groupBy(F.md5(F.col(text_col)).alias("text_md5")).agg(
+        F.min(id_col).alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+def with_minhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``dtoks`` (distinct word-trigram shingles), ``sig`` (MinHash
+    signature, array<bigint> of K values) and ``band0..band{B-1}`` LSH band
+    keys — the shingle→minhash→band stage, one narrow codegen'd pass."""
+    out = _with_dshingles(docs, text_col)
+    sig = "array(" + ", ".join(
+        G.minhash_expr("dtoks", i, SPARK) for i in range(G.MINHASH_K)
+    ) + ")"
+    out = out.withColumn("sig", F.expr(sig))
+    for b in range(G.MINHASH_BANDS):
+        out = out.withColumn(f"band{b}", F.expr(G.band_expr("sig", b, SPARK)))
+    return out
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sig, band0..band{B-1}) per document."""
+    return with_minhash(docs, text_col).select(
+        id_col, "sig", *[f"band{b}" for b in range(G.MINHASH_BANDS)]
+    )
+
+
+def lsh_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_milli: int = 800,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash + exact-Jaccard verification.
+
+    Returns (doc_a, doc_b, inter_size, union_size) for pairs whose word-token
+    Jaccard >= threshold_milli/1000, compared with integer cross
+    multiplication (no float). doc_a < doc_b; each pair appears once even if
+    it collides in several bands.
+    """
+    # Docs with no shingles (< 3 words) can never near-dup: drop them BEFORE
+    # banding, mirroring the oracle where their NULL band keys never join.
+    sigs = (
+        with_minhash(docs, text_col)
+        .filter(F.size("dtoks") > 0)
+        .select(
+            F.col(id_col).alias("doc"), "dtoks",
+            *[f"band{b}" for b in range(G.MINHASH_BANDS)],
+        )
+    )
+    # Exchange barrier: materialize (doc, dtoks, bands) exactly once; every
+    # branch below and both join sides hit a ReusedExchange of THIS subtree.
+    sigs = sigs.repartition("doc")
+    # One row per (doc, band) via UNION of projections. Two deliberate
+    # plan-shape choices, both measured ~20× on 500 docs:
+    # - NOT posexplode: InferFiltersFromGenerate would add `size(bands)>0`,
+    #   push it into the parquet scan, and inline the whole minhash tree
+    #   into that filter (1282 tokenizer copies in the plan).
+    # - band_key wrapped non-nullable (coalesce with a literal): otherwise
+    #   the join makes InferFiltersFromConstraints emit isnotnull(band_key)
+    #   per branch, again pushing the inlined tree into the scans — and the
+    #   per-branch filters also defeat ReusedExchange.
+    exploded = None
+    for b in range(G.MINHASH_BANDS):
+        part = sigs.select(
+            "doc",
+            "dtoks",
+            F.lit(b).alias("band_pos"),
+            F.coalesce(F.col(f"band{b}"), F.lit(-1)).alias("band_key"),
+        )
+        exploded = part if exploded is None else exploded.unionAll(part)
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_pos") == F.col("b.band_pos"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.dtoks").alias("ta"),
+            F.col("b.dtoks").alias("tb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.expr(G.asize(G.aintersect("ta", "tb", SPARK), SPARK))
+    verified = cand.withColumn("inter_size", inter).withColumn(
+        "union_size", F.expr("size(ta) + size(tb)") - F.col("inter_size")
+    )
+    return verified.filter(
+        F.col("inter_size") * 1000 >= threshold_milli * F.col("union_size")
+    ).select("doc_a", "doc_b", "inter_size", "union_size")
+
+
+def with_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add a 32-bit ``simhash`` (bigint) over the doc's word tokens."""
+    toks = G.word_tokens_arr(text_col, SPARK)
+    return docs.withColumn("simhash", F.expr(G.simhash_expr(toks, SPARK)))
+
+
+def simhash_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group docs by identical simhash: (simhash, keep_doc_id, n_docs)."""
+    return (
+        with_simhash(docs, text_col)
+        .groupBy("simhash")
+        .agg(F.min(id_col).alias("keep_doc_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def neighbor_jaccard(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order_col: str = "n_chars",
+    partition_col: str = "source",
+) -> DataFrame:
+    """Sorted-neighborhood pass: word-token Jaccard between each doc and its
+    successor in (partition_col, order_col, id) order. Windows stay inside
+    ``partition_col`` partitions — no global sort at scale.
+
+    Returns (doc_a, doc_b, inter_size, union_size).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(partition_col).orderBy(order_col, id_col)
+    paired = (
+        docs.withColumn("next_id", F.lead(id_col).over(w))
+        .withColumn("next_text", F.lead(text_col).over(w))
+        .filter(F.col("next_id").isNotNull())
+    )
+    paired = paired.withColumn("ta", F.expr(_dtoks(text_col))).withColumn(
+        "tb", F.expr(_dtoks("next_text"))
+    )
+    inter = F.expr(G.asize(G.aintersect("ta", "tb", SPARK), SPARK))
+    return (
+        paired.withColumn("inter_size", inter)
+        .withColumn(
+            "union_size", F.expr("size(ta) + size(tb)") - F.col("inter_size")
+        )
+        .select(
+            F.col(id_col).alias("doc_a"),
+            F.col("next_id").alias("doc_b"),
+            "inter_size",
+            "union_size",
+        )
+    )

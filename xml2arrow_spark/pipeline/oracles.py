@@ -1,0 +1,279 @@
+"""DuckDB oracle SQL for every driver-checked query.
+
+Each oracle is rendered from the SAME dialect-neutral templates
+(:mod:`xml2arrow_spark.pipeline.sqlgen`) the Spark operators are built from,
+so agreement is by construction: integer arithmetic, sequential float folds,
+and single IEEE ops only. Tables referenced by bare name (documents,
+embeddings, lineitem) — the driver pre-registers them as DuckDB views.
+"""
+
+from __future__ import annotations
+
+from xml2arrow_spark.pipeline import sqlgen as G
+from xml2arrow_spark.pipeline.textstats import BPE_PATTERN, FINGERPRINT_MOD, STOPWORDS
+
+D = "duckdb"
+EMB_DIM = 64  # driver testdata embeddings are 64-dim at every sf
+
+_TOKS = G.word_tokens_arr("text", D)
+_DTOKS = G.adistinct(_TOKS, D)
+# MinHash feature set = distinct word-trigram shingles (see pipeline.dedup)
+_DSHINGLES = G.adistinct(G.shingles_expr(_TOKS, D), D)
+
+
+def tokenize_sql() -> str:
+    return f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST({_TOKS} AS INTEGER[]) AS tokens,
+       {G.asize(G.split_ws('text', D), D)} AS n_tok,
+       source
+FROM documents
+"""
+
+
+def token_stats_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT source, CAST({_TOKS} AS INTEGER[]) AS tokens,
+         {G.asize(G.split_ws('text', D), D)} AS n_tok
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       MIN(list_min(tokens)) AS min_token,
+       MAX(list_max(tokens)) AS max_token
+FROM tok GROUP BY source
+"""
+
+
+def work_buckets_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT {G.asize(G.split_ws('text', D), D)} AS n_tok FROM documents
+)
+SELECT CAST(least(length(bin(greatest(CAST(n_tok AS BIGINT), 1))) - 1, 7) AS INTEGER)
+         AS work_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM tok GROUP BY 1
+"""
+
+
+def dedup_exact_sql() -> str:
+    return """
+SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def _sig_literal() -> str:
+    return "[" + ", ".join(G.minhash_expr("dtoks", i, D) for i in range(G.MINHASH_K)) + "]"
+
+
+def minhash_signatures_sql() -> str:
+    bands = ",\n       ".join(
+        f"{G.band_expr('sig', b, D)} AS band{b}" for b in range(G.MINHASH_BANDS)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {_DSHINGLES} AS dtoks FROM documents),
+s AS (SELECT doc_id, {_sig_literal()} AS sig FROM d)
+SELECT doc_id, sig,
+       {bands}
+FROM s
+"""
+
+
+def lsh_near_dup_pairs_sql(threshold_milli: int = 800) -> str:
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_pos, {G.band_expr('sig', b, D)} AS band_key FROM s"
+        for b in range(G.MINHASH_BANDS)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {_DSHINGLES} AS dtoks FROM documents),
+s AS (SELECT d.doc_id, {_sig_literal()} AS sig FROM d),
+bands AS (
+  {band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_pos = b.band_pos AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT doc_a, doc_b,
+         {G.asize(G.aintersect('da.dtoks', 'db.dtoks', D), D)} AS inter_size,
+         {G.asize('da.dtoks', D)} + {G.asize('db.dtoks', D)} AS both_size
+  FROM cand
+  JOIN d da ON da.doc_id = cand.doc_a
+  JOIN d db ON db.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b, inter_size, (both_size - inter_size) AS union_size
+FROM v WHERE inter_size * 1000 >= {threshold_milli} * (both_size - inter_size)
+"""
+
+
+def simhash_sql() -> str:
+    return f"""
+SELECT doc_id, {G.simhash_expr(_TOKS, D)} AS simhash FROM documents
+"""
+
+
+def simhash_groups_sql() -> str:
+    return f"""
+WITH s AS (SELECT doc_id, {G.simhash_expr(_TOKS, D)} AS simhash FROM documents)
+SELECT simhash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
+FROM s GROUP BY simhash
+"""
+
+
+def neighbor_jaccard_sql() -> str:
+    dt_a = G.adistinct(G.word_tokens_arr("text_a", D), D)
+    dt_b = G.adistinct(G.word_tokens_arr("text_b", D), D)
+    return f"""
+WITH p AS (
+  SELECT doc_id AS doc_a,
+         lead(doc_id) OVER w AS doc_b,
+         text AS text_a,
+         lead(text) OVER w AS text_b
+  FROM documents
+  WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+),
+j AS (
+  SELECT doc_a, doc_b, {dt_a} AS ta, {dt_b} AS tb
+  FROM p WHERE doc_b IS NOT NULL
+)
+SELECT doc_a, doc_b,
+       {G.asize(G.aintersect('ta', 'tb', D), D)} AS inter_size,
+       {G.asize('ta', D)} + {G.asize('tb', D)}
+         - {G.asize(G.aintersect('ta', 'tb', D), D)} AS union_size
+FROM j
+"""
+
+
+def lang_id_sql() -> str:
+    langs = list(STOPWORDS)
+    hits = []
+    for lang in langs:
+        lits = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        hits.append(
+            f"{G.asize(G.aintersect('dw', f'[{lits}]', D), D)} AS hits_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {best} > 0 AND hits_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH d AS (SELECT doc_id, {G.adistinct(G.split_ws('text', D), D)} AS dw FROM documents),
+h AS (SELECT doc_id, {', '.join(hits)} FROM d)
+SELECT doc_id, {', '.join(f'hits_{lang}' for lang in langs)},
+       {case} AS predicted_lang
+FROM h
+"""
+
+
+def text_quality_sql() -> str:
+    words = G.split_ws("text", D)
+    return f"""
+SELECT doc_id,
+       {G.asize(words, D)} AS n_words,
+       {G.asize(G.adistinct(words, D), D)} AS n_distinct_words,
+       CAST(length(text) AS INTEGER) AS n_chars,
+       {G.asize("regexp_extract_all(text, '[^A-Za-z0-9 ]')", D)} AS n_punct,
+       CAST(list_max({G.transform(words, 'w', 'length(w)', D)}) AS INTEGER) AS max_word_len,
+       CAST({G.asize(G.adistinct(words, D), D)} AS DOUBLE)
+         / CAST({G.asize(words, D)} AS DOUBLE) AS distinct_ratio
+FROM documents
+"""
+
+
+def token_counts_sql() -> str:
+    return f"""
+SELECT doc_id,
+       {G.asize(G.split_ws('text', D), D)} AS ws_tokens,
+       {G.asize(f"regexp_extract_all(text, '{BPE_PATTERN}')", D)} AS bpe_tokens
+FROM documents
+"""
+
+
+def doc_fingerprint_sql() -> str:
+    fold = G.afold(_TOKS, f"(acc * 31 + x) % {FINGERPRINT_MOD}", D)
+    return f"SELECT doc_id, {fold} AS fingerprint FROM documents"
+
+
+def cosine_topk_sql(query_id: int = 0, k: int = 10) -> str:
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_id})
+SELECT vec_id, {G.cosine_expr('embedding', 'qv', D)} AS cosine
+FROM embeddings CROSS JOIN q
+WHERE vec_id <> {query_id}
+ORDER BY cosine DESC, vec_id
+LIMIT {k}
+"""
+
+
+def lsh_ann_topk_sql(query_id: int = 0, k: int = 5) -> str:
+    bucket = G.lsh_bucket_expr("embedding", EMB_DIM, D)
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = {query_id})
+SELECT vec_id, bucket, {G.cosine_expr('embedding', 'qv', D)} AS cosine
+FROM b CROSS JOIN q
+WHERE bucket = qbucket AND vec_id <> {query_id}
+ORDER BY cosine DESC, vec_id
+LIMIT {k}
+"""
+
+
+def unnest_orders_sql() -> str:
+    return """
+SELECT l_orderkey,
+       CAST(row_number() OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_partkey, l_quantity) - 1
+            AS INTEGER) AS item_idx,
+       l_linenumber, l_partkey, l_quantity
+FROM lineitem
+"""
+
+
+def affine_transform_sql() -> str:
+    return """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * CAST(0.01 AS DOUBLE) + CAST(100.0 AS DOUBLE) AS adjusted
+FROM lineitem
+"""
+
+
+def multimodal_meta_sql() -> str:
+    return """
+SELECT doc_id, 'text/plain' AS mime,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+FROM documents
+"""
+
+
+ORACLES: dict[str, str] = {}
+
+
+def all_oracles() -> dict[str, str]:
+    return {
+        "tokenize": tokenize_sql(),
+        "encode_roundtrip": tokenize_sql(),
+        "token_stats": token_stats_sql(),
+        "work_buckets": work_buckets_sql(),
+        "dedup_exact": dedup_exact_sql(),
+        "minhash_signatures": minhash_signatures_sql(),
+        "lsh_near_dup_pairs": lsh_near_dup_pairs_sql(),
+        "simhash": simhash_sql(),
+        "simhash_groups": simhash_groups_sql(),
+        "neighbor_jaccard": neighbor_jaccard_sql(),
+        "lang_id": lang_id_sql(),
+        "text_quality": text_quality_sql(),
+        "token_counts": token_counts_sql(),
+        "doc_fingerprint": doc_fingerprint_sql(),
+        "cosine_topk": cosine_topk_sql(),
+        "lsh_ann_topk": lsh_ann_topk_sql(),
+        "unnest_orders": unnest_orders_sql(),
+        "affine_transform": affine_transform_sql(),
+        "multimodal_meta": multimodal_meta_sql(),
+    }

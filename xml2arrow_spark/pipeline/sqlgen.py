@@ -1,0 +1,261 @@
+"""Dialect-parameterized SQL fragments: one template → Spark SQL + DuckDB SQL.
+
+The driver's correctness gate runs every engine query side-by-side with an
+ANSI-SQL oracle in DuckDB and value-hashes both results. Anything float- or
+dialect-divergent fails the gate, so the training-pipeline operators
+(dedup / similarity / text analysis) are written ONCE as dialect-neutral
+templates and rendered for both engines. Only exact integer arithmetic and
+single-float-op expressions are emitted — never order-dependent float
+aggregation.
+
+This mirrors the reference's stance of a small declarative layer applied
+mechanically (/root/reference/src/config.rs:126-133): the template is the
+declaration; Catalyst (or DuckDB) picks the physical plan.
+
+Supported dialects: ``spark`` (Spark SQL) and ``duckdb``.
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "split_ws",
+    "transform",
+    "adistinct",
+    "amin",
+    "asize",
+    "aintersect",
+    "afold",
+    "asum",
+    "element",
+    "shiftr",
+    "word_token",
+    "minhash_expr",
+    "band_expr",
+    "simhash_expr",
+    "SIMHASH_BITS",
+    "MINHASH_K",
+    "MINHASH_BANDS",
+    "MINHASH_ROWS",
+]
+
+VOCAB = 50257
+_MOD = 1_000_003  # minhash rehash modulus (prime > vocab)
+MINHASH_K = 16
+MINHASH_BANDS = 4
+MINHASH_ROWS = 4
+SIMHASH_BITS = 32
+_KNUTH = 2654435761  # 32-bit multiplicative rehash constant
+
+
+def _check(dialect: str) -> None:
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect {dialect!r}")
+
+
+def split_ws(text: str, dialect: str) -> str:
+    """Whitespace (single-space) word split."""
+    _check(dialect)
+    if dialect == "spark":
+        return f"split({text}, ' ')"
+    return f"string_split({text}, ' ')"
+
+
+def transform(arr: str, var: str, body: str, dialect: str) -> str:
+    _check(dialect)
+    fn = "transform" if dialect == "spark" else "list_transform"
+    return f"{fn}({arr}, {var} -> {body})"
+
+
+def adistinct(arr: str, dialect: str) -> str:
+    _check(dialect)
+    fn = "array_distinct" if dialect == "spark" else "list_distinct"
+    return f"{fn}({arr})"
+
+
+def amin(arr: str, dialect: str) -> str:
+    _check(dialect)
+    fn = "array_min" if dialect == "spark" else "list_min"
+    return f"{fn}({arr})"
+
+
+def asize(arr: str, dialect: str) -> str:
+    """Array length as a 32-bit int in both dialects."""
+    _check(dialect)
+    if dialect == "spark":
+        return f"size({arr})"
+    return f"CAST(len({arr}) AS INTEGER)"
+
+
+def aintersect(a: str, b: str, dialect: str) -> str:
+    _check(dialect)
+    fn = "array_intersect" if dialect == "spark" else "list_intersect"
+    return f"{fn}({a}, {b})"
+
+
+def afold(arr: str, body: str, dialect: str, init: str = "CAST(0 AS BIGINT)") -> str:
+    """Left fold with explicit init: acc/x are the lambda variable names.
+
+    Spark: ``aggregate(arr, init, (acc, x) -> body)``.
+    DuckDB has no init parameter — ``list_reduce`` seeds from the first
+    element, so the init is prepended.
+    """
+    _check(dialect)
+    if dialect == "spark":
+        return f"aggregate({arr}, {init}, (acc, x) -> {body})"
+    return f"list_reduce(list_prepend({init}, {arr}), (acc, x) -> {body})"
+
+
+def asum(arr: str, dialect: str) -> str:
+    """Sum of a bigint array as BIGINT (DuckDB list_sum returns HUGEINT)."""
+    _check(dialect)
+    if dialect == "spark":
+        return f"aggregate({arr}, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    return f"CAST(list_sum({arr}) AS BIGINT)"
+
+
+def element(arr: str, idx1: int, dialect: str) -> str:
+    """1-based element access in both dialects."""
+    _check(dialect)
+    if dialect == "spark":
+        return f"element_at({arr}, {idx1})"
+    return f"{arr}[{idx1}]"
+
+
+def shiftr(x: str, j: int, dialect: str) -> str:
+    _check(dialect)
+    if dialect == "spark":
+        return f"shiftright({x}, {j})"
+    return f"({x} >> {j})"
+
+
+# -- shared hashing ----------------------------------------------------------
+
+
+def word_token(w: str, dialect: str) -> str:
+    """The engine's SQL-expressible word tokenizer (sources/tokens.py
+    TOKENIZE_ORACLE_SNIPPET): identical primitives in Spark SQL and DuckDB."""
+    _check(dialect)
+    return (
+        f"CAST((length({w}) * 7919 + ascii({w}) * 31 + ascii(reverse({w})) * 7) "
+        f"% {VOCAB} AS BIGINT)"
+    )
+
+
+def word_tokens_arr(text: str, dialect: str) -> str:
+    """array<bigint> of word tokens for a text column."""
+    return transform(split_ws(text, dialect), "w", word_token("w", dialect), dialect)
+
+
+SHINGLE_MOD = 2147483647  # 2^31-1; shingle hash range
+
+
+def shingles_expr(toks: str, dialect: str, n: int = 3) -> str:
+    """3-gram (word-trigram) shingle hashes of a token array — base-31
+    rolling combine of n consecutive tokens, mod 2^31-1.
+
+    Guarded for short docs: Spark's ``sequence(1, 0)`` counts DOWN (would
+    fabricate indices), so docs with < n tokens yield an empty BIGINT array
+    in both dialects.
+    """
+    _check(dialect)
+    combine = element(toks, "i", dialect)
+    for k in range(1, n):
+        nxt = element(toks, f"i + {k}", dialect)
+        combine = f"({combine} * 31 + {nxt})"
+    combine = f"({combine} % {SHINGLE_MOD})"
+    if dialect == "spark":
+        idx = f"sequence(1, {asize(toks, dialect)} - {n - 1})"
+        empty = "CAST(array() AS array<bigint>)"
+        guard = f"{asize(toks, dialect)} >= {n}"
+    else:
+        idx = f"range(1, {asize(toks, dialect)} - {n - 2})"
+        empty = "CAST([] AS BIGINT[])"
+        guard = f"{asize(toks, dialect)} >= {n}"
+    body = transform(idx, "i", combine, dialect)
+    return f"(CASE WHEN {guard} THEN {body} ELSE {empty} END)"
+
+
+def minhash_expr(dtoks: str, i: int, dialect: str) -> str:
+    """i-th minhash value over a distinct-token array: min((a_i*t + b_i) % P).
+
+    Pure integer arithmetic (t < VOCAB, a_i small → no BIGINT overflow), so
+    Spark and DuckDB agree bit-for-bit.
+    """
+    a, b = 2 * i + 3, 7 * i + 1
+    return amin(
+        transform(dtoks, "t", f"(({a} * t + {b}) % {_MOD})", dialect), dialect
+    )
+
+
+def band_expr(sig: str, band: int, dialect: str) -> str:
+    """LSH band key = base-31 fold of MINHASH_ROWS consecutive signature rows."""
+    lo = band * MINHASH_ROWS + 1  # 1-based
+    expr = element(sig, lo, dialect)
+    for r in range(1, MINHASH_ROWS):
+        expr = f"({expr} * 31 + {element(sig, lo + r, dialect)})"
+    return expr
+
+
+def lit_arr(vals, dialect: str) -> str:
+    """Integer literal array."""
+    _check(dialect)
+    body = ", ".join(str(int(v)) for v in vals)
+    return f"array({body})" if dialect == "spark" else f"[{body}]"
+
+
+def dot_expr(a: str, b: str, dialect: str) -> str:
+    """Sequential-fold double dot product — bit-identical across dialects
+    (left-to-right IEEE summation in both engines, verified empirically)."""
+    _check(dialect)
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def norm_sq_expr(a: str, dialect: str) -> str:
+    return dot_expr(a, a, dialect)
+
+
+def cosine_expr(a: str, b: str, dialect: str) -> str:
+    """Cosine similarity from sequential folds + IEEE sqrt/divide (all
+    correctly-rounded single ops → cross-dialect bit parity)."""
+    return (
+        f"({dot_expr(a, b, dialect)} / "
+        f"(sqrt({norm_sq_expr(a, dialect)}) * sqrt({norm_sq_expr(b, dialect)})))"
+    )
+
+
+HYPERPLANES = 8  # LSH random-hyperplane count → 2^8 buckets
+
+
+def hyperplane_coeffs(j: int, dim: int) -> list[int]:
+    """Deterministic pseudo-random integer hyperplane j over ``dim`` dims."""
+    return [((j * 97 + i * 31 + 7) % 19) - 9 for i in range(dim)]
+
+
+def lsh_bucket_expr(emb: str, dim: int, dialect: str) -> str:
+    """Sign-of-projection LSH bucket id in [0, 2^HYPERPLANES)."""
+    parts = []
+    for j in range(HYPERPLANES):
+        proj = dot_expr(emb, lit_arr(hyperplane_coeffs(j, dim), dialect), dialect)
+        parts.append(f"(CASE WHEN {proj} >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+def simhash_expr(toks: str, dialect: str, bits: int = SIMHASH_BITS) -> str:
+    """SimHash over a token array: bit j set iff sum over tokens of
+    ±1 (per bit j of a 32-bit rehash) is >= 0. Exact integer arithmetic."""
+    parts = []
+    for j in range(bits):
+        h = f"((t * {_KNUTH}) % 4294967296)"
+        contrib = f"(2 * ({shiftr(h, j, dialect)} & 1) - 1)"
+        s = asum(transform(toks, "t", contrib, dialect), dialect)
+        parts.append(f"(CASE WHEN {s} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"

@@ -1,0 +1,100 @@
+"""Text analysis: language-ID, quality scoring, token counting, fingerprints.
+
+All single narrow projections — no shuffle, fully inside whole-stage codegen
+(built-in string/array functions only; no Python in the hot path). Outputs
+are integers or single-float-op values so the DuckDB oracles match
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from xml2arrow_spark.pipeline import sqlgen as G
+
+__all__ = ["STOPWORDS", "lang_id", "text_quality", "token_counts", "doc_fingerprint"]
+
+SPARK = "spark"
+
+# tiny per-language stopword lists for the n-gram-free heuristic language ID;
+# order fixed (tie-break = first language in this list with the max hits)
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "les", "et", "des", "une", "est", "dans"],
+    "es": ["el", "los", "las", "por", "con", "para", "una"],
+}
+
+# BPE-ish pre-tokenizer: letter runs, single digits, single punctuation marks
+BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+FINGERPRINT_MOD = 2147483647  # 2^31 - 1; keeps the rolling hash overflow-free
+
+
+def _dwords(text_col: str) -> str:
+    return G.adistinct(G.split_ws(text_col, SPARK), SPARK)
+
+
+def _hits(dwords: str, words: list[str]) -> str:
+    lits = ", ".join(f"'{w}'" for w in words)
+    return G.asize(G.aintersect(dwords, f"array({lits})", SPARK), SPARK)
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language scores + argmax prediction.
+
+    Returns (doc_id, hits_<lang>..., predicted_lang). Deterministic
+    tie-break: first language in STOPWORDS order wins.
+    """
+    out = docs.withColumn("_dw", F.expr(_dwords(text_col)))
+    langs = list(STOPWORDS)
+    for lang in langs:
+        out = out.withColumn(f"hits_{lang}", F.expr(_hits("_dw", STOPWORDS[lang])))
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # wrap from last to first so the FIRST language's WHEN is outermost → wins ties
+    for lang in reversed(langs):
+        pred = F.when((best > 0) & (F.col(f"hits_{lang}") == best), F.lit(lang)).otherwise(pred)
+    return out.select(id_col, *[f"hits_{lang}" for lang in langs], pred.alias("predicted_lang"))
+
+
+def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Integer quality components: word/char/punct counts, distinct-word
+    count, max word length, plus an exact-division words-per-char density."""
+    words = G.split_ws(text_col, SPARK)
+    out = docs.select(
+        id_col,
+        F.expr(G.asize(words, SPARK)).alias("n_words"),
+        F.expr(G.asize(G.adistinct(words, SPARK), SPARK)).alias("n_distinct_words"),
+        F.length(text_col).alias("n_chars"),
+        F.expr(
+            G.asize(f"regexp_extract_all({text_col}, '[^A-Za-z0-9 ]', 0)", SPARK)
+        ).alias("n_punct"),
+        F.expr(
+            "array_max(" + G.transform(words, "w", "length(w)", SPARK) + ")"
+        ).alias("max_word_len"),
+    )
+    return out.withColumn(
+        "distinct_ratio",
+        F.col("n_distinct_words").cast("double") / F.col("n_words").cast("double"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish regex pre-token count."""
+    return docs.select(
+        id_col,
+        F.expr(G.asize(G.split_ws(text_col, SPARK), SPARK)).alias("ws_tokens"),
+        F.expr(
+            G.asize(f"regexp_extract_all({text_col}, '{BPE_PATTERN}', 0)", SPARK)
+        ).alias("bpe_tokens"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint of the word-token stream:
+    fold acc = (acc*31 + token) % (2^31-1). Detects reordered-content docs
+    that set-based Jaccard misses."""
+    toks = G.word_tokens_arr(text_col, SPARK)
+    fold = G.afold(toks, f"(acc * 31 + x) % {FINGERPRINT_MOD}", SPARK)
+    return docs.select(id_col, F.expr(fold).alias("fingerprint"))
