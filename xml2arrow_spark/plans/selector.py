@@ -32,14 +32,29 @@ __all__ = [
 ]
 
 
+_CARD_PROBE = 65536
+
+
 def int_stats(values: np.ndarray) -> dict:
-    """One pass of vectorized probes: n, card, n_runs, min, max."""
+    """One pass of vectorized probes: n, card (estimated), n_runs, min, max.
+
+    min/max/runs are exact (cheap linear scans). Cardinality uses a bounded
+    ``np.unique`` probe — sorting a whole 16M-value block just to choose a
+    codec would cost more than the encode itself. Saturation logic mirrors
+    :func:`choose_str_codec`: a probe whose distinct count is far below the
+    probe size has (nearly) exhausted the value set, so we don't extrapolate.
+    """
     n = int(values.size)
     if n == 0:
         return {"n": 0, "card": 0, "n_runs": 0, "min": 0, "max": 0}
     v = values.astype(np.int64, copy=False)
     n_runs = int((v[1:] != v[:-1]).sum()) + 1
-    card = int(np.unique(v).size)
+    take = min(n, _CARD_PROBE)
+    card_probe = int(np.unique(v[:take]).size)
+    if take == n or card_probe <= take * 0.1:
+        card = card_probe
+    else:
+        card = min(n, int(card_probe * n / take))
     return {"n": n, "card": card, "n_runs": n_runs, "min": int(v.min()), "max": int(v.max())}
 
 
@@ -121,14 +136,24 @@ def choose_str_codec(sd: StrData) -> str:
     return min(est, key=est.get)
 
 
-def resolve_manifest(df, manifest, sample_rows: int = 65536):
+def resolve_manifest(df, manifest, sample_rows: int = 8192):
     """Resolve every ``auto`` policy against a driver-collected sample.
 
     Returns a new :class:`CodecManifest` with concrete codecs. Uses one
-    bounded ``limit(sample_rows)`` Arrow collect — no full scan. Columns the
+    bounded ``limit(sample_rows)`` collect — no full scan. Columns the
     sample can't discriminate stay ``auto`` and are chosen per block.
+
+    The collect goes through ``toPandas()`` deliberately: PySpark 4.1's
+    ``toArrow()`` executes the plan via the Arrow-batch RDD, which does NOT
+    take the CollectLimit fast path — on a many-file table it scans every
+    split (measured 15-20x slower than ``toPandas()`` for an 8k-row limit).
+    Column conversion back to numpy/Arrow is schema-driven (never inferred),
+    bounded by the sample size.
     """
     from dataclasses import replace
+
+    import pyarrow as pa
+    from pyspark.sql.types import ArrayType, StringType
 
     from xml2arrow_spark.codecs.base import strdata_from_arrow
     from xml2arrow_spark.manifest import CodecManifest
@@ -136,28 +161,27 @@ def resolve_manifest(df, manifest, sample_rows: int = 65536):
     cols = manifest.encodable_columns(df.schema)
     if not cols:
         return manifest
-    import pyarrow as pa
 
-    sample = df.select(*cols).limit(sample_rows)
-    tbl = sample.toArrow()  # Arrow collect (PySpark 4), not row objects
+    pdf = df.select(*cols).limit(sample_rows).toPandas()
     resolved = {}
     for name, policy in manifest.columns.items():
         if policy.codec != "auto":
             resolved[name] = policy
             continue
-        arr = tbl.column(name).combine_chunks() if name in tbl.column_names else None
-        if arr is None or len(arr) == 0:
+        if name not in pdf.columns or len(pdf) == 0:
             resolved[name] = policy
             continue
-        if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
-            child = arr.flatten()
-            values = child.to_numpy(zero_copy_only=False)
-            codec = choose_int_codec(np.asarray(values))
-        elif pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        series = pdf[name]
+        spark_type = df.schema[name].dataType
+        if isinstance(spark_type, ArrayType):
+            chunks = [np.asarray(x, dtype=np.int32) for x in series if x is not None]
+            values = np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int32)
+            codec = choose_int_codec(values)
+        elif isinstance(spark_type, StringType):
+            arr = pa.array(series.fillna(""), type=pa.string())
             codec = choose_str_codec(strdata_from_arrow(arr))
         else:
-            values = arr.to_numpy(zero_copy_only=False)
-            codec = choose_int_codec(np.asarray(values))
+            codec = choose_int_codec(series.dropna().to_numpy())
         resolved[name] = replace(policy, codec=codec)
     return CodecManifest(
         columns=resolved, block_rows=manifest.block_rows, version=manifest.version
