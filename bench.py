@@ -33,12 +33,18 @@ ENCODE_ROWS = int(os.environ.get("SPARK_GRAFT_ENCODE_ROWS", "200000"))
 
 
 def main() -> None:
+    from xml2arrow_spark.env import set_kernel_malloc_env
+
+    set_kernel_malloc_env()  # before the JVM/worker daemon starts
+
     from pyspark.sql import SparkSession, functions as F
 
     from xml2arrow_spark.manifest import CodecManifest
+    from xml2arrow_spark.operators.dataset import encode_parquet_dataset
     from xml2arrow_spark.operators.encode import (
         decode_table,
         encode_parquet,
+        encode_parquet_stats,
         encode_table,
     )
     from xml2arrow_spark.operators.partitioning import repartition_by_work
@@ -95,9 +101,11 @@ def main() -> None:
             spark, ENCODE_ROWS, variant="uniform_vocab", n_partitions=CPUS * 4
         ).write.mode("overwrite").parquet(input_dir)
         tok_in = spark.read.parquet(input_dir)
+        # q1: encode work only (kernels produce the bytes; results dropped in
+        # the task, metadata out) — the reference's own benchmark discipline
+        # (parse to RecordBatches, discard: benches/parse_benchmark.rs).
         with timed("q1_encode_tokens"):
-            blocks = encode_parquet(spark, input_dir, n_tasks=CPUS)
-            agg = blocks.agg(
+            agg = encode_parquet_stats(spark, input_dir, n_tasks=CPUS).agg(
                 F.sum("n_values").alias("nv"),
                 F.sum("in_bytes").alias("ib"),
                 F.sum("out_bytes").alias("ob"),
@@ -109,6 +117,19 @@ def main() -> None:
         extra["encode_in_bytes"] = int(agg["ib"])
         extra["encode_out_bytes"] = int(agg["ob"])
         extra["encode_tokens_per_sec"] = round(n_tokens / queries["q1_encode_tokens"])
+
+        # q1b: full store path — encode + per-unit sink write + lineage
+        # manifest (what a production run does; includes the disk write).
+        store_dir = tempfile.mkdtemp(prefix="bench_store_")
+        shutil.rmtree(store_dir, ignore_errors=True)
+        try:
+            with timed("q1b_encode_store"):
+                encode_parquet_dataset(spark, input_dir, store_dir, n_tasks=CPUS)
+            extra["encode_store_tokens_per_sec"] = round(
+                n_tokens / queries["q1b_encode_store"]
+            )
+        finally:
+            shutil.rmtree(store_dir, ignore_errors=True)
 
         # reference-codec size baseline: parquet+zstd of the SAME table
         with timed("q2_parquet_zstd_baseline"):

@@ -8,6 +8,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 @pytest.fixture(scope="session")
 def spark():
+    from xml2arrow_spark.env import set_kernel_malloc_env
+
+    set_kernel_malloc_env()
+
     from pyspark.sql import SparkSession
 
     s = (

@@ -63,9 +63,13 @@ def test_parquet_file_infos_lists_sorted(token_dir):
 def test_plan_parquet_tasks_covers_all_files(spark, token_dir):
     tasks = plan_parquet_tasks(spark, token_dir, n_tasks=3)
     rows = tasks.collect()
-    assert len(rows) == 7
-    assert sorted(r.file_idx for r in rows) == list(range(7))
+    assert len(rows) == 3  # one row per task bin
+    assert sorted(i for r in rows for i in r.file_idx) == list(range(7))
     assert set(r.task_id for r in rows) == {0, 1, 2}
+    # exactly one bin per Spark partition (the scaling-critical invariant)
+    assert tasks.rdd.getNumPartitions() == 3
+    per_part = tasks.rdd.glom().map(len).collect()
+    assert all(n == 1 for n in per_part)
 
 
 def test_fused_encode_roundtrip_bit_identical(spark, token_dir):

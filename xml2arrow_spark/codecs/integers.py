@@ -42,13 +42,29 @@ def _dtype_name(values: np.ndarray) -> str:
 def _for_pack(values: np.ndarray) -> tuple[int, int, bytes]:
     """Shared FOR primitive: (ref, width, payload). Handles signed ranges —
     the ``negative_sentinels`` fixture case — because deltas vs min are
-    always non-negative."""
+    always non-negative.
+
+    Stays in the narrowest dtype that can hold the deltas: the kernel is
+    memory-bandwidth-bound, and upcasting int32 token streams to int64/uint64
+    triples the bytes moved per value (measured directly on the 8-vs-32-core
+    scaling probe — the bandwidth ceiling is what caps scaling efficiency).
+    """
     if values.size == 0:
         return 0, 0, b""
-    v = values.astype(np.int64, copy=False)
-    ref = int(v.min())
-    deltas = (v - ref).astype(np.uint64)
-    width = bitpack.bits_needed(int(deltas.max()))
+    ref = int(values.min())
+    mx = int(values.max())
+    vrange = mx - ref
+    width = bitpack.bits_needed(vrange)
+    if ref >= 0 and bitpack.bits_needed(mx) == width:
+        # shifting would not narrow the width (typical for token-id streams,
+        # whose min is ~0): skip the whole delta pass — pack_uint reads the
+        # source array directly. Decode adds ref=0, a no-op.
+        return 0, width, bitpack.pack_uint(values, width)
+    if values.dtype.kind == "i" and values.dtype.itemsize <= 4 and vrange < 2**31:
+        # int32 arithmetic cannot wrap here: 0 <= v-ref <= vrange < 2^31
+        deltas = np.subtract(values, np.int32(ref), dtype=np.int32).view(np.uint32)
+    else:
+        deltas = (values.astype(np.int64, copy=False) - ref).astype(np.uint64)
     return ref, width, bitpack.pack_uint(deltas, width)
 
 
@@ -75,16 +91,15 @@ def decode_plain(meta: dict, blob: bytes) -> np.ndarray:
 
 def encode_bitpack(values: np.ndarray) -> tuple[dict, bytes]:
     dt = _dtype_name(values)
-    v = values.astype(np.int64, copy=False)
-    if v.size and int(v.min()) < 0:
+    if values.size and int(values.min()) < 0:
         raise ValueError("bitpack requires non-negative values; use 'for'")
-    width = bitpack.bits_needed(int(v.max())) if v.size else 0
-    payload = bitpack.pack_uint(v.astype(np.uint64), width)
+    width = bitpack.bits_needed(int(values.max())) if values.size else 0
+    payload = bitpack.pack_uint(values, width)
     sections, blob = pack_sections({"values": payload})
     return {
         "codec": "bitpack",
         "dtype": dt,
-        "n": int(v.size),
+        "n": int(values.size),
         "width": width,
         "sections": sections,
     }, blob

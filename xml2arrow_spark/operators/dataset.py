@@ -1,0 +1,254 @@
+"""File-level encoded dataset: fused scan -> encode -> sink, per-file resume.
+
+This is the 100 TB shape of the pipeline. Three boundaries that would
+dominate at scale are all absent:
+
+- **No JVM row boundary on ingest** — tasks read their parquet splits with
+  pyarrow (see ``sources/files.py``).
+- **No payload shuffle** — encoded block bytes are written to the sink BY THE
+  TASK that produced them (one blocks parquet per input file); only
+  kilobyte-scale metadata rows return to Spark.
+- **No re-encode on failure** — the metadata table keys on ``unit_id`` (the
+  input ``file_idx``); resume anti-joins completed units away. Blocks files
+  are named deterministically per unit, so task retries overwrite instead of
+  duplicating (idempotent sink), and the manifest row is only appended after
+  the job's action completes — the write-then-commit order Iceberg snapshots
+  give on a real catalog.
+
+The reference analog is the config round-trip + per-table finalize
+bookkeeping (/root/reference/src/config.rs:296-300,
+/root/reference/src/xml_parser.rs:491-511), scaled out: one manifest row per
+completed work unit instead of one YAML per run.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pyarrow as pa
+
+from xml2arrow_spark.manifest import CodecManifest
+from xml2arrow_spark.operators.encode import (
+    BLOCKS_SCHEMA_DDL,
+    _blockify,
+    _BLOCKS_PA_SCHEMA,
+    _encode_block,
+    decode_column,
+    resolve_manifest_parquet,
+)
+
+__all__ = [
+    "encode_parquet_dataset",
+    "decode_dataset",
+    "dataset_metrics",
+    "METADATA_DDL",
+]
+
+METADATA_DDL = (
+    "unit_id int, src_file string, out_file string, n_blocks int, "
+    "n_rows long, n_values long, in_bytes long, out_bytes long"
+)
+
+MANIFEST_SIDECAR = "_manifest.yaml"
+
+
+def _completed_units(spark, out_path: str) -> set[int]:
+    mpath = os.path.join(out_path, "manifest")
+    try:
+        rows = spark.read.parquet(mpath).select("unit_id").collect()
+    except Exception:
+        return set()
+    return {r.unit_id for r in rows}
+
+
+def encode_parquet_dataset(
+    spark,
+    in_path: str,
+    out_path: str,
+    manifest: CodecManifest | None = None,
+    n_tasks: int | None = None,
+) -> dict:
+    """Encode every parquet file under ``in_path`` into
+    ``out_path/blocks/blocks-u{unit:06d}.parquet`` (blocks schema), append
+    per-unit lineage to ``out_path/manifest``, persist the resolved codec
+    manifest as YAML. Returns run metrics. Re-running resumes: completed
+    units are skipped via the metadata table."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    import pyarrow.parquet as pq
+
+    from xml2arrow_spark.sources.files import parquet_file_infos, plan_parquet_tasks
+
+    infos = parquet_file_infos(in_path)
+    file_schema = from_arrow_schema(pq.read_schema(infos[0][0]))
+    if manifest is None:
+        manifest = CodecManifest.auto_for(file_schema, block_rows=65536)
+    manifest.validate(file_schema)
+    resolved = resolve_manifest_parquet(in_path, manifest)
+
+    blocks_dir = os.path.join(out_path, "blocks")
+    os.makedirs(blocks_dir, exist_ok=True)
+
+    done = _completed_units(spark, out_path)
+    tasks = plan_parquet_tasks(spark, in_path, n_tasks)
+    if done:
+        # drop completed units from each task's file arrays (resume)
+        keep = F.filter(
+            F.arrays_zip("file_idx", "path", "bytes"),
+            lambda e: ~e["file_idx"].isin(sorted(done)),
+        )
+        tasks = (
+            tasks.withColumn("_keep", keep)
+            .select(
+                "task_id",
+                F.col("_keep.file_idx").alias("file_idx"),
+                F.col("_keep.path").alias("path"),
+                F.col("_keep.bytes").alias("bytes"),
+            )
+            .filter(F.size("file_idx") > 0)
+        )
+
+    cols = list(resolved.columns)
+    policies = {c: resolved.columns[c].codec for c in cols}
+    block_rows = resolved.block_rows
+
+    def encode_sink(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        from xml2arrow_spark.env import limit_arrow_threads
+
+        limit_arrow_threads(1)  # one Spark task = one parallel unit
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx is not None else 0
+        for b in batches:
+            idx_lists = b.column(b.schema.get_field_index("file_idx")).to_pylist()
+            path_lists = b.column(b.schema.get_field_index("path")).to_pylist()
+            for file_idx, fpath in (
+                (i, p)
+                for idxs, paths in zip(idx_lists, path_lists)
+                for i, p in zip(idxs, paths)
+            ):
+                pf = pq.ParquetFile(fpath)
+                blocks = [
+                    _encode_block(
+                        block, cols, policies, part_id, file_idx,
+                        (file_idx << 20) | seq,
+                    )
+                    for seq, block in enumerate(
+                        _blockify(
+                            pf.iter_batches(batch_size=block_rows, columns=cols),
+                            block_rows,
+                        )
+                    )
+                ]
+                out_file = os.path.join(blocks_dir, f"blocks-u{file_idx:06d}.parquet")
+                tbl = (
+                    pa.Table.from_batches(blocks, schema=_BLOCKS_PA_SCHEMA)
+                    if blocks
+                    else _BLOCKS_PA_SCHEMA.empty_table()
+                )
+                # deterministic name per unit -> task retries overwrite,
+                # never duplicate (idempotent sink)
+                pq.write_table(tbl, out_file, compression="none")
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "unit_id": [file_idx],
+                        "src_file": [fpath],
+                        "out_file": [out_file],
+                        "n_blocks": [len(blocks)],
+                        "n_rows": [sum(x.column(3)[0].as_py() for x in blocks)],
+                        "n_values": [sum(x.column(4)[0].as_py() for x in blocks)],
+                        "in_bytes": [sum(x.column(5)[0].as_py() for x in blocks)],
+                        "out_bytes": [sum(x.column(6)[0].as_py() for x in blocks)],
+                    },
+                    schema=pa.schema(
+                        [
+                            pa.field("unit_id", pa.int32()),
+                            pa.field("src_file", pa.string()),
+                            pa.field("out_file", pa.string()),
+                            pa.field("n_blocks", pa.int32()),
+                            pa.field("n_rows", pa.int64()),
+                            pa.field("n_values", pa.int64()),
+                            pa.field("in_bytes", pa.int64()),
+                            pa.field("out_bytes", pa.int64()),
+                        ]
+                    ),
+                )
+
+    meta = tasks.mapInArrow(encode_sink, METADATA_DDL).collect()
+    if meta:
+        # manifest append AFTER the encode action completed (commit ordering)
+        spark.createDataFrame(meta, METADATA_DDL).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(out_path, "manifest"))
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in file_schema.fields
+        if f.name in resolved.columns
+    )
+    with open(os.path.join(out_path, MANIFEST_SIDECAR), "w") as f:
+        f.write(resolved.to_yaml() + f"\nschema_ddl: '{schema_ddl}'\n")
+    return dataset_metrics(spark, out_path)
+
+
+def dataset_metrics(spark, out_path: str) -> dict:
+    """Rollup of the metadata table: units/rows/values/bytes encoded so far."""
+    from pyspark.sql import functions as F
+
+    m = (
+        spark.read.parquet(os.path.join(out_path, "manifest"))
+        .agg(
+            F.count("*").alias("units"),
+            F.sum("n_blocks").alias("blocks"),
+            F.sum("n_rows").alias("rows"),
+            F.sum("n_values").alias("values"),
+            F.sum("in_bytes").alias("in_bytes"),
+            F.sum("out_bytes").alias("out_bytes"),
+        )
+        .collect()[0]
+    )
+    return {
+        "units": m["units"],
+        "blocks": int(m["blocks"] or 0),
+        "rows": int(m["rows"] or 0),
+        "values": int(m["values"] or 0),
+        "in_bytes": int(m["in_bytes"] or 0),
+        "out_bytes": int(m["out_bytes"] or 0),
+    }
+
+
+def decode_dataset(spark, out_path: str, n_tasks: int | None = None):
+    """Fused decode: pyarrow-scan the blocks files and run the inverse
+    kernels in the same task — the decode twin of the fused encode. Returns
+    a DataFrame of the original columns."""
+    import yaml
+
+    from xml2arrow_spark.sources.files import plan_parquet_tasks
+
+    with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
+        side = yaml.safe_load(f.read())
+    ddl = side["schema_ddl"]
+    out_names = [part.strip().split(" ")[0] for part in ddl.split(",")]
+
+    def decode_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        from xml2arrow_spark.env import limit_arrow_threads
+
+        limit_arrow_threads(1)
+        for b in batches:
+            path_lists = b.column(b.schema.get_field_index("path")).to_pylist()
+            for fpath in (p for paths in path_lists for p in paths):
+                tbl = pq.read_table(fpath, columns=["cols"])
+                cols_col = tbl.column("cols").combine_chunks()
+                for row in range(len(cols_col)):
+                    entries = cols_col[row].as_py()
+                    decoded = {e["name"]: decode_column(e["meta"], e["data"]) for e in entries}
+                    yield pa.RecordBatch.from_arrays(
+                        [decoded[n] for n in out_names], names=out_names
+                    )
+
+    tasks = plan_parquet_tasks(spark, os.path.join(out_path, "blocks"), n_tasks)
+    return tasks.mapInArrow(decode_files, ddl)

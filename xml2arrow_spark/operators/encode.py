@@ -292,13 +292,20 @@ def encode_parquet_tasks(tasks_df, manifest: CodecManifest):
 
         from pyspark import TaskContext
 
+        from xml2arrow_spark.env import limit_arrow_threads
+
+        limit_arrow_threads(1)  # one Spark task = one parallel unit
         ctx = TaskContext.get()
         part_id = ctx.partitionId() if ctx is not None else 0
         seq = 0
         for b in batches:
-            idxs = b.column(b.schema.get_field_index("file_idx")).to_pylist()
-            paths = b.column(b.schema.get_field_index("path")).to_pylist()
-            for file_idx, fpath in zip(idxs, paths):
+            idx_lists = b.column(b.schema.get_field_index("file_idx")).to_pylist()
+            path_lists = b.column(b.schema.get_field_index("path")).to_pylist()
+            for file_idx, fpath in (
+                (i, p)
+                for idxs, paths in zip(idx_lists, path_lists)
+                for i, p in zip(idxs, paths)
+            ):
                 pf = pq.ParquetFile(fpath)
                 for block in _blockify(
                     pf.iter_batches(batch_size=block_rows, columns=cols), block_rows
@@ -310,6 +317,98 @@ def encode_parquet_tasks(tasks_df, manifest: CodecManifest):
                     seq += 1
 
     return tasks_df.mapInArrow(encode_files, BLOCKS_SCHEMA_DDL)
+
+
+ENCODE_STATS_DDL = (
+    "unit_id int, n_blocks int, n_rows long, n_values long, "
+    "in_bytes long, out_bytes long"
+)
+
+_STATS_PA_SCHEMA = pa.schema(
+    [
+        pa.field("unit_id", pa.int32()),
+        pa.field("n_blocks", pa.int32()),
+        pa.field("n_rows", pa.int64()),
+        pa.field("n_values", pa.int64()),
+        pa.field("in_bytes", pa.int64()),
+        pa.field("out_bytes", pa.int64()),
+    ]
+)
+
+
+def encode_parquet_stats(
+    spark,
+    path: str,
+    manifest: CodecManifest | None = None,
+    n_tasks: int | None = None,
+):
+    """Fused scan+encode that returns per-file METADATA only — the encoded
+    payload is produced and dropped in the task, never shipped to the JVM.
+
+    This is the throughput-measurement twin of :func:`encode_parquet`
+    (mirroring the reference's benchmark harness, which parses into
+    RecordBatches and discards them,
+    /root/reference/benches/parse_benchmark.rs:415-455): the kernel work is
+    identical, only result transport differs. Also the right shape for
+    dry-run codec planning over a large table."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    import pyarrow.parquet as pq
+
+    from xml2arrow_spark.sources.files import parquet_file_infos, plan_parquet_tasks
+
+    first = parquet_file_infos(path)[0][0]
+    file_schema = from_arrow_schema(pq.read_schema(first))
+    if manifest is None:
+        manifest = CodecManifest.auto_for(file_schema, block_rows=65536)
+    manifest.validate(file_schema)
+    resolved = resolve_manifest_parquet(path, manifest)
+    tasks = plan_parquet_tasks(spark, path, n_tasks)
+    cols = list(resolved.columns)
+    policies = {c: resolved.columns[c].codec for c in cols}
+    block_rows = resolved.block_rows
+
+    def encode_stats(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        from xml2arrow_spark.env import limit_arrow_threads
+
+        limit_arrow_threads(1)
+        for b in batches:
+            idx_lists = b.column(b.schema.get_field_index("file_idx")).to_pylist()
+            path_lists = b.column(b.schema.get_field_index("path")).to_pylist()
+            for file_idx, fpath in (
+                (i, p)
+                for idxs, paths in zip(idx_lists, path_lists)
+                for i, p in zip(idxs, paths)
+            ):
+                pf = pq.ParquetFile(fpath)
+                nb = nr = nv = ib = ob = 0
+                for seq, block in enumerate(
+                    _blockify(
+                        pf.iter_batches(batch_size=block_rows, columns=cols),
+                        block_rows,
+                    )
+                ):
+                    enc = _encode_block(block, cols, policies, 0, file_idx, seq)
+                    nb += 1
+                    nr += enc.column(3)[0].as_py()
+                    nv += enc.column(4)[0].as_py()
+                    ib += enc.column(5)[0].as_py()
+                    ob += enc.column(6)[0].as_py()
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "unit_id": [file_idx],
+                        "n_blocks": [nb],
+                        "n_rows": [nr],
+                        "n_values": [nv],
+                        "in_bytes": [ib],
+                        "out_bytes": [ob],
+                    },
+                    schema=_STATS_PA_SCHEMA,
+                )
+
+    return tasks.mapInArrow(encode_stats, ENCODE_STATS_DDL)
 
 
 def encode_parquet(

@@ -39,7 +39,14 @@ __all__ = [
     "TASKS_DDL",
 ]
 
-TASKS_DDL = "task_id int, file_idx int, path string, bytes long"
+# one row per TASK; files carried as parallel arrays. A per-file-row layout
+# hash-repartitioned on task_id looks natural but is wrong at low task
+# counts: hashing k distinct ids into k partitions leaves ~1/e of them empty
+# and stacks 2-3 bins on others (measured: capped 4-core scaling at 1.2x).
+# parallelize(rows, n_rows) pins exactly one bin per partition.
+TASKS_DDL = (
+    "task_id int, file_idx array<int>, path array<string>, bytes array<long>"
+)
 
 
 def parquet_file_infos(path: str) -> list[tuple[str, int]]:
@@ -83,21 +90,29 @@ def _lpt_assign(sizes: list[int], n_tasks: int) -> list[int]:
 def plan_parquet_tasks(
     spark: SparkSession, path: str, n_tasks: int | None = None
 ) -> DataFrame:
-    """One row per file: (task_id, file_idx, path, bytes), size-balanced over
-    ``n_tasks`` bins and repartitioned so each bin is one Spark task.
+    """One row per TASK: (task_id, file_idx[], path[], bytes[]), size-balanced
+    over ``n_tasks`` LPT bins, with exactly one row (bin) per Spark partition.
 
-    ``file_idx`` is the stable per-file unit id used for checkpoint lineage.
+    ``file_idx`` values are the stable per-file unit ids used for checkpoint
+    lineage.
     """
     if n_tasks is None:
         n_tasks = max(spark.sparkContext.defaultParallelism, 1)
     infos = parquet_file_infos(path)
     n_tasks = min(n_tasks, len(infos))
     bins = _lpt_assign([s for _, s in infos], n_tasks)
+    per_task: dict[int, list[tuple[int, str, int]]] = {b: [] for b in range(n_tasks)}
+    for i, (p, s) in enumerate(infos):
+        per_task[bins[i]].append((i, p, s))
     rows = [
-        (int(bins[i]), int(i), p, int(s)) for i, (p, s) in enumerate(infos)
+        (
+            t,
+            [f[0] for f in files],
+            [f[1] for f in files],
+            [f[2] for f in files],
+        )
+        for t, files in sorted(per_task.items())
+        if files
     ]
-    df = spark.createDataFrame(rows, TASKS_DDL)
-    # One partition per bin: `task_id` is already 0..n_tasks-1, so hash
-    # repartition on it lands each bin's files together (names only — this
-    # shuffle moves kilobytes).
-    return df.repartition(n_tasks, "task_id")
+    rdd = spark.sparkContext.parallelize(rows, len(rows))
+    return spark.createDataFrame(rdd, TASKS_DDL)
