@@ -104,19 +104,31 @@ def lsh_near_dup_pairs(
     multiplication (no float). doc_a < doc_b; each pair appears once even if
     it collides in several bands.
     """
-    # Docs with no shingles (< 3 words) can never near-dup: drop them BEFORE
-    # banding, mirroring the oracle where their NULL band keys never join.
+    # Materialize (doc, dtoks, bands) exactly once, UNFILTERED. Two measured
+    # plan pathologies force this exact shape:
+    # - An exchange barrier is not enough for reuse: the 4 band branches x 2
+    #   join sides canonicalize to 8 distinct subtrees (ReusedExchange never
+    #   fired; the formatted plan inlined the minhash tree 8x and re-scanned
+    #   the parquet 16x). A persisted InMemoryRelation is canonicalized by
+    #   identity, so every branch reads the single cached copy — the SURVEY
+    #   §2.4 U4 pattern (one scan -> cache -> N selects).
+    # - The no-shingle filter must sit ABOVE the cache: pushed into the
+    #   projection tree, PushDownPredicates re-inlines the tokenizer into
+    #   the filter condition (measured 10x on 5k docs). The cache is an
+    #   optimizer barrier, and filtering cached rows is free.
+    # Size: (doc, dtoks, bands) is ~100 bytes + shingle ids per doc; at
+    # cluster scale swap the cache for a two-phase signature-table write.
     sigs = (
         with_minhash(docs, text_col)
-        .filter(F.size("dtoks") > 0)
         .select(
             F.col(id_col).alias("doc"), "dtoks",
             *[f"band{b}" for b in range(G.MINHASH_BANDS)],
         )
+        .persist()
     )
-    # Exchange barrier: materialize (doc, dtoks, bands) exactly once; every
-    # branch below and both join sides hit a ReusedExchange of THIS subtree.
-    sigs = sigs.repartition("doc")
+    # Docs with no shingles (< 3 words) can never near-dup: drop them before
+    # banding, mirroring the oracle where their NULL band keys never join.
+    sigs = sigs.filter(F.size("dtoks") > 0)
     # One row per (doc, band) via UNION of projections. Two deliberate
     # plan-shape choices, both measured ~20× on 500 docs:
     # - NOT posexplode: InferFiltersFromGenerate would add `size(bands)>0`,
