@@ -163,6 +163,10 @@ def q_lsh_ann_topk(spark, sf_dir):
     return similarity.lsh_ann_topk(_emb(spark, sf_dir), query_id=0, k=5)
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    return similarity.embedding_near_dup(_emb(spark, sf_dir), threshold=0.3)
+
+
 # -- un-nesting / scalar transforms (reference parity: U1-U5, C2) ---------------
 
 
@@ -243,6 +247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         "unnest_orders": q_unnest_orders,
         "affine_transform": q_affine_transform,
         "multimodal_meta": q_multimodal_meta,

@@ -144,6 +144,32 @@ def main() -> None:
     extra["parquet_zstd_bytes"] = zstd_bytes
     extra["compression_ratio_vs_zstd_parquet"] = round(int(agg["ob"]) / zstd_bytes, 4)
 
+    # -- q2b: codec selection across distributions (ratio vs parquet-zstd of
+    # the same table; <1.0 = engine smaller). Exercises pdict (zipf), rle
+    # (runny), dict (low_card), for (narrow), seq_str (doc ids).
+    by_variant = {}
+    with timed("q2b_variant_compression"):
+        for variant in ["low_card", "runny", "narrow_range", "skewed_zipf"]:
+            vdir = tempfile.mkdtemp(prefix=f"bench_v_{variant}_")
+            zdir = tempfile.mkdtemp(prefix=f"bench_vz_{variant}_")
+            try:
+                tokens_dataframe(spark, 20000, variant=variant,
+                                 n_partitions=16).write.mode("overwrite").parquet(vdir)
+                spark.read.parquet(vdir).write.mode("overwrite").option(
+                    "compression", "zstd").parquet(zdir)
+                zb = sum(
+                    os.path.getsize(os.path.join(r, f))
+                    for r, _, fs in os.walk(zdir) for f in fs
+                    if f.endswith(".parquet")
+                )
+                vagg = encode_parquet_stats(spark, vdir, n_tasks=16).agg(
+                    F.sum("out_bytes").alias("ob")).collect()[0]
+                by_variant[variant] = round(int(vagg["ob"]) / zb, 4)
+            finally:
+                shutil.rmtree(vdir, ignore_errors=True)
+                shutil.rmtree(zdir, ignore_errors=True)
+    extra["compression_vs_zstd_by_variant"] = by_variant
+
     # -- q3: documents tokenize -> encode -> decode -> verify ----------------
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     with timed("q3_encode_roundtrip_docs"):

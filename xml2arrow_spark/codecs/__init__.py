@@ -17,12 +17,14 @@ INT_CODECS = {
     "for": (integers.encode_for, integers.decode_for),
     "rle": (integers.encode_rle, integers.decode_rle),
     "dict": (integers.encode_dict, integers.decode_dict),
+    "pdict": (integers.encode_pdict, integers.decode_pdict),
 }
 
 STR_CODECS = {
     "plain_str": (strings.encode_plain_str, strings.decode_plain_str),
     "dict_str": (strings.encode_dict_str, strings.decode_dict_str),
     "fsst": (strings.encode_fsst, strings.decode_fsst),
+    "seq_str": (strings.encode_seq_str, strings.decode_seq_str),
 }
 
 ALL_CODECS = {**INT_CODECS, **STR_CODECS}

@@ -36,6 +36,9 @@ __all__ = [
     "decode_dict_str",
     "encode_fsst",
     "decode_fsst",
+    "encode_seq_str",
+    "decode_seq_str",
+    "seq_str_probe",
 ]
 
 _ESCAPE = 255
@@ -204,3 +207,87 @@ def decode_fsst(meta: dict, blob: bytes) -> StrData:
         out[~hit] = np.frombuffer(parts["escapes"], dtype=np.uint8).reshape(n_esc, stride)
     data = out.reshape(-1)[: meta["data_len"]].tobytes()
     return StrData(offsets=offsets, data=data)
+
+
+# -- sequential-id strings (fixed template prefix + zero-padded integer) -----
+
+_SEQ_MAX_DIGITS = 18  # int64-safe
+
+
+def seq_str_probe(sd: StrData) -> tuple[int, int] | None:
+    """(str_len, n_digits) if every string is ``<identical prefix><fixed-width
+    ASCII digits>``; None otherwise. One vectorized pass over the byte matrix.
+
+    Sequential ids (``doc-00012345``) are ubiquitous in training corpora and
+    pathological for symbol-table codecs (every string distinct, suffix bytes
+    near-random to FSST) while being ~an integer in disguise.
+    """
+    n = sd.n
+    if n == 0 or len(sd.data) == 0:
+        return None
+    lengths = sd.lengths()
+    str_len = int(lengths[0])
+    if str_len == 0 or not (lengths == str_len).all():
+        return None
+    mat = np.frombuffer(sd.data, dtype=np.uint8).reshape(n, str_len)
+    digit_cols = ((mat >= 48) & (mat <= 57)).all(axis=0)
+    n_digits = 0
+    for i in range(str_len - 1, -1, -1):  # bounded by str_len, not n
+        if digit_cols[i]:
+            n_digits += 1
+        else:
+            break
+    if n_digits == 0 or n_digits > _SEQ_MAX_DIGITS:
+        return None
+    split = str_len - n_digits
+    if split and not (mat[:, :split] == mat[0, :split]).all():
+        return None
+    return str_len, n_digits
+
+
+def encode_seq_str(sd: StrData) -> tuple[dict, bytes]:
+    """prefix template + FOR-packed integers; exact (fixed width keeps
+    leading zeros)."""
+    probe = seq_str_probe(sd)
+    if probe is None:
+        if sd.n == 0:
+            sections, blob = pack_sections({"ints": b""})
+            return {
+                "codec": "seq_str", "n": 0, "prefix": "", "n_digits": 0,
+                "ref": 0, "width": 0, "sections": sections,
+            }, blob
+        raise ValueError("seq_str requires '<common prefix><fixed digits>' strings")
+    str_len, n_digits = probe
+    n = sd.n
+    mat = np.frombuffer(sd.data, dtype=np.uint8).reshape(n, str_len)
+    split = str_len - n_digits
+    powers = 10 ** np.arange(n_digits - 1, -1, -1, dtype=np.int64)
+    ints = (mat[:, split:].astype(np.int64) - 48) @ powers
+    ref, width, buf = _for_pack(ints)
+    sections, blob = pack_sections({"ints": buf})
+    return {
+        "codec": "seq_str",
+        "n": n,
+        "prefix": mat[0, :split].tobytes().decode("utf-8"),
+        "n_digits": n_digits,
+        "ref": ref,
+        "width": width,
+        "sections": sections,
+    }, blob
+
+
+def decode_seq_str(meta: dict, blob: bytes) -> StrData:
+    n, n_digits = meta["n"], meta["n_digits"]
+    if n == 0:
+        return StrData(offsets=np.zeros(1, dtype=np.int64), data=b"")
+    parts = split_sections(meta, blob)
+    ints = _for_unpack(parts["ints"], n, meta["ref"], meta["width"])
+    prefix = np.frombuffer(meta["prefix"].encode("utf-8"), dtype=np.uint8)
+    str_len = prefix.size + n_digits
+    powers = 10 ** np.arange(n_digits - 1, -1, -1, dtype=np.int64)
+    digits = (ints[:, None] // powers) % 10
+    mat = np.empty((n, str_len), dtype=np.uint8)
+    mat[:, : prefix.size] = prefix
+    mat[:, prefix.size :] = digits + 48
+    offsets = np.arange(n + 1, dtype=np.int64) * str_len
+    return StrData(offsets=offsets, data=mat.tobytes())

@@ -47,6 +47,11 @@ def _resolve_int(codec: str, values: np.ndarray) -> str:
         return choose_int_codec(values)
     if codec == "bitpack" and values.size and int(values.min()) < 0:
         return "for"  # safety fallback; never silently corrupt
+    if codec == "pdict" and values.size:
+        from xml2arrow_spark.codecs.integers import PDICT_MAX_RANGE
+
+        if int(values.max()) - int(values.min()) >= PDICT_MAX_RANGE:
+            return "for"  # sample said pdict, this block's range says no
     return codec
 
 
@@ -96,6 +101,12 @@ def encode_column(arr: pa.Array, codec: str) -> tuple[str, str, bytes]:
         valid_arr = arr.drop_null() if mask is not None else arr
         sd = strdata_from_arrow(valid_arr)
         resolved = choose_str_codec(sd) if codec == "auto" else codec
+        if resolved == "seq_str":
+            from xml2arrow_spark.codecs.strings import seq_str_probe
+
+            if sd.n and seq_str_probe(sd) is None:
+                # sample said seq_str, this block's strings say no — re-choose
+                resolved = choose_str_codec(sd)
         smeta, sblob = encode_values(resolved, sd)
         meta = {
             "kind": "str",

@@ -173,9 +173,16 @@ def lsh_near_dup_pairs(
 
 
 def with_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Add a 32-bit ``simhash`` (bigint) over the doc's word tokens."""
-    toks = G.word_tokens_arr(text_col, SPARK)
-    return docs.withColumn("simhash", F.expr(G.simhash_expr(toks, SPARK)))
+    """Add a 32-bit ``simhash`` (bigint) over the doc's word tokens.
+
+    The token array is materialized as an intermediate column first:
+    ``simhash_expr`` folds the array once per output bit, and inlining the
+    tokenizer there would re-tokenize the doc 32x per row (same measured
+    pitfall as :func:`_with_dshingles`)."""
+    out = docs.withColumn("_toks", F.expr(G.word_tokens_arr(text_col, SPARK)))
+    return out.withColumn("simhash", F.expr(G.simhash_expr("_toks", SPARK))).drop(
+        "_toks"
+    )
 
 
 def simhash_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -225,6 +225,17 @@ LIMIT {k}
 """
 
 
+def embedding_near_dup_sql(threshold: float = 0.3) -> str:
+    bucket = G.lsh_bucket_expr("embedding", EMB_DIM, D)
+    cos = G.cosine_expr("a.embedding", "b.embedding", D)
+    return f"""
+WITH bk AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+"""
+
+
 def unnest_orders_sql() -> str:
     return """
 SELECT l_orderkey,
@@ -273,6 +284,7 @@ def all_oracles() -> dict[str, str]:
         "doc_fingerprint": doc_fingerprint_sql(),
         "cosine_topk": cosine_topk_sql(),
         "lsh_ann_topk": lsh_ann_topk_sql(),
+        "embedding_near_dup": embedding_near_dup_sql(),
         "unnest_orders": unnest_orders_sql(),
         "affine_transform": affine_transform_sql(),
         "multimodal_meta": multimodal_meta_sql(),

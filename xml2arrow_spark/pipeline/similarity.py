@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from xml2arrow_spark.pipeline import sqlgen as G
 
-__all__ = ["with_lsh_bucket", "cosine_topk", "lsh_ann_topk"]
+__all__ = ["with_lsh_bucket", "cosine_topk", "lsh_ann_topk", "embedding_near_dup"]
 
 SPARK = "spark"
 
@@ -93,3 +93,39 @@ def lsh_ann_topk(
         .select(id_col, "bucket", "cosine")
         .limit(k)
     )
+
+
+def embedding_near_dup(
+    emb_df: DataFrame,
+    threshold: float = 0.3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucket-restricted.
+
+    The fifth dedup modality (exact / MinHash+LSH / SimHash / n-gram Jaccard
+    being the others): candidate pairs are generated ONLY within a
+    random-hyperplane LSH cell (same trick as :func:`lsh_ann_topk` — at scale
+    the self-join shuffles each cell once instead of cross-joining the
+    table), then verified with the exact sequential-fold cosine. Returns
+    (vec_a, vec_b, cosine) with vec_a < vec_b.
+
+    The bucketed relation is persisted so both self-join sides read one
+    cached copy (same ReusedExchange caveat as
+    :func:`xml2arrow_spark.pipeline.dedup.lsh_near_dup_pairs`).
+    """
+    dim = _dim(emb_df, emb_col)
+    bucketed = with_lsh_bucket(emb_df, emb_col, dim).select(
+        id_col, emb_col, "bucket"
+    ).persist()
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("vec_a"),
+        F.col(f"b.{id_col}").alias("vec_b"),
+        F.expr(G.cosine_expr(f"a.{emb_col}", f"b.{emb_col}", SPARK)).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)
