@@ -72,9 +72,26 @@ def _for_pack(values: np.ndarray) -> tuple[int, int, bytes]:
     return ref, width, bitpack.pack_uint(deltas, width)
 
 
-def _for_unpack(buf: bytes, n: int, ref: int, width: int) -> np.ndarray:
-    deltas = bitpack.unpack_uint(buf, n, width)
-    return (deltas.astype(np.int64) + ref)
+def _for_unpack(
+    buf: bytes, n: int, ref: int, width: int, out_dtype=np.int64
+) -> np.ndarray:
+    """Inverse of :func:`_for_pack`, materializing directly in ``out_dtype``.
+
+    One narrowing astype instead of uint64 -> int64 -> out chains; the
+    in-place ``+= ref`` wraps in two's complement, which is exact whenever
+    the true values fit ``out_dtype`` (they came from it)."""
+    out_dtype = np.dtype(out_dtype)
+    if width == 0:
+        return np.full(n, ref, dtype=out_dtype)
+    dt = bitpack._ALIGNED.get(width)
+    if dt is not None:
+        deltas = np.frombuffer(buf, dtype=dt, count=n)  # zero-copy view
+    else:
+        deltas = bitpack.unpack_uint(buf, n, width)
+    out = deltas.astype(out_dtype)
+    if ref:
+        out += out_dtype.type(ref)
+    return out
 
 
 # -- plain ------------------------------------------------------------------
@@ -133,8 +150,10 @@ def encode_for(values: np.ndarray) -> tuple[dict, bytes]:
 
 def decode_for(meta: dict, blob: bytes) -> np.ndarray:
     parts = split_sections(meta, blob)
-    out = _for_unpack(parts["values"], meta["n"], meta["ref"], meta["width"])
-    return out.astype(INT_DTYPES[meta["dtype"]])
+    return _for_unpack(
+        parts["values"], meta["n"], meta["ref"], meta["width"],
+        INT_DTYPES[meta["dtype"]],
+    )
 
 
 # -- run-length -------------------------------------------------------------
