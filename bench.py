@@ -153,7 +153,7 @@ def main() -> None:
             vdir = tempfile.mkdtemp(prefix=f"bench_v_{variant}_")
             zdir = tempfile.mkdtemp(prefix=f"bench_vz_{variant}_")
             try:
-                tokens_dataframe(spark, 20000, variant=variant,
+                tokens_dataframe(spark, 8000, variant=variant,
                                  n_partitions=16).write.mode("overwrite").parquet(vdir)
                 spark.read.parquet(vdir).write.mode("overwrite").option(
                     "compression", "zstd").parquet(zdir)

@@ -5,6 +5,7 @@ from xml2arrow_spark.sources.tokens import (
     tokens_dataframe,
     tokenize_documents,
 )
+from xml2arrow_spark.sources.files import parquet_file_infos, plan_parquet_tasks
 from xml2arrow_spark.sources.tables import load_tables
 
 __all__ = [
@@ -12,4 +13,6 @@ __all__ = [
     "tokens_dataframe",
     "tokenize_documents",
     "load_tables",
+    "parquet_file_infos",
+    "plan_parquet_tasks",
 ]
