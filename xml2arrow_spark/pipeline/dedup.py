@@ -180,9 +180,10 @@ def with_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     tokenizer there would re-tokenize the doc 32x per row (same measured
     pitfall as :func:`_with_dshingles`)."""
     out = docs.withColumn("_toks", F.expr(G.word_tokens_arr(text_col, SPARK)))
-    return out.withColumn("simhash", F.expr(G.simhash_expr("_toks", SPARK))).drop(
-        "_toks"
-    )
+    out = out.withColumn("_hs", F.expr(G.rehash_expr("_toks", SPARK)))
+    return out.withColumn(
+        "simhash", F.expr(G.simhash_from_hashes_expr("_hs", SPARK))
+    ).drop("_toks", "_hs")
 
 
 def simhash_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

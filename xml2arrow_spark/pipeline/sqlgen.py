@@ -249,13 +249,32 @@ def lsh_bucket_expr(emb: str, dim: int, dialect: str) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
-def simhash_expr(toks: str, dialect: str, bits: int = SIMHASH_BITS) -> str:
-    """SimHash over a token array: bit j set iff sum over tokens of
-    ±1 (per bit j of a 32-bit rehash) is >= 0. Exact integer arithmetic."""
+def rehash_expr(toks: str, dialect: str) -> str:
+    """Per-token 32-bit multiplicative rehash array (simhash's input)."""
+    return transform(toks, "t", f"((t * {_KNUTH}) % 4294967296)", dialect)
+
+
+def simhash_from_hashes_expr(hashes: str, dialect: str, bits: int = SIMHASH_BITS) -> str:
+    """SimHash over a PRE-MATERIALIZED rehash array column: bit j set iff the
+    sum over hashes of ±1 (per bit j) is >= 0.
+
+    Taking the hash array as a column reference (not an inlined expression)
+    matters on the Spark side: the expression repeats ``bits`` times, so an
+    inlined tokenizer+rehash tree would be re-evaluated 32x per row and blow
+    up analysis/codegen time (measured ~6s of first-run codegen)."""
     parts = []
     for j in range(bits):
-        h = f"((t * {_KNUTH}) % 4294967296)"
-        contrib = f"(2 * ({shiftr(h, j, dialect)} & 1) - 1)"
-        s = asum(transform(toks, "t", contrib, dialect), dialect)
+        contrib = f"(2 * ({shiftr('h', j, dialect)} & 1) - 1)"
+        s = asum(transform(hashes, "h", contrib, dialect), dialect)
         parts.append(f"(CASE WHEN {s} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)")
     return "(" + " + ".join(parts) + ")"
+
+
+def simhash_expr(toks: str, dialect: str, bits: int = SIMHASH_BITS) -> str:
+    """SimHash over a token array: bit j set iff sum over tokens of
+    ±1 (per bit j of a 32-bit rehash) is >= 0. Exact integer arithmetic.
+
+    Inlines the rehash per bit — fine for the DuckDB oracle; Spark callers
+    should materialize :func:`rehash_expr` and use
+    :func:`simhash_from_hashes_expr`."""
+    return simhash_from_hashes_expr(rehash_expr(toks, dialect), dialect, bits)

@@ -145,10 +145,15 @@ def tokens_dataframe(spark, n_rows: int, variant: str = "uniform_vocab", seed: i
             StructField("source", StringType(), False),
         ]
     )
+    rows = [
+        (int(i), int(bounds[i]), int(bounds[i + 1])) for i in range(n_partitions)
+    ]
+    # one slice row per partition: hash-repartitioning k pids into k
+    # partitions would leave ~1/e of them empty (collisions) and stack
+    # doubled slices on others; parallelize pins slice i to partition i.
     parts = spark.createDataFrame(
-        [(int(i), int(bounds[i]), int(bounds[i + 1])) for i in range(n_partitions)],
-        "pid int, lo long, hi long",
-    ).repartition(n_partitions, "pid")
+        spark.sparkContext.parallelize(rows, len(rows)), "pid int, lo long, hi long"
+    )
 
     def gen(batches):
         for batch in batches:
