@@ -54,8 +54,24 @@ def test_codec_type_compatibility():
 
 
 def test_unsupported_type_rejected():
+    # doubles are supported since plain_float; maps/structs are not
     with pytest.raises(ManifestError, match="unsupported type"):
-        CodecManifest(columns={"f": ColumnPolicy()}).validate([("f", "double")])
+        CodecManifest(columns={"m": ColumnPolicy()}).validate(
+            [("m", "map<string,int>")]
+        )
+
+
+def test_float_and_bool_codec_compat():
+    CodecManifest(columns={"f": ColumnPolicy(codec="plain_float")}).validate(
+        [("f", "double")]
+    )
+    CodecManifest(columns={"b": ColumnPolicy(codec="bool_pack")}).validate(
+        [("b", "boolean")]
+    )
+    with pytest.raises(ManifestError):  # type/codec mismatch
+        CodecManifest(columns={"f": ColumnPolicy(codec="for")}).validate(
+            [("f", "double")]
+        )
 
 
 def test_bad_block_rows():

@@ -8,7 +8,7 @@ enum-dispatch builder design (/root/reference/src/xml_parser.rs:39-54).
 
 from __future__ import annotations
 
-from xml2arrow_spark.codecs import integers, strings
+from xml2arrow_spark.codecs import floats, integers, strings
 from xml2arrow_spark.codecs.base import StrData
 
 INT_CODECS = {
@@ -27,7 +27,15 @@ STR_CODECS = {
     "seq_str": (strings.encode_seq_str, strings.decode_seq_str),
 }
 
-ALL_CODECS = {**INT_CODECS, **STR_CODECS}
+FLOAT_CODECS = {
+    "plain_float": (floats.encode_plain_float, floats.decode_plain_float),
+}
+
+BOOL_CODECS = {
+    "bool_pack": (floats.encode_bool, floats.decode_bool),
+}
+
+ALL_CODECS = {**INT_CODECS, **STR_CODECS, **FLOAT_CODECS, **BOOL_CODECS}
 
 
 def encode_values(codec: str, values):

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field, asdict
 
-from xml2arrow_spark.codecs import INT_CODECS, STR_CODECS
+from xml2arrow_spark.codecs import BOOL_CODECS, FLOAT_CODECS, INT_CODECS, STR_CODECS
 
 __all__ = ["ColumnPolicy", "CodecManifest", "ManifestError"]
 
@@ -30,6 +30,8 @@ LIST_VALUE_SUFFIX = ""  # list columns carry one policy; lengths always FOR-pack
 
 _INT_SPARK_TYPES = {"tinyint", "smallint", "int", "integer", "bigint", "long"}
 _STR_SPARK_TYPES = {"string", "binary"}
+_FLOAT_SPARK_TYPES = {"float", "double"}
+_BOOL_SPARK_TYPES = {"boolean"}
 
 
 class ManifestError(ValueError):
@@ -61,10 +63,15 @@ class ColumnPolicy:
             allowed = {AUTO, *INT_CODECS}
         elif base in _STR_SPARK_TYPES:
             allowed = {AUTO, *STR_CODECS}
+        elif base in _FLOAT_SPARK_TYPES:
+            allowed = {AUTO, *FLOAT_CODECS}
+        elif base in _BOOL_SPARK_TYPES:
+            allowed = {AUTO, *BOOL_CODECS}
         else:
             raise ManifestError(
                 f"column {column!r}: unsupported type {spark_type!r} "
-                f"(integers, strings, and array<int> are encodable)"
+                f"(integers, strings, floats, booleans, and array<int> "
+                f"are encodable)"
             )
         if self.codec not in allowed:
             # codec/type compatibility — the analog of scale/offset being
@@ -174,6 +181,11 @@ class CodecManifest:
             t = f.dataType.simpleString()
             base = t[len("array<") : -1] if t.startswith("array<") else t
             base = base.split("(")[0].lower()
-            if base in _INT_SPARK_TYPES or base in _STR_SPARK_TYPES:
+            if (
+                base in _INT_SPARK_TYPES
+                or base in _STR_SPARK_TYPES
+                or base in _FLOAT_SPARK_TYPES
+                or base in _BOOL_SPARK_TYPES
+            ):
                 cols[f.name] = ColumnPolicy(codec=AUTO, nullable=f.nullable)
         return cls(columns=cols, **knobs)

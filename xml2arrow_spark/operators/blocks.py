@@ -131,6 +131,35 @@ def encode_column(arr: pa.Array, codec: str) -> tuple[str, str, bytes]:
         }
         return resolved, json.dumps(meta), validity + vblob
 
+    if pa.types.is_floating(t):
+        if t == pa.float16():
+            raise TypeError("float16 is not supported; cast to float32")
+        valid_arr = arr.drop_null() if mask is not None else arr
+        values = np.asarray(valid_arr)
+        resolved = "plain_float" if codec == "auto" else codec
+        vmeta, vblob = encode_values(resolved, values)
+        meta = {
+            "kind": "float",
+            "n": n,
+            "dtype": str(t),
+            "values_meta": vmeta,
+            "validity_len": len(validity),
+        }
+        return resolved, json.dumps(meta), validity + vblob
+
+    if pa.types.is_boolean(t):
+        valid_arr = arr.drop_null() if mask is not None else arr
+        values = np.asarray(valid_arr)
+        resolved = "bool_pack" if codec == "auto" else codec
+        vmeta, vblob = encode_values(resolved, values)
+        meta = {
+            "kind": "bool",
+            "n": n,
+            "values_meta": vmeta,
+            "validity_len": len(validity),
+        }
+        return resolved, json.dumps(meta), validity + vblob
+
     raise TypeError(f"unsupported column type for encoding: {t}")
 
 
@@ -186,6 +215,23 @@ def decode_column(meta_json: str, payload: bytes) -> pa.Array:
         full = np.zeros(n, dtype=values.dtype)
         full[mask] = values
         return pa.array(full, type=_PA_INT[meta["dtype"]], mask=~mask)
+
+    if kind == "float":
+        values = decode_values(meta["values_meta"], payload)
+        typ = pa.float32() if meta["dtype"] == "float" else pa.float64()
+        if mask is None:
+            return pa.array(values, type=typ)
+        full = np.zeros(n, dtype=values.dtype)
+        full[mask] = values
+        return pa.array(full, type=typ, mask=~mask)
+
+    if kind == "bool":
+        values = decode_values(meta["values_meta"], payload)
+        if mask is None:
+            return pa.array(values, type=pa.bool_())
+        full = np.zeros(n, dtype=np.bool_)
+        full[mask] = values
+        return pa.array(full, type=pa.bool_(), mask=~mask)
 
     raise ValueError(f"unknown column kind {kind!r}")
 

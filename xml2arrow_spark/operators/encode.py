@@ -261,6 +261,10 @@ def resolve_manifest_parquet(
             resolved[name] = replace(
                 policy, codec=choose_str_codec(strdata_from_arrow(arr.drop_null()))
             )
+        elif pa.types.is_floating(arr.type):
+            resolved[name] = replace(policy, codec="plain_float")
+        elif pa.types.is_boolean(arr.type):
+            resolved[name] = replace(policy, codec="bool_pack")
         else:
             resolved[name] = replace(
                 policy, codec=choose_int_codec(np.asarray(arr.drop_null()))

@@ -159,7 +159,12 @@ def choose_str_codec(sd: StrData) -> str:
         covered = int(counts[order[:255]].sum())
         frac = (keys.size + (keys.size - covered) * stride) / (keys.size * stride)
         est_fsst = min(est_fsst, frac * data_bytes + min(uniq.size, 255) * 8)
-    est = {"plain_str": est_plain, "dict_str": est_dict, "fsst": est_fsst}
+    # fsst's model above omits its escape-position and code/plain split
+    # streams (~15% measured on low-card columns), while dict's model tracks
+    # its actual output within <1%. Calibrate so a near-tie goes to dict —
+    # picking fsst on a tie cost 18% real bytes on the documents `source`
+    # column.
+    est = {"plain_str": est_plain, "dict_str": est_dict, "fsst": est_fsst * 1.15}
     return min(est, key=est.get)
 
 
@@ -180,7 +185,13 @@ def resolve_manifest(df, manifest, sample_rows: int = 8192):
     from dataclasses import replace
 
     import pyarrow as pa
-    from pyspark.sql.types import ArrayType, StringType
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DoubleType,
+        FloatType,
+        StringType,
+    )
 
     from xml2arrow_spark.codecs.base import strdata_from_arrow
     from xml2arrow_spark.manifest import CodecManifest
@@ -207,6 +218,10 @@ def resolve_manifest(df, manifest, sample_rows: int = 8192):
         elif isinstance(spark_type, StringType):
             arr = pa.array(series.fillna(""), type=pa.string())
             codec = choose_str_codec(strdata_from_arrow(arr))
+        elif isinstance(spark_type, (FloatType, DoubleType)):
+            codec = "plain_float"
+        elif isinstance(spark_type, BooleanType):
+            codec = "bool_pack"
         else:
             codec = choose_int_codec(series.dropna().to_numpy())
         resolved[name] = replace(policy, codec=codec)
