@@ -25,7 +25,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from xml2arrow_spark.manifest import CodecManifest
 from xml2arrow_spark.operators.encode import blocks_metadata, decode_table, encode_table
 from xml2arrow_spark.operators.partitioning import with_work_bucket
-from xml2arrow_spark.pipeline import dedup, multimodal, similarity, textstats
+from xml2arrow_spark.pipeline import (
+    dedup,
+    events as events_ops,
+    multimodal,
+    similarity,
+    textstats,
+)
 from xml2arrow_spark.pipeline.oracles import all_oracles
 from xml2arrow_spark.plans.selector import resolve_manifest
 from xml2arrow_spark.sources.tokens import tokenize_documents
@@ -191,6 +197,32 @@ def q_unnest_orders(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """30-minute-gap sessionization over the events stream (window
+    functions; exact integer arithmetic for the oracle)."""
+    return events_ops.sessionize(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def q_event_type_stats(spark, sf_dir):
+    return events_ops.event_type_stats(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def q_encode_typed_roundtrip(spark, sf_dir):
+    """Mixed int/double/string projection of lineitem through the encode
+    engine and back — floats are first-class (plain_float, bit-identical)."""
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_returnflag", "l_linestatus"]
+    df = _lineitem(spark, sf_dir).select(*cols)
+    manifest = CodecManifest.auto_for(df.schema, block_rows=8192)
+    ddl = ("l_orderkey bigint, l_linenumber int, l_quantity double, "
+           "l_extendedprice double, l_returnflag string, l_linestatus string")
+    return decode_table(encode_table(df, manifest), ddl)
+
+
 def q_affine_transform(spark, sf_dir):
     """The reference's float affine transform value*scale + offset
     (src/xml_parser.rs:252-291) as a Catalyst expression."""
@@ -250,6 +282,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "unnest_orders": q_unnest_orders,
         "affine_transform": q_affine_transform,
+        "sessionize": q_sessionize,
+        "event_type_stats": q_event_type_stats,
+        "encode_typed_roundtrip": q_encode_typed_roundtrip,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
     }

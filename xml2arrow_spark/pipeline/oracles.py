@@ -236,6 +236,50 @@ WHERE {cos} >= {threshold}
 """
 
 
+def sessionize_sql(gap_seconds: int = 1800) -> str:
+    gap_us = gap_seconds * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id,
+         date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS tse
+  FROM events
+), g AS (
+  SELECT user_id, event_id, tse,
+         CASE WHEN tse - lag(tse) OVER (PARTITION BY user_id ORDER BY tse, event_id)
+                   > {gap_us} THEN 1 ELSE 0 END AS new_sess
+  FROM e
+), s AS (
+  SELECT user_id, event_id, tse,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tse, event_id)
+              AS BIGINT) AS session_idx
+  FROM g
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       MIN(tse) AS t_start_us, MAX(tse) AS t_end_us,
+       MAX(tse) - MIN(tse) AS dur_us
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def event_type_stats_sql() -> str:
+    return """
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def encode_typed_roundtrip_sql() -> str:
+    # oracle recomputes the UNENCODED projection; the Spark side must decode
+    # back to exactly these values (floats bit-identical via plain_float)
+    return """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+       l_returnflag, l_linestatus
+FROM lineitem
+"""
+
+
 def unnest_orders_sql() -> str:
     return """
 SELECT l_orderkey,
@@ -287,5 +331,8 @@ def all_oracles() -> dict[str, str]:
         "embedding_near_dup": embedding_near_dup_sql(),
         "unnest_orders": unnest_orders_sql(),
         "affine_transform": affine_transform_sql(),
+        "sessionize": sessionize_sql(),
+        "event_type_stats": event_type_stats_sql(),
+        "encode_typed_roundtrip": encode_typed_roundtrip_sql(),
         "multimodal_meta": multimodal_meta_sql(),
     }
