@@ -31,6 +31,8 @@ __all__ = [
     "exact_dedup",
     "with_minhash",
     "minhash_signatures",
+    "minhash_signatures_fast",
+    "minhash_signatures_parquet",
     "lsh_near_dup_pairs",
     "with_simhash",
     "simhash_groups",
@@ -231,4 +233,70 @@ def neighbor_jaccard(
             "inter_size",
             "union_size",
         )
+    )
+
+
+def minhash_signatures_fast(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Vectorized twin of :func:`minhash_signatures` via ``mapInArrow`` +
+    numpy (:mod:`xml2arrow_spark.pipeline.fast_text`) — same values
+    element-exact (pinned by tests/test_fast_text.py), ~20-50x the
+    throughput. This is the path a 10^9-document dedup run takes; the SQL
+    version remains the oracle-checkable specification."""
+    import pyarrow as pa
+
+    from xml2arrow_spark.pipeline.fast_text import minhash_batch
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    bands = [f"band{b}" for b in range(G.MINHASH_BANDS)]
+    ddl = f"{id_col} {id_type}, sig array<bigint>, " + ", ".join(
+        f"{b} bigint" for b in bands
+    )
+
+    def fn(batches):
+        from xml2arrow_spark.env import limit_arrow_threads
+
+        limit_arrow_threads(1)
+        for b in batches:
+            out = minhash_batch(b.column(b.schema.get_field_index(text_col)))
+            arrays = [b.column(b.schema.get_field_index(id_col)), out["sig"]]
+            arrays += [out[name] for name in bands]
+            yield pa.RecordBatch.from_arrays(arrays, names=[id_col, "sig", *bands])
+
+    return docs.select(id_col, text_col).mapInArrow(fn, ddl)
+
+
+def minhash_signatures_parquet(
+    spark, path: str, text_col: str = "text", id_col: str = "doc_id",
+    n_tasks: int | None = None,
+) -> DataFrame:
+    """Fused file-split variant of :func:`minhash_signatures_fast`: workers
+    read the parquet splits directly (no JVM row boundary on the text
+    payload) and run the numpy kernels — the 10^9-document shape."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xml2arrow_spark.sources.files import parquet_file_infos, scan_map_arrow
+
+    schema = pq.read_schema(parquet_file_infos(path)[0][0])
+    id_type = {
+        pa.int64(): "bigint", pa.int32(): "int",
+        pa.string(): "string", pa.large_string(): "string",
+    }[schema.field(id_col).type]
+    bands = [f"band{b}" for b in range(G.MINHASH_BANDS)]
+    ddl = f"{id_col} {id_type}, sig array<bigint>, " + ", ".join(
+        f"{b} bigint" for b in bands
+    )
+
+    def fn(batch):
+        from xml2arrow_spark.pipeline.fast_text import minhash_batch
+
+        out = minhash_batch(batch.column(batch.schema.get_field_index(text_col)))
+        arrays = [batch.column(batch.schema.get_field_index(id_col)), out["sig"]]
+        arrays += [out[name] for name in bands]
+        yield pa.RecordBatch.from_arrays(arrays, names=[id_col, "sig", *bands])
+
+    return scan_map_arrow(
+        spark, path, fn, ddl, columns=[id_col, text_col], n_tasks=n_tasks
     )

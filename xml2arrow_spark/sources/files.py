@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = [
     "parquet_file_infos",
     "plan_parquet_tasks",
+    "scan_map_arrow",
     "TASKS_DDL",
 ]
 
@@ -116,3 +117,38 @@ def plan_parquet_tasks(
     ]
     rdd = spark.sparkContext.parallelize(rows, len(rows))
     return spark.createDataFrame(rdd, TASKS_DDL)
+
+
+def scan_map_arrow(
+    spark: SparkSession,
+    path: str,
+    fn,
+    output_ddl: str,
+    columns: list[str] | None = None,
+    n_tasks: int | None = None,
+) -> DataFrame:
+    """Generic fused scan+map: plan balanced file tasks, have each Python
+    worker read its parquet splits with pyarrow (column-pruned) and stream
+    record batches through ``fn(batch) -> iterator[RecordBatch]``.
+
+    The generalization of the fused encode path to ANY vectorized operator:
+    no JVM row materialization on the input side — the boundary that costs
+    20-30x on payload-heavy columns (module doc above). ``fn`` must be a
+    plain function (it is pickled to workers).
+    """
+    tasks = plan_parquet_tasks(spark, path, n_tasks)
+
+    def run(batches):
+        import pyarrow.parquet as pq
+
+        from xml2arrow_spark.env import limit_arrow_threads
+
+        limit_arrow_threads(1)
+        for b in batches:
+            path_lists = b.column(b.schema.get_field_index("path")).to_pylist()
+            for fpath in (p for paths in path_lists for p in paths):
+                pf = pq.ParquetFile(fpath)
+                for batch in pf.iter_batches(batch_size=65536, columns=columns):
+                    yield from fn(batch)
+
+    return tasks.mapInArrow(run, output_ddl)
