@@ -145,11 +145,13 @@ def main() -> None:
     extra["compression_ratio_vs_zstd_parquet"] = round(int(agg["ob"]) / zstd_bytes, 4)
 
     # -- q2b: codec selection across distributions (ratio vs parquet-zstd of
-    # the same table; <1.0 = engine smaller). Exercises pdict (zipf), rle
-    # (runny), dict (low_card), for (narrow), seq_str (doc ids).
+    # the same table; <1.0 = engine smaller). Two representative variants
+    # (zipf = realistic token streams -> pdict; runny -> rle); ratios are
+    # deterministic, so more variants only add wall-clock noise here — the
+    # full matrix runs in tests/test_codecs.py.
     by_variant = {}
     with timed("q2b_variant_compression"):
-        for variant in ["low_card", "runny", "narrow_range", "skewed_zipf"]:
+        for variant in ["runny", "skewed_zipf"]:
             vdir = tempfile.mkdtemp(prefix=f"bench_v_{variant}_")
             zdir = tempfile.mkdtemp(prefix=f"bench_vz_{variant}_")
             try:
