@@ -128,7 +128,7 @@ def q_lsh_near_dup_pairs(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    return dedup.with_simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
+    return dedup.simhash_ids_fast(_docs(spark, sf_dir))
 
 
 def q_simhash_groups(spark, sf_dir):

@@ -186,6 +186,12 @@ def main() -> None:
         dedup.exact_dedup(docs).count()
     with timed("q5_lsh_near_dup_pairs"):
         extra["near_dup_pairs"] = dedup.lsh_near_dup_pairs(docs).count()
+    with timed("q5b_minhash_fast"):
+        # vectorized fused-scan minhash (the 10^9-doc path; SQL twin is the
+        # oracle) — force full evaluation via a signature-derived agg
+        dedup.minhash_signatures_parquet(
+            spark, f"{SF_DIR}/documents.parquet", n_tasks=CPUS
+        ).agg(F.sum(F.element_at("sig", 1))).collect()
     with timed("q6_simhash_groups"):
         dedup.simhash_groups(docs).count()
 

@@ -84,3 +84,20 @@ def test_minhash_fast_null_text(spark):
     assert rows[0]["sig"] == [None] * G.MINHASH_K
     assert rows[0]["band0"] is None
     assert rows[1]["band0"] is not None
+
+
+def test_simhash_fast_matches_sql(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    slow = {r["doc_id"]: r["simhash"] for r in dedup.with_simhash(docs).select("doc_id", "simhash").collect()}
+    fast = {r["doc_id"]: r["simhash"] for r in dedup.simhash_ids_fast(docs).collect()}
+    assert slow == fast
+
+
+def test_simhash_fast_matches_sql_on_edges(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(EDGE_TEXTS)] + [(99, None)],
+        "doc_id long, text string",
+    )
+    slow = {r["doc_id"]: r["simhash"] for r in dedup.with_simhash(df).select("doc_id", "simhash").collect()}
+    fast = {r["doc_id"]: r["simhash"] for r in dedup.simhash_ids_fast(df).collect()}
+    assert slow == fast

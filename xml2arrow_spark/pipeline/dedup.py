@@ -35,6 +35,7 @@ __all__ = [
     "minhash_signatures_parquet",
     "lsh_near_dup_pairs",
     "with_simhash",
+    "simhash_ids_fast",
     "simhash_groups",
     "neighbor_jaccard",
 ]
@@ -189,9 +190,13 @@ def with_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Group docs by identical simhash: (simhash, keep_doc_id, n_docs)."""
+    """Group docs by identical simhash: (simhash, keep_doc_id, n_docs).
+
+    Uses the vectorized simhash (element-exact twin of the SQL spec, see
+    tests/test_fast_text.py) — the 32-aggregate SQL tree costs ~6-10s of
+    codegen per fresh plan."""
     return (
-        with_simhash(docs, text_col)
+        simhash_ids_fast(docs, text_col, id_col)
         .groupBy("simhash")
         .agg(F.min(id_col).alias("keep_doc_id"), F.count("*").alias("n_docs"))
     )
@@ -299,4 +304,32 @@ def minhash_signatures_parquet(
 
     return scan_map_arrow(
         spark, path, fn, ddl, columns=[id_col, text_col], n_tasks=n_tasks
+    )
+
+
+def simhash_ids_fast(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Vectorized twin of ``with_simhash(...).select(id, simhash)`` —
+    element-exact (tests/test_fast_text.py), without the ~6-10s codegen of
+    the 32-aggregate SQL expression tree."""
+    import pyarrow as pa
+
+    from xml2arrow_spark.pipeline.fast_text import simhash_batch
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def fn(batches):
+        from xml2arrow_spark.env import limit_arrow_threads
+
+        limit_arrow_threads(1)
+        for b in batches:
+            sh = simhash_batch(b.column(b.schema.get_field_index(text_col)))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(b.schema.get_field_index(id_col)), sh],
+                names=[id_col, "simhash"],
+            )
+
+    return docs.select(id_col, text_col).mapInArrow(
+        fn, f"{id_col} {id_type}, simhash bigint"
     )

@@ -18,7 +18,7 @@ import pyarrow as pa
 
 from xml2arrow_spark.pipeline import sqlgen as G
 
-__all__ = ["minhash_batch", "word_tokens_batch"]
+__all__ = ["minhash_batch", "simhash_batch", "word_tokens_batch"]
 
 _VOCAB = 50257
 
@@ -181,3 +181,34 @@ def minhash_batch(texts: pa.Array) -> dict[str, pa.Array]:
             band = band * 31 + sigs[:, b_i * R + r]
         out[f"band{b_i}"] = pa.array(band, type=pa.int64(), mask=~has)
     return out
+
+
+def simhash_batch(texts: pa.Array) -> pa.Array:
+    """32-bit SimHash per text — exact twin of sqlgen.simhash_expr over
+    word tokens (ALL tokens, duplicates included, matching the SQL path).
+
+    Null text -> 0, matching SQL: each bit's ``CASE WHEN sum(...) >= 0``
+    evaluates NULL -> ELSE 0, and the 32 zeros sum to 0."""
+    texts = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    n = len(texts)
+    null_rows = np.zeros(n, dtype=bool)
+    if texts.null_count:
+        null_rows = ~np.asarray(texts.is_valid())
+        texts = texts.fill_null("")
+    import pyarrow.compute as pc
+
+    words = pc.split_pattern(texts.cast(pa.large_string()), " ")
+    words = words.cast(pa.list_(pa.string()))
+    toks, offsets = word_tokens_batch(words)
+    h = (toks * 2654435761) % 4294967296
+    lens = np.diff(offsets)
+    starts = offsets[:-1][lens > 0]
+    out = np.zeros(n, dtype=np.int64)
+    for j in range(G.SIMHASH_BITS):
+        contrib = 2 * ((h >> j) & 1) - 1
+        sums = np.zeros(n, dtype=np.int64)
+        if contrib.size:
+            sums[lens > 0] = np.add.reduceat(contrib, starts)
+        out |= np.where(sums >= 0, np.int64(1) << j, 0)
+    out[null_rows] = 0
+    return pa.array(out, type=pa.int64())
