@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from xml2arrow_spark.manifest import CodecManifest
 from xml2arrow_spark.operators.encode import blocks_metadata, decode_table, encode_table
-from xml2arrow_spark.operators.partitioning import with_work_bucket
+from xml2arrow_spark.operators.partitioning import salt_skewed, with_work_bucket
 from xml2arrow_spark.pipeline import (
     dedup,
     events as events_ops,
@@ -109,6 +109,22 @@ def q_work_buckets(spark, sf_dir):
     tok = tokenize_documents(_docs(spark, sf_dir))
     return with_work_bucket(tok).groupBy("work_bucket").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tokens")
+    )
+
+
+def q_salted_source_stats(spark, sf_dir):
+    """Per-source stats through an EXPLICIT two-stage salted aggregation
+    (north rule: salt skewed source partitions). Stage 1 partial-aggregates
+    on (source, salt) — the skewed head key fans out over 8 salts — stage 2
+    merges to the final per-source row. The oracle is the plain GROUP BY:
+    salting must never change results."""
+    tok = tokenize_documents(_docs(spark, sf_dir))
+    salted = salt_skewed(tok, "source", skewed_values=["src0"], n_salts=8)
+    partial = salted.groupBy("source", "salted_key").agg(
+        F.count("*").alias("c"), F.sum("n_tok").alias("t")
+    )
+    return partial.groupBy("source").agg(
+        F.sum("c").alias("n_docs"), F.sum("t").alias("total_tokens")
     )
 
 
@@ -267,6 +283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_selection": q_codec_selection,
         "token_stats": q_token_stats,
         "work_buckets": q_work_buckets,
+        "salted_source_stats": q_salted_source_stats,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,

@@ -60,6 +60,18 @@ FROM tok GROUP BY 1
 """
 
 
+def salted_source_stats_sql() -> str:
+    # the Spark side routes through a two-stage SALTED aggregation; the
+    # oracle is the plain GROUP BY — salting must never change results
+    return f"""
+WITH tok AS (
+  SELECT source, {G.asize(G.split_ws('text', D), D)} AS n_tok FROM documents
+)
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM tok GROUP BY source
+"""
+
+
 def dedup_exact_sql() -> str:
     return """
 SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
@@ -316,6 +328,7 @@ def all_oracles() -> dict[str, str]:
         "encode_roundtrip": tokenize_sql(),
         "token_stats": token_stats_sql(),
         "work_buckets": work_buckets_sql(),
+        "salted_source_stats": salted_source_stats_sql(),
         "dedup_exact": dedup_exact_sql(),
         "minhash_signatures": minhash_signatures_sql(),
         "lsh_near_dup_pairs": lsh_near_dup_pairs_sql(),
