@@ -10,10 +10,13 @@ the Spark operators are built from (xml2arrow_spark/pipeline/sqlgen.py), so
 Spark and DuckDB agree bit-for-bit — including float results, which are
 sequential IEEE folds in both engines.
 
-Queries without an oracle entry (encode_metadata, codec_selection,
-multimodal_features) are engine-internal artifacts (codec choices, block
-lineage, stubbed media features) that ANSI SQL cannot express; the driver
-records the weaker rows-only check for them.
+Every query returns CANONICALIZABLE columns only (scalars — no raw
+array<...> outputs): the driver's canonicalizer sorts rows with pandas,
+which cannot hash lists. Array-valued results (tokens, minhash signatures,
+feature vectors) are therefore projected to deterministic scalar
+fingerprints / per-element columns, with the identical expression in the
+DuckDB oracle, so bit-identity still gates (a fold hash of the decoded
+token array proves the round trip exactly as well as the raw array).
 """
 
 from __future__ import annotations
@@ -23,7 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from xml2arrow_spark.manifest import CodecManifest
-from xml2arrow_spark.operators.encode import blocks_metadata, decode_table, encode_table
+from xml2arrow_spark.operators.encode import decode_table, encode_table
 from xml2arrow_spark.operators.partitioning import salt_skewed, with_work_bucket
 from xml2arrow_spark.pipeline import (
     dedup,
@@ -32,11 +35,31 @@ from xml2arrow_spark.pipeline import (
     similarity,
     textstats,
 )
+from xml2arrow_spark.pipeline import sqlgen as G
 from xml2arrow_spark.pipeline.oracles import all_oracles
+from xml2arrow_spark.pipeline.textstats import FINGERPRINT_MOD
 from xml2arrow_spark.plans.selector import resolve_manifest
 from xml2arrow_spark.sources.tokens import tokenize_documents
 
 TOKENS_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def _token_scalar_projection(tok: DataFrame) -> DataFrame:
+    """Canonicalizable projection of a token table: the array column becomes
+    a base-31 fold fingerprint + min/max — bit-identical token arrays give
+    bit-identical rows, and the driver's canonicalizer can sort them."""
+    fp = F.expr(
+        f"aggregate(tokens, CAST(0 AS BIGINT), "
+        f"(acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD})"
+    )
+    return tok.select(
+        "doc_id",
+        "n_tok",
+        "source",
+        fp.alias("tok_fp"),
+        F.array_min("tokens").alias("tok_min"),
+        F.array_max("tokens").alias("tok_max"),
+    )
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,35 +78,44 @@ def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tokenize(spark, sf_dir):
-    return tokenize_documents(_docs(spark, sf_dir))
+    return _token_scalar_projection(tokenize_documents(_docs(spark, sf_dir)))
 
 
 def q_encode_roundtrip(spark, sf_dir):
-    """Flagship: tokenize → codec auto-selection → encode → decode; the
-    result must be bit-identical to the tokenized source (oracle recomputes
-    it independently in DuckDB)."""
+    """Flagship: tokenize → codec auto-selection → encode → decode →
+    scalar fingerprint; the fingerprint of the DECODED token arrays must
+    match the oracle's fingerprint of independently recomputed tokens —
+    bit-identity of the array<int32> round trip, in canonicalizable form."""
     tok = tokenize_documents(_docs(spark, sf_dir))
     manifest = resolve_manifest(tok, CodecManifest.auto_for(tok.schema, block_rows=4096))
     blocks = encode_table(tok, manifest)
-    return decode_table(blocks, TOKENS_DDL)
+    return _token_scalar_projection(decode_table(blocks, TOKENS_DDL))
 
 
 def q_encode_metadata(spark, sf_dir):
-    """Per-(column, codec) block lineage — rows-only (codec selection is
-    engine-internal, not SQL-expressible)."""
+    """Per-(column, codec) value counts from the block lineage. The oracle
+    recomputes each column's total value count from the raw data and pins
+    the expected codec choice for the driver fixtures — layout-independent
+    (byte counts vary with block boundaries; value counts do not)."""
     tok = tokenize_documents(_docs(spark, sf_dir))
     manifest = resolve_manifest(tok, CodecManifest.auto_for(tok.schema, block_rows=4096))
-    meta = blocks_metadata(encode_table(tok, manifest))
-    col = F.explode("col_codecs").alias("c")
+    blocks = encode_table(tok, manifest)
+    c = F.explode("cols").alias("c")
+    kind = F.get_json_object("c.meta", "$.kind")
+    nv = (
+        F.when(kind == "list_int", F.get_json_object("c.meta", "$.values_meta.n"))
+        .otherwise(F.get_json_object("c.meta", "$.n"))
+        .cast("long")
+    )
     return (
-        meta.select(col)
-        .select("c.name", "c.codec", "c.in_bytes", "c.out_bytes")
-        .groupBy("name", "codec")
-        .agg(
-            F.count("*").alias("n_blocks"),
-            F.sum("in_bytes").alias("in_bytes"),
-            F.sum("out_bytes").alias("out_bytes"),
+        blocks.select(c)
+        .select(
+            F.col("c.name").alias("name"),
+            F.col("c.codec").alias("codec"),
+            nv.alias("nv"),
         )
+        .groupBy("name", "codec")
+        .agg(F.sum("nv").alias("n_values"))
     )
 
 
@@ -136,11 +168,29 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_minhash_signatures(spark, sf_dir):
-    return dedup.minhash_signatures(_docs(spark, sf_dir))
+    """Vectorized minhash (mapInArrow + numpy — the 10^9-doc path; the SQL
+    template is the oracle spec), signature unpacked to sig0..sig{K-1}
+    scalar columns for the canonicalizer."""
+    sigs = dedup.minhash_signatures_fast(_docs(spark, sf_dir))
+    return sigs.select(
+        "doc_id",
+        *[F.element_at("sig", i + 1).alias(f"sig{i}") for i in range(G.MINHASH_K)],
+        *[f"band{b}" for b in range(G.MINHASH_BANDS)],
+    )
 
 
 def q_lsh_near_dup_pairs(spark, sf_dir):
     return dedup.lsh_near_dup_pairs(_docs(spark, sf_dir))
+
+
+def q_near_dup_resolve(spark, sf_dir):
+    """Pairs → surviving set: connected components over the LSH near-dup
+    pairs (min-label propagation); canonical_id is the kept doc."""
+    pairs = dedup.lsh_near_dup_pairs(_docs(spark, sf_dir))
+    labels = dedup.resolve_near_dups(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
+    )
 
 
 def q_simhash(spark, sf_dir):
@@ -227,6 +277,58 @@ def q_event_type_stats(spark, sf_dir):
     )
 
 
+def q_encode_nullable_roundtrip(spark, sf_dir):
+    """Nullable boolean/double/bigint/string projection through the encode
+    engine and back — exercises bool_pack + per-column validity sections
+    (reference null contract: /root/reference/src/xml_parser.rs:158-182,
+    327-338, 2645-2838)."""
+    li = _lineitem(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") > F.lit(25.0), F.lit(True))
+        .when(F.col("l_quantity") > F.lit(10.0), F.lit(False))
+        .alias("heavy_flag"),
+        F.when(F.col("l_discount") > F.lit(0.04), F.col("l_tax")).alias("tax_opt"),
+        F.when(F.col("l_partkey") % 7 == 0, F.col("l_suppkey")).alias("supp_opt"),
+        F.when(F.col("l_linenumber") >= 3, F.col("l_returnflag")).alias("flag_opt"),
+    )
+    manifest = CodecManifest.auto_for(li.schema, block_rows=8192)
+    ddl = (
+        "l_orderkey bigint, l_linenumber int, heavy_flag boolean, "
+        "tax_opt double, supp_opt bigint, flag_opt string"
+    )
+    decoded = decode_table(encode_table(li, manifest), ddl)
+    # nulls round-trip through the validity sections; the FINAL projection
+    # maps them to sentinels so the output is null-free (None-vs-NaN
+    # representation varies across pandas conversions — sentinels make the
+    # null POSITIONS part of the value hash without that ambiguity)
+    return decoded.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.col("heavy_flag").cast("int"), F.lit(-1)).alias("heavy_flag"),
+        F.coalesce(F.col("tax_opt"), F.lit(-1.0)).alias("tax_opt"),
+        F.coalesce(F.col("supp_opt"), F.lit(-1)).alias("supp_opt"),
+        F.coalesce(F.col("flag_opt"), F.lit("<null>")).alias("flag_opt"),
+    )
+
+
+def q_encode_fused_roundtrip(spark, sf_dir):
+    """The fused file-split path end-to-end under the driver gate: workers
+    open the parquet splits with pyarrow and stream scan→encode with no JVM
+    row boundary (sources/files.py), then decode back; the oracle is the
+    raw table."""
+    from xml2arrow_spark.operators.encode import encode_parquet
+
+    blocks = encode_parquet(spark, f"{sf_dir}/lineitem.parquet", n_tasks=8)
+    ddl = (
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string"
+    )
+    return decode_table(blocks, ddl)
+
+
 def q_encode_typed_roundtrip(spark, sf_dir):
     """Mixed int/double/string projection of lineitem through the encode
     engine and back — floats are first-class (plain_float, bit-identical)."""
@@ -260,7 +362,9 @@ def q_multimodal_meta(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Arrow-batched feature extraction with the deterministic fake decoder
-    (real decoders stubbed; plumbing real) — rows-only."""
+    (real decoders stubbed; plumbing real). Stats are vectorized over the
+    flattened batch buffer; features land as scalar columns the oracle
+    recomputes byte-for-byte (ASCII payloads → unicode(char) = byte)."""
     return multimodal.extract_features(
         multimodal.attach_binary_payload(_docs(spark, sf_dir)),
         decoder=multimodal.fake_decoder,
@@ -287,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
+        "near_dup_resolve": q_near_dup_resolve,
         "simhash": q_simhash,
         "simhash_groups": q_simhash_groups,
         "neighbor_jaccard": q_neighbor_jaccard,
@@ -302,6 +407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "event_type_stats": q_event_type_stats,
         "encode_typed_roundtrip": q_encode_typed_roundtrip,
+        "encode_nullable_roundtrip": q_encode_nullable_roundtrip,
+        "encode_fused_roundtrip": q_encode_fused_roundtrip,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
     }

@@ -79,12 +79,10 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
 
 
 def test_queries_and_oracles_consistent():
-    """Every oracle key exists as a query; non-oracled queries are the
-    documented engine-internal ones."""
+    """Every query has an oracle (round 2: zero rows-only queries left) and
+    every oracle has a query."""
     import __spark_entry__ as entry
 
     qs = set(entry.queries())
     os_ = set(entry.oracle_sql())
-    assert os_ <= qs, os_ - qs
-    rows_only = qs - os_
-    assert rows_only == {"encode_metadata", "codec_selection", "multimodal_features"}
+    assert os_ == qs, (os_ - qs, qs - os_)

@@ -114,8 +114,9 @@ def test_cosine_topk_ordering(emb):
 def test_lsh_ann_same_bucket_for_identical(emb):
     rows = similarity.lsh_ann_topk(emb, query_id=0, k=5).collect()
     ids = [r["vec_id"] for r in rows]
-    assert 1 in ids  # identical vector must share every projection sign
-    assert all(r["bucket"] == rows[0]["bucket"] for r in rows)
+    assert 1 in ids  # identical vector shares every band key
+    cosines = [r["cosine"] for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
 
 
 def test_lsh_buckets_partition_space(emb):
@@ -177,7 +178,8 @@ def test_multimodal_plumbing_roundtrip(spark):
     by_id = {r["doc_id"]: r for r in feats}
     assert by_id[0]["n_bytes"] == 11
     assert by_id[0]["byte_sum"] == sum(b"hello world")
-    assert len(by_id[0]["feature"]) == multimodal.N_FEATURES
+    for j in range(multimodal.N_FEATURES):
+        assert by_id[0][f"feature_{j}"] is not None
     # deterministic across runs
     feats2 = multimodal.extract_features(df, decoder=multimodal.fake_decoder).collect()
     assert sorted(map(str, feats)) == sorted(map(str, feats2))
@@ -200,5 +202,5 @@ def test_entry_contract_oracle_coverage():
     qs = set(e.queries())
     oracles = set(e.oracle_sql())
     assert oracles <= qs
-    # only engine-internal artifacts may be rows-only
-    assert qs - oracles == {"encode_metadata", "codec_selection", "multimodal_features"}
+    # round 2: every driver query is oracle-gated, zero rows-only
+    assert qs - oracles == set()

@@ -28,15 +28,25 @@ def canon(df) -> tuple[int, list[tuple]]:
     rows = []
     for t in df[cols].itertuples(index=False, name=None):
         rows.append(tuple(_canon_val(v) for v in t))
-    rows.sort()
+    # repr-keyed sort: total order even with None/mixed-type cells (the
+    # driver's pandas sort handles those via Categorical; a plain tuple sort
+    # would raise on None < str)
+    rows.sort(key=repr)
     return len(rows), rows
 
 
 def _canon_val(v):
     import numpy as np
 
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return tuple(_canon_val(x) for x in v)
+    if isinstance(v, (list, tuple, np.ndarray, dict)):
+        # The DRIVER's canonicalizer (pandas sort_values) dies on list values
+        # ("unhashable type: 'list'", CORRECTNESS_r01). Keep the local gate
+        # STRICTER than the driver's, never looser: any array-valued output
+        # column is a hard failure here.
+        raise TypeError(
+            f"array-valued output cell {type(v).__name__} — the driver "
+            "canonicalizer cannot sort this; project to scalar columns"
+        )
     if isinstance(v, (np.integer,)):
         return int(v)
     if isinstance(v, (np.floating,)):
@@ -86,6 +96,12 @@ def main() -> int:
             continue
         t_spark = time.time() - t0
         if name not in oracles:
+            try:
+                canon(sdf)
+            except TypeError as e:
+                failures.append(name)
+                print(f"FAIL  {name}: canonicalization: {e}")
+                continue
             print(f"ok    {name}: rows-only ({len(sdf)} rows, {t_spark:.1f}s spark)")
             continue
         t0 = time.time()
@@ -96,8 +112,13 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         t_duck = time.time() - t0
-        ns, rs = canon(sdf)
-        no, ro = canon(odf)
+        try:
+            ns, rs = canon(sdf)
+            no, ro = canon(odf)
+        except TypeError as e:
+            failures.append(name)
+            print(f"FAIL  {name}: canonicalization: {e}")
+            continue
         if sorted(sdf.columns) != sorted(odf.columns):
             failures.append(name)
             print(f"FAIL  {name}: columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")

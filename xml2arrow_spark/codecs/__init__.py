@@ -43,7 +43,9 @@ def encode_values(codec: str, values):
     try:
         enc, _ = ALL_CODECS[codec]
     except KeyError:
-        raise KeyError(f"unknown codec {codec!r}; known: {sorted(ALL_CODECS)}") from None
+        from xml2arrow_spark.errors import UnknownCodecError
+
+        raise UnknownCodecError(f"unknown codec {codec!r}; known: {sorted(ALL_CODECS)}") from None
     return enc(values)
 
 

@@ -14,13 +14,15 @@ from __future__ import annotations
 
 import numpy as np
 
+from xml2arrow_spark.errors import EncodeValueError
+
 __all__ = ["bits_needed", "pack_uint", "unpack_uint"]
 
 
 def bits_needed(max_value: int) -> int:
     """Minimum bit width to represent unsigned ``max_value`` (>=0). 0 -> 0 bits."""
     if max_value < 0:
-        raise ValueError(f"bits_needed requires non-negative max, got {max_value}")
+        raise EncodeValueError(f"bits_needed requires non-negative max, got {max_value}")
     return int(max_value).bit_length()
 
 
@@ -59,17 +61,17 @@ def pack_uint(values: np.ndarray, width: int) -> bytes:
     n = int(values.size)
     if width == 0:
         if n and int(values.max(initial=0)) != 0:
-            raise ValueError("width=0 but non-zero values present")
+            raise EncodeValueError("width=0 but non-zero values present")
         return b""
     if not 0 < width <= 64:
-        raise ValueError(f"width out of range: {width}")
+        raise EncodeValueError(f"width out of range: {width}")
     v = np.ascontiguousarray(values)
     if n:
         if v.dtype.kind == "i" and int(v.min()) < 0:
-            raise ValueError("pack_uint requires non-negative values")
+            raise EncodeValueError("pack_uint requires non-negative values")
         mx = int(v.max())
         if width < 64 and mx >> width:
-            raise ValueError(f"value {mx} does not fit in {width} bits")
+            raise EncodeValueError(f"value {mx} does not fit in {width} bits")
     dt = _ALIGNED.get(width)
     if dt is not None:
         return v.astype(dt).tobytes()
@@ -91,7 +93,7 @@ def unpack_uint(buf: bytes, n: int, width: int) -> np.ndarray:
     if width == 0:
         return np.zeros(n, dtype=np.uint64)
     if not 0 < width <= 64:
-        raise ValueError(f"width out of range: {width}")
+        raise EncodeValueError(f"width out of range: {width}")
     dt = _ALIGNED.get(width)
     if dt is not None:
         return np.frombuffer(buf, dtype=dt, count=n).astype(np.uint64)

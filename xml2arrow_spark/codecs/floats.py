@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 from xml2arrow_spark.codecs.base import pack_sections, split_sections
+from xml2arrow_spark.errors import EncodeTypeError
 
 __all__ = [
     "encode_plain_float",
@@ -30,7 +31,7 @@ FLOAT_DTYPES = {"float32": np.float32, "float64": np.float64}
 def encode_plain_float(values: np.ndarray) -> tuple[dict, bytes]:
     name = values.dtype.name
     if name not in FLOAT_DTYPES:
-        raise TypeError(f"unsupported float dtype: {name}")
+        raise EncodeTypeError(f"unsupported float dtype: {name}")
     v = np.ascontiguousarray(values)
     sections, blob = pack_sections({"values": v.tobytes()})
     return {
@@ -50,7 +51,7 @@ def decode_plain_float(meta: dict, blob: bytes) -> np.ndarray:
 
 def encode_bool(values: np.ndarray) -> tuple[dict, bytes]:
     if values.dtype != np.bool_:
-        raise TypeError(f"bool_pack requires bool values, got {values.dtype}")
+        raise EncodeTypeError(f"bool_pack requires bool values, got {values.dtype}")
     sections, blob = pack_sections({"values": np.packbits(values).tobytes()})
     return {
         "codec": "bool_pack",

@@ -17,6 +17,7 @@ import numpy as np
 
 from xml2arrow_spark.codecs import bitpack
 from xml2arrow_spark.codecs.base import INT_DTYPES, pack_sections, split_sections
+from xml2arrow_spark.errors import BlockCorruptionError, EncodeTypeError, EncodeValueError
 
 __all__ = [
     "encode_plain",
@@ -39,7 +40,7 @@ __all__ = [
 def _dtype_name(values: np.ndarray) -> str:
     name = values.dtype.name
     if name not in INT_DTYPES:
-        raise TypeError(f"unsupported integer dtype: {name}")
+        raise EncodeTypeError(f"unsupported integer dtype: {name}")
     return name
 
 
@@ -113,7 +114,7 @@ def decode_plain(meta: dict, blob: bytes) -> np.ndarray:
 def encode_bitpack(values: np.ndarray) -> tuple[dict, bytes]:
     dt = _dtype_name(values)
     if values.size and int(values.min()) < 0:
-        raise ValueError("bitpack requires non-negative values; use 'for'")
+        raise EncodeValueError("bitpack requires non-negative values; use 'for'")
     width = bitpack.bits_needed(int(values.max())) if values.size else 0
     payload = bitpack.pack_uint(values, width)
     sections, blob = pack_sections({"values": payload})
@@ -197,7 +198,7 @@ def decode_rle(meta: dict, blob: bytes) -> np.ndarray:
     run_lengths = _for_unpack(parts["run_lengths"], k, meta["lref"], meta["lwidth"])
     out = np.repeat(run_values, run_lengths)
     if out.size != meta["n"]:
-        raise ValueError(f"RLE decode produced {out.size} values, expected {meta['n']}")
+        raise BlockCorruptionError(f"RLE decode produced {out.size} values, expected {meta['n']}")
     return out.astype(INT_DTYPES[meta["dtype"]])
 
 

@@ -28,6 +28,7 @@ from xml2arrow_spark.codecs.base import (
     strdata_to_arrow,
 )
 from xml2arrow_spark.codecs.integers import _for_pack, _for_unpack
+from xml2arrow_spark.errors import EncodeValueError
 
 __all__ = [
     "encode_plain_str",
@@ -256,7 +257,7 @@ def encode_seq_str(sd: StrData) -> tuple[dict, bytes]:
                 "codec": "seq_str", "n": 0, "prefix": "", "n_digits": 0,
                 "ref": 0, "width": 0, "sections": sections,
             }, blob
-        raise ValueError("seq_str requires '<common prefix><fixed digits>' strings")
+        raise EncodeValueError("seq_str requires '<common prefix><fixed digits>' strings")
     str_len, n_digits = probe
     n = sd.n
     mat = np.frombuffer(sd.data, dtype=np.uint8).reshape(n, str_len)

@@ -22,6 +22,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field, asdict
 
 from xml2arrow_spark.codecs import BOOL_CODECS, FLOAT_CODECS, INT_CODECS, STR_CODECS
+from xml2arrow_spark.errors import ManifestError
 
 __all__ = ["ColumnPolicy", "CodecManifest", "ManifestError"]
 
@@ -32,11 +33,6 @@ _INT_SPARK_TYPES = {"tinyint", "smallint", "int", "integer", "bigint", "long"}
 _STR_SPARK_TYPES = {"string", "binary"}
 _FLOAT_SPARK_TYPES = {"float", "double"}
 _BOOL_SPARK_TYPES = {"boolean"}
-
-
-class ManifestError(ValueError):
-    """Validation failure — the analog of the reference's structured config
-    errors (/root/reference/src/errors.rs)."""
 
 
 @dataclass

@@ -20,6 +20,11 @@ import numpy as np
 import pyarrow as pa
 
 from xml2arrow_spark.codecs import decode_values, encode_values
+from xml2arrow_spark.errors import (
+    BlockCorruptionError,
+    EncodeTypeError,
+    EncodeValueError,
+)
 from xml2arrow_spark.codecs.base import (
     StrData,
     strdata_from_arrow,
@@ -27,7 +32,14 @@ from xml2arrow_spark.codecs.base import (
 )
 from xml2arrow_spark.plans.selector import choose_int_codec, choose_str_codec
 
-__all__ = ["encode_column", "decode_column", "ENCODED_COL_STRUCT"]
+__all__ = ["encode_column", "decode_column", "ENCODED_COL_STRUCT", "BLOCK_FORMAT_VERSION"]
+
+# On-disk block format version. v2: byte-aligned bitpack widths 16/32/64
+# switched from MSB-first big-endian bit-streams to native little-endian
+# narrow integers; v1 blocks (no tag) are REJECTED at decode rather than
+# silently misread (ADVICE r01; the reference never silently misparses,
+# /root/reference/src/xml_parser.rs:209-215).
+BLOCK_FORMAT_VERSION = 2
 
 ENCODED_COL_STRUCT = (
     "name: string, codec: string, meta: string, data: binary, "
@@ -69,7 +81,7 @@ def encode_column(arr: pa.Array, codec: str) -> tuple[str, str, bytes]:
 
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         if not pa.types.is_integer(t.value_type):
-            raise TypeError(f"only integer list columns supported, got {t}")
+            raise EncodeTypeError(f"only integer list columns supported, got {t}")
         # lengths stream (null slot -> 0) + flattened child values
         lengths = np.zeros(n, dtype=np.int64)
         valid_arr = arr.drop_null() if mask is not None else arr
@@ -81,13 +93,14 @@ def encode_column(arr: pa.Array, codec: str) -> tuple[str, str, bytes]:
             lengths = lens_valid
         child = valid_arr.flatten()
         if child.null_count:
-            raise TypeError("nulls inside token arrays are not supported")
+            raise EncodeTypeError("nulls inside token arrays are not supported")
         values = np.asarray(child)
         resolved = _resolve_int(codec, values)
         lmeta, lblob = encode_values("for", lengths)
         vmeta, vblob = encode_values(resolved, values)
         meta = {
             "kind": "list_int",
+            "fmt": BLOCK_FORMAT_VERSION,
             "n": n,
             "value_dtype": str(t.value_type),
             "lengths_meta": lmeta,
@@ -110,6 +123,7 @@ def encode_column(arr: pa.Array, codec: str) -> tuple[str, str, bytes]:
         smeta, sblob = encode_values(resolved, sd)
         meta = {
             "kind": "str",
+            "fmt": BLOCK_FORMAT_VERSION,
             "n": n,
             "large": pa.types.is_large_string(t),
             "str_meta": smeta,
@@ -124,6 +138,7 @@ def encode_column(arr: pa.Array, codec: str) -> tuple[str, str, bytes]:
         vmeta, vblob = encode_values(resolved, values)
         meta = {
             "kind": "int",
+            "fmt": BLOCK_FORMAT_VERSION,
             "n": n,
             "dtype": str(t),
             "values_meta": vmeta,
@@ -133,13 +148,14 @@ def encode_column(arr: pa.Array, codec: str) -> tuple[str, str, bytes]:
 
     if pa.types.is_floating(t):
         if t == pa.float16():
-            raise TypeError("float16 is not supported; cast to float32")
+            raise EncodeTypeError("float16 is not supported; cast to float32")
         valid_arr = arr.drop_null() if mask is not None else arr
         values = np.asarray(valid_arr)
         resolved = "plain_float" if codec == "auto" else codec
         vmeta, vblob = encode_values(resolved, values)
         meta = {
             "kind": "float",
+            "fmt": BLOCK_FORMAT_VERSION,
             "n": n,
             "dtype": str(t),
             "values_meta": vmeta,
@@ -154,13 +170,14 @@ def encode_column(arr: pa.Array, codec: str) -> tuple[str, str, bytes]:
         vmeta, vblob = encode_values(resolved, values)
         meta = {
             "kind": "bool",
+            "fmt": BLOCK_FORMAT_VERSION,
             "n": n,
             "values_meta": vmeta,
             "validity_len": len(validity),
         }
         return resolved, json.dumps(meta), validity + vblob
 
-    raise TypeError(f"unsupported column type for encoding: {t}")
+    raise EncodeTypeError(f"unsupported column type for encoding: {t}")
 
 
 def _unpack_validity(meta: dict, payload: bytes) -> tuple[np.ndarray | None, bytes]:
@@ -182,6 +199,11 @@ _PA_INT = {
 def decode_column(meta_json: str, payload: bytes) -> pa.Array:
     """Exact inverse of :func:`encode_column`."""
     meta = json.loads(meta_json)
+    if meta.get("fmt", 1) != BLOCK_FORMAT_VERSION:
+        raise BlockCorruptionError(
+            f"block format {meta.get('fmt', 1)} != engine format "
+            f"{BLOCK_FORMAT_VERSION}; re-encode the dataset"
+        )
     kind = meta["kind"]
     mask, payload = _unpack_validity(meta, payload)
     n = meta["n"]
@@ -193,7 +215,7 @@ def decode_column(meta_json: str, payload: bytes) -> pa.Array:
         offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lengths, out=offsets[1:])
         if offsets[-1] > np.iinfo(np.int32).max:
-            raise ValueError("block too large for int32 list offsets; lower block_rows")
+            raise EncodeValueError("block too large for int32 list offsets; lower block_rows")
         child = pa.array(values, type=_PA_INT[meta["value_dtype"]])
         return pa.Array.from_buffers(
             pa.list_(_PA_INT[meta["value_dtype"]]),
@@ -233,7 +255,7 @@ def decode_column(meta_json: str, payload: bytes) -> pa.Array:
         full[mask] = values
         return pa.array(full, type=pa.bool_(), mask=~mask)
 
-    raise ValueError(f"unknown column kind {kind!r}")
+    raise BlockCorruptionError(f"unknown column kind {kind!r}")
 
 
 def _validity_buffer(mask: np.ndarray | None):

@@ -45,9 +45,16 @@ def plan_units(df: DataFrame, n_units: int, id_col: str = "doc_id") -> DataFrame
     Deterministic in the DATA (hash of id), not in the physical layout, so
     the same row lands in the same unit on any cluster size / input split —
     the property resume correctness rests on.
+
+    The unit is ``pmod(murmur3(id), n_units)`` — deliberately the SAME
+    function Spark's HashPartitioning applies to a ``repartition(n_units,
+    id_col)`` exchange. That identity makes unit placement EXACT: partition
+    p receives precisely the rows of unit p, no re-hash collisions. (Hashing
+    the unit_id column itself would hash-a-hash k distinct ids into k
+    partitions and leave ~1/e of them empty — the repo-wide ground rule.)
     """
     return df.withColumn(
-        "unit_id", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_units)).cast("int")
+        "unit_id", F.pmod(F.hash(F.col(id_col)), F.lit(n_units)).cast("int")
     )
 
 
@@ -83,7 +90,13 @@ def encode_dataset(
     # left-anti join against completed units; done is tiny -> broadcast
     todo = units.join(F.broadcast(done), "unit_id", "left_anti")
 
-    todo = todo.repartition(n_units, "unit_id")  # co-locate each unit in one task
+    # Exact unit placement: HashPartitioning on id_col computes
+    # pmod(murmur3(id), n_units) — the very expression plan_units used for
+    # unit_id — so partition p holds exactly unit p (empty iff the unit is
+    # already done). Repartitioning on unit_id instead would re-hash k
+    # distinct ids into k partitions: ~1/e empty, others doubled (measured;
+    # see sources/files.py).
+    todo = todo.repartition(n_units, id_col)
     blocks = encode_table(todo, manifest, unit_col="unit_id")
     blocks.write.mode("append").partitionBy("unit_id").parquet(
         os.path.join(path, "blocks")

@@ -34,6 +34,7 @@ __all__ = [
     "minhash_signatures_fast",
     "minhash_signatures_parquet",
     "lsh_near_dup_pairs",
+    "resolve_near_dups",
     "with_simhash",
     "simhash_ids_fast",
     "simhash_groups",
@@ -99,6 +100,7 @@ def lsh_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold_milli: int = 800,
+    sig_path: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash + exact-Jaccard verification.
 
@@ -120,15 +122,22 @@ def lsh_near_dup_pairs(
     #   the filter condition (measured 10x on 5k docs). The cache is an
     #   optimizer barrier, and filtering cached rows is free.
     # Size: (doc, dtoks, bands) is ~100 bytes + shingle ids per doc; at
-    # cluster scale swap the cache for a two-phase signature-table write.
-    sigs = (
-        with_minhash(docs, text_col)
-        .select(
-            F.col(id_col).alias("doc"), "dtoks",
-            *[f"band{b}" for b in range(G.MINHASH_BANDS)],
-        )
-        .persist()
+    # cluster scale pass ``sig_path`` — the two-phase signature-table write:
+    # phase 1 materializes the signature relation to parquet ONCE, phase 2
+    # reads it for every band branch and both join sides. No executor-storage
+    # cache, no InMemoryRelation; the signature table is also the natural
+    # checkpoint for incremental dedup runs.
+    sig_cols = with_minhash(docs, text_col).select(
+        F.col(id_col).alias("doc"), "dtoks",
+        *[f"band{b}" for b in range(G.MINHASH_BANDS)],
     )
+    if sig_path is not None:
+        sig_cols.write.mode("overwrite").parquet(sig_path)
+        sigs = docs.sparkSession.read.parquet(sig_path)
+        cache_handle = None
+    else:
+        sigs = sig_cols.persist()
+        cache_handle = sigs
     # Docs with no shingles (< 3 words) can never near-dup: drop them before
     # banding, mirroring the oracle where their NULL band keys never join.
     sigs = sigs.filter(F.size("dtoks") > 0)
@@ -170,9 +179,74 @@ def lsh_near_dup_pairs(
     verified = cand.withColumn("inter_size", inter).withColumn(
         "union_size", F.expr("size(ta) + size(tb)") - F.col("inter_size")
     )
-    return verified.filter(
+    out = verified.filter(
         F.col("inter_size") * 1000 >= threshold_milli * F.col("union_size")
     ).select("doc_a", "doc_b", "inter_size", "union_size")
+    # expose the cache so callers can unpersist() after the consuming action
+    # (a long-lived session otherwise accumulates cached relations)
+    out._sig_cache = cache_handle
+    return out
+
+
+def resolve_near_dups(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Near-dup pairs -> connected components: (node, label) with label =
+    minimum doc id in the component — the keep/drop resolution every real
+    dedup pipeline runs after pair generation (keep ``label``, drop the
+    rest).
+
+    Iterative min-label propagation over the symmetrized edge set: each
+    round joins labels to edges and takes the per-node min of neighbor
+    labels. Converges in O(component diameter) rounds — near-dup components
+    are overwhelmingly tiny chains/cliques, so 2-4 rounds in practice; each
+    round is one shuffle join + one hash agg (both on the narrow (node,
+    label) relation, never the payload). Convergence is detected by the
+    monotone label sum: labels only ever decrease, so an unchanged sum is a
+    fixpoint — one scalar agg per round, no row-diff join.
+
+    Each round's labels are ``localCheckpoint``-ed: iterative self-joins
+    otherwise grow the logical plan exponentially (the Catalyst plan itself
+    OOMs the driver long before the data does — measured at a 12-node
+    chain). On a cluster, set a reliable ``spark.sparkContext.setCheckpointDir``
+    and swap for ``checkpoint()`` to also survive executor loss.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = edges.unionAll(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["dst"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # truncate lineage: flat plan every round
+        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
 
 
 def with_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -9,6 +9,14 @@ this container — behind :func:`decode_media`, which raises
 queries use :func:`fake_decoder`, a deterministic pure-numpy stand-in, so the
 Spark-side plumbing (schema, partitioning, UDF signature, batch shape) is
 real and tested end-to-end.
+
+Vectorization contract: the batch-level stats (n_bytes / byte_sum /
+head_hash) are computed with numpy offset arithmetic over the flattened
+Arrow binary buffer — zero per-row Python. Only the injected ``decoder``
+call is per-item, because a real media decoder is inherently per-item.
+:func:`fake_decoder` emits integer-exact features (each a single integer
+expression cast to double) so the driver's DuckDB oracle can reproduce
+them bit-for-bit.
 """
 
 from __future__ import annotations
@@ -17,6 +25,7 @@ from typing import Callable, Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
@@ -26,14 +35,16 @@ __all__ = [
     "fake_decoder",
     "extract_features",
     "FEATURES_DDL",
+    "N_FEATURES",
 ]
+
+N_FEATURES = 8
+HEAD_MOD = 2147483647  # 2^31 - 1, matches the doc-fingerprint rolling hash
 
 FEATURES_DDL = (
     "doc_id bigint, n_bytes int, byte_sum bigint, head_hash bigint, "
-    "feature array<double>"
+    + ", ".join(f"feature_{i} double" for i in range(N_FEATURES))
 )
-
-N_FEATURES = 8
 
 
 def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -72,23 +83,65 @@ def decode_media(payload: bytes, mime: str):
 
 
 def fake_decoder(buf: np.ndarray) -> np.ndarray:
-    """Deterministic stand-in decoder: N_FEATURES moments of the byte
-    stream (pure numpy, vectorized over the whole batch elsewhere)."""
-    if buf.size == 0:
+    """Deterministic stand-in decoder: N_FEATURES integer-exact stats of the
+    byte stream, cast to double. Every feature is a single integer
+    expression (no float accumulation order), so the DuckDB oracle can
+    reproduce the values bit-for-bit on ASCII payloads."""
+    n = int(buf.size)
+    if n == 0:
         return np.zeros(N_FEATURES)
-    x = buf.astype(np.float64)
+    x = buf.astype(np.int64)
+    s = int(x.sum())
+    first, last = int(x[0]), int(x[-1])
+    stride = max(n // 4, 1)
     return np.array(
         [
-            x.mean(),
-            x.std(),
-            x.min(),
-            x.max(),
-            float(np.median(x)),
-            x[:: max(len(x) // 4, 1)].sum() % 997.0,
-            float(len(x) % 251),
-            float((x[0] * 31 + x[-1]) % 509),
+            float(n % 251),
+            float(s % 997),
+            float(x.min()),
+            float(x.max()),
+            float(first),
+            float(last),
+            float((first * 31 + last) % 509),
+            float(int(x[::stride].sum()) % 997),
         ]
     )
+
+
+_POW31 = (31 ** np.arange(8, dtype=np.int64)).astype(np.int64)
+
+
+def _batch_stats(payloads: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized (offsets, buf, lens, byte_sum, head_hash) over one batch:
+    one flattened uint8 buffer + offset arithmetic, no per-row loop."""
+    arr = pa.array(payloads, type=pa.large_binary())
+    if arr.null_count:
+        raise ValueError("null payloads are not supported; filter them first")
+    n = len(arr)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + n + 1
+    ]
+    data_buf = arr.buffers()[2]
+    buf = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    lens = np.diff(offs)
+    # per-row byte sum via one cumsum + gather (exact, reduceat-free so
+    # empty rows need no special-casing)
+    csum = np.zeros(buf.size + 1, dtype=np.int64)
+    np.cumsum(buf, dtype=np.int64, out=csum[1:])
+    byte_sum = csum[offs[1:]] - csum[offs[:-1]]
+    # head hash: base-31 fold of the first <=8 bytes, gathered as an (n, 8)
+    # window with a length mask
+    w = np.arange(8, dtype=np.int64)[None, :]
+    idx = offs[:-1, None] + w
+    mask = w < lens[:, None]
+    safe_idx = np.minimum(idx, max(buf.size - 1, 0))
+    head = np.where(mask, buf[safe_idx] if buf.size else 0, 0).astype(np.int64)
+    head_hash = (head * _POW31[None, :]).sum(axis=1) % HEAD_MOD
+    return offs, buf, lens, byte_sum, head_hash
 
 
 def extract_features(
@@ -98,32 +151,31 @@ def extract_features(
 ) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload column.
 
-    Returns (doc_id, n_bytes, byte_sum, head_hash, feature). ``decoder``
-    maps a uint8 buffer to an N_FEATURES float vector; None routes to the
-    stubbed :func:`decode_media` (which raises — by design)."""
+    Returns (doc_id, n_bytes, byte_sum, head_hash, feature_0..7). The
+    stats are numpy over the flattened batch buffer; ``decoder`` maps one
+    uint8 buffer to an N_FEATURES float vector and is the ONLY per-item
+    call (a real media decoder cannot be batched further). None routes to
+    the stubbed :func:`decode_media` (which raises — by design)."""
 
     use = decoder
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, sums, heads, lens = [], [], [], []
-            for raw in pdf["payload"]:
-                buf = np.frombuffer(raw, dtype=np.uint8)
-                lens.append(len(buf))
-                sums.append(int(buf.sum()))
-                head = buf[:8].astype(np.int64)
-                heads.append(int((head * (31 ** np.arange(head.size))).sum() % 2147483647))
+            offs, buf, lens, byte_sum, head_hash = _batch_stats(pdf["payload"])
+            feats = np.empty((len(pdf), N_FEATURES), dtype=np.float64)
+            for i in range(len(pdf)):
+                seg = buf[offs[i] : offs[i + 1]]
                 if use is None:
-                    decode_media(raw, "application/octet-stream")
-                feats.append(use(buf).tolist())
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col],
-                    "n_bytes": pd.Series(lens, dtype="int32"),
-                    "byte_sum": pd.Series(sums, dtype="int64"),
-                    "head_hash": pd.Series(heads, dtype="int64"),
-                    "feature": feats,
-                }
-            )
+                    decode_media(seg.tobytes(), "application/octet-stream")
+                feats[i] = use(seg)
+            out = {
+                "doc_id": pdf[id_col].reset_index(drop=True),
+                "n_bytes": pd.Series(lens.astype(np.int32)),
+                "byte_sum": pd.Series(byte_sum),
+                "head_hash": pd.Series(head_hash),
+            }
+            for j in range(N_FEATURES):
+                out[f"feature_{j}"] = pd.Series(feats[:, j])
+            yield pd.DataFrame(out)
 
     return docs.select(id_col, "payload").mapInPandas(fn, FEATURES_DDL)

@@ -22,12 +22,22 @@ _DSHINGLES = G.adistinct(G.shingles_expr(_TOKS, D), D)
 
 
 def tokenize_sql() -> str:
+    # scalar projection of the token table (the driver canonicalizer cannot
+    # sort list columns): base-31 fold fingerprint + min/max per doc — the
+    # same bit-identity gate as the raw array, in sortable form
     return f"""
-SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-       CAST({_TOKS} AS INTEGER[]) AS tokens,
-       {G.asize(G.split_ws('text', D), D)} AS n_tok,
-       source
-FROM documents
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST({_TOKS} AS INTEGER[]) AS tokens,
+         {G.asize(G.split_ws('text', D), D)} AS n_tok,
+         source
+  FROM documents
+)
+SELECT doc_id, n_tok, source,
+       {G.afold('tokens', f'(acc * 31 + x) % {FINGERPRINT_MOD}', D)} AS tok_fp,
+       list_min(tokens) AS tok_min,
+       list_max(tokens) AS tok_max
+FROM t
 """
 
 
@@ -87,10 +97,14 @@ def minhash_signatures_sql() -> str:
     bands = ",\n       ".join(
         f"{G.band_expr('sig', b, D)} AS band{b}" for b in range(G.MINHASH_BANDS)
     )
+    sig_cols = ",\n       ".join(
+        f"{G.element('sig', i + 1, D)} AS sig{i}" for i in range(G.MINHASH_K)
+    )
     return f"""
 WITH d AS (SELECT doc_id, {_DSHINGLES} AS dtoks FROM documents),
 s AS (SELECT doc_id, {_sig_literal()} AS sig FROM d)
-SELECT doc_id, sig,
+SELECT doc_id,
+       {sig_cols},
        {bands}
 FROM s
 """
@@ -224,27 +238,54 @@ LIMIT {k}
 """
 
 
+# Hyperplanes per band at the driver's correctness sf: the sf0.01 embeddings
+# table has 500 vectors, and lsh_planes_for(500) = 4 — the Spark queries
+# derive the same value from the live count, so both sides share geometry.
+ANN_ROWS = G.lsh_planes_for(500)
+
+
+def _band_keys(src: str) -> str:
+    return ", ".join(
+        f"{G.lsh_band_key_expr(src, EMB_DIM, b, ANN_ROWS, D)} AS bk{b}"
+        for b in range(G.LSH_BANDS)
+    )
+
+
 def lsh_ann_topk_sql(query_id: int = 0, k: int = 5) -> str:
-    bucket = G.lsh_bucket_expr("embedding", EMB_DIM, D)
+    any_band = " OR ".join(f"b.bk{i} = q.qbk{i}" for i in range(G.LSH_BANDS))
+    qkeys = ", ".join(f"bk{i} AS qbk{i}" for i in range(G.LSH_BANDS))
     return f"""
-WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
-q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = {query_id})
-SELECT vec_id, bucket, {G.cosine_expr('embedding', 'qv', D)} AS cosine
+WITH b AS (SELECT vec_id, embedding, {_band_keys('embedding')} FROM embeddings),
+q AS (SELECT embedding AS qv, {qkeys} FROM b WHERE vec_id = {query_id})
+SELECT vec_id, {G.cosine_expr('embedding', 'qv', D)} AS cosine
 FROM b CROSS JOIN q
-WHERE bucket = qbucket AND vec_id <> {query_id}
+WHERE ({any_band}) AND vec_id <> {query_id}
 ORDER BY cosine DESC, vec_id
 LIMIT {k}
 """
 
 
 def embedding_near_dup_sql(threshold: float = 0.3) -> str:
-    bucket = G.lsh_bucket_expr("embedding", EMB_DIM, D)
-    cos = G.cosine_expr("a.embedding", "b.embedding", D)
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_pos, bk{b} AS band_key FROM bk"
+        for b in range(G.LSH_BANDS)
+    )
+    cos = G.cosine_expr("ea.embedding", "eb.embedding", D)
     return f"""
-WITH bk AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
-FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {cos} >= {threshold}
+WITH bk AS (SELECT vec_id, {_band_keys('embedding')} FROM embeddings),
+bands AS (
+  {band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band_pos = b.band_pos AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, {cos} AS cosine
+FROM cand
+JOIN embeddings ea ON ea.vec_id = cand.vec_a
+JOIN embeddings eb ON eb.vec_id = cand.vec_b
+WHERE {cos} >= CAST({threshold} AS DOUBLE)
 """
 
 
@@ -311,6 +352,128 @@ FROM lineitem
 """
 
 
+def near_dup_resolve_sql() -> str:
+    """Connected components over the LSH near-dup pairs via a recursive CTE:
+    reach(node, lbl) closes the symmetric edge relation transitively; the
+    canonical id is the minimum reachable node."""
+    return f"""
+WITH RECURSIVE pairs AS ({lsh_near_dup_pairs_sql()}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY node
+"""
+
+
+def encode_metadata_sql() -> str:
+    """Per-(column, codec) value counts. Value counts are recomputed from
+    the raw data (layout-independent, unlike byte counts); the codec names
+    pin the selector's expected choices on the driver fixtures — a
+    regression gate on codec auto-selection itself."""
+    return f"""
+WITH t AS (SELECT {G.asize(G.split_ws('text', D), D)} AS n_tok FROM documents)
+SELECT 'doc_id' AS name, 'plain_str' AS codec, CAST(COUNT(*) AS BIGINT) AS n_values FROM t
+UNION ALL
+SELECT 'tokens', 'dict', CAST(SUM(n_tok) AS BIGINT) FROM t
+UNION ALL
+SELECT 'n_tok', 'for', CAST(COUNT(*) AS BIGINT) FROM t
+UNION ALL
+SELECT 'source', 'dict_str', CAST(COUNT(*) AS BIGINT) FROM t
+"""
+
+
+def codec_selection_sql() -> str:
+    """Pinned expected manifest resolution on the driver fixtures (doc ids
+    are non-uniform-length digit strings → plain_str; tokens are zipf-ish
+    small ints → dict; n_tok has a narrow range → FOR; source is
+    low-cardinality → dict_str)."""
+    return """
+SELECT 'doc_id' AS "column", 'plain_str' AS codec
+UNION ALL SELECT 'n_tok', 'for'
+UNION ALL SELECT 'source', 'dict_str'
+UNION ALL SELECT 'tokens', 'dict'
+"""
+
+
+def encode_nullable_roundtrip_sql() -> str:
+    # oracle recomputes the UNENCODED nullable projection; Spark must decode
+    # bool_pack + validity sections back to exactly these values. Nulls are
+    # mapped to sentinels in the final projection on BOTH sides (null
+    # positions still gate; None-vs-NaN pandas representation does not)
+    return """
+WITH p AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_quantity > CAST(25.0 AS DOUBLE) THEN 1
+              WHEN l_quantity > CAST(10.0 AS DOUBLE) THEN 0 END AS heavy_flag,
+         CASE WHEN l_discount > CAST(0.04 AS DOUBLE) THEN l_tax END AS tax_opt,
+         CASE WHEN l_partkey % 7 = 0 THEN l_suppkey END AS supp_opt,
+         CASE WHEN l_linenumber >= 3 THEN l_returnflag END AS flag_opt
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       CAST(coalesce(heavy_flag, -1) AS INTEGER) AS heavy_flag,
+       coalesce(tax_opt, CAST(-1.0 AS DOUBLE)) AS tax_opt,
+       CAST(coalesce(supp_opt, -1) AS BIGINT) AS supp_opt,
+       coalesce(flag_opt, '<null>') AS flag_opt
+FROM p
+"""
+
+
+def encode_fused_roundtrip_sql() -> str:
+    return """
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus
+FROM lineitem
+"""
+
+
+# powers of 31 as an exact BIGINT literal list (31^7 < 2^53, so even the
+# doubled-up DuckDB arithmetic stays exact)
+_POW31 = "[" + ", ".join(str(31**i) for i in range(8)) + "]"
+
+
+def multimodal_features_sql() -> str:
+    """Byte-exact twin of multimodal.extract_features + fake_decoder. The
+    payload is the utf-8 encoding of ``text``; the driver fixtures are pure
+    ASCII, so ``unicode(text[i])`` IS byte i."""
+    bsum = "coalesce(list_sum(by), 0)"
+    head = (
+        f"coalesce(list_sum(list_transform(range(1, least(n, 8) + 1), "
+        f"i -> by[i] * ({_POW31})[i])), 0)"
+    )
+    stride = (
+        "coalesce(list_sum(list_transform("
+        "range(1, n + 1, greatest(n // 4, 1)), i -> by[i])), 0)"
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, CAST(length(text) AS INTEGER) AS n,
+         list_transform(range(1, length(text) + 1), i -> unicode(text[i])) AS by
+  FROM documents
+)
+SELECT doc_id,
+       n AS n_bytes,
+       CAST({bsum} AS BIGINT) AS byte_sum,
+       CAST({head} % 2147483647 AS BIGINT) AS head_hash,
+       CAST(n % 251 AS DOUBLE) AS feature_0,
+       CAST({bsum} % 997 AS DOUBLE) AS feature_1,
+       CAST(list_min(by) AS DOUBLE) AS feature_2,
+       CAST(list_max(by) AS DOUBLE) AS feature_3,
+       CAST(by[1] AS DOUBLE) AS feature_4,
+       CAST(by[n] AS DOUBLE) AS feature_5,
+       CAST((by[1] * 31 + by[n]) % 509 AS DOUBLE) AS feature_6,
+       CAST({stride} % 997 AS DOUBLE) AS feature_7
+FROM b
+"""
+
+
 def multimodal_meta_sql() -> str:
     return """
 SELECT doc_id, 'text/plain' AS mime,
@@ -326,12 +489,15 @@ def all_oracles() -> dict[str, str]:
     return {
         "tokenize": tokenize_sql(),
         "encode_roundtrip": tokenize_sql(),
+        "encode_metadata": encode_metadata_sql(),
+        "codec_selection": codec_selection_sql(),
         "token_stats": token_stats_sql(),
         "work_buckets": work_buckets_sql(),
         "salted_source_stats": salted_source_stats_sql(),
         "dedup_exact": dedup_exact_sql(),
         "minhash_signatures": minhash_signatures_sql(),
         "lsh_near_dup_pairs": lsh_near_dup_pairs_sql(),
+        "near_dup_resolve": near_dup_resolve_sql(),
         "simhash": simhash_sql(),
         "simhash_groups": simhash_groups_sql(),
         "neighbor_jaccard": neighbor_jaccard_sql(),
@@ -347,5 +513,8 @@ def all_oracles() -> dict[str, str]:
         "sessionize": sessionize_sql(),
         "event_type_stats": event_type_stats_sql(),
         "encode_typed_roundtrip": encode_typed_roundtrip_sql(),
+        "encode_nullable_roundtrip": encode_nullable_roundtrip_sql(),
+        "encode_fused_roundtrip": encode_fused_roundtrip_sql(),
         "multimodal_meta": multimodal_meta_sql(),
+        "multimodal_features": multimodal_features_sql(),
     }

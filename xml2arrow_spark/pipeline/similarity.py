@@ -7,11 +7,15 @@ Two paths, mirroring what a 100 TB pipeline actually runs:
   BroadcastNestedLoopJoin; nothing big moves); each partition scores its rows
   with a sequential-fold dot product inside whole-stage codegen and only
   ``k`` candidates per partition survive the final ordering (TakeOrderedAndProject).
-- **LSH-bucketed ANN** (:func:`lsh_ann_topk`) — the scale path: deterministic
-  random-hyperplane signs bucket every vector into 2^8 cells in one narrow
-  pass; search touches only the query's cell. At 1000 executors the bucket
-  column doubles as a clustering/partition key so a probe is a
-  partition-pruned scan, not a full sweep.
+- **banded LSH ANN** (:func:`lsh_ann_topk`, :func:`embedding_near_dup`) —
+  the scale path: LSH_BANDS independent band keys of ``rows`` hyperplane
+  signs each (OR-construction, like the MinHash banding in
+  :mod:`xml2arrow_spark.pipeline.dedup`). ``rows`` scales with the corpus
+  size (:func:`xml2arrow_spark.pipeline.sqlgen.lsh_planes_for`) so a band
+  cell holds ~LSH_TARGET_CELL vectors at ANY N — within-cell verification
+  stays O(N·target) pairs, never O((N/const)²). At 1000 executors the band
+  keys double as clustering/partition keys so a probe is a partition-pruned
+  scan, not a full sweep.
 
 Floats: every expression is a *sequential* fold (left-to-right IEEE adds) +
 correctly-rounded sqrt/divide, which DuckDB reproduces bit-for-bit — so these
@@ -24,7 +28,13 @@ from pyspark.sql import DataFrame, functions as F
 
 from xml2arrow_spark.pipeline import sqlgen as G
 
-__all__ = ["with_lsh_bucket", "cosine_topk", "lsh_ann_topk", "embedding_near_dup"]
+__all__ = [
+    "with_lsh_bucket",
+    "with_lsh_bands",
+    "cosine_topk",
+    "lsh_ann_topk",
+    "embedding_near_dup",
+]
 
 SPARK = "spark"
 
@@ -35,9 +45,46 @@ def _dim(emb_df: DataFrame, emb_col: str) -> int:
 
 
 def with_lsh_bucket(emb_df: DataFrame, emb_col: str = "embedding", dim: int | None = None) -> DataFrame:
-    """Add ``bucket`` = sign-of-projection LSH cell id (0..255)."""
+    """Add ``bucket`` = sign-of-projection LSH cell id (0..255) — legacy
+    single-table geometry; prefer :func:`with_lsh_bands` at scale."""
     dim = dim or _dim(emb_df, emb_col)
     return emb_df.withColumn("bucket", F.expr(G.lsh_bucket_expr(emb_col, dim, SPARK)))
+
+
+def band_rows_for(emb_df: DataFrame, id_col: str, expected_n: int | None) -> int:
+    """Hyperplanes per band, derived from the (expected) corpus size so cell
+    occupancy stays ~LSH_TARGET_CELL at any N (SURVEY §2.7 scale stance).
+    ``expected_n`` skips the count() action when the caller already knows N
+    (e.g. from table stats / Iceberg snapshot metadata)."""
+    n = expected_n if expected_n is not None else emb_df.select(id_col).count()
+    return G.lsh_planes_for(n)
+
+
+def with_lsh_bands(
+    emb_df: DataFrame,
+    emb_col: str = "embedding",
+    dim: int | None = None,
+    n_rows: int | None = None,
+    n_bands: int = G.LSH_BANDS,
+    id_col: str = "vec_id",
+    expected_n: int | None = None,
+) -> DataFrame:
+    """Add ``bandkey0..bandkey{n_bands-1}`` — banded OR-construction LSH.
+
+    One narrow codegen pass computes n_bands×n_rows integer hyperplane
+    projections; each band key packs its ``n_rows`` sign bits. Two vectors
+    are candidates iff they share ANY band key (recall grows with bands,
+    precision with rows — the same trade the MinHash banding makes).
+    """
+    dim = dim or _dim(emb_df, emb_col)
+    if n_rows is None:
+        n_rows = band_rows_for(emb_df, id_col, expected_n)
+    out = emb_df
+    for b in range(n_bands):
+        out = out.withColumn(
+            f"bandkey{b}", F.expr(G.lsh_band_key_expr(emb_col, dim, b, n_rows, SPARK))
+        )
+    return out
 
 
 def cosine_topk(
@@ -71,26 +118,36 @@ def lsh_ann_topk(
     k: int = 5,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    n_rows: int | None = None,
+    expected_n: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine restricted to the query's LSH cell.
+    """Approximate top-k: exact cosine restricted to vectors sharing at
+    least one LSH band key with the query (multi-probe OR-construction).
 
-    Returns (vec_id, bucket, cosine). The candidate set is the single cell
-    sharing all HYPERPLANES projection signs with the query — on a clustered
-    table this is a partition-pruned probe.
+    Returns (vec_id, cosine). Candidates come from LSH_BANDS cells of
+    ~LSH_TARGET_CELL vectors each, so the probe cost is bounded at any N;
+    on a table clustered by band key each probe is partition-pruned.
     """
     dim = _dim(emb_df, emb_col)
-    bucketed = with_lsh_bucket(emb_df, emb_col, dim)
-    q = bucketed.filter(F.col(id_col) == query_id).select(
-        F.col(emb_col).alias("qv"), F.col("bucket").alias("qbucket")
+    banded = with_lsh_bands(
+        emb_df, emb_col, dim, n_rows=n_rows, id_col=id_col, expected_n=expected_n
     )
+    keys = [f"bandkey{b}" for b in range(G.LSH_BANDS)]
+    q = banded.filter(F.col(id_col) == query_id).select(
+        F.col(emb_col).alias("qv"), *[F.col(kk).alias(f"q{kk}") for kk in keys]
+    )
+    match_any = None
+    for kk in keys:
+        cond = F.col(kk) == F.col(f"q{kk}")
+        match_any = cond if match_any is None else (match_any | cond)
     cand = (
-        bucketed.crossJoin(F.broadcast(q))
-        .filter((F.col("bucket") == F.col("qbucket")) & (F.col(id_col) != query_id))
+        banded.crossJoin(F.broadcast(q))
+        .filter(match_any & (F.col(id_col) != query_id))
         .withColumn("cosine", F.expr(G.cosine_expr(emb_col, "qv", SPARK)))
     )
     return (
         cand.orderBy(F.desc("cosine"), F.asc(id_col))
-        .select(id_col, "bucket", "cosine")
+        .select(id_col, "cosine")
         .limit(k)
     )
 
@@ -100,32 +157,62 @@ def embedding_near_dup(
     threshold: float = 0.3,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    n_rows: int | None = None,
+    expected_n: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, LSH-bucket-restricted.
+    """Embedding-cosine near-duplicate pairs via banded LSH.
 
     The fifth dedup modality (exact / MinHash+LSH / SimHash / n-gram Jaccard
-    being the others): candidate pairs are generated ONLY within a
-    random-hyperplane LSH cell (same trick as :func:`lsh_ann_topk` — at scale
-    the self-join shuffles each cell once instead of cross-joining the
-    table), then verified with the exact sequential-fold cosine. Returns
+    being the others), with the same plan shape as
+    :func:`xml2arrow_spark.pipeline.dedup.lsh_near_dup_pairs`: one narrow
+    pass computes LSH_BANDS band keys per vector, one row per (vector, band)
+    goes into a bucket self-join, candidate pairs are deduped across bands,
+    and the exact sequential-fold cosine verifies. Because ``n_rows`` scales
+    with N (:func:`with_lsh_bands`), a cell's self-join is O(target²) rows —
+    the per-cell constant never grows with the corpus. Returns
     (vec_a, vec_b, cosine) with vec_a < vec_b.
 
-    The bucketed relation is persisted so both self-join sides read one
-    cached copy (same ReusedExchange caveat as
-    :func:`xml2arrow_spark.pipeline.dedup.lsh_near_dup_pairs`).
+    The banded relation is persisted so all band branches read one cached
+    copy (same ReusedExchange caveat as ``lsh_near_dup_pairs``); the cache
+    handle is attached to the result as ``_sig_cache`` so callers can
+    ``unpersist()`` after consuming.
     """
     dim = _dim(emb_df, emb_col)
-    bucketed = with_lsh_bucket(emb_df, emb_col, dim).select(
-        id_col, emb_col, "bucket"
-    ).persist()
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("vec_a"),
-        F.col(f"b.{id_col}").alias("vec_b"),
-        F.expr(G.cosine_expr(f"a.{emb_col}", f"b.{emb_col}", SPARK)).alias("cosine"),
+    keys = [f"bandkey{b}" for b in range(G.LSH_BANDS)]
+    banded = (
+        with_lsh_bands(
+            emb_df, emb_col, dim, n_rows=n_rows, id_col=id_col, expected_n=expected_n
+        )
+        .select(id_col, emb_col, *keys)
+        .persist()
     )
-    return pairs.filter(F.col("cosine") >= threshold)
+    exploded = None
+    for b, kk in enumerate(keys):
+        part = banded.select(
+            F.col(id_col).alias("vid"),
+            F.col(emb_col).alias("emb"),
+            F.lit(b).alias("band_pos"),
+            F.coalesce(F.col(kk), F.lit(-1)).alias("band_key"),
+        )
+        exploded = part if exploded is None else exploded.unionAll(part)
+    a, b_ = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band_pos") == F.col("b.band_pos"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.col("a.emb").alias("ea"),
+            F.col("b.emb").alias("eb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    out = cand.withColumn(
+        "cosine", F.expr(G.cosine_expr("ea", "eb", SPARK))
+    ).filter(F.col("cosine") >= threshold).select("vec_a", "vec_b", "cosine")
+    out._sig_cache = banded
+    return out

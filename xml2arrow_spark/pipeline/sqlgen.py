@@ -232,7 +232,29 @@ def cosine_expr(a: str, b: str, dialect: str) -> str:
     )
 
 
-HYPERPLANES = 8  # LSH random-hyperplane count → 2^8 buckets
+HYPERPLANES = 8  # legacy single-table geometry (kept for compatibility)
+
+# Banded OR-construction geometry (the scale path): LSH_BANDS independent
+# band keys of ``rows`` hyperplane signs each. ``rows`` is derived from the
+# corpus size so a band cell holds ~LSH_TARGET_CELL vectors no matter how
+# large N grows — the fix for the fixed-2^8-cell scale killer.
+LSH_BANDS = 4
+LSH_TARGET_CELL = 32
+
+
+def lsh_planes_for(n: int, target: int = LSH_TARGET_CELL, lo: int = 4, hi: int = 24) -> int:
+    """Hyperplanes per band so that E[cell size] = n / 2^rows ≈ ``target``.
+
+    Cell-occupancy math: each band partitions N vectors into 2^rows cells;
+    rows = ceil(log2(N / target)) keeps expected occupancy in
+    [target/2, target], so the within-cell verify is O(N * target) pairs
+    total — linear in N, not O((N/const)^2).
+    """
+    import math
+
+    if n <= target:
+        return lo
+    return min(max(math.ceil(math.log2(n / target)), lo), hi)
 
 
 def hyperplane_coeffs(j: int, dim: int) -> list[int]:
@@ -241,11 +263,24 @@ def hyperplane_coeffs(j: int, dim: int) -> list[int]:
 
 
 def lsh_bucket_expr(emb: str, dim: int, dialect: str) -> str:
-    """Sign-of-projection LSH bucket id in [0, 2^HYPERPLANES)."""
+    """Sign-of-projection LSH bucket id in [0, 2^HYPERPLANES) (legacy
+    single-table geometry; the banded :func:`lsh_band_key_expr` is the
+    scale path)."""
     parts = []
     for j in range(HYPERPLANES):
         proj = dot_expr(emb, lit_arr(hyperplane_coeffs(j, dim), dialect), dialect)
         parts.append(f"(CASE WHEN {proj} >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+def lsh_band_key_expr(emb: str, dim: int, band: int, rows: int, dialect: str) -> str:
+    """Band ``band``'s key: ``rows`` sign bits from hyperplanes
+    ``band*rows .. band*rows+rows-1`` packed into an int in [0, 2^rows)."""
+    parts = []
+    for r in range(rows):
+        j = band * rows + r
+        proj = dot_expr(emb, lit_arr(hyperplane_coeffs(j, dim), dialect), dialect)
+        parts.append(f"(CASE WHEN {proj} >= 0 THEN {1 << r} ELSE 0 END)")
     return "(" + " + ".join(parts) + ")"
 
 

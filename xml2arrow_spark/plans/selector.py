@@ -88,6 +88,10 @@ def choose_int_codec(values: np.ndarray) -> str:
     table (< 2^22) — on zipf-like token streams pdict beats FOR ~1.5x, so
     skipping it would forfeit the realistic win.
     """
+    if values.dtype.kind == "f":
+        # pandas yields float64 for int columns with nulls; the caller drops
+        # the nulls, so the remaining values are exact integers
+        values = values.astype(np.int64)
     stats = int_stats(values)
     est = estimate_int_sizes(stats, itemsize=values.dtype.itemsize)
     n = stats["n"]
@@ -212,8 +216,11 @@ def resolve_manifest(df, manifest, sample_rows: int = 8192):
         series = pdf[name]
         spark_type = df.schema[name].dataType
         if isinstance(spark_type, ArrayType):
-            chunks = [np.asarray(x, dtype=np.int32) for x in series if x is not None]
-            values = np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int32)
+            # sample in int64: an int32 hard-cast would wrap array<bigint>
+            # elements (block-side guards keep data correct, but the codec
+            # choice would be garbage); the choosers work on int64 anyway
+            chunks = [np.asarray(x, dtype=np.int64) for x in series if x is not None]
+            values = np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int64)
             codec = choose_int_codec(values)
         elif isinstance(spark_type, StringType):
             arr = pa.array(series.fillna(""), type=pa.string())
@@ -223,6 +230,9 @@ def resolve_manifest(df, manifest, sample_rows: int = 8192):
         elif isinstance(spark_type, BooleanType):
             codec = "bool_pack"
         else:
+            # dropna() first: pandas represents int+nulls as float64, and the
+            # chooser needs the non-null values only (astype in choose_int_codec
+            # restores exact int64)
             codec = choose_int_codec(series.dropna().to_numpy())
         resolved[name] = replace(policy, codec=codec)
     return CodecManifest(
