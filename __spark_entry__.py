@@ -341,6 +341,19 @@ def q_encode_typed_roundtrip(spark, sf_dir):
     return decode_table(encode_table(df, manifest), ddl)
 
 
+def q_encode_wide_subset(spark, sf_dir):
+    """Wide blocks layout + decode-side column pruning: encode six lineitem
+    columns as per-column top-level triples, decode only THREE — on a
+    persisted table the parquet scan skips the other payloads entirely
+    (pinned in tests/test_wide_layout.py)."""
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_returnflag", "l_linestatus"]
+    df = _lineitem(spark, sf_dir).select(*cols)
+    manifest = CodecManifest.auto_for(df.schema, block_rows=8192)
+    blocks = encode_table(df, manifest, layout="wide")
+    return decode_table(blocks, "l_orderkey bigint, l_linenumber int, l_quantity double")
+
+
 def q_affine_transform(spark, sf_dir):
     """The reference's float affine transform value*scale + offset
     (src/xml_parser.rs:252-291) as a Catalyst expression."""
@@ -409,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_typed_roundtrip": q_encode_typed_roundtrip,
         "encode_nullable_roundtrip": q_encode_nullable_roundtrip,
         "encode_fused_roundtrip": q_encode_fused_roundtrip,
+        "encode_wide_subset": q_encode_wide_subset,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
     }

@@ -31,6 +31,7 @@ __all__ = [
     "decode_table",
     "BLOCKS_SCHEMA_DDL",
     "blocks_metadata",
+    "wide_blocks_ddl",
 ]
 
 BLOCKS_SCHEMA_DDL = (
@@ -173,7 +174,43 @@ def _encode_block(
     )
 
 
-def encode_table(df, manifest: CodecManifest, unit_col: str | None = None):
+def wide_blocks_ddl(cols: list[str]) -> str:
+    """Blocks DDL for ``layout='wide'``: one (codec, meta, data) column
+    TRIPLE per encoded column at the TOP level of the schema. Unlike the
+    default array<struct> ``cols`` layout, parquet can column-prune a wide
+    blocks table: decoding 1 of k columns reads ~1/k of the payload bytes —
+    the decode-side analog of the reference's unknown-subtree skip
+    (/root/reference/src/path_registry.rs:400-408)."""
+    per_col = ", ".join(
+        f"c_{name}__codec string, c_{name}__meta string, c_{name}__data binary"
+        for name in cols
+    )
+    return (
+        "part_id int, unit_id int, block_id long, n_rows int, n_values long, "
+        f"in_bytes long, out_bytes long, {per_col}"
+    )
+
+
+def _widen_block(row_batch: pa.RecordBatch, cols: list[str]) -> pa.RecordBatch:
+    """One array<struct> block row -> the wide layout."""
+    entries = row_batch.column(7)[0].as_py()
+    by_name = {e["name"]: e for e in entries}
+    arrays = [row_batch.column(i) for i in range(7)]
+    names = [row_batch.schema.field(i).name for i in range(7)]
+    for name in cols:
+        e = by_name[name]
+        arrays += [
+            pa.array([e["codec"]], type=pa.string()),
+            pa.array([e["meta"]], type=pa.string()),
+            pa.array([e["data"]], type=pa.binary()),
+        ]
+        names += [f"c_{name}__codec", f"c_{name}__meta", f"c_{name}__data"]
+    return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+def encode_table(
+    df, manifest: CodecManifest, unit_col: str | None = None, layout: str = "nested"
+):
     """Encode ``df``'s manifest columns into a blocks DataFrame.
 
     The manifest is validated driver-side first (``Config::validate`` analog,
@@ -183,6 +220,11 @@ def encode_table(df, manifest: CodecManifest, unit_col: str | None = None):
     With ``unit_col`` set, rows are sorted by it within each task and no
     block spans two unit values; block rows carry ``unit_id`` — the handle
     the checkpoint/resume layer keys on. Without it, ``unit_id`` is -1.
+
+    ``layout='nested'`` (default) emits one ``cols array<struct>`` column;
+    ``layout='wide'`` emits per-column top-level (codec, meta, data)
+    triples so a persisted blocks table supports parquet column pruning on
+    decode (:func:`wide_blocks_ddl`).
     """
     manifest.validate(df.drop(unit_col).schema if unit_col else df.schema)
     cols = manifest.encodable_columns(df.schema)
@@ -195,6 +237,10 @@ def encode_table(df, manifest: CodecManifest, unit_col: str | None = None):
     else:
         projected = df.select(unit_col, *cols).sortWithinPartitions(unit_col)
 
+    wide = layout == "wide"
+    if layout not in ("nested", "wide"):
+        raise ValueError(f"unknown blocks layout {layout!r}")
+
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
 
@@ -205,11 +251,13 @@ def encode_table(df, manifest: CodecManifest, unit_col: str | None = None):
         else:
             blocks_iter = _blockify_grouped(batches, block_rows, unit_col)
         for seq, (unit_id, block) in enumerate(blocks_iter):
-            yield _encode_block(
+            enc = _encode_block(
                 block, cols, policies, part_id, unit_id, (part_id << 32) | seq
             )
+            yield _widen_block(enc, cols) if wide else enc
 
-    return projected.mapInArrow(encode_fn, BLOCKS_SCHEMA_DDL)
+    ddl = wide_blocks_ddl(cols) if wide else BLOCKS_SCHEMA_DDL
+    return projected.mapInArrow(encode_fn, ddl)
 
 
 def resolve_manifest_parquet(
@@ -441,11 +489,43 @@ def encode_parquet(
 
 
 def decode_table(blocks_df, schema_ddl: str):
-    """Blocks DataFrame -> original columns. Map-only: no shuffle, no join."""
+    """Blocks DataFrame -> original columns. Map-only: no shuffle, no join.
+
+    ``schema_ddl`` may name a SUBSET of the encoded columns. Nested layout:
+    only the named entries are decoded (CPU pruning — the payload bytes of
+    the others still ride in the ``cols`` struct). Wide layout (see
+    :func:`wide_blocks_ddl`): the projection keeps only the named columns'
+    (meta, data) pairs, so parquet-backed blocks tables ALSO skip the
+    unneeded payload IO — true decode-side column pruning.
+    """
     from pyspark.sql.types import StructType
 
     out_schema = StructType.fromDDL(schema_ddl)
     out_names = [f.name for f in out_schema.fields]
+    is_wide = "cols" not in blocks_df.columns
+
+    if is_wide:
+        needed = [x for n in out_names for x in (f"c_{n}__meta", f"c_{n}__data")]
+        missing = set(needed) - set(blocks_df.columns)
+        if missing:
+            raise ValueError(f"blocks table lacks columns for {sorted(missing)}")
+
+        def decode_wide(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            for b in batches:
+                for row in range(b.num_rows):
+                    arrays = [
+                        decode_column(
+                            b.column(b.schema.get_field_index(f"c_{n}__meta"))[row].as_py(),
+                            b.column(b.schema.get_field_index(f"c_{n}__data"))[row].as_py(),
+                        )
+                        for n in out_names
+                    ]
+                    yield pa.RecordBatch.from_arrays(arrays, names=out_names)
+
+        # the select is what lets the parquet scan prune payload columns
+        return blocks_df.select(*needed).mapInArrow(decode_wide, schema_ddl)
+
+    wanted = set(out_names)
 
     def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
@@ -454,7 +534,8 @@ def decode_table(blocks_df, schema_ddl: str):
                 entries = cols_col[row].as_py()
                 decoded = {}
                 for e in entries:
-                    decoded[e["name"]] = decode_column(e["meta"], e["data"])
+                    if e["name"] in wanted:
+                        decoded[e["name"]] = decode_column(e["meta"], e["data"])
                 arrays = [decoded[n] for n in out_names]
                 yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 

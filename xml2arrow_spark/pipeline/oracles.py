@@ -434,6 +434,14 @@ FROM lineitem
 """
 
 
+def encode_wide_subset_sql() -> str:
+    # Spark decodes only these 3 of the 6 encoded columns (wide layout
+    # column pruning); the oracle is the raw projection
+    return """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+"""
+
+
 # powers of 31 as an exact BIGINT literal list (31^7 < 2^53, so even the
 # doubled-up DuckDB arithmetic stays exact)
 _POW31 = "[" + ", ".join(str(31**i) for i in range(8)) + "]"
@@ -515,6 +523,7 @@ def all_oracles() -> dict[str, str]:
         "encode_typed_roundtrip": encode_typed_roundtrip_sql(),
         "encode_nullable_roundtrip": encode_nullable_roundtrip_sql(),
         "encode_fused_roundtrip": encode_fused_roundtrip_sql(),
+        "encode_wide_subset": encode_wide_subset_sql(),
         "multimodal_meta": multimodal_meta_sql(),
         "multimodal_features": multimodal_features_sql(),
     }
