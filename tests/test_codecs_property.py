@@ -33,8 +33,8 @@ def _roundtrip(codec, values):
 
 @settings(max_examples=150, deadline=None)
 @given(_arrays())
-def test_plain_for_rle_dict_roundtrip(values):
-    for codec in ("plain", "for", "rle", "dict"):
+def test_plain_for_rle_dict_delta_roundtrip(values):
+    for codec in ("plain", "for", "rle", "dict", "delta"):
         _roundtrip(codec, values)
 
 
@@ -65,8 +65,30 @@ def test_bitpack_roundtrip_nonnegative(values):
 def test_sorted_streams_roundtrip_all_codecs(values):
     # sorted streams are the delta-friendly case; every codec must still be
     # exact on them
-    for codec in ("plain", "for", "rle", "dict", "pdict"):
+    for codec in ("plain", "for", "rle", "dict", "pdict", "delta"):
         _roundtrip(codec, values)
+
+
+def test_delta_wins_on_sorted_timestamps():
+    """The selection motivation: microsecond timestamps at ~1s cadence span
+    a huge value range but a tiny delta range."""
+    from xml2arrow_spark.plans.selector import choose_int_codec, estimate_int_sizes, int_stats
+
+    rng = np.random.default_rng(3)
+    ts = np.cumsum(rng.integers(900_000, 1_100_000, 50_000)) + 1_700_000_000_000_000
+    ts = ts.astype(np.int64)
+    est = estimate_int_sizes(int_stats(ts), itemsize=8)
+    assert est["delta"] <= est["for"] / 2  # delta range ~18 bits vs value ~36
+    assert choose_int_codec(ts) == "delta"
+    _roundtrip("delta", ts)
+
+
+def test_delta_not_chosen_on_unsorted():
+    from xml2arrow_spark.plans.selector import choose_int_codec
+
+    rng = np.random.default_rng(4)
+    vals = rng.integers(0, 50_000, 20_000).astype(np.int32)
+    assert choose_int_codec(vals) != "delta"  # unsorted: delta range ≈ 2x value range
 
 
 @settings(max_examples=60, deadline=None)

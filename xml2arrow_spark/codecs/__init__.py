@@ -15,6 +15,7 @@ INT_CODECS = {
     "plain": (integers.encode_plain, integers.decode_plain),
     "bitpack": (integers.encode_bitpack, integers.decode_bitpack),
     "for": (integers.encode_for, integers.decode_for),
+    "delta": (integers.encode_delta, integers.decode_delta),
     "rle": (integers.encode_rle, integers.decode_rle),
     "dict": (integers.encode_dict, integers.decode_dict),
     "pdict": (integers.encode_pdict, integers.decode_pdict),

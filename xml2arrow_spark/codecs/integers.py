@@ -26,6 +26,8 @@ __all__ = [
     "decode_bitpack",
     "encode_for",
     "decode_for",
+    "encode_delta",
+    "decode_delta",
     "encode_rle",
     "decode_rle",
     "encode_dict",
@@ -155,6 +157,51 @@ def decode_for(meta: dict, blob: bytes) -> np.ndarray:
         parts["values"], meta["n"], meta["ref"], meta["width"],
         INT_DTYPES[meta["dtype"]],
     )
+
+
+# -- delta (+ FOR on the differences) ---------------------------------------
+
+def encode_delta(values: np.ndarray) -> tuple[dict, bytes]:
+    """First value + FOR-packed consecutive differences.
+
+    The sorted-stream codec (timestamps, sorted ids, cumulative counters):
+    when a stream is sorted or near-sorted, the DELTA range is orders of
+    magnitude narrower than the value range, so width = bits(Δmax - Δmin)
+    beats FOR's bits(max - min). Correct on ANY input (not just sorted):
+    int64 difference wrap-around is exactly inverted by decode's wrapping
+    cumulative sum, so there is no sortedness precondition to guard.
+    """
+    dt = _dtype_name(values)
+    n = int(values.size)
+    v = values.astype(np.int64, copy=False)
+    first = int(v[0]) if n else 0
+    deltas = np.diff(v)
+    dref, dwidth, dbuf = _for_pack(deltas)
+    sections, blob = pack_sections({"deltas": dbuf})
+    return {
+        "codec": "delta",
+        "dtype": dt,
+        "n": n,
+        "first": first,
+        "dref": dref,
+        "dwidth": dwidth,
+        "sections": sections,
+    }, blob
+
+
+def decode_delta(meta: dict, blob: bytes) -> np.ndarray:
+    parts = split_sections(meta, blob)
+    n = meta["n"]
+    out_dtype = INT_DTYPES[meta["dtype"]]
+    if n == 0:
+        return np.zeros(0, dtype=out_dtype)
+    out = np.empty(n, dtype=np.int64)
+    out[0] = meta["first"]
+    if n > 1:
+        deltas = _for_unpack(parts["deltas"], n - 1, meta["dref"], meta["dwidth"])
+        np.cumsum(deltas, out=out[1:])
+        out[1:] += meta["first"]
+    return out.astype(out_dtype)
 
 
 # -- run-length -------------------------------------------------------------

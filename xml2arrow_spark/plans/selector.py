@@ -47,16 +47,21 @@ def int_stats(values: np.ndarray) -> dict:
     """
     n = int(values.size)
     if n == 0:
-        return {"n": 0, "card": 0, "n_runs": 0, "min": 0, "max": 0}
+        return {"n": 0, "card": 0, "n_runs": 0, "min": 0, "max": 0,
+                "d_min": 0, "d_max": 0}
     v = values.astype(np.int64, copy=False)
-    n_runs = int((v[1:] != v[:-1]).sum()) + 1
+    d = v[1:] - v[:-1]  # one diff pass feeds both runs and delta stats
+    n_runs = int((d != 0).sum()) + 1
+    d_min = int(d.min()) if d.size else 0
+    d_max = int(d.max()) if d.size else 0
     take = min(n, _CARD_PROBE)
     card_probe = int(np.unique(v[:take]).size)
     if take == n or card_probe <= take * 0.1:
         card = card_probe
     else:
         card = min(n, int(card_probe * n / take))
-    return {"n": n, "card": card, "n_runs": n_runs, "min": int(v.min()), "max": int(v.max())}
+    return {"n": n, "card": card, "n_runs": n_runs, "min": int(v.min()),
+            "max": int(v.max()), "d_min": d_min, "d_max": d_max}
 
 
 def estimate_int_sizes(stats: dict, itemsize: int = 4) -> dict[str, float]:
@@ -77,6 +82,9 @@ def estimate_int_sizes(stats: dict, itemsize: int = 4) -> dict[str, float]:
     }
     if stats["min"] >= 0:
         est["bitpack"] = n * bits_needed(stats["max"]) / 8
+    if n > 1:
+        # sorted/near-sorted streams: delta range << value range
+        est["delta"] = n * bits_needed(stats["d_max"] - stats["d_min"]) / 8
     return est
 
 
