@@ -105,3 +105,56 @@ def test_plain_float_bit_identical(xs):
     out = decode_values(meta, blob)
     # bit-level comparison (NaN payloads + signed zeros must survive)
     np.testing.assert_array_equal(out.view(np.uint64), values.view(np.uint64))
+
+
+# -- dec_float (ALP-style decimal-scaled doubles) ----------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(-(10**12), 10**12), min_size=0, max_size=200),
+    st.integers(0, 4),
+)
+def test_dec_float_roundtrip_decimals(ints, k):
+    values = np.array([i / 10**k for i in ints], dtype=np.float64)
+    meta, blob = encode_values("dec_float", values)
+    out = decode_values(meta, blob)
+    np.testing.assert_array_equal(out.view(np.uint64), values.view(np.uint64))
+    assert meta["exp"] <= k  # never over-scales
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.floats(allow_nan=True, allow_infinity=True), min_size=1, max_size=100))
+def test_float_auto_path_always_bit_identical(xs):
+    """Whatever the input — decimals, true reals, NaN payloads, ±inf,
+    -0.0 — the auto float path must round-trip bit-identically (dec_float
+    when eligible, plain_float fallback otherwise)."""
+    import pyarrow as pa
+
+    from xml2arrow_spark.operators.blocks import decode_column, encode_column
+
+    values = np.array(xs, dtype=np.float64)
+    arr = pa.array(values, type=pa.float64(), from_pandas=False)
+    _, meta, blob = encode_column(arr, "auto")
+    out = np.asarray(decode_column(meta, blob))
+    np.testing.assert_array_equal(out.view(np.uint64), values.view(np.uint64))
+
+
+def test_dec_float_rejects_non_decimals():
+    from xml2arrow_spark.errors import EncodeValueError
+
+    for bad in ([0.1 + 0.2], [float("nan")], [float("inf")], [-0.0], [3.141592653589793]):
+        with __import__("pytest").raises(EncodeValueError):
+            encode_values("dec_float", np.array(bad, dtype=np.float64))
+
+
+def test_dec_float_compression_win_on_prices():
+    """The motivating case: 2-decimal prices in a bounded range — 8
+    bytes/value must drop by >2x via the scaled-int inner codec."""
+    rng = np.random.default_rng(9)
+    prices = np.round(rng.uniform(1, 2000, 60_000), 2)
+    meta, blob = encode_values("dec_float", prices)
+    assert meta["exp"] == 2
+    assert len(blob) < prices.nbytes / 2
+    out = decode_values(meta, blob)
+    np.testing.assert_array_equal(out.view(np.uint64), prices.view(np.uint64))

@@ -7,8 +7,16 @@ bit-identical by construction, NaN payloads and signed zeros included —
 the float analog of the no-silent-truncation contract. Booleans bit-pack
 8 values/byte (``bool_pack``).
 
-Lightweight float compression (Gorilla-style XOR, ALP) is sequential per
-value and out of v1 scope; plain keeps decode zero-cost and exact.
+``dec_float`` is the ALP idea (Adaptive Lossless floating-Point, Afroozeh &
+Boncz) reduced to its all-or-nothing core: most real-world doubles are
+decimals in disguise (prices, quantities, rates), so try ``v * 10^k`` for
+small k, and if EVERY value round-trips **bit-identically** through the
+int64 → divide decode path, store the integers with the integer-codec
+family (FOR/dict/delta — 64 bits/value becomes ~2-8). The verification is
+against the exact decode expression, so a block containing -0.0, NaN, inf,
+or a true non-decimal simply falls back to plain — eligibility can never
+cost correctness. (Per-value exception patching, ALP's second half, is
+deliberately omitted: the all-or-nothing check keeps decode branch-free.)
 """
 
 from __future__ import annotations
@@ -16,16 +24,43 @@ from __future__ import annotations
 import numpy as np
 
 from xml2arrow_spark.codecs.base import pack_sections, split_sections
-from xml2arrow_spark.errors import EncodeTypeError
+from xml2arrow_spark.errors import EncodeTypeError, EncodeValueError
 
 __all__ = [
     "encode_plain_float",
     "decode_plain_float",
+    "encode_dec_float",
+    "decode_dec_float",
+    "choose_float_codec",
     "encode_bool",
     "decode_bool",
 ]
 
 FLOAT_DTYPES = {"float32": np.float32, "float64": np.float64}
+
+DEC_MAX_EXP = 6  # probe v*10^0 .. v*10^6 (beyond that the win evaporates)
+_DEC_MAX_ABS = float(2**53)  # scaled magnitude must stay exactly representable
+
+
+def _dec_probe(v: np.ndarray) -> tuple[int, np.ndarray] | None:
+    """Smallest exponent k such that round(v * 10^k) decoded as
+    int64/10^k reproduces v BIT-identically; None if no k works."""
+    if v.size == 0:
+        return 0, np.zeros(0, dtype=np.int64)
+    if not np.isfinite(v).all():
+        return None
+    bits = v.view(np.uint64)
+    for k in range(DEC_MAX_EXP + 1):
+        scale = float(10**k)
+        scaled = v * scale
+        if np.abs(scaled).max() >= _DEC_MAX_ABS:
+            return None  # larger k only grows the magnitude
+        ints = np.round(scaled).astype(np.int64)
+        # verify against the EXACT decode expression (int64 -> float64 ->
+        # divide); catches -0.0, ties, and every non-decimal
+        if np.array_equal((ints.astype(np.float64) / scale).view(np.uint64), bits):
+            return k, ints
+    return None
 
 
 def encode_plain_float(values: np.ndarray) -> tuple[dict, bytes]:
@@ -47,6 +82,57 @@ def decode_plain_float(meta: dict, blob: bytes) -> np.ndarray:
     return np.frombuffer(
         parts["values"], dtype=FLOAT_DTYPES[meta["dtype"]], count=meta["n"]
     ).copy()
+
+
+def encode_dec_float(values: np.ndarray) -> tuple[dict, bytes]:
+    """Decimal-scaled float encode (see module doc). Raises
+    :class:`EncodeValueError` when the block is not exactly decimal —
+    callers treat that as 'use plain_float', never as data loss."""
+    if values.dtype.name != "float64":
+        raise EncodeValueError("dec_float supports float64 only; use plain_float")
+    probe = _dec_probe(np.ascontiguousarray(values))
+    if probe is None:
+        raise EncodeValueError("values are not exactly decimal; use plain_float")
+    k, ints = probe
+    from xml2arrow_spark.codecs.integers import (  # lazy: avoid import cycle
+        encode_dict,
+        encode_delta,
+        encode_for,
+        encode_pdict,
+        encode_plain,
+        encode_rle,
+    )
+    from xml2arrow_spark.plans.selector import choose_int_codec
+
+    inner = choose_int_codec(ints)
+    enc = {
+        "plain": encode_plain, "for": encode_for, "delta": encode_delta,
+        "rle": encode_rle, "dict": encode_dict, "pdict": encode_pdict,
+        "bitpack": encode_for,  # FOR is always safe; bitpack needs >=0
+    }[inner]
+    int_meta, blob = enc(ints)
+    return {
+        "codec": "dec_float",
+        "dtype": "float64",
+        "n": int(values.size),
+        "exp": k,
+        "int_meta": int_meta,
+    }, blob
+
+
+def decode_dec_float(meta: dict, blob: bytes) -> np.ndarray:
+    from xml2arrow_spark.codecs import decode_values
+
+    ints = decode_values(meta["int_meta"], blob).astype(np.int64)
+    scale = float(10 ** meta["exp"])
+    return ints.astype(np.float64) / scale
+
+
+def choose_float_codec(values: np.ndarray) -> str:
+    """dec_float when the stream is exactly decimal, else plain_float."""
+    if values.dtype.name == "float64" and _dec_probe(values) is not None:
+        return "dec_float"
+    return "plain_float"
 
 
 def encode_bool(values: np.ndarray) -> tuple[dict, bytes]:

@@ -151,8 +151,20 @@ def encode_column(arr: pa.Array, codec: str) -> tuple[str, str, bytes]:
             raise EncodeTypeError("float16 is not supported; cast to float32")
         valid_arr = arr.drop_null() if mask is not None else arr
         values = np.asarray(valid_arr)
-        resolved = "plain_float" if codec == "auto" else codec
-        vmeta, vblob = encode_values(resolved, values)
+        if codec in ("auto", "dec_float"):
+            # ALP-style decimal probe: exactly-decimal blocks store scaled
+            # ints; anything else (NaN/inf/-0.0/true reals) falls back to
+            # plain — the same never-silently-corrupt fallback as
+            # bitpack->for in _resolve_int
+            try:
+                vmeta, vblob = encode_values("dec_float", values)
+                resolved = "dec_float"
+            except EncodeValueError:
+                resolved = "plain_float"
+                vmeta, vblob = encode_values(resolved, values)
+        else:
+            resolved = codec
+            vmeta, vblob = encode_values(resolved, values)
         meta = {
             "kind": "float",
             "fmt": BLOCK_FORMAT_VERSION,

@@ -310,7 +310,12 @@ def resolve_manifest_parquet(
                 policy, codec=choose_str_codec(strdata_from_arrow(arr.drop_null()))
             )
         elif pa.types.is_floating(arr.type):
-            resolved[name] = replace(policy, codec="plain_float")
+            from xml2arrow_spark.codecs.floats import choose_float_codec
+
+            resolved[name] = replace(
+                policy,
+                codec=choose_float_codec(np.asarray(arr.drop_null())),
+            )
         elif pa.types.is_boolean(arr.type):
             resolved[name] = replace(policy, codec="bool_pack")
         else:

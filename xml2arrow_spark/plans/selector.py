@@ -233,8 +233,12 @@ def resolve_manifest(df, manifest, sample_rows: int = 8192):
         elif isinstance(spark_type, StringType):
             arr = pa.array(series.fillna(""), type=pa.string())
             codec = choose_str_codec(strdata_from_arrow(arr))
-        elif isinstance(spark_type, (FloatType, DoubleType)):
-            codec = "plain_float"
+        elif isinstance(spark_type, DoubleType):
+            from xml2arrow_spark.codecs.floats import choose_float_codec
+
+            codec = choose_float_codec(series.dropna().to_numpy())
+        elif isinstance(spark_type, FloatType):
+            codec = "plain_float"  # dec_float is float64-only
         elif isinstance(spark_type, BooleanType):
             codec = "bool_pack"
         else:
