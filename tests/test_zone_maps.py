@@ -1,0 +1,87 @@
+"""Per-block zone maps: min/max recorded at encode time prune whole blocks
+at decode (parquet-row-group semantics at block granularity); on the wide
+layout the zone columns are top-level parquet columns, so the same stats
+ALSO push down to parquet row-group statistics."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xml2arrow_spark.manifest import CodecManifest
+from xml2arrow_spark.operators.encode import decode_table, encode_table, prune_blocks
+
+
+@pytest.fixture(scope="module")
+def sorted_df(spark):
+    # ids 0..9999 in order, 1 partition -> blocks carry disjoint id ranges
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(10_000, dtype=np.int64),
+            "price": np.round(np.arange(10_000) * 0.01, 2),
+        }
+    )
+    return spark.createDataFrame(pdf).coalesce(1)
+
+
+@pytest.fixture(scope="module")
+def blocks(spark, sorted_df):
+    man = CodecManifest.auto_for(sorted_df.schema, block_rows=1000)
+    df = encode_table(sorted_df, man).cache()
+    yield df
+    df.unpersist()
+
+
+def test_zone_stats_recorded(blocks):
+    r = blocks.select(F.explode("cols").alias("c")).select(
+        "c.name", "c.vmin_i", "c.vmax_i", "c.vmin_d", "c.vmax_d"
+    ).collect()
+    ids = [x for x in r if x["name"] == "id"]
+    prices = [x for x in r if x["name"] == "price"]
+    assert len(ids) == 10 and len(prices) == 10
+    assert all(x["vmin_i"] is not None and x["vmin_d"] is None for x in ids)
+    assert all(x["vmin_d"] is not None and x["vmin_i"] is None for x in prices)
+    assert min(x["vmin_i"] for x in ids) == 0
+    assert max(x["vmax_i"] for x in ids) == 9999
+
+
+def test_int_zone_pruning_correct_and_effective(blocks, sorted_df):
+    pruned = prune_blocks(blocks, "id", 2500, 3499)
+    assert pruned.count() == 2  # blocks [2000,2999] and [3000,3999] of 10
+    dec = decode_table(blocks, "id bigint, price double", zone_filter=("id", 2500, 3499))
+    got = dec.filter("id between 2500 and 3499")  # row-level filter on the superset
+    want = sorted_df.filter("id between 2500 and 3499")
+    assert sorted(map(str, got.collect())) == sorted(map(str, want.collect()))
+
+
+def test_float_zone_pruning(blocks):
+    pruned = prune_blocks(blocks, "price", 10.0, 19.99)
+    assert pruned.count() == 1  # prices 10.00-19.99 live in block [1000,1999]
+
+
+def test_nan_blocks_prune_safely(spark):
+    """NaN never satisfies a range predicate, so stats that skip NaN are
+    still conservative: pruning the block on a non-overlapping range loses
+    no matching rows; an ALL-NaN block has no stats and is always kept."""
+    pdf = pd.DataFrame({"v": [1.0, float("nan"), 2.0]})
+    df = spark.createDataFrame(pdf).coalesce(1)  # one block
+    blocks = encode_table(df, CodecManifest.auto_for(df.schema))
+    assert prune_blocks(blocks, "v", 1.5, 200.0).count() == 1  # overlaps -> kept
+    assert prune_blocks(blocks, "v", 100.0, 200.0).count() == 0  # NaN can't match
+    all_nan = spark.createDataFrame(pd.DataFrame({"v": [float("nan")] * 3})).coalesce(1)
+    bl2 = encode_table(all_nan, CodecManifest.auto_for(all_nan.schema))
+    assert prune_blocks(bl2, "v", 100.0, 200.0).count() == bl2.count()  # kept
+
+
+def test_wide_zone_filter_pushes_to_parquet(spark, sorted_df, tmp_path):
+    man = CodecManifest.auto_for(sorted_df.schema, block_rows=1000)
+    path = str(tmp_path / "wideblocks")
+    encode_table(sorted_df, man, layout="wide").write.parquet(path)
+    stored = spark.read.parquet(path)
+    dec = decode_table(stored, "id bigint", zone_filter=("id", 0, 999))
+    rows = dec.filter("id < 1000").count()
+    assert rows == 1000
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    # the zone predicate must reach the parquet scan (row-group pruning)
+    assert "PushedFilters" in plan
+    assert "c_id__vmax_i" in plan.split("PushedFilters")[1][:300]

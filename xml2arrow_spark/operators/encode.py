@@ -29,6 +29,7 @@ __all__ = [
     "encode_parquet",
     "encode_parquet_tasks",
     "decode_table",
+    "prune_blocks",
     "BLOCKS_SCHEMA_DDL",
     "blocks_metadata",
     "wide_blocks_ddl",
@@ -38,7 +39,8 @@ BLOCKS_SCHEMA_DDL = (
     "part_id int, unit_id int, block_id long, n_rows int, n_values long, "
     "in_bytes long, out_bytes long, "
     "cols array<struct<name: string, codec: string, meta: string, data: binary, "
-    "in_bytes: long, out_bytes: long>>"
+    "in_bytes: long, out_bytes: long, "
+    "vmin_i: long, vmax_i: long, vmin_d: double, vmax_d: double>>"
 )
 
 _BLOCKS_PA_SCHEMA = pa.schema(
@@ -61,6 +63,13 @@ _BLOCKS_PA_SCHEMA = pa.schema(
                         pa.field("data", pa.binary()),
                         pa.field("in_bytes", pa.int64()),
                         pa.field("out_bytes", pa.int64()),
+                        # zone map: per-block min/max of the column's values
+                        # (int64 for integer/list columns, double for floats;
+                        # None when unknown/NaN/empty -> never pruned)
+                        pa.field("vmin_i", pa.int64()),
+                        pa.field("vmax_i", pa.int64()),
+                        pa.field("vmin_d", pa.float64()),
+                        pa.field("vmax_d", pa.float64()),
                     ]
                 )
             ),
@@ -121,6 +130,34 @@ def _blockify_grouped(
         yield from flush(cur_unit, buf)
 
 
+def _zone_stats(arr: pa.Array):
+    """Per-block zone map (min, max) for pruning: int64 pair for
+    integer/list-of-int columns, double pair for floats, all-None when
+    unknowable (empty, all-null, NaN present) — None always means
+    "never prune this block", so stats can only skip work, not results."""
+    import math
+
+    import pyarrow.compute as pc
+
+    t = arr.type
+    target = arr.flatten() if (pa.types.is_list(t) or pa.types.is_large_list(t)) else arr
+    if len(target) == 0 or target.null_count == len(target):
+        return None, None, None, None
+    if pa.types.is_integer(target.type):
+        mm = pc.min_max(target)
+        return mm["min"].as_py(), mm["max"].as_py(), None, None
+    if pa.types.is_floating(target.type):
+        # min_max skips NaN — safe for RANGE pruning because NaN can never
+        # satisfy lo <= v <= hi; all-NaN blocks yield None/None (kept)
+        mm = pc.min_max(target)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        # all-NaN blocks degenerate to (inf, -inf) — withhold stats (kept)
+        if lo is None or hi is None or math.isnan(lo) or math.isnan(hi) or lo > hi:
+            return None, None, None, None
+        return None, None, float(lo), float(hi)
+    return None, None, None, None
+
+
 def _encode_block(
     block: pa.Table,
     cols: list[str],
@@ -149,6 +186,7 @@ def _encode_block(
             n_values += meta["n"]
         in_bytes += col_in
         out_bytes += col_out
+        zmin_i, zmax_i, zmin_d, zmax_d = _zone_stats(arr)
         out_cols.append(
             {
                 "name": name,
@@ -157,6 +195,10 @@ def _encode_block(
                 "data": payload,
                 "in_bytes": col_in,
                 "out_bytes": col_out,
+                "vmin_i": zmin_i,
+                "vmax_i": zmax_i,
+                "vmin_d": zmin_d,
+                "vmax_d": zmax_d,
             }
         )
     return pa.RecordBatch.from_pydict(
@@ -182,7 +224,9 @@ def wide_blocks_ddl(cols: list[str]) -> str:
     the decode-side analog of the reference's unknown-subtree skip
     (/root/reference/src/path_registry.rs:400-408)."""
     per_col = ", ".join(
-        f"c_{name}__codec string, c_{name}__meta string, c_{name}__data binary"
+        f"c_{name}__codec string, c_{name}__meta string, c_{name}__data binary, "
+        f"c_{name}__vmin_i long, c_{name}__vmax_i long, "
+        f"c_{name}__vmin_d double, c_{name}__vmax_d double"
         for name in cols
     )
     return (
@@ -203,8 +247,16 @@ def _widen_block(row_batch: pa.RecordBatch, cols: list[str]) -> pa.RecordBatch:
             pa.array([e["codec"]], type=pa.string()),
             pa.array([e["meta"]], type=pa.string()),
             pa.array([e["data"]], type=pa.binary()),
+            pa.array([e["vmin_i"]], type=pa.int64()),
+            pa.array([e["vmax_i"]], type=pa.int64()),
+            pa.array([e["vmin_d"]], type=pa.float64()),
+            pa.array([e["vmax_d"]], type=pa.float64()),
         ]
-        names += [f"c_{name}__codec", f"c_{name}__meta", f"c_{name}__data"]
+        names += [
+            f"c_{name}__codec", f"c_{name}__meta", f"c_{name}__data",
+            f"c_{name}__vmin_i", f"c_{name}__vmax_i",
+            f"c_{name}__vmin_d", f"c_{name}__vmax_d",
+        ]
     return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
@@ -493,8 +545,44 @@ def encode_parquet(
     return encode_parquet_tasks(tasks, resolved)
 
 
-def decode_table(blocks_df, schema_ddl: str):
+def prune_blocks(blocks_df, column: str, lo, hi):
+    """Zone-map block pruning: keep only blocks whose [vmin, vmax] for
+    ``column`` can intersect [lo, hi] — parquet-row-group-pruning semantics
+    at the engine's block granularity. CONSERVATIVE: blocks with missing
+    stats are always kept, so the result is a superset of the matching rows
+    and the caller still applies the row-level filter after decode.
+
+    Integer bounds prune on the int64 zone pair, float bounds on the double
+    pair (never cross-compared: an int64 -> double cast could round a bound
+    across the predicate and wrongly drop a block). On a persisted WIDE
+    blocks table the zone columns are top-level parquet columns, so this
+    filter also pushes down to parquet row-group statistics — two pruning
+    levels from one set of stats.
+    """
+    from pyspark.sql import functions as F
+
+    int_bounds = isinstance(lo, int) and isinstance(hi, int)
+    suffix_min, suffix_max = ("vmin_i", "vmax_i") if int_bounds else ("vmin_d", "vmax_d")
+    if "cols" not in blocks_df.columns:  # wide layout
+        vmin = F.col(f"c_{column}__{suffix_min}")
+        vmax = F.col(f"c_{column}__{suffix_max}")
+    else:
+        entry = F.element_at(
+            F.filter(F.col("cols"), lambda c: c["name"] == F.lit(column)), 1
+        )
+        vmin = entry[suffix_min]
+        vmax = entry[suffix_max]
+    keep = vmin.isNull() | vmax.isNull() | ((F.lit(lo) <= vmax) & (vmin <= F.lit(hi)))
+    return blocks_df.filter(keep)
+
+
+def decode_table(blocks_df, schema_ddl: str, zone_filter: tuple | None = None):
     """Blocks DataFrame -> original columns. Map-only: no shuffle, no join.
+
+    ``zone_filter=(column, lo, hi)`` prunes whole blocks via their zone
+    maps BEFORE any decode kernel runs (:func:`prune_blocks`); the decoded
+    result is a superset of the rows matching the predicate, so apply the
+    row-level filter afterwards.
 
     ``schema_ddl`` may name a SUBSET of the encoded columns. Nested layout:
     only the named entries are decoded (CPU pruning — the payload bytes of
@@ -505,6 +593,8 @@ def decode_table(blocks_df, schema_ddl: str):
     """
     from pyspark.sql.types import StructType
 
+    if zone_filter is not None:
+        blocks_df = prune_blocks(blocks_df, *zone_filter)
     out_schema = StructType.fromDDL(schema_ddl)
     out_names = [f.name for f in out_schema.fields]
     is_wide = "cols" not in blocks_df.columns
