@@ -354,6 +354,27 @@ def q_encode_wide_subset(spark, sf_dir):
     return decode_table(blocks, "l_orderkey bigint, l_linenumber int, l_quantity double")
 
 
+def q_encode_zonemap_scan(spark, sf_dir):
+    """Zone-map-pruned decode: encode a lineitem projection, decode with a
+    block-range predicate on l_orderkey (whole blocks skipped before any
+    kernel runs), then apply the exact row filter. The oracle is the plain
+    filtered projection — pruning must be invisible to results."""
+    from xml2arrow_spark.operators.encode import encode_table as _enc
+
+    cols = ["l_orderkey", "l_linenumber", "l_quantity"]
+    df = _lineitem(spark, sf_dir).select(*cols)
+    manifest = CodecManifest.auto_for(df.schema, block_rows=4096)
+    blocks = _enc(df, manifest)
+    decoded = decode_table(
+        blocks,
+        "l_orderkey bigint, l_linenumber int, l_quantity double",
+        zone_filter=("l_orderkey", 10000, 30000),
+    )
+    return decoded.filter(
+        (F.col("l_orderkey") >= 10000) & (F.col("l_orderkey") <= 30000)
+    )
+
+
 def q_affine_transform(spark, sf_dir):
     """The reference's float affine transform value*scale + offset
     (src/xml_parser.rs:252-291) as a Catalyst expression."""
@@ -423,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_nullable_roundtrip": q_encode_nullable_roundtrip,
         "encode_fused_roundtrip": q_encode_fused_roundtrip,
         "encode_wide_subset": q_encode_wide_subset,
+        "encode_zonemap_scan": q_encode_zonemap_scan,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
     }

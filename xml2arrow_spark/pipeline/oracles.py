@@ -442,6 +442,15 @@ SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
 """
 
 
+def encode_zonemap_scan_sql() -> str:
+    # Spark zone-prunes blocks then row-filters; the oracle is the plain
+    # filtered projection — pruning must be invisible to results
+    return """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem WHERE l_orderkey BETWEEN 10000 AND 30000
+"""
+
+
 # powers of 31 as an exact BIGINT literal list (31^7 < 2^53, so even the
 # doubled-up DuckDB arithmetic stays exact)
 _POW31 = "[" + ", ".join(str(31**i) for i in range(8)) + "]"
@@ -524,6 +533,7 @@ def all_oracles() -> dict[str, str]:
         "encode_nullable_roundtrip": encode_nullable_roundtrip_sql(),
         "encode_fused_roundtrip": encode_fused_roundtrip_sql(),
         "encode_wide_subset": encode_wide_subset_sql(),
+        "encode_zonemap_scan": encode_zonemap_scan_sql(),
         "multimodal_meta": multimodal_meta_sql(),
         "multimodal_features": multimodal_features_sql(),
     }
