@@ -8,7 +8,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from xml2arrow_spark.manifest import CodecManifest
+from xml2arrow_spark.manifest import CodecManifest, ColumnPolicy
 from xml2arrow_spark.operators.encode import decode_table, encode_table, prune_blocks
 
 
@@ -85,3 +85,31 @@ def test_wide_zone_filter_pushes_to_parquet(spark, sorted_df, tmp_path):
     # the zone predicate must reach the parquet scan (row-group pruning)
     assert "PushedFilters" in plan
     assert "c_id__vmax_i" in plan.split("PushedFilters")[1][:300]
+
+
+def test_presort_amplifies_rle(spark):
+    """SIGMOD 2020 permutation effect: interleaved low-card values become
+    long runs after an in-task presort — measured, not assumed."""
+    import pandas as pd
+
+    from xml2arrow_spark.operators.encode import encode_table as enc
+
+    pdf = pd.DataFrame(
+        {"id": range(20_000), "tag": [i % 4 for i in range(20_000)]}
+    )
+    df = spark.createDataFrame(pdf).coalesce(1)
+    man = CodecManifest(columns={"tag": ColumnPolicy()}, block_rows=20_000)
+
+    def tag_bytes(blocks):
+        r = blocks.select(F.explode("cols").alias("c")).select("c.codec", "c.out_bytes").collect()
+        return r[0]["codec"], r[0]["out_bytes"]
+
+    codec_plain, plain_bytes = tag_bytes(enc(df, man))
+    codec_sorted, sorted_bytes = tag_bytes(enc(df, man, presort=["tag"]))
+    assert codec_sorted == "rle"  # 4 runs after the permutation
+    assert sorted_bytes * 20 < plain_bytes  # >20x smaller
+    # decoded multiset unchanged (order is per the presort, values intact)
+    dec = decode_table(enc(df, man, presort=["tag"]), "tag bigint")
+    assert dec.groupBy("tag").count().orderBy("tag").collect() == (
+        df.groupBy("tag").count().orderBy("tag").collect()
+    )

@@ -261,7 +261,11 @@ def _widen_block(row_batch: pa.RecordBatch, cols: list[str]) -> pa.RecordBatch:
 
 
 def encode_table(
-    df, manifest: CodecManifest, unit_col: str | None = None, layout: str = "nested"
+    df,
+    manifest: CodecManifest,
+    unit_col: str | None = None,
+    layout: str = "nested",
+    presort: list[str] | None = None,
 ):
     """Encode ``df``'s manifest columns into a blocks DataFrame.
 
@@ -277,6 +281,15 @@ def encode_table(
     ``layout='wide'`` emits per-column top-level (codec, meta, data)
     triples so a persisted blocks table supports parquet column pruning on
     decode (:func:`wide_blocks_ddl`).
+
+    ``presort=[cols...]`` reorders rows WITHIN each task before blocking —
+    no shuffle, one in-task sort. Row permutation is the classic RLE/dict
+    amplifier ("Column Partition and Permutation for Run Length Encoding in
+    Columnar Databases", SIGMOD 2020): interleaved low-cardinality values
+    become long runs, often collapsing a column to a handful of RLE runs
+    per block. Decode order changes accordingly (the engine's contract is
+    per-row equality keyed by ids, not global order — same as the
+    reference's document-order guarantee being per-scope).
     """
     manifest.validate(df.drop(unit_col).schema if unit_col else df.schema)
     cols = manifest.encodable_columns(df.schema)
@@ -286,6 +299,8 @@ def encode_table(
     block_rows = manifest.block_rows
     if unit_col is None:
         projected = df.select(*cols)  # Catalyst prunes the scan to these columns
+        if presort:
+            projected = projected.sortWithinPartitions(*presort)
     else:
         projected = df.select(unit_col, *cols).sortWithinPartitions(unit_col)
 
@@ -548,7 +563,9 @@ def encode_parquet(
 def prune_blocks(blocks_df, column: str, lo, hi):
     """Zone-map block pruning: keep only blocks whose [vmin, vmax] for
     ``column`` can intersect [lo, hi] — parquet-row-group-pruning semantics
-    at the engine's block granularity. CONSERVATIVE: blocks with missing
+    at the engine's block granularity (the small-materialized-aggregates /
+    range-encoding family, cf. "Global Range Encoding for Efficient
+    Partition Elimination", EDBT 2018). CONSERVATIVE: blocks with missing
     stats are always kept, so the result is a superset of the matching rows
     and the caller still applies the row-level filter after decode.
 
