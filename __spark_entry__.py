@@ -220,6 +220,14 @@ def q_token_counts(spark, sf_dir):
     return textstats.token_counts(_docs(spark, sf_dir))
 
 
+def q_repeated_ngrams(spark, sf_dir):
+    return textstats.repeated_ngrams(_docs(spark, sf_dir))
+
+
+def q_quality_filter(spark, sf_dir):
+    return textstats.quality_filter(_docs(spark, sf_dir))
+
+
 def q_doc_fingerprint(spark, sf_dir):
     return textstats.doc_fingerprint(_docs(spark, sf_dir))
 
@@ -432,6 +440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
+        "repeated_ngrams": q_repeated_ngrams,
+        "quality_filter": q_quality_filter,
         "doc_fingerprint": q_doc_fingerprint,
         "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,

@@ -222,6 +222,34 @@ FROM documents
 """
 
 
+def repeated_ngrams_sql() -> str:
+    sh = G.shingles_expr("_toks", D)
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS _toks FROM documents),
+s AS (SELECT doc_id, {G.asize(sh, D)} AS total_ngrams,
+             {G.asize(G.adistinct(sh, D), D)} AS distinct_ngrams
+      FROM t)
+SELECT doc_id, total_ngrams, distinct_ngrams,
+       CASE WHEN total_ngrams > 0
+            THEN CAST(total_ngrams - distinct_ngrams AS DOUBLE)
+                 / CAST(total_ngrams AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS repeat_ratio
+FROM s
+"""
+
+
+def quality_filter_sql(
+    min_words: int = 30, max_word_len: int = 40, min_distinct_ratio: float = 0.5
+) -> str:
+    return f"""
+WITH q AS ({text_quality_sql()})
+SELECT * FROM q
+WHERE n_words >= {min_words}
+  AND max_word_len <= {max_word_len}
+  AND distinct_ratio >= CAST({min_distinct_ratio} AS DOUBLE)
+"""
+
+
 def doc_fingerprint_sql() -> str:
     fold = G.afold(_TOKS, f"(acc * 31 + x) % {FINGERPRINT_MOD}", D)
     return f"SELECT doc_id, {fold} AS fingerprint FROM documents"
@@ -520,6 +548,8 @@ def all_oracles() -> dict[str, str]:
         "neighbor_jaccard": neighbor_jaccard_sql(),
         "lang_id": lang_id_sql(),
         "text_quality": text_quality_sql(),
+        "repeated_ngrams": repeated_ngrams_sql(),
+        "quality_filter": quality_filter_sql(),
         "token_counts": token_counts_sql(),
         "doc_fingerprint": doc_fingerprint_sql(),
         "cosine_topk": cosine_topk_sql(),

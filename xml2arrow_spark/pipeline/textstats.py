@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from xml2arrow_spark.pipeline import sqlgen as G
 
-__all__ = ["STOPWORDS", "lang_id", "text_quality", "token_counts", "doc_fingerprint"]
+__all__ = ["STOPWORDS", "lang_id", "text_quality", "token_counts", "doc_fingerprint", "repeated_ngrams", "quality_filter"]
 
 SPARK = "spark"
 
@@ -98,3 +98,52 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     toks = G.word_tokens_arr(text_col, SPARK)
     fold = G.afold(toks, f"(acc * 31 + x) % {FINGERPRINT_MOD}", SPARK)
     return docs.select(id_col, F.expr(fold).alias("fingerprint"))
+
+
+def repeated_ngrams(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Internal-repetition signal: word-trigram total vs distinct counts.
+
+    A document whose trigram SET is much smaller than its trigram COUNT is
+    looped/boilerplate text — the within-document repetition filter real
+    training-data pipelines apply before corpus-level dedup. Returns
+    (doc_id, total_ngrams, distinct_ngrams, repeat_ratio); repeat_ratio =
+    (total - distinct) / total is a single IEEE divide of exact ints, so
+    the DuckDB oracle matches bit-for-bit. One narrow projection, no
+    shuffle.
+    """
+    out = docs.withColumn("_toks", F.expr(G.word_tokens_arr(text_col, SPARK)))
+    out = out.withColumn("_sh", F.expr(G.shingles_expr("_toks", SPARK)))
+    total = F.expr(G.asize("_sh", SPARK))
+    distinct = F.expr(G.asize(G.adistinct("_sh", SPARK), SPARK))
+    out = out.withColumn("total_ngrams", total).withColumn("distinct_ngrams", distinct)
+    ratio = F.when(
+        F.col("total_ngrams") > 0,
+        (F.col("total_ngrams") - F.col("distinct_ngrams")).cast("double")
+        / F.col("total_ngrams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        id_col, "total_ngrams", "distinct_ngrams", ratio.alias("repeat_ratio")
+    )
+
+
+def quality_filter(
+    docs: DataFrame,
+    min_words: int = 30,
+    max_word_len: int = 40,
+    min_distinct_ratio: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Composite keep-filter over the quality metrics (the C4-style gate):
+    minimum length, no pathological tokens, enough lexical diversity.
+    Returns the SURVIVING docs with their metrics — predicates are integer
+    comparisons plus one exact-double threshold, identical in the oracle.
+    """
+    q = text_quality(docs, text_col=text_col, id_col=id_col)
+    return q.filter(
+        (F.col("n_words") >= min_words)
+        & (F.col("max_word_len") <= max_word_len)
+        & (F.col("distinct_ratio") >= F.lit(float(min_distinct_ratio)))
+    )
