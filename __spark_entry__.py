@@ -183,6 +183,15 @@ def q_lsh_near_dup_pairs(spark, sf_dir):
     return dedup.lsh_near_dup_pairs(_docs(spark, sf_dir))
 
 
+def q_corpus_prep(spark, sf_dir):
+    """The composed pipeline: quality gate → exact dedup → near-dup
+    resolution → tokenize → encode → decode → fingerprint; one gate row
+    proves the whole workflow plus codec bit-identity."""
+    from xml2arrow_spark.pipeline.prep import corpus_prep
+
+    return corpus_prep(_docs(spark, sf_dir))
+
+
 def q_near_dup_resolve(spark, sf_dir):
     """Pairs → surviving set: connected components over the LSH near-dup
     pairs (min-label propagation); canonical_id is the kept doc."""
@@ -434,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
         "near_dup_resolve": q_near_dup_resolve,
+        "corpus_prep": q_corpus_prep,
         "simhash": q_simhash,
         "simhash_groups": q_simhash_groups,
         "neighbor_jaccard": q_neighbor_jaccard,

@@ -204,3 +204,29 @@ def test_entry_contract_oracle_coverage():
     assert oracles <= qs
     # round 2: every driver query is oracle-gated, zero rows-only
     assert qs - oracles == set()
+
+
+# -- composed corpus-prep pipeline -------------------------------------------------
+
+
+def test_corpus_prep_composition(spark):
+    from xml2arrow_spark.pipeline.prep import surviving_documents
+
+    base = "the quick brown fox jumps over the lazy dog sits by the door and waits all day " * 2
+    rows = [
+        (0, base + "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi", "s0"),
+        (1, base + "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi", "s0"),  # exact dup of 0
+        (2, base + "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu XX", "s0"),  # near dup of 0
+        (3, "short text", "s1"),  # fails quality (too few words)
+        (4, base + "totally different ending with many unusual distinct closing words here now", "s1"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, s, len(t)) for i, t, s in rows],
+        "doc_id bigint, text string, source string, n_chars int",
+    )
+    out = surviving_documents(docs)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # 1 dropped as exact dup, 2 dropped as near dup (canonical 0), 3 fails quality
+    assert ids == [0, 4]
+    if getattr(out, "_sig_cache", None) is not None:
+        out._sig_cache.unpersist()

@@ -110,13 +110,13 @@ FROM s
 """
 
 
-def lsh_near_dup_pairs_sql(threshold_milli: int = 800) -> str:
+def lsh_near_dup_pairs_sql(threshold_milli: int = 800, src: str = "documents") -> str:
     band_rows = "\n  UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_pos, {G.band_expr('sig', b, D)} AS band_key FROM s"
         for b in range(G.MINHASH_BANDS)
     )
     return f"""
-WITH d AS (SELECT doc_id, {_DSHINGLES} AS dtoks FROM documents),
+WITH d AS (SELECT doc_id, {_DSHINGLES} AS dtoks FROM {src}),
 s AS (SELECT d.doc_id, {_sig_literal()} AS sig FROM d),
 bands AS (
   {band_rows}
@@ -400,6 +400,48 @@ SELECT node AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY node
 """
 
 
+def corpus_prep_sql() -> str:
+    """The composed pipeline: quality gate → exact dedup (keep min id per
+    text) → transitive near-dup resolution on the SURVIVORS (keep canonical
+    ids only) → tokenize + fingerprint. Every stage reuses the stage
+    oracle's own SQL, so agreement with the Spark composition is by
+    construction."""
+    quality = quality_filter_sql()
+    pairs = lsh_near_dup_pairs_sql(src="exact_kept")
+    fold = G.afold(
+        f"CAST({_TOKS} AS INTEGER[])", f"(acc * 31 + x) % {FINGERPRINT_MOD}", D
+    )
+    return f"""
+WITH RECURSIVE q AS ({quality}),
+qdocs AS (SELECT d.* FROM documents d JOIN q ON q.doc_id = d.doc_id),
+exact_kept AS (
+  SELECT d.* FROM qdocs d
+  JOIN (SELECT text, MIN(doc_id) AS keep FROM qdocs GROUP BY text) k
+    ON k.keep = d.doc_id
+),
+pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+canon AS (SELECT node, MIN(lbl) AS canonical FROM reach GROUP BY node),
+survivors AS (
+  SELECT d.* FROM exact_kept d
+  LEFT JOIN canon c ON c.node = d.doc_id
+  WHERE c.node IS NULL OR c.canonical = d.doc_id
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+       {G.asize(G.split_ws('text', D), D)} AS n_tok,
+       {fold} AS tok_fp
+FROM survivors
+"""
+
+
 def encode_metadata_sql() -> str:
     """Per-(column, codec) value counts. Value counts are recomputed from
     the raw data (layout-independent, unlike byte counts); the codec names
@@ -543,6 +585,7 @@ def all_oracles() -> dict[str, str]:
         "minhash_signatures": minhash_signatures_sql(),
         "lsh_near_dup_pairs": lsh_near_dup_pairs_sql(),
         "near_dup_resolve": near_dup_resolve_sql(),
+        "corpus_prep": corpus_prep_sql(),
         "simhash": simhash_sql(),
         "simhash_groups": simhash_groups_sql(),
         "neighbor_jaccard": neighbor_jaccard_sql(),
