@@ -113,3 +113,17 @@ def test_presort_amplifies_rle(spark):
     assert dec.groupBy("tag").count().orderBy("tag").collect() == (
         df.groupBy("tag").count().orderBy("tag").collect()
     )
+
+
+def test_zone_maps_toggle_off(spark, sorted_df):
+    """manifest.zone_maps=False skips the stats passes (trusted-throughput
+    toggle, ~8% measured on the token hot path); blocks carry no stats and
+    are never pruned."""
+    man = CodecManifest.auto_for(sorted_df.schema, block_rows=1000)
+    man.zone_maps = False
+    blocks = encode_table(sorted_df, man)
+    r = blocks.select(F.explode("cols").alias("c")).select("c.vmin_i", "c.vmin_d").collect()
+    assert all(x["vmin_i"] is None and x["vmin_d"] is None for x in r)
+    assert prune_blocks(blocks, "id", 0, 1).count() == blocks.count()
+    # yaml round trip preserves the knob
+    assert CodecManifest.from_yaml(man.to_yaml()).zone_maps is False

@@ -165,6 +165,7 @@ def _encode_block(
     part_id: int,
     unit_id: int,
     block_id: int,
+    zone_maps: bool = True,
 ) -> pa.RecordBatch:
     """Encode one bounded block (all manifest columns over the same row span)
     into a single blocks-schema row. Shared by the DataFrame and the fused
@@ -186,7 +187,9 @@ def _encode_block(
             n_values += meta["n"]
         in_bytes += col_in
         out_bytes += col_out
-        zmin_i, zmax_i, zmin_d, zmax_d = _zone_stats(arr)
+        zmin_i, zmax_i, zmin_d, zmax_d = (
+            _zone_stats(arr) if zone_maps else (None, None, None, None)
+        )
         out_cols.append(
             {
                 "name": name,
@@ -307,6 +310,7 @@ def encode_table(
     wide = layout == "wide"
     if layout not in ("nested", "wide"):
         raise ValueError(f"unknown blocks layout {layout!r}")
+    zone_maps_on = manifest.zone_maps
 
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
@@ -319,7 +323,8 @@ def encode_table(
             blocks_iter = _blockify_grouped(batches, block_rows, unit_col)
         for seq, (unit_id, block) in enumerate(blocks_iter):
             enc = _encode_block(
-                block, cols, policies, part_id, unit_id, (part_id << 32) | seq
+                block, cols, policies, part_id, unit_id, (part_id << 32) | seq,
+                zone_maps=zone_maps_on,
             )
             yield _widen_block(enc, cols) if wide else enc
 
@@ -390,7 +395,8 @@ def resolve_manifest_parquet(
                 policy, codec=choose_int_codec(np.asarray(arr.drop_null()))
             )
     return CodecManifest(
-        columns=resolved, block_rows=manifest.block_rows, version=manifest.version
+        columns=resolved, block_rows=manifest.block_rows,
+        version=manifest.version, zone_maps=manifest.zone_maps,
     )
 
 
@@ -410,6 +416,7 @@ def encode_parquet_tasks(tasks_df, manifest: CodecManifest):
     cols = [name for name in manifest.columns]
     policies = {c: manifest.columns[c].codec for c in cols}
     block_rows = manifest.block_rows
+    zone_maps_on = manifest.zone_maps
 
     def encode_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
@@ -436,7 +443,7 @@ def encode_parquet_tasks(tasks_df, manifest: CodecManifest):
                 ):
                     yield _encode_block(
                         block, cols, policies, part_id, file_idx,
-                        (part_id << 32) | seq,
+                        (part_id << 32) | seq, zone_maps=zone_maps_on,
                     )
                     seq += 1
 

@@ -248,5 +248,6 @@ def resolve_manifest(df, manifest, sample_rows: int = 8192):
             codec = choose_int_codec(series.dropna().to_numpy())
         resolved[name] = replace(policy, codec=codec)
     return CodecManifest(
-        columns=resolved, block_rows=manifest.block_rows, version=manifest.version
+        columns=resolved, block_rows=manifest.block_rows,
+        version=manifest.version, zone_maps=manifest.zone_maps,
     )
