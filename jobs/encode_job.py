@@ -54,7 +54,7 @@ def main() -> int:
     if manifest is not None and manifest.block_rows != args.block_rows:
         manifest = CodecManifest(
             columns=manifest.columns, block_rows=args.block_rows,
-            version=manifest.version,
+            version=manifest.version, zone_maps=manifest.zone_maps,
         )
 
     t0 = time.time()
