@@ -42,23 +42,46 @@ DEC_MAX_EXP = 6  # probe v*10^0 .. v*10^6 (beyond that the win evaporates)
 _DEC_MAX_ABS = float(2**53)  # scaled magnitude must stay exactly representable
 
 
+_DEC_SAMPLE = 4096
+
+
+def _dec_verify(v: np.ndarray, k: int) -> np.ndarray | None:
+    """int64 candidates for exponent k iff decode reproduces v
+    BIT-identically (catches -0.0, ties, and every non-decimal)."""
+    scale = float(10**k)
+    with np.errstate(over="ignore"):  # huge v*scale -> inf -> rejected below
+        scaled = v * scale
+    if np.abs(scaled).max() >= _DEC_MAX_ABS:
+        return None
+    ints = np.round(scaled).astype(np.int64)
+    if np.array_equal((ints.astype(np.float64) / scale).view(np.uint64), v.view(np.uint64)):
+        return ints
+    return None
+
+
 def _dec_probe(v: np.ndarray) -> tuple[int, np.ndarray] | None:
     """Smallest exponent k such that round(v * 10^k) decoded as
-    int64/10^k reproduces v BIT-identically; None if no k works."""
+    int64/10^k reproduces v bit-identically; None if no k works.
+
+    Two-stage to keep the REJECT path cheap: the exponent search runs on a
+    head sample first, so a truly non-decimal block pays ~7 passes over
+    4096 values instead of over the whole block; only a sample-accepted
+    exponent is then verified on the full block (continuing upward if the
+    tail needs more digits than the head)."""
     if v.size == 0:
         return 0, np.zeros(0, dtype=np.int64)
     if not np.isfinite(v).all():
         return None
-    bits = v.view(np.uint64)
-    for k in range(DEC_MAX_EXP + 1):
-        scale = float(10**k)
-        scaled = v * scale
-        if np.abs(scaled).max() >= _DEC_MAX_ABS:
-            return None  # larger k only grows the magnitude
-        ints = np.round(scaled).astype(np.int64)
-        # verify against the EXACT decode expression (int64 -> float64 ->
-        # divide); catches -0.0, ties, and every non-decimal
-        if np.array_equal((ints.astype(np.float64) / scale).view(np.uint64), bits):
+    head = v[:_DEC_SAMPLE]
+    k0 = next(
+        (k for k in range(DEC_MAX_EXP + 1) if _dec_verify(head, k) is not None),
+        None,
+    )
+    if k0 is None:
+        return None
+    for k in range(k0, DEC_MAX_EXP + 1):
+        ints = _dec_verify(v, k)
+        if ints is not None:
             return k, ints
     return None
 
