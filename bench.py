@@ -47,7 +47,6 @@ def main() -> None:
         encode_parquet_stats,
         encode_table,
     )
-    from xml2arrow_spark.operators.partitioning import repartition_by_work
     from xml2arrow_spark.pipeline import dedup, similarity, textstats
     from xml2arrow_spark.plans.selector import resolve_manifest
     from xml2arrow_spark.sources.tokens import tokenize_documents, tokens_dataframe
