@@ -77,6 +77,20 @@ def test_resolve_near_dups_long_chain(spark):
     assert len(labels) == 12
 
 
+def test_resolve_converges_logarithmically(spark):
+    """Pointer jumping: an 80-node path must resolve within ~log2(80)+slack
+    rounds — plain 1-hop propagation would need ~80 and fail this cap."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(79)], "doc_a bigint, doc_b bigint"
+    )
+    labels = {
+        r["node"]: r["label"]
+        for r in dedup.resolve_near_dups(pairs, max_iters=10).collect()
+    }
+    assert set(labels.values()) == {0}
+    assert len(labels) == 80
+
+
 # -- two-phase signature table ----------------------------------------------
 
 

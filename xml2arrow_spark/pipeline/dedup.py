@@ -199,14 +199,18 @@ def resolve_near_dups(
     dedup pipeline runs after pair generation (keep ``label``, drop the
     rest).
 
-    Iterative min-label propagation over the symmetrized edge set: each
+    Iterative min-label propagation over the symmetrized edge set — each
     round joins labels to edges and takes the per-node min of neighbor
-    labels. Converges in O(component diameter) rounds — near-dup components
-    are overwhelmingly tiny chains/cliques, so 2-4 rounds in practice; each
-    round is one shuffle join + one hash agg (both on the narrow (node,
-    label) relation, never the payload). Convergence is detected by the
-    monotone label sum: labels only ever decrease, so an unchanged sum is a
-    fixpoint — one scalar agg per round, no row-diff join.
+    labels — PLUS a pointer-jumping step (label <- label(label)) that
+    halves the remaining chain depth, so convergence is O(log diameter)
+    rounds, not O(diameter): an 80-node path resolves in ~7 rounds (pinned
+    in tests). Near-dup components are overwhelmingly tiny cliques anyway
+    (2-3 rounds); the jump step is what makes adversarial chains safe at
+    scale. Each round is two shuffle joins + one hash agg on the narrow
+    (node, label) relation — the payload never moves. Convergence is
+    detected by the monotone label sum: labels only ever decrease, so an
+    unchanged sum is a fixpoint — one scalar agg per round, no row-diff
+    join.
 
     Each round's labels are ``localCheckpoint``-ed: iterative self-joins
     otherwise grow the logical plan exponentially (the Catalyst plan itself
@@ -231,12 +235,22 @@ def resolve_near_dups(
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_min"))
         )
+        propagated = labels.join(nbr, labels["node"] == nbr["dst"], "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: label <- min(label, label(label)) — halves the
+        # remaining chain depth, giving O(log diameter) total rounds
+        x, y = propagated.alias("x"), propagated.alias("y")
         new_labels = (
-            labels.join(nbr, labels["node"] == nbr["dst"], "left")
+            x.join(y, F.col("x.label") == F.col("y.node"), "left")
             .select(
-                "node",
+                F.col("x.node").alias("node"),
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                    F.col("x.label"),
+                    F.coalesce(F.col("y.label"), F.col("x.label")),
                 ).alias("label"),
             )
             .localCheckpoint()  # truncate lineage: flat plan every round
