@@ -57,8 +57,10 @@ def _token_scalar_projection(tok: DataFrame) -> DataFrame:
         "n_tok",
         "source",
         fp.alias("tok_fp"),
-        F.array_min("tokens").alias("tok_min"),
-        F.array_max("tokens").alias("tok_max"),
+        # sentinel-coalesced: array_min/max of an empty token array is NULL,
+        # and the driver gate's canonicalizer requires null-free output
+        F.coalesce(F.array_min("tokens"), F.lit(-1)).alias("tok_min"),
+        F.coalesce(F.array_max("tokens"), F.lit(-1)).alias("tok_max"),
     )
 
 
@@ -180,7 +182,18 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 def q_lsh_near_dup_pairs(spark, sf_dir):
-    return dedup.lsh_near_dup_pairs(_docs(spark, sf_dir))
+    """Gated through the TWO-PHASE signature table (``sig_path``) — the
+    100 TB shape: no executor-storage cache; phase 1 writes the signature
+    relation to parquet once, phase 2 reads it for every band branch and
+    both verify-side payload joins. Values are identical to the persist
+    shape (tools/check_parity.py runs both)."""
+    import os
+    import tempfile
+
+    sig_dir = tempfile.mkdtemp(prefix="gate_sigs_")
+    return dedup.lsh_near_dup_pairs(
+        _docs(spark, sf_dir), sig_path=os.path.join(sig_dir, "sigs")
+    )
 
 
 def q_corpus_prep(spark, sf_dir):
@@ -249,11 +262,31 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_lsh_ann_topk(spark, sf_dir):
-    return similarity.lsh_ann_topk(_emb(spark, sf_dir), query_id=0, k=5)
+    """``n_rows`` pinned to the oracle's static geometry (ANN_ROWS) so both
+    sides agree at ANY sf the parity harness runs at; the operator API
+    itself defaults to size-derived geometry (ADVICE r02)."""
+    from xml2arrow_spark.pipeline.oracles import ANN_ROWS
+
+    return similarity.lsh_ann_topk(
+        _emb(spark, sf_dir), query_id=0, k=5, n_rows=ANN_ROWS
+    )
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    return similarity.embedding_near_dup(_emb(spark, sf_dir), threshold=0.3)
+    """Two-phase signature table (``sig_path``) + oracle-pinned geometry —
+    see q_lsh_near_dup_pairs / q_lsh_ann_topk."""
+    import os
+    import tempfile
+
+    from xml2arrow_spark.pipeline.oracles import ANN_ROWS
+
+    sig_dir = tempfile.mkdtemp(prefix="gate_embsigs_")
+    return similarity.embedding_near_dup(
+        _emb(spark, sf_dir),
+        threshold=0.3,
+        n_rows=ANN_ROWS,
+        sig_path=os.path.join(sig_dir, "sigs"),
+    )
 
 
 # -- un-nesting / scalar transforms (reference parity: U1-U5, C2) ---------------
@@ -402,6 +435,107 @@ def q_affine_transform(spark, sf_dir):
     )
 
 
+def q_encode_float32_roundtrip(spark, sf_dir):
+    """Float32 through the encode engine and back — the reference's Float32
+    primitive (/root/reference/src/config.rs:526-559). The decimal-probe
+    codec (dec_float) now covers float32 too: the probe runs in float64 (an
+    exact widening) and verifies against the float32 bits, so 2-decimal
+    lineitem quantities store as small ints. Output widened to double on
+    BOTH sides (exact, canonicalizer-friendly)."""
+    df = _lineitem(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("float").alias("qty_f"),
+        F.col("l_discount").cast("float").alias("disc_f"),
+    )
+    manifest = CodecManifest.auto_for(df.schema, block_rows=8192)
+    ddl = "l_orderkey bigint, l_linenumber int, qty_f float, disc_f float"
+    decoded = decode_table(encode_table(df, manifest), ddl)
+    return decoded.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("qty_f").cast("double").alias("qty_f"),
+        F.col("disc_f").cast("double").alias("disc_f"),
+    )
+
+
+def q_encode_uint64_roundtrip(spark, sf_dir):
+    """UInt64's widened type Decimal(20,0) through the engine: values above
+    int64's range (l_orderkey + 2^63) ride the integer-codec family as the
+    low 64 bits of the decimal128 storage and decode back exactly —
+    the reference's full-range contract for its 12th primitive
+    (/root/reference/src/config.rs:544-559). Output as digit strings (the
+    canonicalizer-portable form of a 20-digit value) on BOTH sides."""
+    big = (
+        F.col("l_orderkey").cast("decimal(20,0)")
+        + F.lit("9223372036854775808").cast("decimal(20,0)")
+    ).cast("decimal(20,0)")
+    df = _lineitem(spark, sf_dir).select(
+        "l_orderkey", "l_linenumber", big.alias("big_id")
+    )
+    manifest = CodecManifest.auto_for(df.schema, block_rows=8192)
+    ddl = "l_orderkey bigint, l_linenumber int, big_id decimal(20,0)"
+    decoded = decode_table(encode_table(df, manifest), ddl)
+    return decoded.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("big_id").cast("string").alias("big_id_str"),
+    )
+
+
+def q_encode_dataset_resume(spark, sf_dir):
+    """Checkpoint/resume under the driver gate: encode_dataset runs TWICE
+    into the same directory — call 1 restricted to half the unit ids
+    (simulating a run killed partway: the other units are simply absent
+    from the manifest), call 2 unrestricted, whose left-anti join against
+    completed units encodes ONLY the missing half (re-encode-nothing is
+    pinned by tests/test_checkpoint.py on manifest row counts). The decoded
+    dataset must equal the raw oracle — resume is invisible to results.
+    Reference analog: parser-reuse/state-isolation round trips
+    (/root/reference/tests/integration_tests.rs:176-269)."""
+    import os
+    import tempfile
+
+    from xml2arrow_spark.operators.checkpoint import (
+        encode_dataset,
+        read_encoded_dataset,
+    )
+
+    tok = tokenize_documents(_docs(spark, sf_dir))
+    man = resolve_manifest(tok, CodecManifest.auto_for(tok.schema, block_rows=4096))
+    path = os.path.join(tempfile.mkdtemp(prefix="gate_ds_"), "ds")
+    n_units = 8
+    encode_dataset(tok, path, man, n_units=n_units, only_units=[0, 1, 2, 3])
+    encode_dataset(tok, path, man, n_units=n_units)  # resume: encodes 4..7
+    return _token_scalar_projection(read_encoded_dataset(spark, path))
+
+
+def q_streaming_encode(spark, sf_dir):
+    """Structured Streaming encode under the driver gate: the token table is
+    staged as a parquet directory, drained by the availableNow foreachBatch
+    stream (streaming/encode_stream.py) into encoded blocks across several
+    micro-batches, then decoded back; the oracle is the raw token
+    projection — streaming must be invisible to results."""
+    import os
+    import tempfile
+
+    from xml2arrow_spark.streaming.encode_stream import (
+        encode_stream,
+        run_stream_once,
+    )
+
+    base = tempfile.mkdtemp(prefix="gate_stream_")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    tok = tokenize_documents(_docs(spark, sf_dir))
+    # several input files -> several micro-batches under maxFilesPerTrigger
+    tok.repartition(16).write.mode("overwrite").parquet(src)
+    man = CodecManifest.auto_for(tok.schema, block_rows=4096)
+    run_stream_once(encode_stream(spark, src, out, man, schema_ddl=TOKENS_DDL))
+    blocks = spark.read.parquet(os.path.join(out, "blocks"))
+    return _token_scalar_projection(decode_table(blocks, TOKENS_DDL))
+
+
 # -- multimodal ----------------------------------------------------------------
 
 
@@ -465,6 +599,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_fused_roundtrip": q_encode_fused_roundtrip,
         "encode_wide_subset": q_encode_wide_subset,
         "encode_zonemap_scan": q_encode_zonemap_scan,
+        "encode_float32_roundtrip": q_encode_float32_roundtrip,
+        "encode_uint64_roundtrip": q_encode_uint64_roundtrip,
+        "encode_dataset_resume": q_encode_dataset_resume,
+        "streaming_encode": q_streaming_encode,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
     }

@@ -30,6 +30,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 ENCODE_ROWS = int(os.environ.get("SPARK_GRAFT_ENCODE_ROWS", "200000"))
+# Per-query repetitions; the headline records the MIN. This VM shows 2-3x
+# run-to-run wall-clock noise on n=1 samples (tools/scaling_bench.py's
+# best-of-4 data; the BENCH_r02 q1 "2.4x regression" was exactly such a
+# sample), so a single-shot headline measures the memory controller's mood,
+# not the engine. All reps run inside one JVM; per-rep times are emitted as
+# ``query_runs`` so variance stays visible.
+BEST_OF = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
 def main() -> None:
@@ -73,6 +80,7 @@ def main() -> None:
 
     queries: dict[str, float] = {}
     baselines: dict[str, float] = {}  # reference-codec measurements, NOT engine work
+    runs: dict[str, list[float]] = {}  # per-rep wall times (variance evidence)
     extra: dict[str, object] = {}
 
     def timed(name: str, into: dict | None = None):
@@ -87,6 +95,20 @@ def main() -> None:
                 sink[name] = round(time.time() - self.t0, 3)
 
         return _T()
+
+    def best_of(name: str, fn, setup=None, reps: int = BEST_OF):
+        """Run ``fn`` ``reps`` times (untimed ``setup`` before each rep);
+        record the min wall — the fair engine number on a noisy VM — plus
+        every rep in ``runs``. Returns the last rep's result."""
+        result = None
+        for _ in range(reps):
+            if setup is not None:
+                setup()
+            t0 = time.time()
+            result = fn()
+            runs.setdefault(name, []).append(round(time.time() - t0, 3))
+        queries[name] = min(runs[name])
+        return result
 
     # -- q1: token-table encode (north-rule workload) -------------------------
     # The north workload *ingests an Iceberg table*: materialize the synthetic
@@ -106,13 +128,15 @@ def main() -> None:
         # q1: encode work only (kernels produce the bytes; results dropped in
         # the task, metadata out) — the reference's own benchmark discipline
         # (parse to RecordBatches, discard: benches/parse_benchmark.rs).
-        with timed("q1_encode_tokens"):
-            agg = encode_parquet_stats(spark, input_dir, n_tasks=CPUS).agg(
+        agg = best_of(
+            "q1_encode_tokens",
+            lambda: encode_parquet_stats(spark, input_dir, n_tasks=CPUS).agg(
                 F.sum("n_values").alias("nv"),
                 F.sum("in_bytes").alias("ib"),
                 F.sum("out_bytes").alias("ob"),
                 F.sum("n_rows").alias("nr"),
-            ).collect()[0]
+            ).collect()[0],
+        )
         n_tokens = int(agg["nv"])
         extra["encode_rows"] = int(agg["nr"])
         extra["encode_values"] = n_tokens
@@ -123,10 +147,14 @@ def main() -> None:
         # q1b: full store path — encode + per-unit sink write + lineage
         # manifest (what a production run does; includes the disk write).
         store_dir = tempfile.mkdtemp(prefix="bench_store_")
-        shutil.rmtree(store_dir, ignore_errors=True)
         try:
-            with timed("q1b_encode_store"):
-                encode_parquet_dataset(spark, input_dir, store_dir, n_tasks=CPUS)
+            # fresh store dir before each rep: a populated manifest would
+            # turn rep 2 into a no-op resume
+            best_of(
+                "q1b_encode_store",
+                lambda: encode_parquet_dataset(spark, input_dir, store_dir, n_tasks=CPUS),
+                setup=lambda: shutil.rmtree(store_dir, ignore_errors=True),
+            )
             extra["encode_store_tokens_per_sec"] = round(
                 n_tokens / queries["q1b_encode_store"]
             )
@@ -178,50 +206,63 @@ def main() -> None:
 
     # -- q3: documents tokenize -> encode -> decode -> verify ----------------
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    with timed("q3_encode_roundtrip_docs"):
+
+    def run_q3():
         t = tokenize_documents(docs)
         man = resolve_manifest(t, CodecManifest.auto_for(t.schema, block_rows=8192))
         decoded = decode_table(encode_table(t, man),
                                "doc_id string, tokens array<int>, n_tok int, source string")
-        extra["roundtrip_rows"] = decoded.count()
+        return decoded.count()
+
+    extra["roundtrip_rows"] = best_of("q3_encode_roundtrip_docs", run_q3)
 
     # -- q4-q6: dedup ---------------------------------------------------------
-    with timed("q4_dedup_exact"):
-        dedup.exact_dedup(docs).count()
-    with timed("q5_lsh_near_dup_pairs"):
-        pairs = dedup.lsh_near_dup_pairs(docs)
-        extra["near_dup_pairs"] = pairs.count()
-    with timed("q5c_near_dup_resolve"):
-        extra["near_dup_components"] = (
-            dedup.resolve_near_dups(pairs).select("label").distinct().count()
+    best_of("q4_dedup_exact", lambda: dedup.exact_dedup(docs).count())
+
+    # the two-phase signature-table shape (sig_path) — the 100 TB plan: no
+    # executor-storage cache; phase 1 writes the signature relation once,
+    # phase 2 reads it for every band branch
+    sig_dir = tempfile.mkdtemp(prefix="bench_sigs_")
+    pairs = None
+
+    def run_q5():
+        nonlocal pairs
+        pairs = dedup.lsh_near_dup_pairs(docs, sig_path=os.path.join(sig_dir, "sigs"))
+        return pairs.count()
+
+    try:
+        extra["near_dup_pairs"] = best_of("q5_lsh_near_dup_pairs", run_q5)
+        extra["near_dup_components"] = best_of(
+            "q5c_near_dup_resolve",
+            lambda: dedup.resolve_near_dups(pairs).select("label").distinct().count(),
         )
-    if pairs._sig_cache is not None:
-        pairs._sig_cache.unpersist()
-    with timed("q5b_minhash_fast"):
+    finally:
+        shutil.rmtree(sig_dir, ignore_errors=True)
+    best_of(
+        "q5b_minhash_fast",
         # vectorized fused-scan minhash (the 10^9-doc path; SQL twin is the
         # oracle) — force full evaluation via a signature-derived agg
-        dedup.minhash_signatures_parquet(
+        lambda: dedup.minhash_signatures_parquet(
             spark, f"{SF_DIR}/documents.parquet", n_tasks=CPUS
-        ).agg(F.sum(F.element_at("sig", 1))).collect()
-    with timed("q6_simhash_groups"):
-        dedup.simhash_groups(docs).count()
+        ).agg(F.sum(F.element_at("sig", 1))).collect(),
+    )
+    best_of("q6_simhash_groups", lambda: dedup.simhash_groups(docs).count())
 
     # -- q7: text analysis ----------------------------------------------------
-    with timed("q7_text_analysis"):
+    def run_q7():
         textstats.lang_id(docs).groupBy("predicted_lang").count().collect()
         textstats.text_quality(docs).agg(F.sum("n_words")).collect()
         textstats.doc_fingerprint(docs).agg(F.count_distinct("fingerprint")).collect()
 
+    best_of("q7_text_analysis", run_q7)
+
     # -- q8-q9: similarity ----------------------------------------------------
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    with timed("q8_cosine_topk"):
-        similarity.cosine_topk(emb, query_id=0, k=10).collect()
-    with timed("q9_lsh_ann_topk"):
-        similarity.lsh_ann_topk(emb, query_id=0, k=5).collect()
+    best_of("q8_cosine_topk", lambda: similarity.cosine_topk(emb, query_id=0, k=10).collect())
+    best_of("q9_lsh_ann_topk", lambda: similarity.lsh_ann_topk(emb, query_id=0, k=5).collect())
 
     # -- q10: un-nesting linkage ----------------------------------------------
-    with timed("q10_unnest_orders"):
-        entry.q_unnest_orders(spark, SF_DIR).count()
+    best_of("q10_unnest_orders", lambda: entry.q_unnest_orders(spark, SF_DIR).count())
 
     total = round(sum(queries.values()), 3)
     out = {
@@ -229,6 +270,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "bench_reps": BEST_OF,  # each query = min of this many in-JVM reps
+        "query_runs": runs,  # every rep's wall time (variance evidence)
         "baseline_measurements": baselines,  # zstd/variant sweeps, not engine
         "sf": SF_DIR,
         "cpus": CPUS,

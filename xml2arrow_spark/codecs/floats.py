@@ -86,6 +86,44 @@ def _dec_probe(v: np.ndarray) -> tuple[int, np.ndarray] | None:
     return None
 
 
+def _dec_verify32(v32: np.ndarray, v64: np.ndarray, k: int) -> np.ndarray | None:
+    """Float32 twin of :func:`_dec_verify`: the probe runs in float64 (an
+    exact widening of every float32), and verification round-trips through
+    the ACTUAL decode path — int64 -> /scale -> cast to float32 — compared
+    bit-for-bit against the original float32 payload."""
+    scale = float(10**k)
+    with np.errstate(over="ignore"):
+        scaled = v64 * scale
+    if np.abs(scaled).max() >= _DEC_MAX_ABS:
+        return None
+    ints = np.round(scaled).astype(np.int64)
+    decoded = (ints.astype(np.float64) / scale).astype(np.float32)
+    if np.array_equal(decoded.view(np.uint32), v32.view(np.uint32)):
+        return ints
+    return None
+
+
+def _dec_probe32(v32: np.ndarray) -> tuple[int, np.ndarray] | None:
+    """Float32 twin of :func:`_dec_probe` (same two-stage head-sample probe)."""
+    if v32.size == 0:
+        return 0, np.zeros(0, dtype=np.int64)
+    if not np.isfinite(v32).all():
+        return None
+    v64 = v32.astype(np.float64)
+    head32, head64 = v32[:_DEC_SAMPLE], v64[:_DEC_SAMPLE]
+    k0 = next(
+        (k for k in range(DEC_MAX_EXP + 1) if _dec_verify32(head32, head64, k) is not None),
+        None,
+    )
+    if k0 is None:
+        return None
+    for k in range(k0, DEC_MAX_EXP + 1):
+        ints = _dec_verify32(v32, v64, k)
+        if ints is not None:
+            return k, ints
+    return None
+
+
 def encode_plain_float(values: np.ndarray) -> tuple[dict, bytes]:
     name = values.dtype.name
     if name not in FLOAT_DTYPES:
@@ -111,9 +149,12 @@ def encode_dec_float(values: np.ndarray) -> tuple[dict, bytes]:
     """Decimal-scaled float encode (see module doc). Raises
     :class:`EncodeValueError` when the block is not exactly decimal —
     callers treat that as 'use plain_float', never as data loss."""
-    if values.dtype.name != "float64":
-        raise EncodeValueError("dec_float supports float64 only; use plain_float")
-    probe = _dec_probe(np.ascontiguousarray(values))
+    if values.dtype.name == "float64":
+        probe = _dec_probe(np.ascontiguousarray(values))
+    elif values.dtype.name == "float32":
+        probe = _dec_probe32(np.ascontiguousarray(values))
+    else:
+        raise EncodeValueError("dec_float supports float32/float64 only")
     if probe is None:
         raise EncodeValueError("values are not exactly decimal; use plain_float")
     k, ints = probe
@@ -136,7 +177,7 @@ def encode_dec_float(values: np.ndarray) -> tuple[dict, bytes]:
     int_meta, blob = enc(ints)
     return {
         "codec": "dec_float",
-        "dtype": "float64",
+        "dtype": values.dtype.name,
         "n": int(values.size),
         "exp": k,
         "int_meta": int_meta,
@@ -148,12 +189,17 @@ def decode_dec_float(meta: dict, blob: bytes) -> np.ndarray:
 
     ints = decode_values(meta["int_meta"], blob).astype(np.int64)
     scale = float(10 ** meta["exp"])
-    return ints.astype(np.float64) / scale
+    out = ints.astype(np.float64) / scale
+    if meta.get("dtype") == "float32":
+        return out.astype(np.float32)  # the exact expression _dec_verify32 pinned
+    return out
 
 
 def choose_float_codec(values: np.ndarray) -> str:
     """dec_float when the stream is exactly decimal, else plain_float."""
     if values.dtype.name == "float64" and _dec_probe(values) is not None:
+        return "dec_float"
+    if values.dtype.name == "float32" and _dec_probe32(values) is not None:
         return "dec_float"
     return "plain_float"
 

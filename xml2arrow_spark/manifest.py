@@ -63,11 +63,21 @@ class ColumnPolicy:
             allowed = {AUTO, *FLOAT_CODECS}
         elif base in _BOOL_SPARK_TYPES:
             allowed = {AUTO, *BOOL_CODECS}
+        elif base == "decimal":
+            # UInt64's widened Spark type (types.py): scale-0 decimals ride
+            # the integer-codec family; fractional decimals are not a
+            # reference type and stay rejected
+            if not spark_type.lower().replace(" ", "").endswith(",0)"):
+                raise ManifestError(
+                    f"column {column!r}: only scale-0 decimal columns are "
+                    f"encodable (the UInt64 widening type); got {spark_type!r}"
+                )
+            allowed = {AUTO, *INT_CODECS}
         else:
             raise ManifestError(
                 f"column {column!r}: unsupported type {spark_type!r} "
-                f"(integers, strings, floats, booleans, and array<int> "
-                f"are encodable)"
+                f"(integers, strings, floats, booleans, decimal(p,0), and "
+                f"array<int> are encodable)"
             )
         if self.codec not in allowed:
             # codec/type compatibility — the analog of scale/offset being
@@ -189,6 +199,7 @@ class CodecManifest:
                 or base in _STR_SPARK_TYPES
                 or base in _FLOAT_SPARK_TYPES
                 or base in _BOOL_SPARK_TYPES
+                or (base == "decimal" and t.replace(" ", "").endswith(",0)"))
             ):
                 cols[f.name] = ColumnPolicy(codec=AUTO, nullable=f.nullable)
         return cls(columns=cols, **knobs)

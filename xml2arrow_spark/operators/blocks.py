@@ -189,6 +189,41 @@ def encode_column(arr: pa.Array, codec: str) -> tuple[str, str, bytes]:
         }
         return resolved, json.dumps(meta), validity + vblob
 
+    if pa.types.is_decimal(t):
+        # UInt64's widened Spark type is Decimal(20,0) (types.py) — the full
+        # 0..2^64-1 range rides the integer-codec family as the low 64 bits
+        # of the decimal128 storage, bit-cast to int64 (two's-complement
+        # wraparound is self-inverse, so FOR/delta/dict round-trip exactly).
+        # Values outside [0, 2^64) are REJECTED, not truncated — the
+        # reference's full-range contract (/root/reference/src/config.rs:544-559).
+        if t.scale != 0:
+            raise EncodeTypeError(
+                f"only scale-0 decimal columns are encodable (the UInt64 "
+                f"widening type); got {t}"
+            )
+        valid_arr = arr.drop_null() if mask is not None else arr
+        nv = len(valid_arr)
+        raw = np.frombuffer(valid_arr.buffers()[1], dtype=np.uint64)
+        raw = raw[2 * valid_arr.offset : 2 * (valid_arr.offset + nv)]
+        lo, hi = raw[0::2], raw[1::2]
+        if nv and hi.any():
+            raise EncodeValueError(
+                f"column of type {t}: values outside [0, 2^64) cannot be "
+                f"encoded (UInt64 widening contract; no silent truncation)"
+            )
+        values = np.ascontiguousarray(lo).view(np.int64)
+        resolved = _resolve_int(codec, values)
+        vmeta, vblob = encode_values(resolved, values)
+        meta = {
+            "kind": "dec128",
+            "fmt": BLOCK_FORMAT_VERSION,
+            "n": n,
+            "precision": t.precision,
+            "values_meta": vmeta,
+            "validity_len": len(validity),
+        }
+        return resolved, json.dumps(meta), validity + vblob
+
     raise EncodeTypeError(f"unsupported column type for encoding: {t}")
 
 
@@ -266,6 +301,24 @@ def decode_column(meta_json: str, payload: bytes) -> pa.Array:
         full = np.zeros(n, dtype=np.bool_)
         full[mask] = values
         return pa.array(full, type=pa.bool_(), mask=~mask)
+
+    if kind == "dec128":
+        # exact inverse of the encode-side bit-cast: int64 -> uint64 low
+        # half, high half zero (values are guaranteed in [0, 2^64))
+        values = decode_values(meta["values_meta"], payload).astype(np.int64)
+        u = values.view(np.uint64)
+        if mask is None:
+            full = u
+            vbuf = None
+        else:
+            full = np.zeros(n, dtype=np.uint64)
+            full[mask] = u
+            vbuf = _validity_buffer(mask)
+        data = np.zeros(2 * n, dtype=np.uint64)
+        data[0::2] = full
+        return pa.Array.from_buffers(
+            pa.decimal128(meta["precision"], 0), n, [vbuf, pa.py_buffer(data.tobytes())]
+        )
 
     raise BlockCorruptionError(f"unknown column kind {kind!r}")
 

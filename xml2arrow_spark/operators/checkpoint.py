@@ -38,6 +38,14 @@ __all__ = [
 
 MANIFEST_SIDEVAR = "_manifest.yaml"
 
+# Identity of the row->unit placement function. Resume correctness rests on
+# plan_units assigning every row the SAME unit across runs; if the hash ever
+# changes (it moved xxhash64 -> murmur3 once already), completed-unit markers
+# written under the old function no longer cover the same row sets. The
+# identity is recorded in the dataset sidecar and checked before resuming —
+# the engine-level analog of BLOCK_FORMAT_VERSION (ADVICE r02).
+PLACEMENT_ID = "murmur3_pmod_v1"
+
 
 def plan_units(df: DataFrame, n_units: int, id_col: str = "doc_id") -> DataFrame:
     """Assign every row a deterministic work unit (0..n_units-1).
@@ -70,25 +78,78 @@ def completed_units(spark: SparkSession, path: str) -> DataFrame:
         )
 
 
+def _check_placement(path: str) -> None:
+    """Refuse to resume a dataset written under a different row->unit
+    placement function (see PLACEMENT_ID)."""
+    import yaml
+
+    from xml2arrow_spark.errors import ManifestError
+
+    spath = os.path.join(path, MANIFEST_SIDEVAR)
+    if not os.path.exists(spath):
+        if os.path.exists(os.path.join(path, "manifest")):
+            raise ManifestError(
+                f"dataset at {path!r} has a manifest table but no "
+                f"{MANIFEST_SIDEVAR} sidecar (pre-placement-tag layout); "
+                f"cannot verify unit placement — re-encode from scratch"
+            )
+        return
+    with open(spath) as f:
+        side = yaml.safe_load(f.read()) or {}
+    found = side.get("placement")
+    if found != PLACEMENT_ID:
+        raise ManifestError(
+            f"dataset at {path!r} was written with unit placement "
+            f"{found!r}; this engine uses {PLACEMENT_ID!r} — resuming "
+            f"would assign rows to different units (duplicated/missing "
+            f"rows). Re-encode from scratch."
+        )
+
+
 def encode_dataset(
     df: DataFrame,
     path: str,
     manifest: CodecManifest,
     n_units: int = 32,
     id_col: str = "doc_id",
+    only_units: list[int] | None = None,
 ) -> dict:
     """Encode ``df`` into ``path`` with resume-from-checkpoint.
 
     Returns run metrics. Re-running after a partial failure encodes only
     units absent from the manifest table (left-anti join), re-encoding
     nothing — FIXTURES.md F4 semantics.
+
+    ``only_units`` restricts this RUN to a subset of unit ids — the handle
+    tests and the driver gate use to simulate a run that failed partway
+    (units outside the subset behave exactly like units lost to a crash:
+    absent from the manifest, encoded by the next run).
     """
     spark = df.sparkSession
     manifest.validate(df.schema)
+    _check_placement(path)
     units = plan_units(df, n_units, id_col)
     done = completed_units(spark, path).select("unit_id")
     # left-anti join against completed units; done is tiny -> broadcast
     todo = units.join(F.broadcast(done), "unit_id", "left_anti")
+    if only_units is not None:
+        todo = todo.filter(F.col("unit_id").isin([int(u) for u in only_units]))
+
+    # Sidecar FIRST (schema + manifest + placement identity are all known
+    # up-front): a run that crashes mid-encode must still leave the
+    # placement tag next to its manifest rows, or the next run could not
+    # verify unit placement and would refuse a legitimate resume.
+    os.makedirs(path, exist_ok=True)
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.select(
+            *manifest.encodable_columns(df.schema)
+        ).schema.fields
+    )
+    with open(os.path.join(path, MANIFEST_SIDEVAR), "w") as f:
+        f.write(
+            manifest.to_yaml()
+            + f"\nschema_ddl: '{schema_ddl}'\nplacement: {PLACEMENT_ID}\n"
+        )
 
     # Exact unit placement: HashPartitioning on id_col computes
     # pmod(murmur3(id), n_units) — the very expression plan_units used for
@@ -115,13 +176,6 @@ def encode_dataset(
         F.sum(F.xxhash64(F.col("block_id").cast("string"))).alias("checksum"),
     )
     meta.write.mode("append").parquet(os.path.join(path, "manifest"))
-    schema_ddl = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.select(
-            *manifest.encodable_columns(df.schema)
-        ).schema.fields
-    )
-    with open(os.path.join(path, MANIFEST_SIDEVAR), "w") as f:
-        f.write(manifest.to_yaml() + f"\nschema_ddl: '{schema_ddl}'\n")
     m = (
         completed_units(spark, path)
         .agg(

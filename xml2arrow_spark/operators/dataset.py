@@ -52,6 +52,13 @@ METADATA_DDL = (
 
 MANIFEST_SIDECAR = "_manifest.yaml"
 
+# Unit placement identity for FILE-level datasets: unit_id = file_idx from
+# the lexicographically-sorted file list (sources/files.py). Recorded in the
+# sidecar and verified before resume, like checkpoint.PLACEMENT_ID — if the
+# enumeration rule ever changes, completed-unit markers stop covering the
+# same files and resume must be refused, not trusted.
+PLACEMENT_ID = "file_idx_sorted_v1"
+
 
 def _completed_units(spark, out_path: str) -> set[int]:
     mpath = os.path.join(out_path, "manifest")
@@ -91,6 +98,39 @@ def encode_parquet_dataset(
     blocks_dir = os.path.join(out_path, "blocks")
     os.makedirs(blocks_dir, exist_ok=True)
 
+    # sidecar BEFORE the encode action (crash-safe placement tag; see
+    # checkpoint.py::_check_placement for the rationale)
+    import yaml
+
+    from xml2arrow_spark.errors import ManifestError
+
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in file_schema.fields
+        if f.name in resolved.columns
+    )
+    spath = os.path.join(out_path, MANIFEST_SIDECAR)
+    if os.path.exists(spath):
+        with open(spath) as f:
+            side = yaml.safe_load(f.read()) or {}
+        if side.get("placement") != PLACEMENT_ID:
+            raise ManifestError(
+                f"dataset at {out_path!r} was written with unit placement "
+                f"{side.get('placement')!r}; this engine uses "
+                f"{PLACEMENT_ID!r} — refusing to resume"
+            )
+    elif _completed_units(spark, out_path):
+        raise ManifestError(
+            f"dataset at {out_path!r} has a manifest table but no "
+            f"{MANIFEST_SIDECAR} sidecar (pre-placement-tag layout); "
+            f"cannot verify unit placement — re-encode from scratch"
+        )
+    with open(spath, "w") as f:
+        f.write(
+            resolved.to_yaml()
+            + f"\nschema_ddl: '{schema_ddl}'\nplacement: {PLACEMENT_ID}\n"
+        )
+
     done = _completed_units(spark, out_path)
     tasks = plan_parquet_tasks(spark, in_path, n_tasks)
     if done:
@@ -112,6 +152,7 @@ def encode_parquet_dataset(
 
     cols = list(resolved.columns)
     policies = {c: resolved.columns[c].codec for c in cols}
+    required = frozenset(c for c in cols if not resolved.columns[c].nullable)
     block_rows = resolved.block_rows
 
     def encode_sink(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -134,7 +175,7 @@ def encode_parquet_dataset(
                 blocks = [
                     _encode_block(
                         block, cols, policies, part_id, file_idx,
-                        (file_idx << 20) | seq,
+                        (file_idx << 20) | seq, required=required,
                     )
                     for seq, block in enumerate(
                         _blockify(
@@ -183,13 +224,6 @@ def encode_parquet_dataset(
         spark.createDataFrame(meta, METADATA_DDL).coalesce(1).write.mode(
             "append"
         ).parquet(os.path.join(out_path, "manifest"))
-    schema_ddl = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in file_schema.fields
-        if f.name in resolved.columns
-    )
-    with open(os.path.join(out_path, MANIFEST_SIDECAR), "w") as f:
-        f.write(resolved.to_yaml() + f"\nschema_ddl: '{schema_ddl}'\n")
     return dataset_metrics(spark, out_path)
 
 

@@ -166,10 +166,19 @@ def _encode_block(
     unit_id: int,
     block_id: int,
     zone_maps: bool = True,
+    required: frozenset = frozenset(),
 ) -> pa.RecordBatch:
     """Encode one bounded block (all manifest columns over the same row span)
     into a single blocks-schema row. Shared by the DataFrame and the fused
-    parquet paths so their outputs are byte-identical."""
+    parquet paths so their outputs are byte-identical.
+
+    ``required`` = columns whose ColumnPolicy declares ``nullable=False``.
+    A null there raises :class:`EncodeValueError` — the MissingRequiredField
+    analog (/root/reference/src/xml_parser.rs:327-338) — EXCEPT strings,
+    where the reference's rule maps a missing non-nullable Utf8 to ``""``;
+    the engine applies the same fill (decode then yields ``""``, not null)."""
+    from xml2arrow_spark.errors import EncodeValueError
+
     n_rows = block.num_rows
     out_cols = []
     n_values = 0
@@ -177,6 +186,14 @@ def _encode_block(
     out_bytes = 0
     for name in cols:
         arr = block.column(name).combine_chunks()
+        if name in required and arr.null_count:
+            if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+                arr = arr.fill_null("")
+            else:
+                raise EncodeValueError(
+                    f"column {name!r}: {arr.null_count} null value(s) in a "
+                    f"column declared nullable=False (missing required field)"
+                )
         col_in = arr.nbytes
         resolved, meta_json, payload = encode_column(arr, policies[name])
         col_out = len(payload) + len(meta_json)
@@ -299,6 +316,7 @@ def encode_table(
     if not cols:
         raise ValueError("manifest selects no encodable columns")
     policies = {c: manifest.columns[c].codec for c in cols}
+    required = frozenset(c for c in cols if not manifest.columns[c].nullable)
     block_rows = manifest.block_rows
     if unit_col is None:
         projected = df.select(*cols)  # Catalyst prunes the scan to these columns
@@ -324,7 +342,7 @@ def encode_table(
         for seq, (unit_id, block) in enumerate(blocks_iter):
             enc = _encode_block(
                 block, cols, policies, part_id, unit_id, (part_id << 32) | seq,
-                zone_maps=zone_maps_on,
+                zone_maps=zone_maps_on, required=required,
             )
             yield _widen_block(enc, cols) if wide else enc
 
@@ -415,6 +433,7 @@ def encode_parquet_tasks(tasks_df, manifest: CodecManifest):
     """
     cols = [name for name in manifest.columns]
     policies = {c: manifest.columns[c].codec for c in cols}
+    required = frozenset(c for c in cols if not manifest.columns[c].nullable)
     block_rows = manifest.block_rows
     zone_maps_on = manifest.zone_maps
 
@@ -444,6 +463,7 @@ def encode_parquet_tasks(tasks_df, manifest: CodecManifest):
                     yield _encode_block(
                         block, cols, policies, part_id, file_idx,
                         (part_id << 32) | seq, zone_maps=zone_maps_on,
+                        required=required,
                     )
                     seq += 1
 
@@ -497,6 +517,7 @@ def encode_parquet_stats(
     tasks = plan_parquet_tasks(spark, path, n_tasks)
     cols = list(resolved.columns)
     policies = {c: resolved.columns[c].codec for c in cols}
+    required = frozenset(c for c in cols if not resolved.columns[c].nullable)
     block_rows = resolved.block_rows
 
     def encode_stats(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -521,7 +542,10 @@ def encode_parquet_stats(
                         block_rows,
                     )
                 ):
-                    enc = _encode_block(block, cols, policies, 0, file_idx, seq)
+                    enc = _encode_block(
+                        block, cols, policies, 0, file_idx, seq,
+                        required=required,
+                    )
                     nb += 1
                     nr += enc.column(3)[0].as_py()
                     nv += enc.column(4)[0].as_py()
@@ -655,6 +679,14 @@ def decode_table(blocks_df, schema_ddl: str, zone_filter: tuple | None = None):
                 for e in entries:
                     if e["name"] in wanted:
                         decoded[e["name"]] = decode_column(e["meta"], e["data"])
+                missing = wanted - set(decoded)
+                if missing:
+                    # mirror the wide path's explicit missing-column error
+                    # (a bare KeyError from an executor is undiagnosable)
+                    raise ValueError(
+                        f"blocks table lacks encoded column(s) {sorted(missing)}; "
+                        f"blocks contain {sorted(e['name'] for e in entries)}"
+                    )
                 arrays = [decoded[n] for n in out_names]
                 yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 

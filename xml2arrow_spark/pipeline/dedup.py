@@ -141,8 +141,13 @@ def lsh_near_dup_pairs(
     # Docs with no shingles (< 3 words) can never near-dup: drop them before
     # banding, mirroring the oracle where their NULL band keys never join.
     sigs = sigs.filter(F.size("dtoks") > 0)
-    # One row per (doc, band) via UNION of projections. Two deliberate
-    # plan-shape choices, both measured ~20× on 500 docs:
+    # One row per (doc, band) via UNION of projections — ID AND KEY ONLY.
+    # The shingle payload (``dtoks``) does NOT ride the band union: with 4
+    # bands × 2 join sides it would cross the exchange ~8× — the dominant
+    # shuffle bytes at scale. Candidate id-pairs are generated and deduped
+    # first; the payload is re-joined exactly once per side for
+    # verification. Two further deliberate plan-shape choices, both
+    # measured ~20× on 500 docs:
     # - NOT posexplode: InferFiltersFromGenerate would add `size(bands)>0`,
     #   push it into the parquet scan, and inline the whole minhash tree
     #   into that filter (1282 tokenizer copies in the plan).
@@ -154,7 +159,6 @@ def lsh_near_dup_pairs(
     for b in range(G.MINHASH_BANDS):
         part = sigs.select(
             "doc",
-            "dtoks",
             F.lit(b).alias("band_pos"),
             F.coalesce(F.col(f"band{b}"), F.lit(-1)).alias("band_key"),
         )
@@ -167,13 +171,15 @@ def lsh_near_dup_pairs(
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.dtoks").alias("ta"),
-            F.col("b.dtoks").alias("tb"),
-        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # payload re-join: once per pair side (candidates are a tiny fraction of
+    # the corpus, so these joins move ~|pairs| shingle arrays, not 8× all)
+    toks = sigs.select("doc", "dtoks")
+    cand = (
+        cand.join(toks.select(F.col("doc").alias("doc_a"), F.col("dtoks").alias("ta")), "doc_a")
+        .join(toks.select(F.col("doc").alias("doc_b"), F.col("dtoks").alias("tb")), "doc_b")
     )
     inter = F.expr(G.asize(G.aintersect("ta", "tb", SPARK), SPARK))
     verified = cand.withColumn("inter_size", inter).withColumn(

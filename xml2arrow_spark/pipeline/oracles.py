@@ -35,8 +35,8 @@ WITH t AS (
 )
 SELECT doc_id, n_tok, source,
        {G.afold('tokens', f'(acc * 31 + x) % {FINGERPRINT_MOD}', D)} AS tok_fp,
-       list_min(tokens) AS tok_min,
-       list_max(tokens) AS tok_max
+       coalesce(list_min(tokens), -1) AS tok_min,
+       coalesce(list_max(tokens), -1) AS tok_max
 FROM t
 """
 
@@ -266,9 +266,12 @@ LIMIT {k}
 """
 
 
-# Hyperplanes per band at the driver's correctness sf: the sf0.01 embeddings
-# table has 500 vectors, and lsh_planes_for(500) = 4 — the Spark queries
-# derive the same value from the live count, so both sides share geometry.
+# Hyperplanes per band for the GATE queries, pinned at the sf0.01 geometry
+# (500 vectors -> lsh_planes_for(500) = 4). The Spark gate queries pass
+# n_rows=ANN_ROWS explicitly so both sides share geometry at ANY sf the
+# parity harness runs at (a live-count derivation on the Spark side would
+# diverge from this static SQL at sf0.1's 2000 vectors — ADVICE r02). The
+# operator API itself still defaults to size-derived geometry.
 ANN_ROWS = G.lsh_planes_for(500)
 
 
@@ -504,6 +507,28 @@ FROM lineitem
 """
 
 
+def encode_float32_roundtrip_sql() -> str:
+    # both engines: correctly-rounded double->float32 cast, then the exact
+    # float32->double widening — bit parity by IEEE 754
+    return """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_quantity AS REAL) AS DOUBLE) AS qty_f,
+       CAST(CAST(l_discount AS REAL) AS DOUBLE) AS disc_f
+FROM lineitem
+"""
+
+
+def encode_uint64_roundtrip_sql() -> str:
+    # HUGEINT carries the +2^63 shift exactly; digit-string output matches
+    # Spark's scale-0 decimal-to-string rendering
+    return """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_orderkey AS HUGEINT) + 9223372036854775808 AS VARCHAR)
+         AS big_id_str
+FROM lineitem
+"""
+
+
 def encode_wide_subset_sql() -> str:
     # Spark decodes only these 3 of the 6 encoded columns (wide layout
     # column pruning); the oracle is the raw projection
@@ -551,11 +576,11 @@ SELECT doc_id,
        CAST({head} % 2147483647 AS BIGINT) AS head_hash,
        CAST(n % 251 AS DOUBLE) AS feature_0,
        CAST({bsum} % 997 AS DOUBLE) AS feature_1,
-       CAST(list_min(by) AS DOUBLE) AS feature_2,
-       CAST(list_max(by) AS DOUBLE) AS feature_3,
-       CAST(by[1] AS DOUBLE) AS feature_4,
-       CAST(by[n] AS DOUBLE) AS feature_5,
-       CAST((by[1] * 31 + by[n]) % 509 AS DOUBLE) AS feature_6,
+       CAST(coalesce(list_min(by), 0) AS DOUBLE) AS feature_2,
+       CAST(coalesce(list_max(by), 0) AS DOUBLE) AS feature_3,
+       CAST(coalesce(by[1], 0) AS DOUBLE) AS feature_4,
+       CAST(coalesce(by[n], 0) AS DOUBLE) AS feature_5,
+       CAST(coalesce((by[1] * 31 + by[n]) % 509, 0) AS DOUBLE) AS feature_6,
        CAST({stride} % 997 AS DOUBLE) AS feature_7
 FROM b
 """
@@ -607,6 +632,13 @@ def all_oracles() -> dict[str, str]:
         "encode_fused_roundtrip": encode_fused_roundtrip_sql(),
         "encode_wide_subset": encode_wide_subset_sql(),
         "encode_zonemap_scan": encode_zonemap_scan_sql(),
+        "encode_float32_roundtrip": encode_float32_roundtrip_sql(),
+        "encode_uint64_roundtrip": encode_uint64_roundtrip_sql(),
+        # resume + streaming decode back to the SAME token projection the
+        # tokenize oracle recomputes — resumability/streaming must be
+        # invisible to results
+        "encode_dataset_resume": tokenize_sql(),
+        "streaming_encode": tokenize_sql(),
         "multimodal_meta": multimodal_meta_sql(),
         "multimodal_features": multimodal_features_sql(),
     }

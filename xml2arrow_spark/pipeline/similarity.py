@@ -159,38 +159,46 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     n_rows: int | None = None,
     expected_n: int | None = None,
+    sig_path: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded LSH.
 
     The fifth dedup modality (exact / MinHash+LSH / SimHash / n-gram Jaccard
     being the others), with the same plan shape as
     :func:`xml2arrow_spark.pipeline.dedup.lsh_near_dup_pairs`: one narrow
-    pass computes LSH_BANDS band keys per vector, one row per (vector, band)
-    goes into a bucket self-join, candidate pairs are deduped across bands,
-    and the exact sequential-fold cosine verifies. Because ``n_rows`` scales
-    with N (:func:`with_lsh_bands`), a cell's self-join is O(target²) rows —
-    the per-cell constant never grows with the corpus. Returns
+    pass computes LSH_BANDS band keys per vector; one (vector-ID, band-key)
+    row per band — the embedding itself never rides the band union — goes
+    into a bucket self-join; candidate id-pairs are deduped across bands;
+    the embedding is re-joined exactly once per side and the exact
+    sequential-fold cosine verifies. Because ``n_rows`` scales with N
+    (:func:`with_lsh_bands`), a cell's self-join is O(target²) rows — the
+    per-cell constant never grows with the corpus. Returns
     (vec_a, vec_b, cosine) with vec_a < vec_b.
 
-    The banded relation is persisted so all band branches read one cached
-    copy (same ReusedExchange caveat as ``lsh_near_dup_pairs``); the cache
-    handle is attached to the result as ``_sig_cache`` so callers can
-    ``unpersist()`` after consuming.
+    Scale shapes (mirror of ``lsh_near_dup_pairs``): pass ``sig_path`` for
+    the two-phase signature table — phase 1 materializes (id, embedding,
+    band keys) to parquet once, phase 2 reads it for every band branch and
+    both payload joins (no executor-storage cache; also the natural
+    incremental checkpoint). Without it the banded relation is persisted
+    (the cache handle is attached as ``_sig_cache`` so callers can
+    ``unpersist()`` after consuming).
     """
     dim = _dim(emb_df, emb_col)
     keys = [f"bandkey{b}" for b in range(G.LSH_BANDS)]
-    banded = (
-        with_lsh_bands(
-            emb_df, emb_col, dim, n_rows=n_rows, id_col=id_col, expected_n=expected_n
-        )
-        .select(id_col, emb_col, *keys)
-        .persist()
-    )
+    banded_cols = with_lsh_bands(
+        emb_df, emb_col, dim, n_rows=n_rows, id_col=id_col, expected_n=expected_n
+    ).select(id_col, emb_col, *keys)
+    if sig_path is not None:
+        banded_cols.write.mode("overwrite").parquet(sig_path)
+        banded = emb_df.sparkSession.read.parquet(sig_path)
+        cache_handle = None
+    else:
+        banded = banded_cols.persist()
+        cache_handle = banded
     exploded = None
     for b, kk in enumerate(keys):
         part = banded.select(
             F.col(id_col).alias("vid"),
-            F.col(emb_col).alias("emb"),
             F.lit(b).alias("band_pos"),
             F.coalesce(F.col(kk), F.lit(-1)).alias("band_key"),
         )
@@ -203,16 +211,19 @@ def embedding_near_dup(
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.vid") < F.col("b.vid")),
         )
-        .select(
-            F.col("a.vid").alias("vec_a"),
-            F.col("b.vid").alias("vec_b"),
-            F.col("a.emb").alias("ea"),
-            F.col("b.emb").alias("eb"),
-        )
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    vecs = banded.select(id_col, emb_col)
+    cand = (
+        cand.join(
+            vecs.select(F.col(id_col).alias("vec_a"), F.col(emb_col).alias("ea")), "vec_a"
+        ).join(
+            vecs.select(F.col(id_col).alias("vec_b"), F.col(emb_col).alias("eb")), "vec_b"
+        )
     )
     out = cand.withColumn(
         "cosine", F.expr(G.cosine_expr("ea", "eb", SPARK))
     ).filter(F.col("cosine") >= threshold).select("vec_a", "vec_b", "cosine")
-    out._sig_cache = banded
+    out._sig_cache = cache_handle
     return out

@@ -200,6 +200,7 @@ def resolve_manifest(df, manifest, sample_rows: int = 8192):
     from pyspark.sql.types import (
         ArrayType,
         BooleanType,
+        DecimalType,
         DoubleType,
         FloatType,
         StringType,
@@ -233,14 +234,22 @@ def resolve_manifest(df, manifest, sample_rows: int = 8192):
         elif isinstance(spark_type, StringType):
             arr = pa.array(series.fillna(""), type=pa.string())
             codec = choose_str_codec(strdata_from_arrow(arr))
-        elif isinstance(spark_type, DoubleType):
+        elif isinstance(spark_type, (DoubleType, FloatType)):
             from xml2arrow_spark.codecs.floats import choose_float_codec
 
             codec = choose_float_codec(series.dropna().to_numpy())
-        elif isinstance(spark_type, FloatType):
-            codec = "plain_float"  # dec_float is float64-only
         elif isinstance(spark_type, BooleanType):
             codec = "bool_pack"
+        elif isinstance(spark_type, DecimalType):
+            # UInt64-widened columns: sample as python ints (driver-side,
+            # bounded), bit-cast through uint64 like the block encoder
+            vals = [int(x) for x in series.dropna()]
+            if vals and 0 <= min(vals) and max(vals) < 2**64:
+                codec = choose_int_codec(
+                    np.array(vals, dtype=np.uint64).view(np.int64)
+                )
+            else:
+                codec = policy.codec  # out-of-contract sample: leave auto
         else:
             # dropna() first: pandas represents int+nulls as float64, and the
             # chooser needs the non-null values only (astype in choose_int_codec
