@@ -199,16 +199,28 @@ def q_lsh_near_dup_pairs(spark, sf_dir):
 def q_corpus_prep(spark, sf_dir):
     """The composed pipeline: quality gate → exact dedup → near-dup
     resolution → tokenize → encode → decode → fingerprint; one gate row
-    proves the whole workflow plus codec bit-identity."""
+    proves the whole workflow plus codec bit-identity. The near-dup stage
+    runs the two-phase signature table (the 100 TB shape)."""
+    import os
+    import tempfile
+
     from xml2arrow_spark.pipeline.prep import corpus_prep
 
-    return corpus_prep(_docs(spark, sf_dir))
+    sig_dir = tempfile.mkdtemp(prefix="gate_prepsigs_")
+    return corpus_prep(_docs(spark, sf_dir), sig_path=os.path.join(sig_dir, "sigs"))
 
 
 def q_near_dup_resolve(spark, sf_dir):
     """Pairs → surviving set: connected components over the LSH near-dup
-    pairs (min-label propagation); canonical_id is the kept doc."""
-    pairs = dedup.lsh_near_dup_pairs(_docs(spark, sf_dir))
+    pairs (min-label propagation); canonical_id is the kept doc. Pair
+    generation runs the two-phase signature table (the 100 TB shape)."""
+    import os
+    import tempfile
+
+    sig_dir = tempfile.mkdtemp(prefix="gate_resolvesigs_")
+    pairs = dedup.lsh_near_dup_pairs(
+        _docs(spark, sf_dir), sig_path=os.path.join(sig_dir, "sigs")
+    )
     labels = dedup.resolve_near_dups(pairs)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")

@@ -136,7 +136,7 @@ def _rand_emb(spark, n, dim=16, seed=7):
     return spark.createDataFrame(pdf, "vec_id bigint, embedding array<float>")
 
 
-@pytest.mark.parametrize("n", [512, 8192])
+@pytest.mark.parametrize("n", [512, 8192, 65536])
 def test_band_cell_occupancy_bounded(spark, n):
     """rows-per-band scales with N (lsh_planes_for), so the mean band-cell
     size stays ~LSH_TARGET_CELL at any corpus size — the O((N/const)²)

@@ -278,8 +278,14 @@ def decode_dataset(spark, out_path: str, n_tasks: int | None = None):
                 tbl = pq.read_table(fpath, columns=["cols"])
                 cols_col = tbl.column("cols").combine_chunks()
                 for row in range(len(cols_col)):
-                    entries = cols_col[row].as_py()
-                    decoded = {e["name"]: decode_column(e["meta"], e["data"]) for e in entries}
+                    entries = cols_col[row].values  # zero-copy struct view
+                    names = entries.field("name").to_pylist()
+                    metas = entries.field("meta")
+                    datas = entries.field("data")
+                    decoded = {
+                        nm: decode_column(metas[i].as_py(), datas[i].as_py())
+                        for i, nm in enumerate(names)
+                    }
                     yield pa.RecordBatch.from_arrays(
                         [decoded[n] for n in out_names], names=out_names
                     )

@@ -674,18 +674,25 @@ def decode_table(blocks_df, schema_ddl: str, zone_filter: tuple | None = None):
         for b in batches:
             cols_col = b.column(b.schema.get_field_index("cols"))
             for row in range(b.num_rows):
-                entries = cols_col[row].as_py()
+                # zero-copy struct view of this block's entries; only the
+                # REQUESTED columns' payload bytes are ever materialized
+                # (``as_py`` on the whole struct would copy every column's
+                # payload just to decode a subset)
+                entries = cols_col[row].values
+                names = entries.field("name").to_pylist()
+                metas = entries.field("meta")
+                datas = entries.field("data")
                 decoded = {}
-                for e in entries:
-                    if e["name"] in wanted:
-                        decoded[e["name"]] = decode_column(e["meta"], e["data"])
+                for i, nm in enumerate(names):
+                    if nm in wanted:
+                        decoded[nm] = decode_column(metas[i].as_py(), datas[i].as_py())
                 missing = wanted - set(decoded)
                 if missing:
                     # mirror the wide path's explicit missing-column error
                     # (a bare KeyError from an executor is undiagnosable)
                     raise ValueError(
                         f"blocks table lacks encoded column(s) {sorted(missing)}; "
-                        f"blocks contain {sorted(e['name'] for e in entries)}"
+                        f"blocks contain {sorted(names)}"
                     )
                 arrays = [decoded[n] for n in out_names]
                 yield pa.RecordBatch.from_arrays(arrays, names=out_names)

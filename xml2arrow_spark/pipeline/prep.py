@@ -27,9 +27,14 @@ __all__ = ["corpus_prep", "surviving_documents"]
 TOKENS_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
 
 
-def surviving_documents(docs: DataFrame) -> DataFrame:
+def surviving_documents(docs: DataFrame, sig_path: str | None = None) -> DataFrame:
     """quality_filter → exact dedup (keep min id per text) → near-dup
-    resolution (keep canonical ids). Returns the surviving document rows."""
+    resolution (keep canonical ids). Returns the surviving document rows.
+
+    ``sig_path`` routes the near-dup stage through the two-phase
+    signature-table shape (no executor-storage cache) — pass it on any run
+    too large to cache the signature relation; see
+    :func:`xml2arrow_spark.pipeline.dedup.lsh_near_dup_pairs`."""
     q = textstats.quality_filter(docs).select("doc_id")
     qdocs = docs.join(q, "doc_id", "left_semi")
     keep = (
@@ -38,7 +43,7 @@ def surviving_documents(docs: DataFrame) -> DataFrame:
         .select("doc_id")
     )
     exact_kept = qdocs.join(keep, "doc_id", "left_semi")
-    pairs = dedup.lsh_near_dup_pairs(exact_kept)
+    pairs = dedup.lsh_near_dup_pairs(exact_kept, sig_path=sig_path)
     labels = dedup.resolve_near_dups(pairs)
     drop = labels.filter(F.col("label") != F.col("node")).select(
         F.col("node").alias("doc_id")
@@ -49,7 +54,7 @@ def surviving_documents(docs: DataFrame) -> DataFrame:
     return out
 
 
-def corpus_prep(docs: DataFrame) -> DataFrame:
+def corpus_prep(docs: DataFrame, sig_path: str | None = None) -> DataFrame:
     """Full pipeline through the ENCODE engine: survivors are tokenized,
     encoded with auto-selected codecs, decoded back, and fingerprinted —
     so the final value hash proves both the data pipeline and the
@@ -57,7 +62,7 @@ def corpus_prep(docs: DataFrame) -> DataFrame:
 
     Returns (doc_id, source, n_tok, tok_fp).
     """
-    survivors = surviving_documents(docs)
+    survivors = surviving_documents(docs, sig_path=sig_path)
     tok = tokenize_documents(survivors)
     manifest = resolve_manifest(tok, CodecManifest.auto_for(tok.schema, block_rows=4096))
     decoded = decode_table(encode_table(tok, manifest), TOKENS_DDL)
