@@ -174,6 +174,34 @@ def test_band_union_carries_no_payload(spark, tmp_path):
         pairs._sig_cache.unpersist()
 
 
+def test_max_cell_drops_only_degenerate_cells(spark):
+    """The hot-cell cap: 30 identical boilerplate docs (one degenerate band
+    cell -> 435 candidate pairs) are dropped at max_cell=8, while a small
+    genuine near-dup pair elsewhere survives."""
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit", "s", 52)
+              for i in range(30)]
+    # 20 words differing only in the last -> shingle Jaccard 17/19 = 0.894
+    base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet empty gray town street"
+    real = [
+        (100, base + " today", "s", len(base) + 6),
+        (101, base + " here", "s", len(base) + 5),
+    ]
+    docs = spark.createDataFrame(
+        boiler + real, "doc_id bigint, text string, source string, n_chars int"
+    )
+    capped = dedup.lsh_near_dup_pairs(docs, max_cell=8)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert got == {(100, 101)}  # the boilerplate clique is gone, real pair kept
+    if capped._sig_cache is not None:
+        capped._sig_cache.unpersist()
+    # default (max_cell=None) stays exact: the clique's pairs all appear
+    exact = dedup.lsh_near_dup_pairs(docs)
+    n_exact = exact.count()
+    assert n_exact == 30 * 29 // 2 + 1
+    if exact._sig_cache is not None:
+        exact._sig_cache.unpersist()
+
+
 # -- placement-identity guard (ADVICE r02) -----------------------------------
 
 

@@ -101,6 +101,7 @@ def lsh_near_dup_pairs(
     id_col: str = "doc_id",
     threshold_milli: int = 800,
     sig_path: str | None = None,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash + exact-Jaccard verification.
 
@@ -108,6 +109,16 @@ def lsh_near_dup_pairs(
     Jaccard >= threshold_milli/1000, compared with integer cross
     multiplication (no float). doc_a < doc_b; each pair appears once even if
     it collides in several bands.
+
+    ``max_cell`` is the hot-cell safety valve for cluster runs: a single
+    degenerate band key (boilerplate, near-empty docs) turns its bucket's
+    self-join into O(m²) candidate pairs inside ONE task — the classic
+    skew-OOM at corpus scale. With ``max_cell=m``, cells larger than ``m``
+    are dropped from candidate generation (one narrow count-agg + left-semi
+    join on the band keys; the payload is not involved). This trades recall
+    ONLY for pairs whose every shared band is degenerate — and a group of
+    >m mutual near-duplicates is exactly what exact_dedup/simhash already
+    catch cheaply. Default None = exact (the oracle-checkable shape).
     """
     # Materialize (doc, dtoks, bands) exactly once, UNFILTERED. Two measured
     # plan pathologies force this exact shape:
@@ -163,6 +174,13 @@ def lsh_near_dup_pairs(
             F.coalesce(F.col(f"band{b}"), F.lit(-1)).alias("band_key"),
         )
         exploded = part if exploded is None else exploded.unionAll(part)
+    if max_cell is not None:
+        small = (
+            exploded.groupBy("band_pos", "band_key")
+            .agg(F.count("*").alias("_cell_n"))
+            .filter(F.col("_cell_n") <= max_cell)
+        )
+        exploded = exploded.join(small, ["band_pos", "band_key"], "left_semi")
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(

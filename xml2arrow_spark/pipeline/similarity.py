@@ -160,6 +160,7 @@ def embedding_near_dup(
     n_rows: int | None = None,
     expected_n: int | None = None,
     sig_path: str | None = None,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded LSH.
 
@@ -181,7 +182,11 @@ def embedding_near_dup(
     both payload joins (no executor-storage cache; also the natural
     incremental checkpoint). Without it the banded relation is persisted
     (the cache handle is attached as ``_sig_cache`` so callers can
-    ``unpersist()`` after consuming).
+    ``unpersist()`` after consuming). ``max_cell`` drops degenerate band
+    cells (> max_cell vectors — e.g. the all-zeros embedding every failed
+    encoder emits) before the self-join, bounding any one cell's candidate
+    fan-out at max_cell²/2 — see
+    :func:`xml2arrow_spark.pipeline.dedup.lsh_near_dup_pairs`.
     """
     dim = _dim(emb_df, emb_col)
     keys = [f"bandkey{b}" for b in range(G.LSH_BANDS)]
@@ -203,6 +208,13 @@ def embedding_near_dup(
             F.coalesce(F.col(kk), F.lit(-1)).alias("band_key"),
         )
         exploded = part if exploded is None else exploded.unionAll(part)
+    if max_cell is not None:
+        small = (
+            exploded.groupBy("band_pos", "band_key")
+            .agg(F.count("*").alias("_cell_n"))
+            .filter(F.col("_cell_n") <= max_cell)
+        )
+        exploded = exploded.join(small, ["band_pos", "band_key"], "left_semi")
     a, b_ = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(
