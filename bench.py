@@ -158,6 +158,21 @@ def main() -> None:
             extra["encode_store_tokens_per_sec"] = round(
                 n_tokens / queries["q1b_encode_store"]
             )
+            # q2: fused DECODE of the stored dataset (kernels + payload back
+            # through Arrow) — the stage directly comparable to the
+            # reference's parse throughput (BASELINE.md ~394 MiB/s: bytes ->
+            # typed Arrow columns; here: encoded blocks -> typed Arrow
+            # columns). The agg forces the token payload through the plan.
+            from xml2arrow_spark.operators.dataset import decode_dataset
+
+            best_of(
+                "q2_decode_store",
+                lambda: decode_dataset(spark, store_dir, n_tasks=CPUS)
+                .agg(F.sum(F.size("tokens"))).collect(),
+            )
+            extra["decode_tokens_per_sec"] = round(
+                n_tokens / queries["q2_decode_store"]
+            )
         finally:
             shutil.rmtree(store_dir, ignore_errors=True)
 

@@ -267,3 +267,102 @@ def test_nested_decode_missing_column_is_descriptive(spark):
     bad = decode_table(blocks, "a bigint, zz bigint")
     with pytest.raises(Exception, match="lacks encoded column"):
         bad.collect()
+
+
+# -- wide dataset layout ------------------------------------------------------
+
+
+def _write_tok_parquet(spark, path, n=64):
+    _tok_df(spark, n).repartition(4).write.mode("overwrite").parquet(path)
+
+
+def test_wide_dataset_roundtrip_and_column_pruning(spark, tmp_path):
+    from xml2arrow_spark.operators.dataset import (
+        decode_dataset,
+        encode_parquet_dataset,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "wide_ds")
+    _write_tok_parquet(spark, src)
+    m = encode_parquet_dataset(spark, src, out, layout="wide")
+    assert m["rows"] == 64
+    full = decode_dataset(spark, out)
+    assert sorted(r.doc_id for r in full.collect()) == sorted(
+        f"d{i:04d}" for i in range(64)
+    )
+    # subset decode: schema is exactly the requested columns
+    sub = decode_dataset(spark, out, columns=["doc_id", "n_tok"])
+    assert [f.name for f in sub.schema.fields] == ["doc_id", "n_tok"]
+    assert sub.count() == 64
+    with pytest.raises(ValueError, match="lacks encoded column"):
+        decode_dataset(spark, out, columns=["nope"])
+
+
+def test_wide_dataset_layout_mismatch_refused(spark, tmp_path):
+    from xml2arrow_spark.operators.dataset import encode_parquet_dataset
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "ds")
+    _write_tok_parquet(spark, src)
+    encode_parquet_dataset(spark, src, out, layout="wide")
+    with pytest.raises(ManifestError, match="layout"):
+        encode_parquet_dataset(spark, src, out, layout="nested")
+
+
+def test_nested_dataset_subset_decode(spark, tmp_path):
+    from xml2arrow_spark.operators.dataset import (
+        decode_dataset,
+        encode_parquet_dataset,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "nested_ds")
+    _write_tok_parquet(spark, src)
+    encode_parquet_dataset(spark, src, out)
+    sub = decode_dataset(spark, out, columns=["doc_id"])
+    assert [f.name for f in sub.schema.fields] == ["doc_id"]
+    assert sub.count() == 64
+
+
+# -- incremental dedup against a persisted signature table --------------------
+
+
+def test_incremental_pairs_match_full_run_restriction(spark, tmp_path):
+    """The incremental contract: pairs(old+new) restricted to pairs touching
+    the new batch == incremental(new, sig_table_of_old). Exercises both
+    new x old and new x new pairs."""
+    base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet empty gray town street"
+    texts = {
+        0: base + " one",
+        1: base + " two",          # near-dup of 0 (old x old: NOT re-emitted)
+        2: "completely different words fill this document with unrelated content here today",
+        10: base + " three",       # new: near-dups 0, 1 (new x old)
+        11: base + " four",        # new: near-dups 0, 1, 10 (new x new via 10)
+        12: "another unrelated document that matches nothing else in the corpus at all",
+    }
+    rows = [(i, t, "s", len(t)) for i, t in texts.items()]
+    ddl = "doc_id bigint, text string, source string, n_chars int"
+    old = spark.createDataFrame([r for r in rows if r[0] < 10], ddl)
+    new = spark.createDataFrame([r for r in rows if r[0] >= 10], ddl)
+    both = spark.createDataFrame(rows, ddl)
+
+    # ground truth: full run over old+new, keep pairs touching new ids
+    full = dedup.lsh_near_dup_pairs(both, sig_path=str(tmp_path / "full_sigs"))
+    want = {
+        (r.doc_a, r.doc_b, r.inter_size, r.union_size)
+        for r in full.collect()
+        if r.doc_a >= 10 or r.doc_b >= 10
+    }
+    assert want  # the fixture must actually produce new-touching pairs
+
+    # incremental: old run writes the signature table, new batch probes it
+    sig = str(tmp_path / "inc_sigs")
+    dedup.lsh_near_dup_pairs(old, sig_path=sig).collect()
+    got = {
+        (r.doc_a, r.doc_b, r.inter_size, r.union_size)
+        for r in dedup.lsh_near_dup_pairs_incremental(new, sig).collect()
+    }
+    assert got == want
+    # old x old pairs are never re-emitted
+    assert all(a >= 10 or b >= 10 for a, b, _, _ in got)

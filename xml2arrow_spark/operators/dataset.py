@@ -34,8 +34,10 @@ from xml2arrow_spark.operators.encode import (
     _blockify,
     _BLOCKS_PA_SCHEMA,
     _encode_block,
+    _widen_block,
     decode_column,
     resolve_manifest_parquet,
+    wide_pa_schema,
 )
 
 __all__ = [
@@ -75,12 +77,24 @@ def encode_parquet_dataset(
     out_path: str,
     manifest: CodecManifest | None = None,
     n_tasks: int | None = None,
+    layout: str = "nested",
 ) -> dict:
     """Encode every parquet file under ``in_path`` into
     ``out_path/blocks/blocks-u{unit:06d}.parquet`` (blocks schema), append
     per-unit lineage to ``out_path/manifest``, persist the resolved codec
     manifest as YAML. Returns run metrics. Re-running resumes: completed
-    units are skipped via the metadata table."""
+    units are skipped via the metadata table.
+
+    ``layout='wide'`` stores each encoded column as top-level
+    (codec, meta, data, zone-map) parquet columns instead of one
+    ``cols array<struct>`` — then :func:`decode_dataset` with a column
+    subset reads ONLY those columns' payload bytes from disk (parquet
+    column pruning on the STORED dataset), and zone-map columns land in
+    parquet row-group statistics. The right layout for wide tables where
+    queries touch a few columns; nested keeps one schema for any column
+    set."""
+    if layout not in ("nested", "wide"):
+        raise ValueError(f"unknown blocks layout {layout!r}")
     from pyspark.sql import functions as F
     from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -125,10 +139,20 @@ def encode_parquet_dataset(
             f"{MANIFEST_SIDECAR} sidecar (pre-placement-tag layout); "
             f"cannot verify unit placement — re-encode from scratch"
         )
+    if os.path.exists(spath):
+        with open(spath) as f:
+            prior_layout = (yaml.safe_load(f.read()) or {}).get("layout", "nested")
+        if prior_layout != layout:
+            raise ManifestError(
+                f"dataset at {out_path!r} was written with layout "
+                f"{prior_layout!r}; resuming with {layout!r} would mix "
+                f"incompatible blocks schemas"
+            )
     with open(spath, "w") as f:
         f.write(
             resolved.to_yaml()
             + f"\nschema_ddl: '{schema_ddl}'\nplacement: {PLACEMENT_ID}\n"
+            + f"layout: {layout}\n"
         )
 
     done = _completed_units(spark, out_path)
@@ -154,6 +178,8 @@ def encode_parquet_dataset(
     policies = {c: resolved.columns[c].codec for c in cols}
     required = frozenset(c for c in cols if not resolved.columns[c].nullable)
     block_rows = resolved.block_rows
+    wide = layout == "wide"
+    out_schema = wide_pa_schema(cols) if wide else _BLOCKS_PA_SCHEMA
 
     def encode_sink(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
@@ -184,11 +210,13 @@ def encode_parquet_dataset(
                         )
                     )
                 ]
+                if wide:
+                    blocks = [_widen_block(b, cols) for b in blocks]
                 out_file = os.path.join(blocks_dir, f"blocks-u{file_idx:06d}.parquet")
                 tbl = (
-                    pa.Table.from_batches(blocks, schema=_BLOCKS_PA_SCHEMA)
+                    pa.Table.from_batches(blocks, schema=out_schema)
                     if blocks
-                    else _BLOCKS_PA_SCHEMA.empty_table()
+                    else out_schema.empty_table()
                 )
                 # deterministic name per unit -> task retries overwrite,
                 # never duplicate (idempotent sink)
@@ -253,18 +281,39 @@ def dataset_metrics(spark, out_path: str) -> dict:
     }
 
 
-def decode_dataset(spark, out_path: str, n_tasks: int | None = None):
+def decode_dataset(
+    spark, out_path: str, n_tasks: int | None = None, columns: list[str] | None = None
+):
     """Fused decode: pyarrow-scan the blocks files and run the inverse
     kernels in the same task — the decode twin of the fused encode. Returns
-    a DataFrame of the original columns."""
+    a DataFrame of the original columns.
+
+    ``columns`` selects a subset. Nested layout: the unrequested columns'
+    kernels are skipped (their payload bytes still ride inside the ``cols``
+    struct read). Wide layout: only the requested columns' (meta, data)
+    parquet columns are READ — true storage-level column pruning on the
+    encoded dataset, the decode-side analog of the reference's
+    unknown-subtree skip (/root/reference/src/path_registry.rs:400-408)."""
     import yaml
 
     from xml2arrow_spark.sources.files import plan_parquet_tasks
 
     with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
         side = yaml.safe_load(f.read())
-    ddl = side["schema_ddl"]
-    out_names = [part.strip().split(" ")[0] for part in ddl.split(",")]
+    all_pairs = [p.strip() for p in side["schema_ddl"].split(",")]
+    by_name = {p.split(" ")[0]: p for p in all_pairs}
+    if columns is None:
+        out_names = list(by_name)
+    else:
+        missing = set(columns) - set(by_name)
+        if missing:
+            raise ValueError(
+                f"dataset lacks encoded column(s) {sorted(missing)}; "
+                f"it has {sorted(by_name)}"
+            )
+        out_names = list(columns)
+    ddl = ", ".join(by_name[n] for n in out_names)
+    wide = side.get("layout", "nested") == "wide"
 
     def decode_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
@@ -275,8 +324,25 @@ def decode_dataset(spark, out_path: str, n_tasks: int | None = None):
         for b in batches:
             path_lists = b.column(b.schema.get_field_index("path")).to_pylist()
             for fpath in (p for paths in path_lists for p in paths):
+                if wide:
+                    need = [
+                        x for n in out_names for x in (f"c_{n}__meta", f"c_{n}__data")
+                    ]
+                    tbl = pq.read_table(fpath, columns=need)  # pruned IO
+                    metas = [tbl.column(f"c_{n}__meta").combine_chunks() for n in out_names]
+                    datas = [tbl.column(f"c_{n}__data").combine_chunks() for n in out_names]
+                    for row in range(tbl.num_rows):
+                        yield pa.RecordBatch.from_arrays(
+                            [
+                                decode_column(metas[i][row].as_py(), datas[i][row].as_py())
+                                for i in range(len(out_names))
+                            ],
+                            names=out_names,
+                        )
+                    continue
                 tbl = pq.read_table(fpath, columns=["cols"])
                 cols_col = tbl.column("cols").combine_chunks()
+                wanted = set(out_names)
                 for row in range(len(cols_col)):
                     entries = cols_col[row].values  # zero-copy struct view
                     names = entries.field("name").to_pylist()
@@ -285,6 +351,7 @@ def decode_dataset(spark, out_path: str, n_tasks: int | None = None):
                     decoded = {
                         nm: decode_column(metas[i].as_py(), datas[i].as_py())
                         for i, nm in enumerate(names)
+                        if nm in wanted
                     }
                     yield pa.RecordBatch.from_arrays(
                         [decoded[n] for n in out_names], names=out_names

@@ -255,6 +255,23 @@ def wide_blocks_ddl(cols: list[str]) -> str:
     )
 
 
+def wide_pa_schema(cols: list[str]) -> pa.Schema:
+    """Arrow schema matching :func:`wide_blocks_ddl` (for direct pyarrow
+    writers, e.g. the dataset sink's wide layout)."""
+    fields = [_BLOCKS_PA_SCHEMA.field(i) for i in range(7)]
+    for name in cols:
+        fields += [
+            pa.field(f"c_{name}__codec", pa.string()),
+            pa.field(f"c_{name}__meta", pa.string()),
+            pa.field(f"c_{name}__data", pa.binary()),
+            pa.field(f"c_{name}__vmin_i", pa.int64()),
+            pa.field(f"c_{name}__vmax_i", pa.int64()),
+            pa.field(f"c_{name}__vmin_d", pa.float64()),
+            pa.field(f"c_{name}__vmax_d", pa.float64()),
+        ]
+    return pa.schema(fields)
+
+
 def _widen_block(row_batch: pa.RecordBatch, cols: list[str]) -> pa.RecordBatch:
     """One array<struct> block row -> the wide layout."""
     entries = row_batch.column(7)[0].as_py()

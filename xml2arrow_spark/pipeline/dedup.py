@@ -34,6 +34,7 @@ __all__ = [
     "minhash_signatures_fast",
     "minhash_signatures_parquet",
     "lsh_near_dup_pairs",
+    "lsh_near_dup_pairs_incremental",
     "resolve_near_dups",
     "with_simhash",
     "simhash_ids_fast",
@@ -210,6 +211,90 @@ def lsh_near_dup_pairs(
     # (a long-lived session otherwise accumulates cached relations)
     out._sig_cache = cache_handle
     return out
+
+
+def lsh_near_dup_pairs_incremental(
+    new_docs: DataFrame,
+    sig_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_milli: int = 800,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup detection: dedup a NEW batch of documents
+    against an existing corpus via its persisted signature table.
+
+    This is the production shape of continuous ingestion at corpus scale:
+    the historical corpus is never re-tokenized or re-minhashed — its
+    signature table (written by ``lsh_near_dup_pairs(sig_path=...)`` or a
+    previous incremental call) is the accumulated state. Phase 1 computes
+    signatures for the new batch only and APPENDS them to the table;
+    phase 2 band-joins the new batch's rows against the WHOLE table, so
+    candidate generation is O(|new| * bands) join probes, not O(|corpus|²).
+    Old×old pairs were already reported by earlier runs and are NOT
+    re-emitted: every returned pair has at least one side in ``new_docs``.
+
+    Returns (doc_a, doc_b, inter_size, union_size), doc_a < doc_b — the
+    same contract as :func:`lsh_near_dup_pairs`, restricted to pairs
+    touching the new batch. The signature table on disk afterwards covers
+    old + new, ready for the next increment.
+    """
+    spark = new_docs.sparkSession
+    new_sigs = with_minhash(new_docs, text_col).select(
+        F.col(id_col).alias("doc"), "dtoks",
+        *[f"band{b}" for b in range(G.MINHASH_BANDS)],
+    )
+    new_sigs.write.mode("append").parquet(sig_path)
+    all_sigs = spark.read.parquet(sig_path).filter(F.size("dtoks") > 0)
+    new_ids = new_docs.select(F.col(id_col).alias("doc")).distinct()
+
+    def band_rows(src):
+        out = None
+        for b in range(G.MINHASH_BANDS):
+            part = src.select(
+                "doc",
+                F.lit(b).alias("band_pos"),
+                F.coalesce(F.col(f"band{b}"), F.lit(-1)).alias("band_key"),
+            )
+            out = part if out is None else out.unionAll(part)
+        return out
+
+    all_bands = band_rows(all_sigs)
+    if max_cell is not None:
+        small = (
+            all_bands.groupBy("band_pos", "band_key")
+            .agg(F.count("*").alias("_cell_n"))
+            .filter(F.col("_cell_n") <= max_cell)
+        )
+        all_bands = all_bands.join(small, ["band_pos", "band_key"], "left_semi")
+    # probe side = new rows only (left-semi keeps the band relation narrow)
+    new_bands = all_bands.join(new_ids, "doc", "left_semi")
+    a, b = new_bands.alias("a"), all_bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_pos") == F.col("b.band_pos"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .select(
+            F.least(F.col("a.doc"), F.col("b.doc")).alias("doc_a"),
+            F.greatest(F.col("a.doc"), F.col("b.doc")).alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    toks = all_sigs.select("doc", "dtoks")
+    cand = (
+        cand.join(toks.select(F.col("doc").alias("doc_a"), F.col("dtoks").alias("ta")), "doc_a")
+        .join(toks.select(F.col("doc").alias("doc_b"), F.col("dtoks").alias("tb")), "doc_b")
+    )
+    inter = F.expr(G.asize(G.aintersect("ta", "tb", SPARK), SPARK))
+    verified = cand.withColumn("inter_size", inter).withColumn(
+        "union_size", F.expr("size(ta) + size(tb)") - F.col("inter_size")
+    )
+    return verified.filter(
+        F.col("inter_size") * 1000 >= threshold_milli * F.col("union_size")
+    ).select("doc_a", "doc_b", "inter_size", "union_size")
 
 
 def resolve_near_dups(
