@@ -366,3 +366,32 @@ def test_incremental_pairs_match_full_run_restriction(spark, tmp_path):
     assert got == want
     # old x old pairs are never re-emitted
     assert all(a >= 10 or b >= 10 for a, b, _, _ in got)
+
+
+@pytest.mark.parametrize("layout", ["nested", "wide"])
+def test_dataset_zone_filter_prunes_blocks(spark, tmp_path, layout):
+    """decode_dataset(zone_filter=): whole blocks are skipped before any
+    kernel runs (superset semantics — row filter applies after), on both
+    layouts; on wide the filter also rides parquet row-group stats."""
+    from xml2arrow_spark.operators.dataset import (
+        decode_dataset,
+        encode_parquet_dataset,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / f"{layout}_zds")
+    # ids 0..255 sorted within files -> block zone maps have narrow ranges
+    spark.createDataFrame(
+        [(i, [i, i + 1], 2, "s") for i in range(256)],
+        "doc_id bigint, tokens array<int>, n_tok int, source string",
+    ).orderBy("doc_id").coalesce(2).write.mode("overwrite").parquet(src)
+    man = CodecManifest.auto_for(
+        spark.read.parquet(src).schema, block_rows=32
+    )
+    encode_parquet_dataset(spark, src, out, manifest=man, layout=layout)
+    pruned = decode_dataset(spark, out, zone_filter=("doc_id", 10, 40))
+    n_pruned = pruned.count()
+    assert n_pruned < 256          # whole blocks actually skipped
+    assert n_pruned >= 31          # superset of the matching rows
+    exact = pruned.filter("doc_id between 10 and 40")
+    assert sorted(r.doc_id for r in exact.collect()) == list(range(10, 41))

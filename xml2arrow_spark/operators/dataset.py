@@ -282,7 +282,11 @@ def dataset_metrics(spark, out_path: str) -> dict:
 
 
 def decode_dataset(
-    spark, out_path: str, n_tasks: int | None = None, columns: list[str] | None = None
+    spark,
+    out_path: str,
+    n_tasks: int | None = None,
+    columns: list[str] | None = None,
+    zone_filter: tuple | None = None,
 ):
     """Fused decode: pyarrow-scan the blocks files and run the inverse
     kernels in the same task — the decode twin of the fused encode. Returns
@@ -293,7 +297,15 @@ def decode_dataset(
     struct read). Wide layout: only the requested columns' (meta, data)
     parquet columns are READ — true storage-level column pruning on the
     encoded dataset, the decode-side analog of the reference's
-    unknown-subtree skip (/root/reference/src/path_registry.rs:400-408)."""
+    unknown-subtree skip (/root/reference/src/path_registry.rs:400-408).
+
+    ``zone_filter=(column, lo, hi)`` prunes whole BLOCKS via their zone
+    maps before any kernel runs, with :func:`~xml2arrow_spark.operators.
+    encode.prune_blocks` semantics (missing stats keep the block; the
+    result is a SUPERSET of matching rows — apply the row filter after).
+    On the wide layout the filter is a pyarrow expression over the
+    top-level zone columns, so parquet ROW-GROUP statistics prune IO too;
+    on the nested layout blocks are skipped after the struct read."""
     import yaml
 
     from xml2arrow_spark.sources.files import plan_parquet_tasks
@@ -314,6 +326,14 @@ def decode_dataset(
         out_names = list(columns)
     ddl = ", ".join(by_name[n] for n in out_names)
     wide = side.get("layout", "nested") == "wide"
+    if zone_filter is not None:
+        zf_col, zf_lo, zf_hi = zone_filter
+        zf_int = isinstance(zf_lo, int) and isinstance(zf_hi, int)
+        zf_min, zf_max = ("vmin_i", "vmax_i") if zf_int else ("vmin_d", "vmax_d")
+
+    def _zone_keep(vmin, vmax) -> bool:
+        # prune_blocks semantics: missing stats always keep
+        return vmin is None or vmax is None or (zf_lo <= vmax and vmin <= zf_hi)
 
     def decode_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
@@ -328,7 +348,20 @@ def decode_dataset(
                     need = [
                         x for n in out_names for x in (f"c_{n}__meta", f"c_{n}__data")
                     ]
-                    tbl = pq.read_table(fpath, columns=need)  # pruned IO
+                    kwargs = {}
+                    if zone_filter is not None:
+                        import pyarrow.dataset as pads
+
+                        fmin = pads.field(f"c_{zf_col}__{zf_min}")
+                        fmax = pads.field(f"c_{zf_col}__{zf_max}")
+                        # expression filter over top-level zone columns:
+                        # parquet row-group statistics prune the IO, then the
+                        # row-level (= block-level) filter applies exactly
+                        kwargs["filters"] = (
+                            fmin.is_null() | fmax.is_null()
+                            | ((fmin <= zf_hi) & (fmax >= zf_lo))
+                        )
+                    tbl = pq.read_table(fpath, columns=need, **kwargs)  # pruned IO
                     metas = [tbl.column(f"c_{n}__meta").combine_chunks() for n in out_names]
                     datas = [tbl.column(f"c_{n}__data").combine_chunks() for n in out_names]
                     for row in range(tbl.num_rows):
@@ -346,6 +379,16 @@ def decode_dataset(
                 for row in range(len(cols_col)):
                     entries = cols_col[row].values  # zero-copy struct view
                     names = entries.field("name").to_pylist()
+                    if zone_filter is not None:
+                        try:
+                            zi = names.index(zf_col)
+                        except ValueError:
+                            zi = None  # no stats entry for the column: keep
+                        if zi is not None and not _zone_keep(
+                            entries.field(zf_min)[zi].as_py(),
+                            entries.field(zf_max)[zi].as_py(),
+                        ):
+                            continue  # whole block pruned before any kernel
                     metas = entries.field("meta")
                     datas = entries.field("data")
                     decoded = {
