@@ -227,6 +227,49 @@ def q_near_dup_resolve(spark, sf_dir):
     )
 
 
+def q_incremental_near_dup(spark, sf_dir):
+    """Incremental dedup under the gate: the corpus is split 80/20 into an
+    'old' batch (whose run persists the signature table) and a 'new' batch
+    (which probes it via lsh_near_dup_pairs_incremental). The oracle is the
+    FULL-corpus pair set restricted to pairs touching the new batch — the
+    incremental contract: same pairs, without ever re-minhashing the old
+    corpus or re-emitting its internal pairs."""
+    import os
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    sig = os.path.join(tempfile.mkdtemp(prefix="gate_incsigs_"), "sigs")
+    # phase 1 (the 'old' run): writing the signature table happens eagerly
+    # inside lsh_near_dup_pairs when sig_path is given
+    dedup.lsh_near_dup_pairs(old, sig_path=sig)
+    return dedup.lsh_near_dup_pairs_incremental(new, sig)
+
+
+def q_dataset_wide_subset(spark, sf_dir):
+    """Wide STORED dataset + subset decode: a lineitem projection goes
+    through the fused sink with layout='wide', then only 2 of 4 columns are
+    decoded — the parquet scan reads only those columns' payload bytes.
+    Oracle = the raw 2-column projection."""
+    import os
+    import tempfile
+
+    from xml2arrow_spark.operators.dataset import (
+        decode_dataset,
+        encode_parquet_dataset,
+    )
+
+    base = tempfile.mkdtemp(prefix="gate_wds_")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "ds")
+    _lineitem(spark, sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    ).repartition(4).write.mode("overwrite").parquet(src)
+    encode_parquet_dataset(spark, src, out, layout="wide")
+    return decode_dataset(spark, out, columns=["l_orderkey", "l_quantity"])
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash_ids_fast(_docs(spark, sf_dir))
 
@@ -588,6 +631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
+        "incremental_near_dup": q_incremental_near_dup,
+        "dataset_wide_subset": q_dataset_wide_subset,
         "near_dup_resolve": q_near_dup_resolve,
         "corpus_prep": q_corpus_prep,
         "simhash": q_simhash,

@@ -139,6 +139,26 @@ FROM v WHERE inter_size * 1000 >= {threshold_milli} * (both_size - inter_size)
 """
 
 
+def incremental_near_dup_sql() -> str:
+    """The incremental contract: pairs over the WHOLE corpus, restricted to
+    pairs touching the 'new' batch (doc_id % 5 = 0). The Spark side computes
+    this via lsh_near_dup_pairs_incremental against the old batch's
+    persisted signature table — old signatures reused, old×old pairs never
+    re-emitted."""
+    return f"""
+WITH p AS ({lsh_near_dup_pairs_sql()})
+SELECT doc_a, doc_b, inter_size, union_size
+FROM p WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
+"""
+
+
+def dataset_wide_subset_sql() -> str:
+    # Spark decodes 2 of the 4 wide-stored columns; oracle = raw projection
+    return """
+SELECT l_orderkey, l_quantity FROM lineitem
+"""
+
+
 def simhash_sql() -> str:
     return f"""
 SELECT doc_id, {G.simhash_expr(_TOKS, D)} AS simhash FROM documents
@@ -609,6 +629,8 @@ def all_oracles() -> dict[str, str]:
         "dedup_exact": dedup_exact_sql(),
         "minhash_signatures": minhash_signatures_sql(),
         "lsh_near_dup_pairs": lsh_near_dup_pairs_sql(),
+        "incremental_near_dup": incremental_near_dup_sql(),
+        "dataset_wide_subset": dataset_wide_subset_sql(),
         "near_dup_resolve": near_dup_resolve_sql(),
         "corpus_prep": corpus_prep_sql(),
         "simhash": simhash_sql(),
