@@ -158,3 +158,71 @@ def test_dec_float_compression_win_on_prices():
     assert len(blob) < prices.nbytes / 2
     out = decode_values(meta, blob)
     np.testing.assert_array_equal(out.view(np.uint64), prices.view(np.uint64))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(0, 2**64 - 1), min_size=0, max_size=200).map(
+        lambda xs: [__import__("decimal").Decimal(x) for x in xs]
+    )
+)
+def test_decimal_uint64_column_roundtrip(vals):
+    """The UInt64-widened decimal column path: arbitrary 0..2^64-1 values
+    (including both sides of the int64 boundary in one block) round-trip
+    bit-exactly through the uint64<->int64 bit-cast + integer codecs."""
+    import pyarrow as pa
+
+    from xml2arrow_spark.operators.blocks import decode_column, encode_column
+
+    arr = pa.array(vals, type=pa.decimal128(20, 0))
+    _, meta, blob = encode_column(arr, "auto")
+    assert decode_column(meta, blob).equals(arr)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.integers(0, 2**64 - 1), st.none()),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_decimal_uint64_nullable_roundtrip(vals):
+    import decimal
+
+    import pyarrow as pa
+
+    from xml2arrow_spark.operators.blocks import decode_column, encode_column
+
+    arr = pa.array(
+        [decimal.Decimal(v) if v is not None else None for v in vals],
+        type=pa.decimal128(20, 0),
+    )
+    _, meta, blob = encode_column(arr, "auto")
+    assert decode_column(meta, blob).equals(arr)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(width=32, allow_nan=False, allow_infinity=False),
+            st.integers(-(10**6), 10**6).map(lambda x: x / 100.0),
+        ),
+        min_size=0,
+        max_size=300,
+    ).map(lambda xs: np.array(xs, dtype=np.float32))
+)
+def test_float32_auto_roundtrip_bits(values):
+    """Whatever codec 'auto' picks for a float32 block (dec_float when the
+    block is exactly decimal, plain otherwise), decode must reproduce the
+    float32 payload BIT-identically."""
+    import pyarrow as pa
+
+    from xml2arrow_spark.operators.blocks import decode_column, encode_column
+
+    arr = pa.array(values)
+    _, meta, blob = encode_column(arr, "auto")
+    out = np.asarray(decode_column(meta, blob))
+    assert out.dtype == np.float32
+    np.testing.assert_array_equal(out.view(np.uint32), values.view(np.uint32))

@@ -395,3 +395,34 @@ def test_dataset_zone_filter_prunes_blocks(spark, tmp_path, layout):
     assert n_pruned >= 31          # superset of the matching rows
     exact = pruned.filter("doc_id between 10 and 40")
     assert sorted(r.doc_id for r in exact.collect()) == list(range(10, 41))
+
+
+@pytest.mark.parametrize("layout", ["nested", "wide"])
+def test_compact_dataset_preserves_decode(spark, tmp_path, layout):
+    """Compaction merges block files without touching payload; decode
+    before == decode after, and the file count actually drops."""
+    import os
+
+    from xml2arrow_spark.operators.dataset import (
+        compact_dataset,
+        decode_dataset,
+        encode_parquet_dataset,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / f"c_{layout}")
+    _tok_df(spark, 96).repartition(12).write.mode("overwrite").parquet(src)
+    encode_parquet_dataset(spark, src, out, layout=layout)
+    blocks_dir = f"{out}/blocks"
+    n_before = len([f for f in os.listdir(blocks_dir) if f.endswith(".parquet")])
+    assert n_before == 12  # one block file per input file
+    before = sorted(r.doc_id for r in decode_dataset(spark, out).collect())
+    stats = compact_dataset(spark, out, target_files=3)
+    n_after = len([f for f in os.listdir(blocks_dir) if f.endswith(".parquet")])
+    assert n_after < n_before and n_after <= 3
+    assert stats["files_before"] == 12 and stats["files_after"] == n_after
+    after = sorted(r.doc_id for r in decode_dataset(spark, out).collect())
+    assert after == before
+    # compaction is idempotent-safe: running again is a no-op
+    stats2 = compact_dataset(spark, out, target_files=3)
+    assert stats2["files_after"] == stats2["files_before"] == n_after

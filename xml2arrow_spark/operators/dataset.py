@@ -43,6 +43,7 @@ from xml2arrow_spark.operators.encode import (
 __all__ = [
     "encode_parquet_dataset",
     "decode_dataset",
+    "compact_dataset",
     "dataset_metrics",
     "METADATA_DDL",
 ]
@@ -278,6 +279,99 @@ def dataset_metrics(spark, out_path: str) -> dict:
         "values": int(m["values"] or 0),
         "in_bytes": int(m["in_bytes"] or 0),
         "out_bytes": int(m["out_bytes"] or 0),
+    }
+
+
+def compact_dataset(
+    spark, out_path: str, target_files: int = 8, n_tasks: int | None = None
+) -> dict:
+    """Merge a dataset's many per-unit block files into ``target_files``
+    larger ones — the small-files maintenance pass every file-per-unit sink
+    eventually needs (at corpus scale a million input files mean a million
+    block files; scan planning and open() costs dominate long before the
+    bytes do).
+
+    Blocks are IMMUTABLE: compaction concatenates block rows — no
+    re-encode, no decode, payload bytes stream through pyarrow untouched.
+    Work is distributed: files are LPT-binned into ``target_files`` groups
+    and each group is merged by one executor task (tmp-file + rename, then
+    originals removed). Unit lineage in the manifest table is unchanged —
+    resume keys on unit_id, not file names.
+
+    Crash-window honesty: a local filesystem has no atomic multi-file
+    commit, so a crash BEFORE the rename loses nothing (the .inprogress
+    file is ignored; re-run re-merges), but a crash BETWEEN the rename and
+    the last original's removal leaves those originals' rows duplicated
+    (present in both the merged file and the leftovers). Production runs
+    on a catalog should wrap replace+remove in the table commit — Iceberg's
+    rewrite_data_files is exactly this operation with a real snapshot swap.
+
+    Returns {files_before, files_after, bytes}."""
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.sources.files import plan_parquet_tasks
+
+    blocks_dir = os.path.join(out_path, "blocks")
+    before = [
+        os.path.join(blocks_dir, f)
+        for f in sorted(os.listdir(blocks_dir))
+        if f.endswith(".parquet")
+    ]
+    if len(before) <= target_files:
+        total = sum(os.path.getsize(f) for f in before)
+        return {"files_before": len(before), "files_after": len(before), "bytes": total}
+    tasks = plan_parquet_tasks(spark, blocks_dir, n_tasks=target_files)
+
+    def merge(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        from pyspark import TaskContext
+
+        from xml2arrow_spark.env import limit_arrow_threads
+
+        limit_arrow_threads(1)
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx is not None else 0
+        for b in batches:
+            path_lists = b.column(b.schema.get_field_index("path")).to_pylist()
+            group = [p for paths in path_lists for p in paths]
+            if not group:
+                continue
+            out_file = os.path.join(blocks_dir, f"compact-{part_id:06d}.parquet")
+            # write to a sidecar name, rename once fully written: a re-run's
+            # out_file may itself be IN the group (previous compaction
+            # output), and opening it for write would truncate an input
+            tmp_file = out_file + ".inprogress"
+            schema = pq.read_schema(group[0])
+            nbytes = 0
+            with pq.ParquetWriter(tmp_file, schema, compression="none") as w:
+                for fpath in group:
+                    t = pq.read_table(fpath)
+                    w.write_table(t)
+                    nbytes += t.nbytes
+            os.replace(tmp_file, out_file)
+            for fpath in group:  # originals removed AFTER the merged write
+                if fpath != out_file:
+                    os.remove(fpath)
+            yield pa.RecordBatch.from_pydict(
+                {"out_file": [out_file], "n_src": [len(group)], "nbytes": [nbytes]},
+                schema=pa.schema(
+                    [
+                        pa.field("out_file", pa.string()),
+                        pa.field("n_src", pa.int32()),
+                        pa.field("nbytes", pa.int64()),
+                    ]
+                ),
+            )
+
+    merged = tasks.mapInArrow(merge, "out_file string, n_src int, nbytes long")
+    stats = merged.agg(
+        F.count("*").alias("nf"), F.sum("n_src").alias("ns"), F.sum("nbytes").alias("nb")
+    ).collect()[0]
+    return {
+        "files_before": int(stats["ns"] or 0),
+        "files_after": int(stats["nf"] or 0),
+        "bytes": int(stats["nb"] or 0),
     }
 
 
