@@ -600,6 +600,16 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Frame sampling over the binary payload: one row per (doc, frame),
+    stats computed vectorized over the flattened batch buffer; the
+    frame_bytes column is dropped for the gate (binary cells are not
+    canonicalizable) — frame_len + frame_sum pin the same windows."""
+    return multimodal.sample_frames(
+        multimodal.attach_binary_payload(_docs(spark, sf_dir))
+    ).drop("frame_bytes")
+
+
 def q_multimodal_features(spark, sf_dir):
     """Arrow-batched feature extraction with the deterministic fake decoder
     (real decoders stubbed; plumbing real). Stats are vectorized over the
@@ -662,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_encode": q_streaming_encode,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 

@@ -426,3 +426,56 @@ def test_compact_dataset_preserves_decode(spark, tmp_path, layout):
     # compaction is idempotent-safe: running again is a no-op
     stats2 = compact_dataset(spark, out, target_files=3)
     assert stats2["files_after"] == stats2["files_before"] == n_after
+
+
+# -- multimodal frame-sampling / resize plumbing ------------------------------
+
+
+def test_sample_frames_windows_and_stats(spark):
+    from xml2arrow_spark.pipeline import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh", "s", 8), (2, "xyz", "s", 3), (3, "", "s", 0)],
+        "doc_id bigint, text string, source string, n_chars int",
+    )
+    out = multimodal.sample_frames(
+        multimodal.attach_binary_payload(docs), n_frames=4
+    ).collect()
+    rows = {(r.doc_id, r.frame_idx): r for r in out}
+    assert len(rows) == 12  # 3 docs x 4 frames
+    # doc 1: "abcdefgh" -> 4 frames of 2 bytes each
+    assert rows[(1, 0)].frame_bytes == b"ab" and rows[(1, 3)].frame_bytes == b"gh"
+    assert rows[(1, 0)].frame_sum == ord("a") + ord("b")
+    # doc 2: n=3, k=4 -> windows [0,0),[0,1),[1,2),[2,3)
+    assert [rows[(2, j)].frame_len for j in range(4)] == [0, 1, 1, 1]
+    assert rows[(2, 1)].frame_bytes == b"x"
+    # empty doc: all frames empty, sums zero (no nulls anywhere)
+    assert all(rows[(3, j)].frame_len == 0 and rows[(3, j)].frame_sum == 0
+               for j in range(4))
+
+
+def test_resize_media_grid_gather(spark):
+    from xml2arrow_spark.pipeline import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "abcd", "s", 4), (2, "", "s", 0)],
+        "doc_id bigint, text string, source string, n_chars int",
+    )
+    out = {
+        r.doc_id: r.resized
+        for r in multimodal.resize_media(
+            multimodal.attach_binary_payload(docs), out_w=2, out_h=2
+        ).collect()
+    }
+    assert out[1] == b"abcd"  # 4 bytes -> 2x2 identity gather
+    assert out[2] == bytes(4)  # empty payload -> zero cells
+    # injected decoder path (the real-decoder slot)
+    up = {
+        r.doc_id: r.resized
+        for r in multimodal.resize_media(
+            multimodal.attach_binary_payload(docs.filter("doc_id = 1")),
+            out_w=1, out_h=2,
+            decoder=lambda b: np.frombuffer(b, dtype=np.uint8)[::-1],
+        ).collect()
+    }
+    assert up[1] == b"db"  # decoder reverses to "dcba"; gather idx [0, 2]

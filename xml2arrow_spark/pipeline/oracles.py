@@ -606,6 +606,32 @@ FROM b
 """
 
 
+def multimodal_frames_sql(k: int = 4) -> str:
+    """Byte-exact twin of multimodal.sample_frames on ASCII payloads:
+    frame j of an n-byte payload is the 0-based window [j*n//k, (j+1)*n//k);
+    DuckDB's 1-based inclusive list slice makes that by[lo+1:hi]."""
+    frames = ", ".join(str(j) for j in range(k))
+    return f"""
+WITH b AS (
+  SELECT doc_id, CAST(length(text) AS INTEGER) AS n,
+         list_transform(range(1, length(text) + 1), i -> unicode(text[i])) AS by
+  FROM documents
+),
+g AS (
+  SELECT doc_id, fi.frame_idx,
+         (fi.frame_idx * n) // {k} AS lo,
+         ((fi.frame_idx + 1) * n) // {k} AS hi,
+         by
+  FROM b CROSS JOIN (SELECT unnest([{frames}]) AS frame_idx) fi
+)
+SELECT doc_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(hi - lo AS INTEGER) AS frame_len,
+       CAST(coalesce(list_sum(by[lo + 1:hi]), 0) AS BIGINT) AS frame_sum
+FROM g
+"""
+
+
 def multimodal_meta_sql() -> str:
     return """
 SELECT doc_id, 'text/plain' AS mime,
@@ -663,4 +689,5 @@ def all_oracles() -> dict[str, str]:
         "streaming_encode": tokenize_sql(),
         "multimodal_meta": multimodal_meta_sql(),
         "multimodal_features": multimodal_features_sql(),
+        "multimodal_frames": multimodal_frames_sql(),
     }
