@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Production corpus-prep entrypoint — the full training-data pipeline as a
+``spark-submit`` job:
+
+    spark-submit --py-files xml2arrow_spark.zip jobs/prep_job.py \
+        --input  <parquet dir of documents(doc_id,text,source,n_chars)> \
+        --output <encoded dataset dir> \
+        --sig-table <parquet dir for the MinHash signature table> \
+        [--incremental] [--max-cell M] [--n-tasks N]
+
+Stages (each an oracle-gated operator; see pipeline/prep.py):
+quality filter -> exact dedup -> LSH near-dup pairs (two-phase signature
+table at --sig-table, hot cells capped at --max-cell) -> connected-component
+resolution -> tokenize -> encode_dataset (resume-safe blocks + manifest).
+
+``--incremental`` treats --input as a NEW batch against an EXISTING
+signature table: near-dup pairs are generated with
+``lsh_near_dup_pairs_incremental`` (the historical corpus is never
+re-minhashed; its internal pairs are never re-reported), and new docs that
+resolve to an OLD canonical document are dropped.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# local runs (python jobs/prep_job.py) find the package next to jobs/;
+# cluster runs get it from --py-files
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--sig-table", required=True)
+    ap.add_argument("--incremental", action="store_true")
+    ap.add_argument("--max-cell", type=int, default=None)
+    ap.add_argument("--n-tasks", type=int, default=None)
+    ap.add_argument("--n-units", type=int, default=64)
+    ap.add_argument("--block-rows", type=int, default=65536)
+    args = ap.parse_args()
+
+    from xml2arrow_spark.env import recommended_spark_confs, set_kernel_malloc_env
+
+    set_kernel_malloc_env()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    builder = SparkSession.builder.appName("xml2arrow-prep")
+    for k, v in recommended_spark_confs().items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from xml2arrow_spark.manifest import CodecManifest
+    from xml2arrow_spark.operators.checkpoint import encode_dataset
+    from xml2arrow_spark.pipeline import dedup, textstats
+    from xml2arrow_spark.plans.selector import resolve_manifest
+    from xml2arrow_spark.sources.tokens import tokenize_documents
+
+    t0 = time.time()
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+
+    q = textstats.quality_filter(docs).select("doc_id")
+    qdocs = docs.join(q, "doc_id", "left_semi")
+    keep = qdocs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    exact_kept = qdocs.join(keep, "doc_id", "left_semi")
+
+    if args.incremental:
+        pairs = dedup.lsh_near_dup_pairs_incremental(
+            exact_kept, args.sig_table, max_cell=args.max_cell
+        )
+    else:
+        pairs = dedup.lsh_near_dup_pairs(
+            exact_kept, sig_path=args.sig_table, max_cell=args.max_cell
+        )
+    labels = dedup.resolve_near_dups(pairs)
+    drop = labels.filter(F.col("label") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    survivors = exact_kept.join(drop, "doc_id", "left_anti")
+
+    tok = tokenize_documents(survivors)
+    manifest = resolve_manifest(
+        tok, CodecManifest.auto_for(tok.schema, block_rows=args.block_rows)
+    )
+    metrics = encode_dataset(tok, args.output, manifest, n_units=args.n_units)
+    wall = time.time() - t0
+    metrics.update(
+        {
+            "docs_in": n_in,
+            "docs_out": metrics["rows"],
+            "wall_sec": round(wall, 2),
+            "incremental": bool(args.incremental),
+        }
+    )
+    print(json.dumps(metrics))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
