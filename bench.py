@@ -100,6 +100,10 @@ def main() -> None:
         """Run ``fn`` ``reps`` times (untimed ``setup`` before each rep);
         record the min wall — the fair engine number on a noisy VM — plus
         every rep in ``runs``. Returns the last rep's result."""
+        # reclaim the previous query's broadcast/codegen garbage before
+        # timing: measured 4-10x rep inflation on late queries when the
+        # JVM enters the measurement under memory pressure
+        spark.sparkContext._jvm.System.gc()
         result = None
         for _ in range(reps):
             if setup is not None:
