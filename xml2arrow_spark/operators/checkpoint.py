@@ -167,32 +167,63 @@ def encode_dataset(
     written = spark.read.parquet(os.path.join(path, "blocks")).join(
         F.broadcast(done), "unit_id", "left_anti"
     )
-    meta = written.groupBy("unit_id").agg(
+    meta_rows = written.groupBy("unit_id").agg(
         F.count("*").alias("n_blocks"),
         F.sum("n_rows").alias("n_rows"),
         F.sum("n_values").alias("n_values"),
         F.sum("in_bytes").alias("in_bytes"),
         F.sum("out_bytes").alias("out_bytes"),
         F.sum(F.xxhash64(F.col("block_id").cast("string"))).alias("checksum"),
-    )
-    meta.write.mode("append").parquet(os.path.join(path, "manifest"))
-    m = (
-        completed_units(spark, path)
-        .agg(
-            F.sum("n_rows").alias("rows"),
-            F.sum("n_values").alias("values"),
-            F.sum("in_bytes").alias("in_bytes"),
-            F.sum("out_bytes").alias("out_bytes"),
-            F.count("*").alias("units"),
+    ).collect()  # the distributed rollup; the rows themselves are KB-scale
+    if meta_rows:
+        # manifest append driver-side (see dataset.py: a Spark write job for
+        # n_units metadata rows cost 6x the encode it was bookkeeping for)
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        mdir = os.path.join(path, "manifest")
+        os.makedirs(mdir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pylist(
+                [r.asDict() for r in meta_rows],
+                schema=pa.schema(
+                    [
+                        pa.field("unit_id", pa.int32()),
+                        pa.field("n_blocks", pa.int64()),
+                        pa.field("n_rows", pa.int64()),
+                        pa.field("n_values", pa.int64()),
+                        pa.field("in_bytes", pa.int64()),
+                        pa.field("out_bytes", pa.int64()),
+                        pa.field("checksum", pa.int64()),
+                    ]
+                ),
+            ),
+            os.path.join(mdir, f"manifest-{uuid.uuid4().hex}.parquet"),
         )
-        .collect()[0]
-    )
+    # final rollup driver-side for the same reason
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+
+    try:
+        t = _pq.read_table(
+            os.path.join(path, "manifest"),
+            columns=["n_rows", "n_values", "in_bytes", "out_bytes"],
+        )
+    except Exception:
+        t = None
+
+    def s(col):
+        v = pc.sum(t.column(col)).as_py() if t is not None else 0
+        return int(v or 0)
+
     return {
-        "units": m["units"],
-        "rows": int(m["rows"] or 0),
-        "values": int(m["values"] or 0),
-        "in_bytes": int(m["in_bytes"] or 0),
-        "out_bytes": int(m["out_bytes"] or 0),
+        "units": t.num_rows if t is not None else 0,
+        "rows": s("n_rows"),
+        "values": s("n_values"),
+        "in_bytes": s("in_bytes"),
+        "out_bytes": s("out_bytes"),
     }
 
 
