@@ -446,6 +446,23 @@ def q_encode_typed_roundtrip(spark, sf_dir):
     return decode_table(encode_table(df, manifest), ddl)
 
 
+def q_encode_presort_roundtrip(spark, sf_dir):
+    """Presort RLE amplifier under the gate: rows are reordered WITHIN each
+    task (no shuffle) by the low-cardinality flag columns before blocking —
+    interleaved values become long runs — and decode returns them in the
+    permuted order. The driver's value hash is order-insensitive, so the
+    oracle is simply the raw projection: permutation must preserve the
+    multiset exactly."""
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+            "l_quantity"]
+    df = _lineitem(spark, sf_dir).select(*cols)
+    manifest = CodecManifest.auto_for(df.schema, block_rows=8192)
+    blocks = encode_table(df, manifest, presort=["l_returnflag", "l_linestatus"])
+    ddl = ("l_orderkey bigint, l_linenumber int, l_returnflag string, "
+           "l_linestatus string, l_quantity double")
+    return decode_table(blocks, ddl)
+
+
 def q_encode_wide_subset(spark, sf_dir):
     """Wide blocks layout + decode-side column pruning: encode six lineitem
     columns as per-column top-level triples, decode only THREE — on a
@@ -666,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_fused_roundtrip": q_encode_fused_roundtrip,
         "encode_wide_subset": q_encode_wide_subset,
         "encode_zonemap_scan": q_encode_zonemap_scan,
+        "encode_presort_roundtrip": q_encode_presort_roundtrip,
         "encode_float32_roundtrip": q_encode_float32_roundtrip,
         "encode_uint64_roundtrip": q_encode_uint64_roundtrip,
         "encode_dataset_resume": q_encode_dataset_resume,

@@ -36,3 +36,23 @@ def test_stream_encode_drains_source(spark, tmp_path):
     total = decode_table(spark.read.parquet(os.path.join(out, "blocks")), TOKENS_DDL).count()
     assert total == 2500
     df.unpersist()
+
+
+def test_stream_lineage_manifest(spark, tmp_path):
+    """Each micro-batch appends one lineage row; the rollup matches what was
+    actually encoded (the streaming twin of the batch sink's manifest)."""
+    from xml2arrow_spark.streaming.encode_stream import stream_metrics
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    df = tokens_dataframe(spark, 1000, variant="low_card", n_partitions=4)
+    df.write.parquet(src)
+    man = CodecManifest.auto_for(df.schema, block_rows=256)
+    run_stream_once(encode_stream(spark, src, out, man, TOKENS_DDL))
+    m = stream_metrics(out)
+    assert m["rows"] == 1000
+    assert m["epochs"] >= 1
+    assert m["blocks"] == spark.read.parquet(os.path.join(out, "blocks")).count()
+    # a second drain adds no lineage (no new source files)
+    run_stream_once(encode_stream(spark, src, out, man, TOKENS_DDL))
+    assert stream_metrics(out)["rows"] == 1000

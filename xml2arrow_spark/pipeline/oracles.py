@@ -527,6 +527,15 @@ FROM lineitem
 """
 
 
+def encode_presort_roundtrip_sql() -> str:
+    # the Spark side permutes rows in-task before encoding (RLE amplifier);
+    # the order-insensitive value hash pins the multiset against the raw rows
+    return """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity
+FROM lineitem
+"""
+
+
 def encode_float32_roundtrip_sql() -> str:
     # both engines: correctly-rounded double->float32 cast, then the exact
     # float32->double widening — bit parity by IEEE 754
@@ -680,6 +689,7 @@ def all_oracles() -> dict[str, str]:
         "encode_fused_roundtrip": encode_fused_roundtrip_sql(),
         "encode_wide_subset": encode_wide_subset_sql(),
         "encode_zonemap_scan": encode_zonemap_scan_sql(),
+        "encode_presort_roundtrip": encode_presort_roundtrip_sql(),
         "encode_float32_roundtrip": encode_float32_roundtrip_sql(),
         "encode_uint64_roundtrip": encode_uint64_roundtrip_sql(),
         # resume + streaming decode back to the SAME token projection the

@@ -22,7 +22,45 @@ from pyspark.sql import SparkSession
 from xml2arrow_spark.manifest import CodecManifest
 from xml2arrow_spark.operators.encode import encode_table
 
-__all__ = ["encode_stream", "run_stream_once"]
+__all__ = ["encode_stream", "run_stream_once", "stream_metrics"]
+
+
+def _append_batch_manifest(out_dir: str, epoch_id: int, rollup) -> None:
+    """Per-micro-batch lineage row, appended driver-side with pyarrow (a
+    Spark write job for one metadata row costs more than the micro-batch —
+    the dataset-sink ground rule, see operators/dataset.py)."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    mdir = os.path.join(out_dir, "manifest")
+    os.makedirs(mdir, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pylist(
+            [
+                {
+                    "epoch_id": int(epoch_id),
+                    "n_blocks": int(rollup["n_blocks"] or 0),
+                    "n_rows": int(rollup["n_rows"] or 0),
+                    "n_values": int(rollup["n_values"] or 0),
+                    "in_bytes": int(rollup["in_bytes"] or 0),
+                    "out_bytes": int(rollup["out_bytes"] or 0),
+                }
+            ],
+            schema=pa.schema(
+                [
+                    pa.field("epoch_id", pa.int64()),
+                    pa.field("n_blocks", pa.int64()),
+                    pa.field("n_rows", pa.int64()),
+                    pa.field("n_values", pa.int64()),
+                    pa.field("in_bytes", pa.int64()),
+                    pa.field("out_bytes", pa.int64()),
+                ]
+            ),
+        ),
+        os.path.join(mdir, f"epoch-{epoch_id:012d}-{uuid.uuid4().hex}.parquet"),
+    )
 
 
 def encode_stream(
@@ -33,7 +71,13 @@ def encode_stream(
     schema_ddl: str = "doc_id string, tokens array<int>, n_tok int, source string",
     checkpoint_dir: str | None = None,
 ):
-    """Build a (not-yet-started) streaming query: parquet dir -> encoded blocks."""
+    """Build a (not-yet-started) streaming query: parquet dir -> encoded
+    blocks + a per-micro-batch lineage manifest (epoch_id keyed — the
+    streaming twin of the batch sink's per-unit manifest; the streaming
+    checkpoint provides exactly-once on the blocks, the manifest provides
+    the same observability/rollup surface as batch runs)."""
+    from pyspark.sql import functions as F
+
     stream = (
         spark.readStream.schema(schema_ddl)
         .option("maxFilesPerTrigger", 8)
@@ -41,8 +85,19 @@ def encode_stream(
     )
 
     def handle_batch(batch_df, epoch_id: int):
-        blocks = encode_table(batch_df, manifest)
-        blocks.write.mode("append").parquet(os.path.join(out_dir, "blocks"))
+        blocks = encode_table(batch_df, manifest).persist()
+        try:
+            blocks.write.mode("append").parquet(os.path.join(out_dir, "blocks"))
+            rollup = blocks.agg(
+                F.count("*").alias("n_blocks"),
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("n_values").alias("n_values"),
+                F.sum("in_bytes").alias("in_bytes"),
+                F.sum("out_bytes").alias("out_bytes"),
+            ).collect()[0]
+        finally:
+            blocks.unpersist()
+        _append_batch_manifest(out_dir, epoch_id, rollup)
 
     writer = (
         stream.writeStream.foreachBatch(handle_batch)
@@ -53,6 +108,26 @@ def encode_stream(
         .trigger(availableNow=True)
     )
     return writer
+
+
+def stream_metrics(out_dir: str) -> dict:
+    """Rollup of the streaming lineage manifest (driver-side pyarrow)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(out_dir, "manifest"))
+
+    def s(col):
+        return int(pc.sum(t.column(col)).as_py() or 0)
+
+    return {
+        "epochs": t.num_rows,
+        "blocks": s("n_blocks"),
+        "rows": s("n_rows"),
+        "values": s("n_values"),
+        "in_bytes": s("in_bytes"),
+        "out_bytes": s("out_bytes"),
+    }
 
 
 def run_stream_once(writer) -> None:
