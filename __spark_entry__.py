@@ -122,9 +122,16 @@ def q_encode_metadata(spark, sf_dir):
 
 
 def q_codec_selection(spark, sf_dir):
-    """Resolved manifest as a table — rows-only."""
+    """Resolved manifest as a table, THROUGH the YAML round trip: the
+    resolved manifest is serialized to YAML and re-parsed before the rows
+    are emitted — so this gate row also proves the config source/sink
+    (S7/S8: ``Config::from_yaml_file``/``to_yaml_file`` analog,
+    /root/reference/src/config.rs:267-300) and the bounded-sample early
+    termination inside resolve_manifest (L1: one limit(sample_rows)
+    collect, never a full scan)."""
     tok = tokenize_documents(_docs(spark, sf_dir))
     manifest = resolve_manifest(tok, CodecManifest.auto_for(tok.schema))
+    manifest = CodecManifest.from_yaml(manifest.to_yaml())  # S7/S8 round trip
     rows = [(c, p.codec) for c, p in sorted(manifest.columns.items())]
     return spark.createDataFrame(rows, "column string, codec string")
 
