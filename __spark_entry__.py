@@ -334,6 +334,13 @@ def q_lsh_ann_topk(spark, sf_dir):
     )
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF ANN: integer-exact k-means codebook (distributed training whose
+    integer sums make the result order-independent, hence oracle-checkable)
+    + nprobe-nearest-cells probe + exact cosine."""
+    return similarity.ivf_ann_topk(_emb(spark, sf_dir), query_id=0, k=5)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Two-phase signature table (``sig_path``) + oracle-pinned geometry —
     see q_lsh_near_dup_pairs / q_lsh_ann_topk."""
@@ -680,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "unnest_orders": q_unnest_orders,
         "affine_transform": q_affine_transform,

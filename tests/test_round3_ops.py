@@ -479,3 +479,23 @@ def test_resize_media_grid_gather(spark):
         ).collect()
     }
     assert up[1] == b"db"  # decoder reverses to "dcba"; gather idx [0, 2]
+
+
+# -- IVF ANN ------------------------------------------------------------------
+
+
+def test_ivf_codebook_deterministic_and_recall(spark):
+    df = _emb_df(spark, n=64, dim=8)
+    c1 = similarity.ivf_train(df, n_cells=4, iters=2)
+    c2 = similarity.ivf_train(df, n_cells=4, iters=2)
+    assert c1 == c2  # integer-exact: training is bit-deterministic
+    assert len(c1) == 4 and all(len(c) == 8 for c in c1)
+    # a duplicate of the query vector quantizes identically -> same cell ->
+    # guaranteed candidate -> cosine 1.0 at the top
+    dup = df.filter("vec_id = 0").withColumn(
+        "vec_id", pytest.importorskip("pyspark.sql.functions").lit(999).cast("bigint")
+    )
+    out = similarity.ivf_ann_topk(
+        df.unionAll(dup), query_id=0, k=3, n_cells=4, iters=2
+    ).collect()
+    assert out[0].vec_id == 999 and abs(out[0].cosine - 1.0) < 1e-12

@@ -316,6 +316,68 @@ LIMIT {k}
 """
 
 
+def ivf_ann_topk_sql(query_id: int = 0, k: int = 5) -> str:
+    """Unrolled twin of similarity.ivf_train + ivf_ann_topk: the SAME
+    integer-exact k-means (floor(x*SCALE) quantization, (sqdist, cell)
+    tie-broken assignment, floor(sum/count) centroid update, empty cells
+    keep their centroid) as IVF_ITERS chained CTE rounds, then an
+    NPROBE-nearest-cells probe + exact cosine. Integer sums are
+    associative, so Spark's distributed training and this serial chain
+    produce bit-identical codebooks."""
+    K, ITERS, NPROBE = G.IVF_CELLS, G.IVF_ITERS, G.IVF_NPROBE
+    quant = G.ivf_quant_expr("embedding", D)
+
+    def assign_cte(name: str, cents: str) -> str:
+        dist = G.ivf_sqdist_expr("q.qv", "c.qv", D)
+        return f"""{name} AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT q.vec_id, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {dist}, c.cell) AS rn
+    FROM q CROSS JOIN {cents} c) WHERE rn = 1
+)"""
+
+    def update_cte(name: str, assigned: str, prev: str) -> str:
+        sums = ", ".join(
+            f"CAST(floor(CAST(SUM(qv[{i + 1}]) AS DOUBLE) / COUNT(*)) AS BIGINT)"
+            for i in range(EMB_DIM)
+        )
+        return f"""{name} AS (
+  SELECT p.cell, coalesce(u.qv, p.qv) AS qv
+  FROM {prev} p LEFT JOIN (
+    SELECT cell, [{sums}] AS qv FROM {assigned} GROUP BY cell) u USING (cell)
+)"""
+
+    ctes = [
+        f"q AS (SELECT vec_id, embedding, {quant} AS qv FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cell, qv FROM q WHERE vec_id < {K})",
+    ]
+    for it in range(ITERS):
+        ctes.append(assign_cte(f"a{it + 1}", f"c{it}"))
+        ctes.append(update_cte(f"c{it + 1}", f"a{it + 1}", f"c{it}"))
+    ctes.append(assign_cte("afinal", f"c{ITERS}"))
+    probe_dist = G.ivf_sqdist_expr("qq.qv", "c.qv", D)
+    ctes.append(
+        f"""probe AS (
+  SELECT cell FROM (
+    SELECT c.cell, row_number() OVER (ORDER BY {probe_dist}, c.cell) AS rn
+    FROM c{ITERS} c CROSS JOIN (SELECT qv FROM q WHERE vec_id = {query_id}) qq)
+  WHERE rn <= {NPROBE}
+)"""
+    )
+    cos = G.cosine_expr("q.embedding", "qe.embedding", D)
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT q.vec_id, {cos} AS cosine
+FROM q
+JOIN afinal USING (vec_id)
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {query_id}) qe
+WHERE afinal.cell IN (SELECT cell FROM probe) AND q.vec_id <> {query_id}
+ORDER BY cosine DESC, q.vec_id
+LIMIT {k}
+"""
+    )
+
+
 def embedding_near_dup_sql(threshold: float = 0.3) -> str:
     band_rows = "\n  UNION ALL ".join(
         f"SELECT vec_id, {b} AS band_pos, bk{b} AS band_key FROM bk"
@@ -679,6 +741,7 @@ def all_oracles() -> dict[str, str]:
         "doc_fingerprint": doc_fingerprint_sql(),
         "cosine_topk": cosine_topk_sql(),
         "lsh_ann_topk": lsh_ann_topk_sql(),
+        "ivf_ann_topk": ivf_ann_topk_sql(),
         "embedding_near_dup": embedding_near_dup_sql(),
         "unnest_orders": unnest_orders_sql(),
         "affine_transform": affine_transform_sql(),

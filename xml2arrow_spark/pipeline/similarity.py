@@ -34,6 +34,8 @@ __all__ = [
     "cosine_topk",
     "lsh_ann_topk",
     "embedding_near_dup",
+    "ivf_train",
+    "ivf_ann_topk",
 ]
 
 SPARK = "spark"
@@ -148,6 +150,118 @@ def lsh_ann_topk(
     return (
         cand.orderBy(F.desc("cosine"), F.asc(id_col))
         .select(id_col, "cosine")
+        .limit(k)
+    )
+
+
+def _ivf_cell_expr(cents: list[list[int]]) -> "F.Column":
+    """argmin over the centroid codebook: array_min of (sqdist, cell)
+    structs — lexicographic struct ordering gives the deterministic
+    (distance, cell-id) tie-break the oracle's row_number reproduces."""
+    entries = [
+        F.struct(
+            F.expr(G.ivf_sqdist_expr("qv", G.lit_arr(c, SPARK), SPARK)).alias("d"),
+            F.lit(j).alias("c"),
+        )
+        for j, c in enumerate(cents)
+    ]
+    return F.array_min(F.array(*entries)).getField("c")
+
+
+def ivf_train(
+    emb_df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = G.IVF_CELLS,
+    iters: int = G.IVF_ITERS,
+) -> list[list[int]]:
+    """Integer-exact k-means codebook over floor(x*IVF_SCALE) quantized
+    vectors — the IVF coarse quantizer.
+
+    Determinism is the design constraint (the DuckDB oracle must reproduce
+    the codebook bit-for-bit): initial centroids are the vectors with
+    ``id_col < n_cells``; each round assigns every vector to its
+    (sqdist, cell)-lexicographic-min centroid and recomputes centroids as
+    ``floor(sum_i / count)`` per dimension — INTEGER sums are associative,
+    so the distributed aggregation's order cannot change the result (a
+    float mean would). Cells that lose all members keep their previous
+    centroid. Each round is one narrow codegen assignment pass + one
+    groupBy aggregation collecting ``n_cells`` rows to the driver — the
+    codebook IS driver state, exactly how IVF training runs at scale
+    (train on the corpus, broadcast the tiny codebook)."""
+    import math
+
+    dim = _dim(emb_df, emb_col)
+    q = emb_df.select(
+        F.col(id_col).alias("vid"),
+        F.expr(G.ivf_quant_expr(emb_col, SPARK)).alias("qv"),
+    )
+    init = (
+        q.filter(F.col("vid") < n_cells).orderBy("vid").select("qv").collect()
+    )
+    cents = [list(map(int, r["qv"])) for r in init]
+    if len(cents) < n_cells:
+        raise ValueError(f"need at least {n_cells} vectors to seed the codebook")
+    for _ in range(iters):
+        assign = q.withColumn("cell", _ivf_cell_expr(cents))
+        rows = (
+            assign.groupBy("cell")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        updated = {
+            int(r["cell"]): [math.floor(int(r[f"s{i}"]) / int(r["n"])) for i in range(dim)]
+            for r in rows
+        }
+        cents = [updated.get(j, cents[j]) for j in range(n_cells)]
+    return cents
+
+
+def ivf_ann_topk(
+    emb_df: DataFrame,
+    query_id: int,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = G.IVF_CELLS,
+    iters: int = G.IVF_ITERS,
+    nprobe: int = G.IVF_NPROBE,
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine restricted to the ``nprobe``
+    cells whose centroids are nearest the query — the inverted-file scale
+    path (the brief's named alternative to the LSH-banded probe). On a
+    table clustered by ``cell`` each probe is a partition-pruned scan of
+    ~nprobe/n_cells of the corpus. Returns (vec_id, cosine)."""
+    import math
+
+    cents = ivf_train(emb_df, emb_col, id_col, n_cells, iters)
+    q = emb_df.select(
+        F.col(id_col).alias("vid"),
+        F.col(emb_col),
+        F.expr(G.ivf_quant_expr(emb_col, SPARK)).alias("qv"),
+    )
+    qrow = q.filter(F.col("vid") == query_id).select("qv").collect()[0]
+    qv = [int(x) for x in qrow["qv"]]
+    dists = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qv, c)), j)
+        for j, c in enumerate(cents)
+    )
+    probe_cells = [j for _, j in dists[:nprobe]]
+    assigned = q.withColumn("cell", _ivf_cell_expr(cents))
+    qv_df = emb_df.filter(F.col(id_col) == query_id).select(
+        F.col(emb_col).alias("qemb")
+    )
+    cand = (
+        assigned.filter(F.col("cell").isin(probe_cells) & (F.col("vid") != query_id))
+        .crossJoin(F.broadcast(qv_df))
+        .withColumn("cosine", F.expr(G.cosine_expr(emb_col, "qemb", SPARK)))
+    )
+    return (
+        cand.orderBy(F.desc("cosine"), F.asc("vid"))
+        .select(F.col("vid").alias(id_col), "cosine")
         .limit(k)
     )
 

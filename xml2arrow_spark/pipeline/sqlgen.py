@@ -284,6 +284,42 @@ def lsh_band_key_expr(emb: str, dim: int, band: int, rows: int, dialect: str) ->
     return "(" + " + ".join(parts) + ")"
 
 
+# -- IVF (inverted-file ANN): integer-exact k-means codebook ------------------
+# The scale path the brief names alongside LSH: a coarse quantizer assigns
+# every vector to one of IVF_CELLS centroid cells; a probe searches only the
+# NPROBE nearest cells. Everything is INTEGER arithmetic over
+# floor(x*IVF_SCALE) quantized vectors — sums are associative and
+# order-independent, so Spark's distributed training and DuckDB's unrolled
+# CTE chain produce bit-identical centroids (a float k-means mean() would
+# be order-dependent and could never pass the value-hash gate).
+
+IVF_CELLS = 8
+IVF_ITERS = 3
+IVF_SCALE = 1000
+IVF_NPROBE = 2
+
+
+def ivf_quant_expr(emb: str, dialect: str) -> str:
+    """Integer quantization: floor(x * IVF_SCALE) per element (floor is
+    unambiguous across engines; round's tie rules are not)."""
+    return transform(emb, "x", f"CAST(floor(x * {IVF_SCALE}) AS BIGINT)", dialect)
+
+
+def ivf_sqdist_expr(a: str, b: str, dialect: str) -> str:
+    """Integer squared L2 distance between two quantized vectors."""
+    _check(dialect)
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2]))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
 def rehash_expr(toks: str, dialect: str) -> str:
     """Per-token 32-bit multiplicative rehash array (simhash's input)."""
     return transform(toks, "t", f"((t * {_KNUTH}) % 4294967296)", dialect)
