@@ -43,6 +43,28 @@ from xml2arrow_spark.sources.tokens import tokenize_documents
 
 TOKENS_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
 
+_SCRATCH_ROOT = None
+
+
+def _scratch(prefix: str) -> str:
+    """Per-process scratch dir for gate queries (sig tables, staged
+    datasets, stream checkpoints), removed at interpreter exit — AFTER the
+    driver has collected every returned DataFrame, so the files the lazy
+    plans reference stay alive exactly as long as needed. Without this,
+    every gate run leaked its scratch into /tmp (r03 review)."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="xml2arrow_gate_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
 
 def _token_scalar_projection(tok: DataFrame) -> DataFrame:
     """Canonicalizable projection of a token table: the array column becomes
@@ -195,11 +217,9 @@ def q_lsh_near_dup_pairs(spark, sf_dir):
     both verify-side payload joins. Values are identical to the persist
     shape (tools/check_parity.py runs both)."""
     import os
-    import tempfile
 
-    sig_dir = tempfile.mkdtemp(prefix="gate_sigs_")
     return dedup.lsh_near_dup_pairs(
-        _docs(spark, sf_dir), sig_path=os.path.join(sig_dir, "sigs")
+        _docs(spark, sf_dir), sig_path=os.path.join(_scratch("sigs_"), "sigs")
     )
 
 
@@ -209,12 +229,12 @@ def q_corpus_prep(spark, sf_dir):
     proves the whole workflow plus codec bit-identity. The near-dup stage
     runs the two-phase signature table (the 100 TB shape)."""
     import os
-    import tempfile
 
     from xml2arrow_spark.pipeline.prep import corpus_prep
 
-    sig_dir = tempfile.mkdtemp(prefix="gate_prepsigs_")
-    return corpus_prep(_docs(spark, sf_dir), sig_path=os.path.join(sig_dir, "sigs"))
+    return corpus_prep(
+        _docs(spark, sf_dir), sig_path=os.path.join(_scratch("prepsigs_"), "sigs")
+    )
 
 
 def q_near_dup_resolve(spark, sf_dir):
@@ -222,11 +242,9 @@ def q_near_dup_resolve(spark, sf_dir):
     pairs (min-label propagation); canonical_id is the kept doc. Pair
     generation runs the two-phase signature table (the 100 TB shape)."""
     import os
-    import tempfile
 
-    sig_dir = tempfile.mkdtemp(prefix="gate_resolvesigs_")
     pairs = dedup.lsh_near_dup_pairs(
-        _docs(spark, sf_dir), sig_path=os.path.join(sig_dir, "sigs")
+        _docs(spark, sf_dir), sig_path=os.path.join(_scratch("resolvesigs_"), "sigs")
     )
     labels = dedup.resolve_near_dups(pairs)
     return labels.select(
@@ -242,12 +260,11 @@ def q_incremental_near_dup(spark, sf_dir):
     incremental contract: same pairs, without ever re-minhashing the old
     corpus or re-emitting its internal pairs."""
     import os
-    import tempfile
 
     docs = _docs(spark, sf_dir)
     old = docs.filter(F.col("doc_id") % 5 != 0)
     new = docs.filter(F.col("doc_id") % 5 == 0)
-    sig = os.path.join(tempfile.mkdtemp(prefix="gate_incsigs_"), "sigs")
+    sig = os.path.join(_scratch("incsigs_"), "sigs")
     # phase 1 (the 'old' run): writing the signature table happens eagerly
     # inside lsh_near_dup_pairs when sig_path is given
     dedup.lsh_near_dup_pairs(old, sig_path=sig)
@@ -260,14 +277,13 @@ def q_dataset_wide_subset(spark, sf_dir):
     decoded — the parquet scan reads only those columns' payload bytes.
     Oracle = the raw 2-column projection."""
     import os
-    import tempfile
 
     from xml2arrow_spark.operators.dataset import (
         decode_dataset,
         encode_parquet_dataset,
     )
 
-    base = tempfile.mkdtemp(prefix="gate_wds_")
+    base = _scratch("wds_")
     src = os.path.join(base, "src")
     out = os.path.join(base, "ds")
     _lineitem(spark, sf_dir).select(
@@ -345,16 +361,14 @@ def q_embedding_near_dup(spark, sf_dir):
     """Two-phase signature table (``sig_path``) + oracle-pinned geometry —
     see q_lsh_near_dup_pairs / q_lsh_ann_topk."""
     import os
-    import tempfile
 
     from xml2arrow_spark.pipeline.oracles import ANN_ROWS
 
-    sig_dir = tempfile.mkdtemp(prefix="gate_embsigs_")
     return similarity.embedding_near_dup(
         _emb(spark, sf_dir),
         threshold=0.3,
         n_rows=ANN_ROWS,
-        sig_path=os.path.join(sig_dir, "sigs"),
+        sig_path=os.path.join(_scratch("embsigs_"), "sigs"),
     )
 
 
@@ -580,7 +594,6 @@ def q_encode_dataset_resume(spark, sf_dir):
     Reference analog: parser-reuse/state-isolation round trips
     (/root/reference/tests/integration_tests.rs:176-269)."""
     import os
-    import tempfile
 
     from xml2arrow_spark.operators.checkpoint import (
         encode_dataset,
@@ -589,7 +602,7 @@ def q_encode_dataset_resume(spark, sf_dir):
 
     tok = tokenize_documents(_docs(spark, sf_dir))
     man = resolve_manifest(tok, CodecManifest.auto_for(tok.schema, block_rows=4096))
-    path = os.path.join(tempfile.mkdtemp(prefix="gate_ds_"), "ds")
+    path = os.path.join(_scratch("ds_"), "ds")
     n_units = 8
     encode_dataset(tok, path, man, n_units=n_units, only_units=[0, 1, 2, 3])
     encode_dataset(tok, path, man, n_units=n_units)  # resume: encodes 4..7
@@ -603,14 +616,13 @@ def q_streaming_encode(spark, sf_dir):
     micro-batches, then decoded back; the oracle is the raw token
     projection — streaming must be invisible to results."""
     import os
-    import tempfile
 
     from xml2arrow_spark.streaming.encode_stream import (
         encode_stream,
         run_stream_once,
     )
 
-    base = tempfile.mkdtemp(prefix="gate_stream_")
+    base = _scratch("stream_")
     src = os.path.join(base, "src")
     out = os.path.join(base, "out")
     tok = tokenize_documents(_docs(spark, sf_dir))

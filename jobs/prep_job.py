@@ -90,12 +90,38 @@ def main() -> int:
     manifest = resolve_manifest(
         tok, CodecManifest.auto_for(tok.schema, block_rows=args.block_rows)
     )
-    metrics = encode_dataset(tok, args.output, manifest, n_units=args.n_units)
+    # Incremental batches encode into their OWN dataset directory: the
+    # unit-resume manifest of a previous batch would otherwise mark every
+    # unit id complete and silently anti-join the new batch away. A batch
+    # dir is reused ONLY when its recorded input matches this run's
+    # (re-submitting a crashed batch resumes it; a new input always gets a
+    # fresh directory — unit-level resume is only meaningful within one
+    # input).
+    if args.incremental:
+        os.makedirs(args.output, exist_ok=True)
+        existing = sorted(
+            d for d in os.listdir(args.output) if d.startswith("batch-")
+        )
+        batch_dir = None
+        if existing:
+            last = os.path.join(args.output, existing[-1])
+            marker = os.path.join(last, ".batch_input")
+            if os.path.exists(marker) and open(marker).read() == args.input:
+                batch_dir = last  # same batch re-submitted: resume it
+        if batch_dir is None:
+            batch_dir = os.path.join(args.output, f"batch-{len(existing):06d}")
+            os.makedirs(batch_dir, exist_ok=True)
+            with open(os.path.join(batch_dir, ".batch_input"), "w") as f:
+                f.write(args.input)
+    else:
+        batch_dir = args.output
+    metrics = encode_dataset(tok, batch_dir, manifest, n_units=args.n_units)
     wall = time.time() - t0
     metrics.update(
         {
             "docs_in": n_in,
             "docs_out": metrics["rows"],
+            "batch_dir": batch_dir,
             "wall_sec": round(wall, 2),
             "incremental": bool(args.incremental),
         }

@@ -78,9 +78,13 @@ def completed_units(spark: SparkSession, path: str) -> DataFrame:
         )
 
 
-def _check_placement(path: str) -> None:
-    """Refuse to resume a dataset written under a different row->unit
-    placement function (see PLACEMENT_ID)."""
+def _check_placement(path: str, n_units: int, schema_ddl: str) -> None:
+    """Refuse to resume a dataset whose row->unit placement would differ
+    from this run's: the hash function identity (PLACEMENT_ID), the unit
+    COUNT (pmod modulus — a different n_units reassigns every row, so
+    completed-unit markers stop covering the same row sets), and the
+    encoded column set (mixed blocks schemas would surface as decode
+    errors on half the dataset)."""
     import yaml
 
     from xml2arrow_spark.errors import ManifestError
@@ -104,6 +108,30 @@ def _check_placement(path: str) -> None:
             f"would assign rows to different units (duplicated/missing "
             f"rows). Re-encode from scratch."
         )
+    prior_units = side.get("n_units")
+    if prior_units is not None and int(prior_units) != int(n_units):
+        raise ManifestError(
+            f"dataset at {path!r} was written with n_units={prior_units}; "
+            f"resuming with n_units={n_units} would reassign every row to "
+            f"a different unit (silent loss/duplication). Pass "
+            f"n_units={prior_units} or re-encode from scratch."
+        )
+    prior_ddl = side.get("schema_ddl")
+    if prior_ddl is not None and prior_ddl != schema_ddl:
+        raise ManifestError(
+            f"dataset at {path!r} was written with columns "
+            f"[{prior_ddl}]; this run encodes [{schema_ddl}] — resuming "
+            f"would mix incompatible block schemas"
+        )
+
+
+def _atomic_write_text(path: str, text: str) -> None:
+    """tmp + rename so a crash can never leave a torn file at the final
+    name (readers either see the old complete file or the new one)."""
+    tmp = path + ".inprogress"
+    with open(tmp, "w") as f:
+        f.write(text)
+    os.replace(tmp, path)
 
 
 def encode_dataset(
@@ -127,7 +155,12 @@ def encode_dataset(
     """
     spark = df.sparkSession
     manifest.validate(df.schema)
-    _check_placement(path)
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.select(
+            *manifest.encodable_columns(df.schema)
+        ).schema.fields
+    )
+    _check_placement(path, n_units, schema_ddl)
     units = plan_units(df, n_units, id_col)
     done = completed_units(spark, path).select("unit_id")
     # left-anti join against completed units; done is tiny -> broadcast
@@ -140,16 +173,12 @@ def encode_dataset(
     # placement tag next to its manifest rows, or the next run could not
     # verify unit placement and would refuse a legitimate resume.
     os.makedirs(path, exist_ok=True)
-    schema_ddl = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.select(
-            *manifest.encodable_columns(df.schema)
-        ).schema.fields
+    _atomic_write_text(
+        os.path.join(path, MANIFEST_SIDEVAR),
+        manifest.to_yaml()
+        + f"\nschema_ddl: '{schema_ddl}'\nplacement: {PLACEMENT_ID}\n"
+        + f"n_units: {int(n_units)}\n",
     )
-    with open(os.path.join(path, MANIFEST_SIDEVAR), "w") as f:
-        f.write(
-            manifest.to_yaml()
-            + f"\nschema_ddl: '{schema_ddl}'\nplacement: {PLACEMENT_ID}\n"
-        )
 
     # Exact unit placement: HashPartitioning on id_col computes
     # pmod(murmur3(id), n_units) — the very expression plan_units used for
@@ -185,6 +214,15 @@ def encode_dataset(
 
         mdir = os.path.join(path, "manifest")
         os.makedirs(mdir, exist_ok=True)
+        # tmp + rename: a driver crash mid-write must not leave a torn
+        # parquet at a discoverable name (completed_units would choke on
+        # the corrupt footer and mis-resume); .inprogress files are
+        # invisible to readers
+        name = f"manifest-{uuid.uuid4().hex}.parquet"
+        final = os.path.join(mdir, name)
+        tmp = os.path.join(mdir, f".{name}.inprogress")  # dot-prefix: both
+        # Spark and pyarrow directory listings skip hidden files, so a
+        # crashed leftover can never be read as a torn manifest
         pq.write_table(
             pa.Table.from_pylist(
                 [r.asDict() for r in meta_rows],
@@ -200,8 +238,9 @@ def encode_dataset(
                     ]
                 ),
             ),
-            os.path.join(mdir, f"manifest-{uuid.uuid4().hex}.parquet"),
+            tmp,
         )
+        os.replace(tmp, final)
     # final rollup driver-side for the same reason
     import pyarrow.compute as pc
     import pyarrow.parquet as _pq

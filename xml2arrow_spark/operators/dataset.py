@@ -138,27 +138,34 @@ def encode_parquet_dataset(
                 f"{side.get('placement')!r}; this engine uses "
                 f"{PLACEMENT_ID!r} — refusing to resume"
             )
-    elif _completed_units(spark, out_path):
-        raise ManifestError(
-            f"dataset at {out_path!r} has a manifest table but no "
-            f"{MANIFEST_SIDECAR} sidecar (pre-placement-tag layout); "
-            f"cannot verify unit placement — re-encode from scratch"
-        )
-    if os.path.exists(spath):
-        with open(spath) as f:
-            prior_layout = (yaml.safe_load(f.read()) or {}).get("layout", "nested")
+        prior_layout = side.get("layout", "nested")
         if prior_layout != layout:
             raise ManifestError(
                 f"dataset at {out_path!r} was written with layout "
                 f"{prior_layout!r}; resuming with {layout!r} would mix "
                 f"incompatible blocks schemas"
             )
-    with open(spath, "w") as f:
+        prior_ddl = side.get("schema_ddl")
+        if prior_ddl is not None and prior_ddl != schema_ddl:
+            raise ManifestError(
+                f"dataset at {out_path!r} was written with columns "
+                f"[{prior_ddl}]; this run encodes [{schema_ddl}] — "
+                f"resuming would mix incompatible block schemas"
+            )
+    elif _completed_units(spark, out_path):
+        raise ManifestError(
+            f"dataset at {out_path!r} has a manifest table but no "
+            f"{MANIFEST_SIDECAR} sidecar (pre-placement-tag layout); "
+            f"cannot verify unit placement — re-encode from scratch"
+        )
+    # tmp + rename: crash-safe sidecar (readers see old-complete or new)
+    with open(spath + ".inprogress", "w") as f:
         f.write(
             resolved.to_yaml()
             + f"\nschema_ddl: '{schema_ddl}'\nplacement: {PLACEMENT_ID}\n"
             + f"layout: {layout}\n"
         )
+    os.replace(spath + ".inprogress", spath)
 
     done = _completed_units(spark, out_path)
     tasks = plan_parquet_tasks(spark, in_path, n_tasks)
@@ -263,6 +270,7 @@ def encode_parquet_dataset(
 
         mdir = os.path.join(out_path, "manifest")
         os.makedirs(mdir, exist_ok=True)
+        mname = f"manifest-{uuid.uuid4().hex}.parquet"
         mtbl = pa.Table.from_pylist(
             [r.asDict() for r in meta],
             schema=pa.schema(
@@ -280,9 +288,11 @@ def encode_parquet_dataset(
         )
         import pyarrow.parquet as _pq
 
-        _pq.write_table(
-            mtbl, os.path.join(mdir, f"manifest-{uuid.uuid4().hex}.parquet")
-        )
+        # hidden tmp + rename: a crash mid-write can never leave a torn
+        # parquet at a name readers discover
+        mtmp = os.path.join(mdir, f".{mname}.inprogress")
+        _pq.write_table(mtbl, mtmp)
+        os.replace(mtmp, os.path.join(mdir, mname))
     return dataset_metrics(spark, out_path)
 
 
@@ -363,20 +373,61 @@ def compact_dataset(
         part_id = ctx.partitionId() if ctx is not None else 0
         for b in batches:
             path_lists = b.column(b.schema.get_field_index("path")).to_pylist()
-            group = [p for paths in path_lists for p in paths]
-            if not group:
-                continue
             out_file = os.path.join(blocks_dir, f"compact-{part_id:06d}.parquet")
-            # write to a sidecar name, rename once fully written: a re-run's
-            # out_file may itself be IN the group (previous compaction
-            # output), and opening it for write would truncate an input
-            tmp_file = out_file + ".inprogress"
-            schema = pq.read_schema(group[0])
+            # task-retry idempotence: a speculative/retried attempt may run
+            # AFTER the first attempt already merged and removed its inputs
+            # — tolerate vanished group files (their rows live in out_file)
+            group = [
+                p for paths in path_lists for p in paths
+                if os.path.exists(p) or p == out_file
+            ]
+            if not group:
+                if os.path.exists(out_file):
+                    yield pa.RecordBatch.from_pydict(
+                        {"out_file": [out_file], "n_src": [0],
+                         "nbytes": [os.path.getsize(out_file)]},
+                        schema=pa.schema(
+                            [pa.field("out_file", pa.string()),
+                             pa.field("n_src", pa.int32()),
+                             pa.field("nbytes", pa.int64())]
+                        ),
+                    )
+                continue
+            # A crash between the previous attempt's rename and its last
+            # os.remove leaves originals whose rows are ALREADY inside
+            # out_file; re-merging them would duplicate rows. The compact
+            # file's parquet metadata records every source basename it
+            # covers, so a re-run merges only genuinely-new inputs and
+            # still removes the covered leftovers.
+            covered: set[str] = set()
+            if os.path.exists(out_file):
+                md = pq.read_schema(out_file).metadata or {}
+                covered = {
+                    s for s in (md.get(b"compact_sources", b"").decode()).split(",") if s
+                }
+            to_merge = [
+                p for p in group
+                if p == out_file or os.path.basename(p) not in covered
+            ]
+            # write to a hidden sidecar name, rename once fully written: a
+            # re-run's out_file may itself be IN the group (previous
+            # compaction output), and opening it for write would truncate
+            # an input; the dot-prefix keeps crashed leftovers invisible
+            # to directory listings
+            tmp_file = os.path.join(
+                blocks_dir, f".compact-{part_id:06d}.parquet.inprogress"
+            )
+            sources = covered | {
+                os.path.basename(p) for p in to_merge if p != out_file
+            }
+            schema = pq.read_schema(to_merge[0]).with_metadata(
+                {b"compact_sources": ",".join(sorted(sources)).encode()}
+            )
             nbytes = 0
             with pq.ParquetWriter(tmp_file, schema, compression="none") as w:
-                for fpath in group:
+                for fpath in to_merge:
                     t = pq.read_table(fpath)
-                    w.write_table(t)
+                    w.write_table(t.replace_schema_metadata(schema.metadata))
                     nbytes += t.nbytes
             os.replace(tmp_file, out_file)
             for fpath in group:  # originals removed AFTER the merged write

@@ -245,7 +245,16 @@ def lsh_near_dup_pairs_incremental(
         *[f"band{b}" for b in range(G.MINHASH_BANDS)],
     )
     new_sigs.write.mode("append").parquet(sig_path)
-    all_sigs = spark.read.parquet(sig_path).filter(F.size("dtoks") > 0)
+    # dropDuplicates on the id: the append above is AT-LEAST-ONCE (a batch
+    # re-run after a crash appends its signatures a second time, and a
+    # doubled signature row would multiply every pair it touches through
+    # the payload re-joins). Signatures are deterministic per doc, so
+    # keeping any one row per id restores exactly-once semantics.
+    all_sigs = (
+        spark.read.parquet(sig_path)
+        .dropDuplicates(["doc"])
+        .filter(F.size("dtoks") > 0)
+    )
     new_ids = new_docs.select(F.col(id_col).alias("doc")).distinct()
 
     def band_rows(src):

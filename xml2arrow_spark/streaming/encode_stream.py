@@ -28,14 +28,17 @@ __all__ = ["encode_stream", "run_stream_once", "stream_metrics"]
 def _append_batch_manifest(out_dir: str, epoch_id: int, rollup) -> None:
     """Per-micro-batch lineage row, appended driver-side with pyarrow (a
     Spark write job for one metadata row costs more than the micro-batch —
-    the dataset-sink ground rule, see operators/dataset.py)."""
-    import uuid
-
+    the dataset-sink ground rule, see operators/dataset.py). The file name
+    is EPOCH-DETERMINISTIC and written via hidden-tmp + rename: an epoch
+    replay overwrites its own row instead of double-counting, and a crash
+    mid-write can never leave a torn file at a discoverable name."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     mdir = os.path.join(out_dir, "manifest")
     os.makedirs(mdir, exist_ok=True)
+    name = f"epoch-{epoch_id:012d}.parquet"
+    tmp = os.path.join(mdir, f".{name}.inprogress")
     pq.write_table(
         pa.Table.from_pylist(
             [
@@ -59,8 +62,9 @@ def _append_batch_manifest(out_dir: str, epoch_id: int, rollup) -> None:
                 ]
             ),
         ),
-        os.path.join(mdir, f"epoch-{epoch_id:012d}-{uuid.uuid4().hex}.parquet"),
+        tmp,
     )
+    os.replace(tmp, os.path.join(mdir, name))
 
 
 def encode_stream(
@@ -73,9 +77,16 @@ def encode_stream(
 ):
     """Build a (not-yet-started) streaming query: parquet dir -> encoded
     blocks + a per-micro-batch lineage manifest (epoch_id keyed — the
-    streaming twin of the batch sink's per-unit manifest; the streaming
-    checkpoint provides exactly-once on the blocks, the manifest provides
-    the same observability/rollup surface as batch runs)."""
+    streaming twin of the batch sink's per-unit manifest).
+
+    Effectively-once discipline: ``foreachBatch`` is AT-LEAST-ONCE — a
+    crash between the sink write and the checkpoint commit replays the
+    epoch — so both sinks are made IDEMPOTENT PER EPOCH instead of
+    pretending otherwise: blocks land in ``blocks/epoch=<id>/`` with
+    mode("overwrite") (a replay rewrites the same directory, never
+    appends duplicates) and the lineage row's file name is
+    epoch-deterministic (a replay overwrites its own row). Readers see
+    ``epoch`` as a partition column; decode ignores it."""
     from pyspark.sql import functions as F
 
     stream = (
@@ -87,7 +98,9 @@ def encode_stream(
     def handle_batch(batch_df, epoch_id: int):
         blocks = encode_table(batch_df, manifest).persist()
         try:
-            blocks.write.mode("append").parquet(os.path.join(out_dir, "blocks"))
+            blocks.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "blocks", f"epoch={int(epoch_id)}")
+            )
             rollup = blocks.agg(
                 F.count("*").alias("n_blocks"),
                 F.sum("n_rows").alias("n_rows"),
