@@ -205,64 +205,46 @@ def encode_dataset(
         F.sum(F.xxhash64(F.col("block_id").cast("string"))).alias("checksum"),
     ).collect()  # the distributed rollup; the rows themselves are KB-scale
     if meta_rows:
-        # manifest append driver-side (see dataset.py: a Spark write job for
-        # n_units metadata rows cost 6x the encode it was bookkeeping for)
+        # manifest append driver-side + atomic — see operators/metadata.py
         import uuid
 
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
-        mdir = os.path.join(path, "manifest")
-        os.makedirs(mdir, exist_ok=True)
-        # tmp + rename: a driver crash mid-write must not leave a torn
-        # parquet at a discoverable name (completed_units would choke on
-        # the corrupt footer and mis-resume); .inprogress files are
-        # invisible to readers
-        name = f"manifest-{uuid.uuid4().hex}.parquet"
-        final = os.path.join(mdir, name)
-        tmp = os.path.join(mdir, f".{name}.inprogress")  # dot-prefix: both
-        # Spark and pyarrow directory listings skip hidden files, so a
-        # crashed leftover can never be read as a torn manifest
-        pq.write_table(
-            pa.Table.from_pylist(
-                [r.asDict() for r in meta_rows],
-                schema=pa.schema(
-                    [
-                        pa.field("unit_id", pa.int32()),
-                        pa.field("n_blocks", pa.int64()),
-                        pa.field("n_rows", pa.int64()),
-                        pa.field("n_values", pa.int64()),
-                        pa.field("in_bytes", pa.int64()),
-                        pa.field("out_bytes", pa.int64()),
-                        pa.field("checksum", pa.int64()),
-                    ]
-                ),
+        from xml2arrow_spark.operators.metadata import append_rows
+
+        append_rows(
+            os.path.join(path, "manifest"),
+            [r.asDict() for r in meta_rows],
+            pa.schema(
+                [
+                    pa.field("unit_id", pa.int32()),
+                    pa.field("n_blocks", pa.int64()),
+                    pa.field("n_rows", pa.int64()),
+                    pa.field("n_values", pa.int64()),
+                    pa.field("in_bytes", pa.int64()),
+                    pa.field("out_bytes", pa.int64()),
+                    pa.field("checksum", pa.int64()),
+                ]
             ),
-            tmp,
+            f"manifest-{uuid.uuid4().hex}.parquet",
         )
-        os.replace(tmp, final)
     # final rollup driver-side for the same reason
-    import pyarrow.compute as pc
-    import pyarrow.parquet as _pq
+    from xml2arrow_spark.operators.metadata import sum_columns
 
     try:
-        t = _pq.read_table(
+        n, sums = sum_columns(
             os.path.join(path, "manifest"),
-            columns=["n_rows", "n_values", "in_bytes", "out_bytes"],
+            ["n_rows", "n_values", "in_bytes", "out_bytes"],
         )
     except Exception:
-        t = None
-
-    def s(col):
-        v = pc.sum(t.column(col)).as_py() if t is not None else 0
-        return int(v or 0)
+        n, sums = 0, {c: 0 for c in ("n_rows", "n_values", "in_bytes", "out_bytes")}
 
     return {
-        "units": t.num_rows if t is not None else 0,
-        "rows": s("n_rows"),
-        "values": s("n_values"),
-        "in_bytes": s("in_bytes"),
-        "out_bytes": s("out_bytes"),
+        "units": n,
+        "rows": sums["n_rows"],
+        "values": sums["n_values"],
+        "in_bytes": sums["in_bytes"],
+        "out_bytes": sums["out_bytes"],
     }
 
 

@@ -261,19 +261,16 @@ def encode_parquet_dataset(
     meta = tasks.mapInArrow(encode_sink, METADATA_DDL).collect()
     if meta:
         # manifest append AFTER the encode action completed (commit
-        # ordering). Written DRIVER-SIDE with pyarrow: the manifest is
-        # KB-scale metadata, and round-tripping 128 rows through
-        # createDataFrame().write.parquet() costs a full Spark job + python
-        # conversion pass (measured 4.6 s — 6x the entire encode+sink job).
-        # A uniquely-named file into the directory IS parquet append.
+        # ordering); driver-side atomic append — see operators/metadata.py
+        # for why this never goes through a Spark write job
         import uuid
 
-        mdir = os.path.join(out_path, "manifest")
-        os.makedirs(mdir, exist_ok=True)
-        mname = f"manifest-{uuid.uuid4().hex}.parquet"
-        mtbl = pa.Table.from_pylist(
+        from xml2arrow_spark.operators.metadata import append_rows
+
+        append_rows(
+            os.path.join(out_path, "manifest"),
             [r.asDict() for r in meta],
-            schema=pa.schema(
+            pa.schema(
                 [
                     pa.field("unit_id", pa.int32()),
                     pa.field("src_file", pa.string()),
@@ -285,39 +282,27 @@ def encode_parquet_dataset(
                     pa.field("out_bytes", pa.int64()),
                 ]
             ),
+            f"manifest-{uuid.uuid4().hex}.parquet",
         )
-        import pyarrow.parquet as _pq
-
-        # hidden tmp + rename: a crash mid-write can never leave a torn
-        # parquet at a name readers discover
-        mtmp = os.path.join(mdir, f".{mname}.inprogress")
-        _pq.write_table(mtbl, mtmp)
-        os.replace(mtmp, os.path.join(mdir, mname))
     return dataset_metrics(spark, out_path)
 
 
 def dataset_metrics(spark, out_path: str) -> dict:
     """Rollup of the metadata table: units/rows/values/bytes encoded so far.
     Driver-side pyarrow read — the manifest is metadata, not data."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+    from xml2arrow_spark.operators.metadata import sum_columns
 
-    t = pq.read_table(
+    n, sums = sum_columns(
         os.path.join(out_path, "manifest"),
-        columns=["n_blocks", "n_rows", "n_values", "in_bytes", "out_bytes"],
+        ["n_blocks", "n_rows", "n_values", "in_bytes", "out_bytes"],
     )
-
-    def s(col):
-        v = pc.sum(t.column(col)).as_py()
-        return int(v or 0)
-
     return {
-        "units": t.num_rows,
-        "blocks": s("n_blocks"),
-        "rows": s("n_rows"),
-        "values": s("n_values"),
-        "in_bytes": s("in_bytes"),
-        "out_bytes": s("out_bytes"),
+        "units": n,
+        "blocks": sums["n_blocks"],
+        "rows": sums["n_rows"],
+        "values": sums["n_values"],
+        "in_bytes": sums["in_bytes"],
+        "out_bytes": sums["out_bytes"],
     }
 
 

@@ -33,6 +33,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_signatures_fast",
     "minhash_signatures_parquet",
+    "band_union",
     "lsh_near_dup_pairs",
     "lsh_near_dup_pairs_incremental",
     "resolve_near_dups",
@@ -66,6 +67,40 @@ def _with_dshingles(docs: DataFrame, text_col: str) -> DataFrame:
     return out.withColumn(
         "dtoks", F.expr(G.adistinct(G.shingles_expr("_toks", SPARK), SPARK))
     ).drop("_toks")
+
+
+def band_union(
+    src: DataFrame,
+    id_col: str,
+    band_cols: list[str],
+    id_alias: str = "doc",
+    max_cell: int | None = None,
+) -> DataFrame:
+    """One (id, band_pos, band_key) row per band via a UNION of projections
+    — the shared candidate-generation relation for every banded-LSH
+    operator. Deliberate shape (all measured, see lsh_near_dup_pairs):
+    NOT posexplode (InferFiltersFromGenerate inlines the signature tree
+    into the scans), band_key coalesced non-nullable (isnotnull inference
+    has the same effect), and NO payload column (it would ride the union
+    on both self-join sides — re-join it once per side after pair dedup).
+    ``max_cell`` drops degenerate cells (> max_cell members) via a narrow
+    count-agg + left-semi join — the hot-cell skew valve."""
+    out = None
+    for b, col in enumerate(band_cols):
+        part = src.select(
+            F.col(id_col).alias(id_alias),
+            F.lit(b).alias("band_pos"),
+            F.coalesce(F.col(col), F.lit(-1)).alias("band_key"),
+        )
+        out = part if out is None else out.unionAll(part)
+    if max_cell is not None:
+        small = (
+            out.groupBy("band_pos", "band_key")
+            .agg(F.count("*").alias("_cell_n"))
+            .filter(F.col("_cell_n") <= max_cell)
+        )
+        out = out.join(small, ["band_pos", "band_key"], "left_semi")
+    return out
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -167,21 +202,10 @@ def lsh_near_dup_pairs(
     #   the join makes InferFiltersFromConstraints emit isnotnull(band_key)
     #   per branch, again pushing the inlined tree into the scans — and the
     #   per-branch filters also defeat ReusedExchange.
-    exploded = None
-    for b in range(G.MINHASH_BANDS):
-        part = sigs.select(
-            "doc",
-            F.lit(b).alias("band_pos"),
-            F.coalesce(F.col(f"band{b}"), F.lit(-1)).alias("band_key"),
-        )
-        exploded = part if exploded is None else exploded.unionAll(part)
-    if max_cell is not None:
-        small = (
-            exploded.groupBy("band_pos", "band_key")
-            .agg(F.count("*").alias("_cell_n"))
-            .filter(F.col("_cell_n") <= max_cell)
-        )
-        exploded = exploded.join(small, ["band_pos", "band_key"], "left_semi")
+    exploded = band_union(
+        sigs, "doc", [f"band{b}" for b in range(G.MINHASH_BANDS)],
+        max_cell=max_cell,
+    )
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(
@@ -257,25 +281,10 @@ def lsh_near_dup_pairs_incremental(
     )
     new_ids = new_docs.select(F.col(id_col).alias("doc")).distinct()
 
-    def band_rows(src):
-        out = None
-        for b in range(G.MINHASH_BANDS):
-            part = src.select(
-                "doc",
-                F.lit(b).alias("band_pos"),
-                F.coalesce(F.col(f"band{b}"), F.lit(-1)).alias("band_key"),
-            )
-            out = part if out is None else out.unionAll(part)
-        return out
-
-    all_bands = band_rows(all_sigs)
-    if max_cell is not None:
-        small = (
-            all_bands.groupBy("band_pos", "band_key")
-            .agg(F.count("*").alias("_cell_n"))
-            .filter(F.col("_cell_n") <= max_cell)
-        )
-        all_bands = all_bands.join(small, ["band_pos", "band_key"], "left_semi")
+    all_bands = band_union(
+        all_sigs, "doc", [f"band{b}" for b in range(G.MINHASH_BANDS)],
+        max_cell=max_cell,
+    )
     # probe side = new rows only (left-semi keeps the band relation narrow)
     new_bands = all_bands.join(new_ids, "doc", "left_semi")
     a, b = new_bands.alias("a"), all_bands.alias("b")

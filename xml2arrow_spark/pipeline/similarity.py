@@ -314,21 +314,9 @@ def embedding_near_dup(
     else:
         banded = banded_cols.persist()
         cache_handle = banded
-    exploded = None
-    for b, kk in enumerate(keys):
-        part = banded.select(
-            F.col(id_col).alias("vid"),
-            F.lit(b).alias("band_pos"),
-            F.coalesce(F.col(kk), F.lit(-1)).alias("band_key"),
-        )
-        exploded = part if exploded is None else exploded.unionAll(part)
-    if max_cell is not None:
-        small = (
-            exploded.groupBy("band_pos", "band_key")
-            .agg(F.count("*").alias("_cell_n"))
-            .filter(F.col("_cell_n") <= max_cell)
-        )
-        exploded = exploded.join(small, ["band_pos", "band_key"], "left_semi")
+    from xml2arrow_spark.pipeline.dedup import band_union
+
+    exploded = band_union(banded, id_col, keys, id_alias="vid", max_cell=max_cell)
     a, b_ = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(

@@ -33,38 +33,33 @@ def _append_batch_manifest(out_dir: str, epoch_id: int, rollup) -> None:
     replay overwrites its own row instead of double-counting, and a crash
     mid-write can never leave a torn file at a discoverable name."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    mdir = os.path.join(out_dir, "manifest")
-    os.makedirs(mdir, exist_ok=True)
-    name = f"epoch-{epoch_id:012d}.parquet"
-    tmp = os.path.join(mdir, f".{name}.inprogress")
-    pq.write_table(
-        pa.Table.from_pylist(
+    from xml2arrow_spark.operators.metadata import append_rows
+
+    append_rows(
+        os.path.join(out_dir, "manifest"),
+        [
+            {
+                "epoch_id": int(epoch_id),
+                "n_blocks": int(rollup["n_blocks"] or 0),
+                "n_rows": int(rollup["n_rows"] or 0),
+                "n_values": int(rollup["n_values"] or 0),
+                "in_bytes": int(rollup["in_bytes"] or 0),
+                "out_bytes": int(rollup["out_bytes"] or 0),
+            }
+        ],
+        pa.schema(
             [
-                {
-                    "epoch_id": int(epoch_id),
-                    "n_blocks": int(rollup["n_blocks"] or 0),
-                    "n_rows": int(rollup["n_rows"] or 0),
-                    "n_values": int(rollup["n_values"] or 0),
-                    "in_bytes": int(rollup["in_bytes"] or 0),
-                    "out_bytes": int(rollup["out_bytes"] or 0),
-                }
-            ],
-            schema=pa.schema(
-                [
-                    pa.field("epoch_id", pa.int64()),
-                    pa.field("n_blocks", pa.int64()),
-                    pa.field("n_rows", pa.int64()),
-                    pa.field("n_values", pa.int64()),
-                    pa.field("in_bytes", pa.int64()),
-                    pa.field("out_bytes", pa.int64()),
-                ]
-            ),
+                pa.field("epoch_id", pa.int64()),
+                pa.field("n_blocks", pa.int64()),
+                pa.field("n_rows", pa.int64()),
+                pa.field("n_values", pa.int64()),
+                pa.field("in_bytes", pa.int64()),
+                pa.field("out_bytes", pa.int64()),
+            ]
         ),
-        tmp,
+        f"epoch-{epoch_id:012d}.parquet",  # deterministic: replay overwrites
     )
-    os.replace(tmp, os.path.join(mdir, name))
 
 
 def encode_stream(
@@ -125,21 +120,19 @@ def encode_stream(
 
 def stream_metrics(out_dir: str) -> dict:
     """Rollup of the streaming lineage manifest (driver-side pyarrow)."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+    from xml2arrow_spark.operators.metadata import sum_columns
 
-    t = pq.read_table(os.path.join(out_dir, "manifest"))
-
-    def s(col):
-        return int(pc.sum(t.column(col)).as_py() or 0)
-
+    n, sums = sum_columns(
+        os.path.join(out_dir, "manifest"),
+        ["n_blocks", "n_rows", "n_values", "in_bytes", "out_bytes"],
+    )
     return {
-        "epochs": t.num_rows,
-        "blocks": s("n_blocks"),
-        "rows": s("n_rows"),
-        "values": s("n_values"),
-        "in_bytes": s("in_bytes"),
-        "out_bytes": s("out_bytes"),
+        "epochs": n,
+        "blocks": sums["n_blocks"],
+        "rows": sums["n_rows"],
+        "values": sums["n_values"],
+        "in_bytes": sums["in_bytes"],
+        "out_bytes": sums["out_bytes"],
     }
 
 
