@@ -188,9 +188,22 @@ def encode_dataset(
     # see sources/files.py).
     todo = todo.repartition(n_units, id_col)
     blocks = encode_table(todo, manifest, unit_col="unit_id")
-    blocks.write.mode("append").partitionBy("unit_id").parquet(
-        os.path.join(path, "blocks")
-    )
+    # Dynamic partition overwrite: each written unit REPLACES its
+    # blocks/unit_id=<u> partition instead of appending into it. This closes
+    # the one real crash window of the append sink: a run that died between
+    # the blocks job commit and the driver-side manifest append left a
+    # unit's blocks on disk unmanifested; the next run's left-anti resume
+    # re-encoded that unit and mode("append") laid down a SECOND copy of
+    # every block row (doubled decode, doubled rollup counts). With
+    # overwrite-dynamic the replay replaces the orphaned partition — the
+    # row-level twin of the file-level sink's deterministic per-unit
+    # filenames (operators/dataset.py encode_sink). Units already in the
+    # manifest are not in `todo`, so their partitions are never touched.
+    # Crash-replay coverage: tests/test_checkpoint.py::test_crash_between_
+    # blocks_write_and_manifest_append.
+    blocks.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("unit_id").parquet(os.path.join(path, "blocks"))
     # Lineage rollup from what was just written: parquet column pruning keeps
     # this scan metadata-light (payload bytes in `cols` are never read).
     written = spark.read.parquet(os.path.join(path, "blocks")).join(

@@ -322,28 +322,79 @@ def compact_dataset(
     originals removed). Unit lineage in the manifest table is unchanged —
     resume keys on unit_id, not file names.
 
-    Crash-window honesty: a local filesystem has no atomic multi-file
-    commit, so a crash BEFORE the rename loses nothing (the .inprogress
-    file is ignored; re-run re-merges), but a crash BETWEEN the rename and
-    the last original's removal leaves those originals' rows duplicated
-    (present in both the merged file and the leftovers). Production runs
-    on a catalog should wrap replace+remove in the table commit — Iceberg's
-    rewrite_data_files is exactly this operation with a real snapshot swap.
+    Rerun / crash / speculation safety (each scenario pinned in
+    tests/test_dataset.py):
+
+    - **Generation-unique output names** ``compact-g{gen:04d}-{part:06d}``:
+      a re-compaction (shrinking target_files, periodic maintenance) takes
+      PREVIOUS compact outputs as inputs, and with a fixed naming scheme
+      LPT binning could hand old ``compact-j`` to group *i* while task *j*
+      concurrently replaces that very path — duplicating or dropping task
+      *j*'s rows. A fresh generation number per run makes every output name
+      disjoint from every input name, so no task can ever read or remove
+      another task's in-flight output.
+    - **Transitive coverage metadata + driver sweep**: each compact file's
+      footer records every source basename whose rows it contains —
+      including sources inherited from compact inputs. A crash between the
+      rename and the last original's removal leaves leftovers whose rows
+      already live in the compact file; the next call deletes them
+      DRIVER-SIDE before planning (covered basenames are metadata, and the
+      covering file may land in a different task's group than its
+      leftovers, so a task-local check cannot see them).
+    - **Attempt-unique tmp names + carried-forward output**: concurrent
+      speculative attempts never share a tmp path; an attempt that finds
+      its out_file already renamed (an earlier attempt finished) carries
+      those rows forward and merges only inputs the coverage set lacks, so
+      retries converge on the same content. ``os.remove`` tolerates ENOENT
+      (the other attempt already removed it).
+
+    The coverage log also lands in ``<path>/compact_log`` (driver-side
+    append, one row per output file per run) so unit->file lineage survives
+    without parsing parquet footers — the pre-catalog stand-in for an
+    Iceberg rewrite_data_files snapshot.
 
     Returns {files_before, files_after, bytes}."""
-    from pyspark.sql import functions as F
+    import re
+
+    import pyarrow.parquet as pq
 
     from xml2arrow_spark.sources.files import plan_parquet_tasks
 
     blocks_dir = os.path.join(out_path, "blocks")
-    before = [
-        os.path.join(blocks_dir, f)
-        for f in sorted(os.listdir(blocks_dir))
-        if f.endswith(".parquet")
-    ]
+
+    def _listing() -> list[str]:
+        return [
+            os.path.join(blocks_dir, f)
+            for f in sorted(os.listdir(blocks_dir))
+            if f.endswith(".parquet")
+        ]
+
+    def _coverage(path: str) -> set[str]:
+        md = pq.read_schema(path).metadata or {}
+        return {s for s in md.get(b"compact_sources", b"").decode().split(",") if s}
+
+    # Driver-side sweep: remove leftovers already covered by a compact file
+    # (crash window of a PREVIOUS run: rename committed, removes didn't).
+    listing = _listing()
+    covered_all: set[str] = set()
+    for p in listing:
+        if os.path.basename(p).startswith("compact-"):
+            covered_all |= _coverage(p)
+    for p in listing:
+        if os.path.basename(p) in covered_all:
+            os.remove(p)
+
+    before = _listing()
     if len(before) <= target_files:
         total = sum(os.path.getsize(f) for f in before)
         return {"files_before": len(before), "files_after": len(before), "bytes": total}
+    gens = [
+        int(m.group(1))
+        for p in before
+        for m in [re.match(r"compact-g(\d+)-", os.path.basename(p))]
+        if m
+    ]
+    gen = (max(gens) + 1) if gens else 0
     tasks = plan_parquet_tasks(spark, blocks_dir, n_tasks=target_files)
 
     def merge(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -356,55 +407,48 @@ def compact_dataset(
         limit_arrow_threads(1)
         ctx = TaskContext.get()
         part_id = ctx.partitionId() if ctx is not None else 0
+        attempt = ctx.attemptNumber() if ctx is not None else 0
+        out_schema = pa.schema(
+            [
+                pa.field("out_file", pa.string()),
+                pa.field("n_src", pa.int32()),
+                pa.field("nbytes", pa.int64()),
+                pa.field("sources", pa.string()),
+            ]
+        )
         for b in batches:
             path_lists = b.column(b.schema.get_field_index("path")).to_pylist()
-            out_file = os.path.join(blocks_dir, f"compact-{part_id:06d}.parquet")
-            # task-retry idempotence: a speculative/retried attempt may run
-            # AFTER the first attempt already merged and removed its inputs
-            # — tolerate vanished group files (their rows live in out_file)
-            group = [
-                p for paths in path_lists for p in paths
-                if os.path.exists(p) or p == out_file
-            ]
-            if not group:
-                if os.path.exists(out_file):
-                    yield pa.RecordBatch.from_pydict(
-                        {"out_file": [out_file], "n_src": [0],
-                         "nbytes": [os.path.getsize(out_file)]},
-                        schema=pa.schema(
-                            [pa.field("out_file", pa.string()),
-                             pa.field("n_src", pa.int32()),
-                             pa.field("nbytes", pa.int64())]
-                        ),
-                    )
-                continue
-            # A crash between the previous attempt's rename and its last
-            # os.remove leaves originals whose rows are ALREADY inside
-            # out_file; re-merging them would duplicate rows. The compact
-            # file's parquet metadata records every source basename it
-            # covers, so a re-run merges only genuinely-new inputs and
-            # still removes the covered leftovers.
-            covered: set[str] = set()
-            if os.path.exists(out_file):
-                md = pq.read_schema(out_file).metadata or {}
-                covered = {
-                    s for s in (md.get(b"compact_sources", b"").decode()).split(",") if s
-                }
-            to_merge = [
-                p for p in group
-                if p == out_file or os.path.basename(p) not in covered
-            ]
-            # write to a hidden sidecar name, rename once fully written: a
-            # re-run's out_file may itself be IN the group (previous
-            # compaction output), and opening it for write would truncate
-            # an input; the dot-prefix keeps crashed leftovers invisible
-            # to directory listings
-            tmp_file = os.path.join(
-                blocks_dir, f".compact-{part_id:06d}.parquet.inprogress"
+            out_file = os.path.join(
+                blocks_dir, f"compact-g{gen:04d}-{part_id:06d}.parquet"
             )
-            sources = covered | {
-                os.path.basename(p) for p in to_merge if p != out_file
-            }
+            # gen is fresh, so out_file is never among the inputs; a group
+            # file can only vanish if an earlier attempt of THIS task
+            # already merged and removed it (rows live in out_file).
+            group = [p for paths in path_lists for p in paths if os.path.exists(p)]
+            covered: set[str] = set()
+            if os.path.exists(out_file):  # earlier attempt finished the rename
+                covered = _coverage(out_file)
+            to_merge = (
+                [out_file] if covered else []
+            ) + [p for p in group if os.path.basename(p) not in covered]
+            if not to_merge:
+                continue
+            # transitive coverage: inputs that are themselves compact files
+            # contribute the basenames THEY cover, so a crash leftover from
+            # any earlier generation stays detectable by the driver sweep
+            sources = set(covered)
+            for p in to_merge:
+                if p == out_file:
+                    continue
+                sources.add(os.path.basename(p))
+                if os.path.basename(p).startswith("compact-"):
+                    sources |= _coverage(p)
+            # attempt-unique tmp: concurrent speculative attempts never
+            # clobber each other's in-flight writes; rename commits once
+            tmp_file = os.path.join(
+                blocks_dir,
+                f".compact-g{gen:04d}-{part_id:06d}-a{attempt}.parquet.inprogress",
+            )
             schema = pq.read_schema(to_merge[0]).with_metadata(
                 {b"compact_sources": ",".join(sorted(sources)).encode()}
             )
@@ -416,27 +460,45 @@ def compact_dataset(
                     nbytes += t.nbytes
             os.replace(tmp_file, out_file)
             for fpath in group:  # originals removed AFTER the merged write
-                if fpath != out_file:
+                try:
                     os.remove(fpath)
+                except FileNotFoundError:
+                    pass  # a concurrent attempt already removed it
             yield pa.RecordBatch.from_pydict(
-                {"out_file": [out_file], "n_src": [len(group)], "nbytes": [nbytes]},
-                schema=pa.schema(
-                    [
-                        pa.field("out_file", pa.string()),
-                        pa.field("n_src", pa.int32()),
-                        pa.field("nbytes", pa.int64()),
-                    ]
-                ),
+                {
+                    "out_file": [out_file],
+                    "n_src": [len(group)],
+                    "nbytes": [nbytes],
+                    "sources": [",".join(sorted(sources))],
+                },
+                schema=out_schema,
             )
 
-    merged = tasks.mapInArrow(merge, "out_file string, n_src int, nbytes long")
-    stats = merged.agg(
-        F.count("*").alias("nf"), F.sum("n_src").alias("ns"), F.sum("nbytes").alias("nb")
-    ).collect()[0]
+    merged = tasks.mapInArrow(
+        merge, "out_file string, n_src int, nbytes long, sources string"
+    )
+    rows = merged.collect()  # KB-scale metadata rows, never payload
+    if rows:
+        from xml2arrow_spark.operators.metadata import append_rows
+
+        append_rows(
+            os.path.join(out_path, "compact_log"),
+            [{"gen": gen, **r.asDict()} for r in rows],
+            pa.schema(
+                [
+                    pa.field("gen", pa.int32()),
+                    pa.field("out_file", pa.string()),
+                    pa.field("n_src", pa.int32()),
+                    pa.field("nbytes", pa.int64()),
+                    pa.field("sources", pa.string()),
+                ]
+            ),
+            f"compact-g{gen:04d}.parquet",
+        )
     return {
-        "files_before": int(stats["ns"] or 0),
-        "files_after": int(stats["nf"] or 0),
-        "bytes": int(stats["nb"] or 0),
+        "files_before": int(sum(r["n_src"] for r in rows)),
+        "files_after": len(rows),
+        "bytes": int(sum(r["nbytes"] for r in rows)),
     }
 
 
