@@ -117,6 +117,16 @@ def main() -> int:
         batch_dir = args.output
     metrics = encode_dataset(tok, batch_dir, manifest, n_units=args.n_units)
     wall = time.time() - t0
+    # --max-cell is never a silent cap: report how many band cells (and
+    # band rows) the skew valve dropped from candidate generation
+    if getattr(pairs, "_drop_metrics", None) is not None:
+        d = pairs._drop_metrics.collect()[0]
+        metrics.update(
+            {
+                "n_cells_dropped": int(d["n_cells_dropped"]),
+                "n_band_rows_dropped": int(d["n_rows_dropped"]),
+            }
+        )
     metrics.update(
         {
             "docs_in": n_in,

@@ -88,3 +88,171 @@ def test_compact_crash_leftover_swept(spark, tmp_path):
     shutil.copy(keep_copy, victim)
     compact_dataset(spark, out, target_files=1)
     assert decode_dataset(spark, out).count() == n_rows
+
+
+# -- partitioned signature store (VERDICT r03 #4, ADVICE latest-wins) ----------
+
+
+BOILER = "the quick brown fox jumps over the lazy dog again and again today"
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "s", len(t)) for i, t in rows],
+        "doc_id bigint, text string, source string, n_chars int",
+    )
+
+
+def test_stored_band_union_partition_pruned(spark, tmp_path):
+    from xml2arrow_spark.pipeline import dedup
+    from xml2arrow_spark.pipeline import sqlgen as G
+
+    docs = _docs_df(spark, [(i, f"{BOILER} variant {i}") for i in range(20)])
+    sig = str(tmp_path / "sigs")
+    dedup.lsh_near_dup_pairs(docs, sig_path=sig).collect()
+    union = dedup.stored_band_union(spark, sig, G.MINHASH_BANDS)
+    plan = union._jdf.queryExecution().executedPlan().toString()
+    # every branch's parquet scan carries a band_pos partition filter —
+    # the probe reads 1/n_bands of the band rows, not the full table
+    assert plan.count("PartitionFilters") >= G.MINHASH_BANDS
+    assert "(band_pos" in plan
+    # and the stored union equals the derived one exactly
+    derived = dedup.band_union(
+        dedup.minhash_signatures(docs).select(
+            F.col("doc_id").alias("doc"),
+            *[f"band{b}" for b in range(G.MINHASH_BANDS)],
+        ),
+        "doc",
+        [f"band{b}" for b in range(G.MINHASH_BANDS)],
+    )
+    assert union.exceptAll(derived).count() == 0
+    assert derived.exceptAll(union).count() == 0
+
+
+def test_incremental_revision_latest_wins(spark, tmp_path):
+    """A doc re-ingested with DIFFERENT content gets a defined winner: the
+    latest batch. Its old signature and old band keys stop producing
+    candidates; new docs match only the revised content."""
+    from xml2arrow_spark.pipeline import dedup
+
+    sig = str(tmp_path / "sigs")
+    t_old = BOILER + " one two three four five six seven eight nine ten"
+    t_new = "completely different content about spark partition pruning at scale"
+    dedup.lsh_near_dup_pairs(
+        _docs_df(spark, [(1, t_old), (3, "unrelated words entirely " * 4)]),
+        sig_path=sig,
+    ).collect()
+    # batch 1: doc 2 duplicates doc 1's content -> pair (1,2)
+    p1 = dedup.lsh_near_dup_pairs_incremental(
+        _docs_df(spark, [(2, t_old)]), sig
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in p1} == {(1, 2)}
+    # batch 2: doc 2 REVISED to new content -> no pair with doc 1 anymore
+    p2 = dedup.lsh_near_dup_pairs_incremental(
+        _docs_df(spark, [(2, t_new)]), sig
+    ).collect()
+    assert p2 == []
+    # batch 3: doc 5 matches doc 2's REVISED content only
+    p3 = dedup.lsh_near_dup_pairs_incremental(
+        _docs_df(spark, [(5, t_new)]), sig
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in p3} == {(2, 5)}
+    # and doc 5 against the OLD content of doc 2 must NOT pair
+    p4 = dedup.lsh_near_dup_pairs_incremental(
+        _docs_df(spark, [(6, t_old)]), sig
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in p4} == {(1, 6)}  # not (2, 6)
+
+
+def test_max_cell_drop_telemetry(spark, tmp_path):
+    """The skew valve is never silent: a boilerplate clique larger than
+    max_cell reports exactly its dropped cells and band rows."""
+    from xml2arrow_spark.pipeline import dedup
+    from xml2arrow_spark.pipeline import sqlgen as G
+
+    clique = _docs_df(spark, [(i, BOILER) for i in range(10)])
+    # persist path
+    pairs = dedup.lsh_near_dup_pairs(clique, max_cell=5)
+    assert pairs.count() == 0  # every cell capped away
+    d = pairs._drop_metrics.collect()[0]
+    assert d["n_cells_dropped"] == G.MINHASH_BANDS  # one 10-doc cell per band
+    assert d["n_rows_dropped"] == G.MINHASH_BANDS * 10
+    pairs._sig_cache.unpersist()
+    # stored two-phase path reports the same
+    pairs2 = dedup.lsh_near_dup_pairs(
+        clique, sig_path=str(tmp_path / "sigs"), max_cell=5
+    )
+    assert pairs2.count() == 0
+    d2 = pairs2._drop_metrics.collect()[0]
+    assert (d2["n_cells_dropped"], d2["n_rows_dropped"]) == (
+        G.MINHASH_BANDS, G.MINHASH_BANDS * 10,
+    )
+    # uncapped run keeps the clique pairs and reports no drops
+    pairs3 = dedup.lsh_near_dup_pairs(clique)
+    assert pairs3.count() == 45  # C(10,2)
+    assert pairs3._drop_metrics is None
+    pairs3._sig_cache.unpersist()
+
+
+# -- vectorized IVF assignment (VERDICT r03 #2) --------------------------------
+
+
+def test_ivf_assign_fast_matches_sql_spec(spark, sf_dir):
+    """Element-exact pin of the numpy assignment twin against the
+    _ivf_cell_expr SQL spec on the real float32 embeddings table — the
+    fast_text.py pattern (SQL = oracle spec, numpy = runtime)."""
+    from xml2arrow_spark.pipeline import similarity
+    from xml2arrow_spark.pipeline.similarity import _ivf_cell_expr
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents = similarity.ivf_train(emb, use_fast=False)
+    sql_assign = (
+        emb.selectExpr(
+            "vec_id AS vid",
+            similarity.G.ivf_quant_expr("embedding", "spark") + " AS qv",
+        )
+        .withColumn("cell", _ivf_cell_expr(cents))
+        .select("vid", "qv", "cell")
+    )
+    fast_assign = similarity.ivf_assign_fast(emb, cents).withColumnRenamed(
+        "vec_id", "vid"
+    )
+    assert fast_assign.exceptAll(sql_assign).count() == 0
+    assert sql_assign.exceptAll(fast_assign).count() == 0
+
+
+def test_ivf_assign_fast_tiebreak_and_train_parity(spark):
+    """Ties go to the SMALLEST cell id in both paths, and fast-path
+    training reproduces the SQL-path codebook bit-for-bit (float64
+    embeddings branch)."""
+    from xml2arrow_spark.pipeline import similarity
+
+    # vec 8 sits exactly between centroids seeded by vecs 0 and 1
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [2.0, 0.0]),
+        (2, [0.1, 0.1]),
+        (3, [1.9, -0.1]),
+        (4, [0.2, -0.2]),
+        (5, [2.2, 0.2]),
+        (6, [-0.3, 0.1]),
+        (7, [1.7, 0.3]),
+        (8, [1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    c_sql = similarity.ivf_train(emb, n_cells=2, iters=2, use_fast=False)
+    c_fast = similarity.ivf_train(emb, n_cells=2, iters=2, use_fast=True)
+    assert c_sql == c_fast
+    fast = {
+        r.vec_id: r.cell
+        for r in similarity.ivf_assign_fast(emb, c_sql).collect()
+    }
+    sql = {
+        r.vec_id: r.cell
+        for r in emb.selectExpr(
+            "vec_id", similarity.G.ivf_quant_expr("embedding", "spark") + " AS qv"
+        )
+        .withColumn("cell", similarity._ivf_cell_expr(c_sql))
+        .collect()
+    }
+    assert fast == sql

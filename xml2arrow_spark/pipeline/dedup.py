@@ -23,7 +23,9 @@ templates shared with the DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from xml2arrow_spark.pipeline import sqlgen as G
 
@@ -34,6 +36,10 @@ __all__ = [
     "minhash_signatures_fast",
     "minhash_signatures_parquet",
     "band_union",
+    "write_signatures",
+    "read_signatures",
+    "stored_band_union",
+    "next_batch_id",
     "lsh_near_dup_pairs",
     "lsh_near_dup_pairs_incremental",
     "resolve_near_dups",
@@ -44,6 +50,173 @@ __all__ = [
 ]
 
 SPARK = "spark"
+
+# Two-phase signature store layout under ``sig_path``:
+#   <sig_path>/sigs/                 (id, payload..., band cols, batch_id)
+#   <sig_path>/bands/band_pos=<b>/   (sid, band_key, batch_id)
+# The bands table is the band union PRE-MATERIALIZED and PARTITIONED BY
+# band_pos, so each band branch of a probe is a partition-pruned scan of
+# 1/n_bands of the rows instead of a full-table re-read (VERDICT r03 #4) —
+# pinned by tests/test_round4_ops.py. ``batch_id`` is the increment epoch:
+# monotone per append, it defines the deterministic LATEST-WINS rule when
+# the same id is ever re-ingested with different content (ADVICE r03).
+SIGS_SUBDIR = "sigs"
+BANDS_SUBDIR = "bands"
+
+
+def next_batch_id(sig_path: str) -> int:
+    """Next increment epoch: 1 + max(batch_id) over the stored sigs table,
+    read DRIVER-SIDE from parquet row-group statistics (footers only — no
+    Spark job, no data pages; the repo-wide KB-scale-metadata ground rule)."""
+    import pyarrow.parquet as pq
+
+    sdir = os.path.join(sig_path, SIGS_SUBDIR)
+    try:
+        files = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
+    except FileNotFoundError:
+        return 0
+    best = -1
+    for f in files:
+        pf = pq.ParquetFile(os.path.join(sdir, f))
+        for rg in range(pf.metadata.num_row_groups):
+            g = pf.metadata.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema != "batch_id":
+                    continue
+                st = col.statistics
+                if st is not None and st.has_min_max:
+                    best = max(best, int(st.max))
+                else:  # stats missing: fall back to reading the int column
+                    tbl = pq.read_table(
+                        os.path.join(sdir, f), columns=["batch_id"]
+                    )
+                    mx = tbl.column("batch_id")
+                    if len(mx):
+                        import pyarrow.compute as pc
+
+                        best = max(best, int(pc.max(mx).as_py()))
+                break
+    return best + 1
+
+
+def write_signatures(
+    sig_df: DataFrame,
+    sig_path: str,
+    id_col: str,
+    band_cols: list[str],
+    batch_id: int,
+    mode: str = "overwrite",
+    band_row_filter=None,
+) -> None:
+    """Phase-1 write of the two-phase signature store: the full signature
+    rows land in ``sigs/``; the exploded (sid, band_key) rows — derived
+    from the WRITTEN parquet, so the signature expressions never recompute
+    — land in ``bands/`` partitioned by band_pos. ``band_row_filter``
+    drops rows that can never produce candidates (e.g. shingle-less docs)
+    from the bands table only; their signature rows are kept."""
+    spark = sig_df.sparkSession
+    sig_df.withColumn("batch_id", F.lit(int(batch_id))).write.mode(mode).parquet(
+        os.path.join(sig_path, SIGS_SUBDIR)
+    )
+    stored = spark.read.parquet(os.path.join(sig_path, SIGS_SUBDIR)).filter(
+        F.col("batch_id") == int(batch_id)
+    )
+    if band_row_filter is not None:
+        stored = stored.filter(band_row_filter)
+    bands = None
+    for b, col in enumerate(band_cols):
+        part = stored.select(
+            F.col(id_col).alias("sid"),
+            F.coalesce(F.col(col), F.lit(-1)).alias("band_key"),
+            F.col("batch_id"),
+            F.lit(b).alias("band_pos"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    bands.write.mode(mode).partitionBy("band_pos").parquet(
+        os.path.join(sig_path, BANDS_SUBDIR)
+    )
+
+
+def _latest_wins(df: DataFrame, id_cols: list[str], tiebreak) -> DataFrame:
+    """Deterministic winner per id across increment epochs: max batch_id
+    wins (latest content); within one epoch (an at-least-once replay, or a
+    batch that pathologically carries one id twice) ``tiebreak`` — a
+    content-derived column — makes the pick deterministic rather than
+    whichever task finished first (ADVICE r03 on re-ingested ids)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*id_cols).orderBy(F.desc("batch_id"), tiebreak)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def read_signatures(
+    spark: SparkSession, sig_path: str, id_col: str, dedupe: bool = False
+) -> DataFrame:
+    """Stored signature rows. ``dedupe=True`` applies the latest-wins rule
+    (needed after appends; a fresh single-batch table is unique by
+    construction and skips the window shuffle)."""
+    sigs = spark.read.parquet(os.path.join(sig_path, SIGS_SUBDIR))
+    if dedupe:
+        band_like = [c for c in sigs.columns if c not in (id_col, "batch_id")]
+        sigs = _latest_wins(sigs, [id_col], F.xxhash64(*band_like))
+    return sigs.drop("batch_id")
+
+
+def _cap_cells(out: DataFrame, max_cell: int | None) -> DataFrame:
+    """Hot-cell skew valve + telemetry: drop band cells with more than
+    ``max_cell`` members (narrow count-agg + left-semi). The DROPPED side
+    is surfaced, not silent: the returned frame carries a lazy
+    ``_drop_metrics`` one-row DataFrame (n_cells_dropped, n_rows_dropped)
+    callers collect after consuming the pairs (VERDICT r03 #5 — no silent
+    caps; jobs/prep_job.py logs it)."""
+    if max_cell is None:
+        out._drop_metrics = None
+        return out
+    cells = out.groupBy("band_pos", "band_key").agg(F.count("*").alias("_cell_n"))
+    small = cells.filter(F.col("_cell_n") <= max_cell)
+    capped = out.join(small, ["band_pos", "band_key"], "left_semi")
+    capped._drop_metrics = (
+        cells.filter(F.col("_cell_n") > max_cell).agg(
+            F.count("*").alias("n_cells_dropped"),
+            F.coalesce(F.sum("_cell_n"), F.lit(0)).alias("n_rows_dropped"),
+        )
+    )
+    return capped
+
+
+def stored_band_union(
+    spark: SparkSession,
+    sig_path: str,
+    n_bands: int,
+    id_alias: str = "doc",
+    dedupe: bool = False,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """The band-union relation read from the PARTITIONED bands table: each
+    branch filters one band_pos value, which parquet partition pruning
+    turns into a scan of only that partition's files (plan-pinned in
+    tests/test_round4_ops.py) — a probe touches 1/n_bands of the band rows
+    per branch instead of re-reading the whole signature table."""
+    out = None
+    for b in range(n_bands):
+        branch = (
+            spark.read.parquet(os.path.join(sig_path, BANDS_SUBDIR))
+            .filter(F.col("band_pos") == b)  # partition-pruned scan
+        )
+        if dedupe:
+            branch = _latest_wins(branch, ["sid"], F.col("band_key"))
+        branch = branch.select(
+            F.col("sid").alias(id_alias),
+            F.col("band_pos").cast("int").alias("band_pos"),
+            "band_key",
+        )
+        out = branch if out is None else out.unionAll(branch)
+    return _cap_cells(out, max_cell)
 
 
 def _dtoks(text_col: str) -> str:
@@ -84,7 +257,8 @@ def band_union(
     has the same effect), and NO payload column (it would ride the union
     on both self-join sides — re-join it once per side after pair dedup).
     ``max_cell`` drops degenerate cells (> max_cell members) via a narrow
-    count-agg + left-semi join — the hot-cell skew valve."""
+    count-agg + left-semi join — the hot-cell skew valve; the dropped
+    counts surface on the result's ``_drop_metrics`` handle."""
     out = None
     for b, col in enumerate(band_cols):
         part = src.select(
@@ -93,14 +267,7 @@ def band_union(
             F.coalesce(F.col(col), F.lit(-1)).alias("band_key"),
         )
         out = part if out is None else out.unionAll(part)
-    if max_cell is not None:
-        small = (
-            out.groupBy("band_pos", "band_key")
-            .agg(F.count("*").alias("_cell_n"))
-            .filter(F.col("_cell_n") <= max_cell)
-        )
-        out = out.join(small, ["band_pos", "band_key"], "left_semi")
-    return out
+    return _cap_cells(out, max_cell)
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -178,16 +345,29 @@ def lsh_near_dup_pairs(
         F.col(id_col).alias("doc"), "dtoks",
         *[f"band{b}" for b in range(G.MINHASH_BANDS)],
     )
+    spark = docs.sparkSession
     if sig_path is not None:
-        sig_cols.write.mode("overwrite").parquet(sig_path)
-        sigs = docs.sparkSession.read.parquet(sig_path)
+        # batch 0 of the store; the bands table (partitioned by band_pos)
+        # is derived from the WRITTEN sigs, so minhash computes once.
+        # Shingle-less docs (< 3 words) can never near-dup — excluded from
+        # the bands table at write time (their NULL keys never join in the
+        # oracle either).
+        write_signatures(
+            sig_cols, sig_path, "doc",
+            [f"band{b}" for b in range(G.MINHASH_BANDS)],
+            batch_id=0, mode="overwrite",
+            band_row_filter=F.size("dtoks") > 0,
+        )
+        sigs = read_signatures(spark, sig_path, "doc").filter(
+            F.size("dtoks") > 0
+        )
         cache_handle = None
     else:
         sigs = sig_cols.persist()
         cache_handle = sigs
-    # Docs with no shingles (< 3 words) can never near-dup: drop them before
-    # banding, mirroring the oracle where their NULL band keys never join.
-    sigs = sigs.filter(F.size("dtoks") > 0)
+        # Docs with no shingles can never near-dup: drop them before
+        # banding. The filter sits ABOVE the cache (see block comment).
+        sigs = sigs.filter(F.size("dtoks") > 0)
     # One row per (doc, band) via UNION of projections — ID AND KEY ONLY.
     # The shingle payload (``dtoks``) does NOT ride the band union: with 4
     # bands × 2 join sides it would cross the exchange ~8× — the dominant
@@ -202,10 +382,16 @@ def lsh_near_dup_pairs(
     #   the join makes InferFiltersFromConstraints emit isnotnull(band_key)
     #   per branch, again pushing the inlined tree into the scans — and the
     #   per-branch filters also defeat ReusedExchange.
-    exploded = band_union(
-        sigs, "doc", [f"band{b}" for b in range(G.MINHASH_BANDS)],
-        max_cell=max_cell,
-    )
+    if sig_path is not None:
+        # each band branch is a partition-pruned scan of bands/band_pos=<b>
+        exploded = stored_band_union(
+            spark, sig_path, G.MINHASH_BANDS, id_alias="doc", max_cell=max_cell
+        )
+    else:
+        exploded = band_union(
+            sigs, "doc", [f"band{b}" for b in range(G.MINHASH_BANDS)],
+            max_cell=max_cell,
+        )
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(
@@ -232,8 +418,10 @@ def lsh_near_dup_pairs(
         F.col("inter_size") * 1000 >= threshold_milli * F.col("union_size")
     ).select("doc_a", "doc_b", "inter_size", "union_size")
     # expose the cache so callers can unpersist() after the consuming action
-    # (a long-lived session otherwise accumulates cached relations)
+    # (a long-lived session otherwise accumulates cached relations), and the
+    # max_cell drop telemetry (collect AFTER consuming the pairs)
     out._sig_cache = cache_handle
+    out._drop_metrics = exploded._drop_metrics
     return out
 
 
@@ -268,22 +456,28 @@ def lsh_near_dup_pairs_incremental(
         F.col(id_col).alias("doc"), "dtoks",
         *[f"band{b}" for b in range(G.MINHASH_BANDS)],
     )
-    new_sigs.write.mode("append").parquet(sig_path)
-    # dropDuplicates on the id: the append above is AT-LEAST-ONCE (a batch
-    # re-run after a crash appends its signatures a second time, and a
-    # doubled signature row would multiply every pair it touches through
-    # the payload re-joins). Signatures are deterministic per doc, so
-    # keeping any one row per id restores exactly-once semantics.
-    all_sigs = (
-        spark.read.parquet(sig_path)
-        .dropDuplicates(["doc"])
-        .filter(F.size("dtoks") > 0)
+    # Append as the next increment epoch. The append is AT-LEAST-ONCE (a
+    # crashed batch re-run appends again under a fresh batch_id); the
+    # latest-wins read rule below restores exactly-once semantics AND gives
+    # re-ingested ids with REVISED content a defined winner — max batch_id,
+    # i.e. the latest version — instead of an arbitrary dropDuplicates pick
+    # (ADVICE r03). Stale bands of an overwritten doc are likewise excluded
+    # per branch, so candidates come only from the current content's keys.
+    write_signatures(
+        new_sigs, sig_path, "doc",
+        [f"band{b}" for b in range(G.MINHASH_BANDS)],
+        batch_id=next_batch_id(sig_path), mode="append",
+        band_row_filter=F.size("dtoks") > 0,
+    )
+    all_sigs = read_signatures(spark, sig_path, "doc", dedupe=True).filter(
+        F.size("dtoks") > 0
     )
     new_ids = new_docs.select(F.col(id_col).alias("doc")).distinct()
 
-    all_bands = band_union(
-        all_sigs, "doc", [f"band{b}" for b in range(G.MINHASH_BANDS)],
-        max_cell=max_cell,
+    # partition-pruned probe: each band branch reads bands/band_pos=<b>
+    all_bands = stored_band_union(
+        spark, sig_path, G.MINHASH_BANDS, id_alias="doc",
+        dedupe=True, max_cell=max_cell,
     )
     # probe side = new rows only (left-semi keeps the band relation narrow)
     new_bands = all_bands.join(new_ids, "doc", "left_semi")
@@ -310,9 +504,11 @@ def lsh_near_dup_pairs_incremental(
     verified = cand.withColumn("inter_size", inter).withColumn(
         "union_size", F.expr("size(ta) + size(tb)") - F.col("inter_size")
     )
-    return verified.filter(
+    out = verified.filter(
         F.col("inter_size") * 1000 >= threshold_milli * F.col("union_size")
     ).select("doc_a", "doc_b", "inter_size", "union_size")
+    out._drop_metrics = all_bands._drop_metrics
+    return out
 
 
 def resolve_near_dups(

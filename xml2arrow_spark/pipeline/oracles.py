@@ -337,8 +337,14 @@ def ivf_ann_topk_sql(query_id: int = 0, k: int = 5) -> str:
 )"""
 
     def update_cte(name: str, assigned: str, prev: str) -> str:
+        # EXACT integer floor division, matching Python's ``s // n`` in
+        # similarity.ivf_train: DuckDB's ``//`` truncates toward zero and
+        # a float division rounds the sum to double first (off-by-one once
+        # a coordinate sum exceeds 2^53 — ADVICE r03), so floor(s/n) is
+        # spelled (s - ((s % n) + n) % n) // n, exact at any magnitude.
         sums = ", ".join(
-            f"CAST(floor(CAST(SUM(qv[{i + 1}]) AS DOUBLE) / COUNT(*)) AS BIGINT)"
+            f"CAST((SUM(qv[{i + 1}]) - ((SUM(qv[{i + 1}]) % COUNT(*)) "
+            f"+ COUNT(*)) % COUNT(*)) // COUNT(*) AS BIGINT)"
             for i in range(EMB_DIM)
         )
         return f"""{name} AS (

@@ -35,6 +35,7 @@ __all__ = [
     "lsh_ann_topk",
     "embedding_near_dup",
     "ivf_train",
+    "ivf_assign_fast",
     "ivf_ann_topk",
 ]
 
@@ -157,7 +158,14 @@ def lsh_ann_topk(
 def _ivf_cell_expr(cents: list[list[int]]) -> "F.Column":
     """argmin over the centroid codebook: array_min of (sqdist, cell)
     structs — lexicographic struct ordering gives the deterministic
-    (distance, cell-id) tie-break the oracle's row_number reproduces."""
+    (distance, cell-id) tie-break the oracle's row_number reproduces.
+
+    This is the ORACLE SPEC, not the runtime path: the expression tree is
+    O(n_cells × dim) literals in one projection — fine at the gate's 8×64,
+    a Catalyst codegen blowup at production geometry (4096 cells × 1024
+    dims). :func:`ivf_assign_fast` is the element-exact numpy twin that
+    runs by default (pinned in tests/test_round4_ops.py, the
+    fast_text.py pattern)."""
     entries = [
         F.struct(
             F.expr(G.ivf_sqdist_expr("qv", G.lit_arr(c, SPARK), SPARK)).alias("d"),
@@ -168,12 +176,92 @@ def _ivf_cell_expr(cents: list[list[int]]) -> "F.Column":
     return F.array_min(F.array(*entries)).getField("c")
 
 
+def ivf_assign_fast(
+    emb_df: DataFrame,
+    cents: list[list[int]],
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_embedding: bool = False,
+) -> DataFrame:
+    """Vectorized IVF cell assignment: ``mapInArrow`` + numpy argmin
+    against the broadcast (closure-captured) codebook — the runtime twin
+    of :func:`_ivf_cell_expr`, element-exact against the SQL spec:
+
+    - quantization floor(x*IVF_SCALE) with the float32 multiply Spark's
+      expression performs on a float column (then an exact widening to
+      float64 for the floor);
+    - integer squared-L2 via one int64 matmul per row chunk (exact — no
+      float rounding; ||q||² + ||c||² − 2·q·C^T), row-chunked so peak
+      memory is (chunk × n_cells) not (rows × n_cells × dim);
+    - ties broken toward the SMALLEST cell id (strict-less update order),
+      matching the (sqdist, cell) lexicographic min.
+
+    Returns (``id_col``, qv array<bigint>, cell int [, ``emb_col``]).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    C = np.asarray(cents, dtype=np.int64)
+    cn = (C * C).sum(axis=1)  # ||c||^2 per cell
+    dim = C.shape[1]
+    id_type = emb_df.schema[id_col].dataType.simpleString()
+    emb_type = emb_df.schema[emb_col].dataType.simpleString()
+    f32 = emb_type == "array<float>"
+    ddl = f"{id_col} {id_type}, qv array<bigint>, cell int"
+    out_cols = [id_col, "qv", "cell"]
+    if keep_embedding:
+        ddl += f", {emb_col} {emb_type}"
+        out_cols.append(emb_col)
+    CHUNK = 2048  # bounds the (chunk, n_cells) distance matrix
+
+    def fn(batches):
+        from xml2arrow_spark.env import limit_arrow_threads
+
+        limit_arrow_threads(1)
+        scale32 = np.float32(G.IVF_SCALE)
+        for b in batches:
+            emb = b.column(b.schema.get_field_index(emb_col))
+            n = len(emb)
+            vals = np.asarray(emb.flatten())
+            if f32:
+                # Spark computes x * 1000 IN float32 (float op int literal
+                # promotes the literal); widening the product to float64
+                # afterwards is exact, so the floor matches bit-for-bit
+                prod = (vals.astype(np.float32) * scale32).astype(np.float64)
+            else:
+                prod = vals.astype(np.float64) * float(G.IVF_SCALE)
+            qv = np.floor(prod).astype(np.int64).reshape(n, dim)
+            cell = np.empty(n, dtype=np.int32)
+            for s in range(0, n, CHUNK):
+                qc = qv[s : s + CHUNK]
+                qn = (qc * qc).sum(axis=1)
+                # exact int64 distances; argmin returns the FIRST minimum
+                # = smallest cell id on ties
+                d = qn[:, None] + cn[None, :] - 2 * (qc @ C.T)
+                cell[s : s + CHUNK] = d.argmin(axis=1)
+            arrays = [
+                b.column(b.schema.get_field_index(id_col)),
+                pa.ListArray.from_arrays(
+                    pa.array(np.arange(n + 1, dtype=np.int32) * dim, type=pa.int32()),
+                    pa.array(qv.reshape(-1), type=pa.int64()),
+                ),
+                pa.array(cell, type=pa.int32()),
+            ]
+            if keep_embedding:
+                arrays.append(emb)
+            yield pa.RecordBatch.from_arrays(arrays, names=out_cols)
+
+    sel = [id_col, emb_col]
+    return emb_df.select(*sel).mapInArrow(fn, ddl)
+
+
 def ivf_train(
     emb_df: DataFrame,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     n_cells: int = G.IVF_CELLS,
     iters: int = G.IVF_ITERS,
+    use_fast: bool = True,
 ) -> list[list[int]]:
     """Integer-exact k-means codebook over floor(x*IVF_SCALE) quantized
     vectors — the IVF coarse quantizer.
@@ -188,9 +276,12 @@ def ivf_train(
     centroid. Each round is one narrow codegen assignment pass + one
     groupBy aggregation collecting ``n_cells`` rows to the driver — the
     codebook IS driver state, exactly how IVF training runs at scale
-    (train on the corpus, broadcast the tiny codebook)."""
-    import math
+    (train on the corpus, broadcast the tiny codebook).
 
+    ``use_fast`` (default) assigns cells via :func:`ivf_assign_fast` — the
+    numpy twin, element-exact vs the SQL spec (pinned) — instead of the
+    O(n_cells × dim) ``_ivf_cell_expr`` literal tree, which stays as the
+    oracle-checkable specification."""
     dim = _dim(emb_df, emb_col)
     q = emb_df.select(
         F.col(id_col).alias("vid"),
@@ -203,7 +294,10 @@ def ivf_train(
     if len(cents) < n_cells:
         raise ValueError(f"need at least {n_cells} vectors to seed the codebook")
     for _ in range(iters):
-        assign = q.withColumn("cell", _ivf_cell_expr(cents))
+        if use_fast:
+            assign = ivf_assign_fast(emb_df, cents, emb_col, id_col)
+        else:
+            assign = q.withColumn("cell", _ivf_cell_expr(cents))
         rows = (
             assign.groupBy("cell")
             .agg(
@@ -212,8 +306,13 @@ def ivf_train(
             )
             .collect()
         )
+        # EXACT integer floor division (//): float division rounds the sum
+        # to double first, which can be off by one once a per-cell
+        # coordinate sum exceeds 2^53 — breaking codebook bit-parity with
+        # the oracle at scale (ADVICE r03). The oracle SQL uses the
+        # matching mod-adjusted integer floor expression.
         updated = {
-            int(r["cell"]): [math.floor(int(r[f"s{i}"]) / int(r["n"])) for i in range(dim)]
+            int(r["cell"]): [int(r[f"s{i}"]) // int(r["n"]) for i in range(dim)]
             for r in rows
         }
         cents = [updated.get(j, cents[j]) for j in range(n_cells)]
@@ -229,15 +328,18 @@ def ivf_ann_topk(
     n_cells: int = G.IVF_CELLS,
     iters: int = G.IVF_ITERS,
     nprobe: int = G.IVF_NPROBE,
+    use_fast: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: exact cosine restricted to the ``nprobe``
     cells whose centroids are nearest the query — the inverted-file scale
     path (the brief's named alternative to the LSH-banded probe). On a
     table clustered by ``cell`` each probe is a partition-pruned scan of
-    ~nprobe/n_cells of the corpus. Returns (vec_id, cosine)."""
-    import math
+    ~nprobe/n_cells of the corpus. Returns (vec_id, cosine).
 
-    cents = ivf_train(emb_df, emb_col, id_col, n_cells, iters)
+    ``use_fast`` routes training AND the probe assignment through the
+    numpy :func:`ivf_assign_fast` twin (production-geometry shape); the
+    SQL ``_ivf_cell_expr`` stays the oracle spec."""
+    cents = ivf_train(emb_df, emb_col, id_col, n_cells, iters, use_fast=use_fast)
     q = emb_df.select(
         F.col(id_col).alias("vid"),
         F.col(emb_col),
@@ -250,7 +352,12 @@ def ivf_ann_topk(
         for j, c in enumerate(cents)
     )
     probe_cells = [j for _, j in dists[:nprobe]]
-    assigned = q.withColumn("cell", _ivf_cell_expr(cents))
+    if use_fast:
+        assigned = ivf_assign_fast(
+            emb_df, cents, emb_col, id_col, keep_embedding=True
+        ).withColumnRenamed(id_col, "vid")
+    else:
+        assigned = q.withColumn("cell", _ivf_cell_expr(cents))
     qv_df = emb_df.filter(F.col(id_col) == query_id).select(
         F.col(emb_col).alias("qemb")
     )
@@ -307,16 +414,27 @@ def embedding_near_dup(
     banded_cols = with_lsh_bands(
         emb_df, emb_col, dim, n_rows=n_rows, id_col=id_col, expected_n=expected_n
     ).select(id_col, emb_col, *keys)
+    from xml2arrow_spark.pipeline.dedup import (
+        band_union,
+        read_signatures,
+        stored_band_union,
+        write_signatures,
+    )
+
     if sig_path is not None:
-        banded_cols.write.mode("overwrite").parquet(sig_path)
-        banded = emb_df.sparkSession.read.parquet(sig_path)
+        write_signatures(
+            banded_cols, sig_path, id_col, keys, batch_id=0, mode="overwrite"
+        )
+        banded = read_signatures(emb_df.sparkSession, sig_path, id_col)
         cache_handle = None
+        exploded = stored_band_union(
+            emb_df.sparkSession, sig_path, G.LSH_BANDS,
+            id_alias="vid", max_cell=max_cell,
+        )
     else:
         banded = banded_cols.persist()
         cache_handle = banded
-    from xml2arrow_spark.pipeline.dedup import band_union
-
-    exploded = band_union(banded, id_col, keys, id_alias="vid", max_cell=max_cell)
+        exploded = band_union(banded, id_col, keys, id_alias="vid", max_cell=max_cell)
     a, b_ = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(
@@ -340,4 +458,5 @@ def embedding_near_dup(
         "cosine", F.expr(G.cosine_expr("ea", "eb", SPARK))
     ).filter(F.col("cosine") >= threshold).select("vec_a", "vec_b", "cosine")
     out._sig_cache = cache_handle
+    out._drop_metrics = exploded._drop_metrics
     return out
