@@ -372,6 +372,37 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_parse_scalars(spark, sf_dir):
+    """C1/C3 under the gate: the reference's 12-token case-insensitive
+    boolean vocabulary (incl. on/off, which Spark's native boolean cast
+    rejects) with full-ASCII-whitespace trim, strict (ANSI) integer
+    parsing, and try-parse null mapping — all as Catalyst CASE/cast chains
+    (functions.py; reference src/xml_parser.rs:158-182, 200-240)."""
+    from xml2arrow_spark.functions import parse_boolean, parse_int
+
+    li = _lineitem(spark, sf_dir)
+    vocab = [" true", "FALSE", "Yes", "  no", "on\t", " OFF ", "T", "f",
+             "Y", "n", "1", "0", "maybe", ""]
+    idx = (
+        F.pmod(F.col("l_orderkey") + F.col("l_linenumber"), F.lit(14)) + 1
+    ).cast("int")
+    btok = F.element_at(F.array(*[F.lit(v) for v in vocab]), idx)
+    numstr = (F.col("l_orderkey") % 100000).cast("string")
+    padded = F.concat(F.lit("  "), numstr, F.lit(" "))
+    maybe_bad = F.when(
+        (F.col("l_orderkey") + F.col("l_linenumber")) % 5 == 0,
+        F.concat(numstr, F.lit("x")),
+    ).otherwise(numstr)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # sentinels: non-vocabulary ('maybe', '') -> null -> -1
+        F.coalesce(parse_boolean(btok).cast("int"), F.lit(-1)).alias("bool_flag"),
+        parse_int(padded).alias("n_parsed"),  # strict ANSI cast, trimmed
+        F.coalesce(parse_int(maybe_bad, strict=False), F.lit(-1)).alias("n_try"),
+    )
+
+
 # -- un-nesting / scalar transforms (reference parity: U1-U5, C2) ---------------
 
 
@@ -522,6 +553,35 @@ def q_encode_zonemap_scan(spark, sf_dir):
     )
     return decoded.filter(
         (F.col("l_orderkey") >= 10000) & (F.col("l_orderkey") <= 30000)
+    )
+
+
+def q_encode_zonemap_multi(spark, sf_dir):
+    """Conjunctive zone-map pruning with MIXED bound types: an integer
+    range on l_orderkey AND a string range on l_returnflag (string zone
+    stats are truncation-safe UTF-8 bounds). Blocks failing EITHER
+    predicate are skipped before any kernel runs; the oracle is the plain
+    doubly-filtered projection — pruning must be invisible to results."""
+    from xml2arrow_spark.operators.encode import encode_table as _enc
+
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"]
+    df = _lineitem(spark, sf_dir).select(*cols)
+    manifest = CodecManifest.auto_for(df.schema, block_rows=4096)
+    blocks = _enc(df, manifest)
+    decoded = decode_table(
+        blocks,
+        "l_orderkey bigint, l_linenumber int, l_quantity double, "
+        "l_returnflag string",
+        zone_filter=[
+            ("l_orderkey", 10000, 30000),
+            ("l_returnflag", "A", "N"),
+        ],
+    )
+    return decoded.filter(
+        (F.col("l_orderkey") >= 10000)
+        & (F.col("l_orderkey") <= 30000)
+        & (F.col("l_returnflag") >= "A")
+        & (F.col("l_returnflag") <= "N")
     )
 
 
@@ -701,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "parse_scalars": q_parse_scalars,
         "unnest_orders": q_unnest_orders,
         "affine_transform": q_affine_transform,
         "sessionize": q_sessionize,
@@ -710,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_fused_roundtrip": q_encode_fused_roundtrip,
         "encode_wide_subset": q_encode_wide_subset,
         "encode_zonemap_scan": q_encode_zonemap_scan,
+        "encode_zonemap_multi": q_encode_zonemap_multi,
         "encode_presort_roundtrip": q_encode_presort_roundtrip,
         "encode_float32_roundtrip": q_encode_float32_roundtrip,
         "encode_uint64_roundtrip": q_encode_uint64_roundtrip,

@@ -520,15 +520,21 @@ def decode_dataset(
     encoded dataset, the decode-side analog of the reference's
     unknown-subtree skip (/root/reference/src/path_registry.rs:400-408).
 
-    ``zone_filter=(column, lo, hi)`` prunes whole BLOCKS via their zone
-    maps before any kernel runs, with :func:`~xml2arrow_spark.operators.
-    encode.prune_blocks` semantics (missing stats keep the block; the
-    result is a SUPERSET of matching rows — apply the row filter after).
-    On the wide layout the filter is a pyarrow expression over the
-    top-level zone columns, so parquet ROW-GROUP statistics prune IO too;
-    on the nested layout blocks are skipped after the struct read."""
+    ``zone_filter=(column, lo, hi)`` — or a LIST of such tuples, applied
+    as a conjunction — prunes whole BLOCKS via their zone maps before any
+    kernel runs, with :func:`~xml2arrow_spark.operators.encode.
+    prune_blocks` semantics (missing stats keep the block; the result is a
+    SUPERSET of matching rows — apply the row filter after). Bounds may be
+    int, float, or str. On the wide layout the filter is a pyarrow
+    expression over the top-level zone columns, so parquet ROW-GROUP
+    statistics prune IO too; on the nested layout blocks are skipped after
+    the struct read."""
     import yaml
 
+    from xml2arrow_spark.operators.encode import (
+        _zone_suffixes,
+        normalize_zone_filters,
+    )
     from xml2arrow_spark.sources.files import plan_parquet_tasks
 
     with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
@@ -547,14 +553,15 @@ def decode_dataset(
         out_names = list(columns)
     ddl = ", ".join(by_name[n] for n in out_names)
     wide = side.get("layout", "nested") == "wide"
-    if zone_filter is not None:
-        zf_col, zf_lo, zf_hi = zone_filter
-        zf_int = isinstance(zf_lo, int) and isinstance(zf_hi, int)
-        zf_min, zf_max = ("vmin_i", "vmax_i") if zf_int else ("vmin_d", "vmax_d")
+    # (column, lo, hi, vmin-field, vmax-field) per conjunct
+    zfs = [
+        (c, lo, hi, *_zone_suffixes(lo, hi))
+        for (c, lo, hi) in normalize_zone_filters(zone_filter)
+    ]
 
-    def _zone_keep(vmin, vmax) -> bool:
+    def _zone_keep(vmin, vmax, lo, hi) -> bool:
         # prune_blocks semantics: missing stats always keep
-        return vmin is None or vmax is None or (zf_lo <= vmax and vmin <= zf_hi)
+        return vmin is None or vmax is None or (lo <= vmax and vmin <= hi)
 
     def decode_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
@@ -570,18 +577,23 @@ def decode_dataset(
                         x for n in out_names for x in (f"c_{n}__meta", f"c_{n}__data")
                     ]
                     kwargs = {}
-                    if zone_filter is not None:
+                    if zfs:
                         import pyarrow.dataset as pads
 
-                        fmin = pads.field(f"c_{zf_col}__{zf_min}")
-                        fmax = pads.field(f"c_{zf_col}__{zf_max}")
-                        # expression filter over top-level zone columns:
-                        # parquet row-group statistics prune the IO, then the
-                        # row-level (= block-level) filter applies exactly
-                        kwargs["filters"] = (
-                            fmin.is_null() | fmax.is_null()
-                            | ((fmin <= zf_hi) & (fmax >= zf_lo))
-                        )
+                        expr = None
+                        for zf_col, zf_lo, zf_hi, zf_min, zf_max in zfs:
+                            fmin = pads.field(f"c_{zf_col}__{zf_min}")
+                            fmax = pads.field(f"c_{zf_col}__{zf_max}")
+                            # expression filter over top-level zone columns:
+                            # parquet row-group statistics prune the IO, then
+                            # the row-level (= block-level) filter applies
+                            # exactly; conjuncts AND together
+                            one = (
+                                fmin.is_null() | fmax.is_null()
+                                | ((fmin <= zf_hi) & (fmax >= zf_lo))
+                            )
+                            expr = one if expr is None else (expr & one)
+                        kwargs["filters"] = expr
                     tbl = pq.read_table(fpath, columns=need, **kwargs)  # pruned IO
                     metas = [tbl.column(f"c_{n}__meta").combine_chunks() for n in out_names]
                     datas = [tbl.column(f"c_{n}__data").combine_chunks() for n in out_names]
@@ -600,16 +612,21 @@ def decode_dataset(
                 for row in range(len(cols_col)):
                     entries = cols_col[row].values  # zero-copy struct view
                     names = entries.field("name").to_pylist()
-                    if zone_filter is not None:
+                    pruned = False
+                    for zf_col, zf_lo, zf_hi, zf_min, zf_max in zfs:
                         try:
                             zi = names.index(zf_col)
                         except ValueError:
-                            zi = None  # no stats entry for the column: keep
-                        if zi is not None and not _zone_keep(
+                            continue  # no stats entry for the column: keep
+                        if not _zone_keep(
                             entries.field(zf_min)[zi].as_py(),
                             entries.field(zf_max)[zi].as_py(),
+                            zf_lo, zf_hi,
                         ):
-                            continue  # whole block pruned before any kernel
+                            pruned = True  # any failing conjunct drops it
+                            break
+                    if pruned:
+                        continue  # whole block pruned before any kernel
                     metas = entries.field("meta")
                     datas = entries.field("data")
                     decoded = {

@@ -30,6 +30,7 @@ __all__ = [
     "encode_parquet_tasks",
     "decode_table",
     "prune_blocks",
+    "normalize_zone_filters",
     "BLOCKS_SCHEMA_DDL",
     "blocks_metadata",
     "wide_blocks_ddl",
@@ -40,7 +41,8 @@ BLOCKS_SCHEMA_DDL = (
     "in_bytes long, out_bytes long, "
     "cols array<struct<name: string, codec: string, meta: string, data: binary, "
     "in_bytes: long, out_bytes: long, "
-    "vmin_i: long, vmax_i: long, vmin_d: double, vmax_d: double>>"
+    "vmin_i: long, vmax_i: long, vmin_d: double, vmax_d: double, "
+    "vmin_s: string, vmax_s: string>>"
 )
 
 _BLOCKS_PA_SCHEMA = pa.schema(
@@ -64,12 +66,15 @@ _BLOCKS_PA_SCHEMA = pa.schema(
                         pa.field("in_bytes", pa.int64()),
                         pa.field("out_bytes", pa.int64()),
                         # zone map: per-block min/max of the column's values
-                        # (int64 for integer/list columns, double for floats;
-                        # None when unknown/NaN/empty -> never pruned)
+                        # (int64 for integer/list columns, double for floats,
+                        # truncation-safe bounds for strings; None when
+                        # unknown/NaN/empty -> never pruned)
                         pa.field("vmin_i", pa.int64()),
                         pa.field("vmax_i", pa.int64()),
                         pa.field("vmin_d", pa.float64()),
                         pa.field("vmax_d", pa.float64()),
+                        pa.field("vmin_s", pa.string()),
+                        pa.field("vmax_s", pa.string()),
                     ]
                 )
             ),
@@ -130,22 +135,46 @@ def _blockify_grouped(
         yield from flush(cur_unit, buf)
 
 
+_ZONE_STR_MAX = 64  # stored string-bound length cap (parquet-statistics style)
+
+
+def _zone_str_bounds(lo: str, hi: str):
+    """Truncation-safe string zone bounds: any PREFIX of the min is still a
+    valid lower bound; for the max, the truncated prefix must be bumped
+    above the true value (increment the last incrementable codepoint,
+    skipping the surrogate gap) or withheld — the same rule parquet
+    applies to its column statistics."""
+    lo_t = lo[:_ZONE_STR_MAX]
+    if len(hi) <= _ZONE_STR_MAX:
+        return lo_t, hi
+    p = hi[:_ZONE_STR_MAX]
+    for i in reversed(range(len(p))):
+        c = ord(p[i])
+        if c < 0x10FFFF:
+            nxt = 0xE000 if 0xD7FF <= c < 0xE000 else c + 1
+            return lo_t, p[:i] + chr(nxt)
+    return lo_t, None  # un-incrementable prefix: no safe upper bound
+
+
 def _zone_stats(arr: pa.Array):
     """Per-block zone map (min, max) for pruning: int64 pair for
-    integer/list-of-int columns, double pair for floats, all-None when
-    unknowable (empty, all-null, NaN present) — None always means
-    "never prune this block", so stats can only skip work, not results."""
+    integer/list-of-int columns, double pair for floats, string pair
+    (truncation-safe bounds) for strings, all-None when unknowable (empty,
+    all-null, NaN present) — None always means "never prune this block",
+    so stats can only skip work, not results. Returns a 6-tuple
+    (vmin_i, vmax_i, vmin_d, vmax_d, vmin_s, vmax_s)."""
     import math
 
     import pyarrow.compute as pc
 
     t = arr.type
     target = arr.flatten() if (pa.types.is_list(t) or pa.types.is_large_list(t)) else arr
+    none6 = (None, None, None, None, None, None)
     if len(target) == 0 or target.null_count == len(target):
-        return None, None, None, None
+        return none6
     if pa.types.is_integer(target.type):
         mm = pc.min_max(target)
-        return mm["min"].as_py(), mm["max"].as_py(), None, None
+        return mm["min"].as_py(), mm["max"].as_py(), None, None, None, None
     if pa.types.is_floating(target.type):
         # min_max skips NaN — safe for RANGE pruning because NaN can never
         # satisfy lo <= v <= hi; all-NaN blocks yield None/None (kept)
@@ -153,9 +182,18 @@ def _zone_stats(arr: pa.Array):
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
         # all-NaN blocks degenerate to (inf, -inf) — withhold stats (kept)
         if lo is None or hi is None or math.isnan(lo) or math.isnan(hi) or lo > hi:
-            return None, None, None, None
-        return None, None, float(lo), float(hi)
-    return None, None, None, None
+            return none6
+        return None, None, float(lo), float(hi), None, None
+    if pa.types.is_string(target.type) or pa.types.is_large_string(target.type):
+        # Arrow min_max orders strings by bytes = codepoint order in UTF-8,
+        # the same ordering Spark/DuckDB string comparisons use
+        mm = pc.min_max(target)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo is None or hi is None:
+            return none6
+        lo_t, hi_t = _zone_str_bounds(lo, hi)
+        return None, None, None, None, lo_t, hi_t
+    return none6
 
 
 def _encode_block(
@@ -204,8 +242,8 @@ def _encode_block(
             n_values += meta["n"]
         in_bytes += col_in
         out_bytes += col_out
-        zmin_i, zmax_i, zmin_d, zmax_d = (
-            _zone_stats(arr) if zone_maps else (None, None, None, None)
+        zmin_i, zmax_i, zmin_d, zmax_d, zmin_s, zmax_s = (
+            _zone_stats(arr) if zone_maps else (None,) * 6
         )
         out_cols.append(
             {
@@ -219,6 +257,8 @@ def _encode_block(
                 "vmax_i": zmax_i,
                 "vmin_d": zmin_d,
                 "vmax_d": zmax_d,
+                "vmin_s": zmin_s,
+                "vmax_s": zmax_s,
             }
         )
     return pa.RecordBatch.from_pydict(
@@ -246,7 +286,8 @@ def wide_blocks_ddl(cols: list[str]) -> str:
     per_col = ", ".join(
         f"c_{name}__codec string, c_{name}__meta string, c_{name}__data binary, "
         f"c_{name}__vmin_i long, c_{name}__vmax_i long, "
-        f"c_{name}__vmin_d double, c_{name}__vmax_d double"
+        f"c_{name}__vmin_d double, c_{name}__vmax_d double, "
+        f"c_{name}__vmin_s string, c_{name}__vmax_s string"
         for name in cols
     )
     return (
@@ -268,6 +309,8 @@ def wide_pa_schema(cols: list[str]) -> pa.Schema:
             pa.field(f"c_{name}__vmax_i", pa.int64()),
             pa.field(f"c_{name}__vmin_d", pa.float64()),
             pa.field(f"c_{name}__vmax_d", pa.float64()),
+            pa.field(f"c_{name}__vmin_s", pa.string()),
+            pa.field(f"c_{name}__vmax_s", pa.string()),
         ]
     return pa.schema(fields)
 
@@ -288,11 +331,14 @@ def _widen_block(row_batch: pa.RecordBatch, cols: list[str]) -> pa.RecordBatch:
             pa.array([e["vmax_i"]], type=pa.int64()),
             pa.array([e["vmin_d"]], type=pa.float64()),
             pa.array([e["vmax_d"]], type=pa.float64()),
+            pa.array([e["vmin_s"]], type=pa.string()),
+            pa.array([e["vmax_s"]], type=pa.string()),
         ]
         names += [
             f"c_{name}__codec", f"c_{name}__meta", f"c_{name}__data",
             f"c_{name}__vmin_i", f"c_{name}__vmax_i",
             f"c_{name}__vmin_d", f"c_{name}__vmax_d",
+            f"c_{name}__vmin_s", f"c_{name}__vmax_s",
         ]
     return pa.RecordBatch.from_arrays(arrays, names=names)
 
@@ -608,6 +654,26 @@ def encode_parquet(
     return encode_parquet_tasks(tasks, resolved)
 
 
+def _zone_suffixes(lo, hi) -> tuple[str, str]:
+    """Zone-stat column pair for a predicate's bound type."""
+    if isinstance(lo, str) and isinstance(hi, str):
+        return "vmin_s", "vmax_s"
+    if isinstance(lo, int) and isinstance(hi, int):
+        return "vmin_i", "vmax_i"
+    return "vmin_d", "vmax_d"
+
+
+def normalize_zone_filters(zone_filter) -> list[tuple]:
+    """``zone_filter`` may be one (column, lo, hi) tuple or a LIST of them
+    (a conjunction — a block survives only if every predicate can match
+    it). Returns the list form."""
+    if zone_filter is None:
+        return []
+    if isinstance(zone_filter, tuple):
+        return [zone_filter]
+    return list(zone_filter)
+
+
 def prune_blocks(blocks_df, column: str, lo, hi):
     """Zone-map block pruning: keep only blocks whose [vmin, vmax] for
     ``column`` can intersect [lo, hi] — parquet-row-group-pruning semantics
@@ -619,15 +685,16 @@ def prune_blocks(blocks_df, column: str, lo, hi):
 
     Integer bounds prune on the int64 zone pair, float bounds on the double
     pair (never cross-compared: an int64 -> double cast could round a bound
-    across the predicate and wrongly drop a block). On a persisted WIDE
-    blocks table the zone columns are top-level parquet columns, so this
-    filter also pushes down to parquet row-group statistics — two pruning
-    levels from one set of stats.
+    across the predicate and wrongly drop a block), string bounds on the
+    truncation-safe string pair (UTF-8 byte order — the ordering Spark's
+    string comparison uses). On a persisted WIDE blocks table the zone
+    columns are top-level parquet columns, so this filter also pushes down
+    to parquet row-group statistics — two pruning levels from one set of
+    stats.
     """
     from pyspark.sql import functions as F
 
-    int_bounds = isinstance(lo, int) and isinstance(hi, int)
-    suffix_min, suffix_max = ("vmin_i", "vmax_i") if int_bounds else ("vmin_d", "vmax_d")
+    suffix_min, suffix_max = _zone_suffixes(lo, hi)
     if "cols" not in blocks_df.columns:  # wide layout
         vmin = F.col(f"c_{column}__{suffix_min}")
         vmax = F.col(f"c_{column}__{suffix_max}")
@@ -641,13 +708,15 @@ def prune_blocks(blocks_df, column: str, lo, hi):
     return blocks_df.filter(keep)
 
 
-def decode_table(blocks_df, schema_ddl: str, zone_filter: tuple | None = None):
+def decode_table(blocks_df, schema_ddl: str, zone_filter=None):
     """Blocks DataFrame -> original columns. Map-only: no shuffle, no join.
 
-    ``zone_filter=(column, lo, hi)`` prunes whole blocks via their zone
-    maps BEFORE any decode kernel runs (:func:`prune_blocks`); the decoded
-    result is a superset of the rows matching the predicate, so apply the
-    row-level filter afterwards.
+    ``zone_filter=(column, lo, hi)`` — or a LIST of such tuples, applied as
+    a conjunction — prunes whole blocks via their zone maps BEFORE any
+    decode kernel runs (:func:`prune_blocks`); the decoded result is a
+    superset of the rows matching the predicate, so apply the row-level
+    filter afterwards. Bounds may be int, float, or str (each pruning on
+    its own stats pair).
 
     ``schema_ddl`` may name a SUBSET of the encoded columns. Nested layout:
     only the named entries are decoded (CPU pruning — the payload bytes of
@@ -658,8 +727,8 @@ def decode_table(blocks_df, schema_ddl: str, zone_filter: tuple | None = None):
     """
     from pyspark.sql.types import StructType
 
-    if zone_filter is not None:
-        blocks_df = prune_blocks(blocks_df, *zone_filter)
+    for zf in normalize_zone_filters(zone_filter):
+        blocks_df = prune_blocks(blocks_df, *zf)
     out_schema = StructType.fromDDL(schema_ddl)
     out_names = [f.name for f in out_schema.fields]
     is_wide = "cols" not in blocks_df.columns

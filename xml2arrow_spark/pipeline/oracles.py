@@ -643,6 +643,17 @@ FROM lineitem WHERE l_orderkey BETWEEN 10000 AND 30000
 """
 
 
+def encode_zonemap_multi_sql() -> str:
+    # conjunction of an int range and a string range (mixed-type zone
+    # pruning); the oracle is the plain doubly-filtered projection
+    return """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem
+WHERE l_orderkey BETWEEN 10000 AND 30000
+  AND l_returnflag BETWEEN 'A' AND 'N'
+"""
+
+
 # powers of 31 as an exact BIGINT literal list (31^7 < 2^53, so even the
 # doubled-up DuckDB arithmetic stays exact)
 _POW31 = "[" + ", ".join(str(31**i) for i in range(8)) + "]"
@@ -720,6 +731,38 @@ FROM documents
 ORACLES: dict[str, str] = {}
 
 
+def parse_scalars_sql() -> str:
+    """Twin of __spark_entry__.q_parse_scalars: the reference's 12-token
+    case-insensitive boolean vocabulary with full-ASCII-whitespace trim
+    (xml_parser.rs:158-182) and strict/try integer parsing
+    (xml_parser.rs:200-240) over derived string columns."""
+    ws = "' ' || chr(9) || chr(13) || chr(10) || chr(11) || chr(12)"
+    vocab = (
+        "list_value(' true', 'FALSE', 'Yes', '  no', 'on' || chr(9), "
+        "' OFF ', 'T', 'f', 'Y', 'n', '1', '0', 'maybe', '')"
+    )
+    return f"""
+WITH t AS (
+  SELECT l_orderkey, l_linenumber,
+         ({vocab})[CAST((l_orderkey + l_linenumber) % 14 + 1 AS INTEGER)] AS btok,
+         CAST(l_orderkey % 100000 AS VARCHAR) AS numstr
+  FROM lineitem
+), w AS (
+  SELECT *, lower(trim(btok, {ws})) AS b FROM t
+)
+SELECT l_orderkey, l_linenumber,
+       COALESCE(CASE WHEN b IN ('true', '1', 'yes', 'on', 't', 'y') THEN 1
+                     WHEN b IN ('false', '0', 'no', 'off', 'f', 'n') THEN 0
+                END, -1) AS bool_flag,
+       CAST(trim('  ' || numstr || ' ', {ws}) AS INTEGER) AS n_parsed,
+       COALESCE(TRY_CAST(trim(
+           CASE WHEN (l_orderkey + l_linenumber) % 5 = 0
+                THEN numstr || 'x' ELSE numstr END, {ws}) AS INTEGER),
+           -1) AS n_try
+FROM w
+"""
+
+
 def all_oracles() -> dict[str, str]:
     return {
         "tokenize": tokenize_sql(),
@@ -749,6 +792,7 @@ def all_oracles() -> dict[str, str]:
         "lsh_ann_topk": lsh_ann_topk_sql(),
         "ivf_ann_topk": ivf_ann_topk_sql(),
         "embedding_near_dup": embedding_near_dup_sql(),
+        "parse_scalars": parse_scalars_sql(),
         "unnest_orders": unnest_orders_sql(),
         "affine_transform": affine_transform_sql(),
         "sessionize": sessionize_sql(),
@@ -758,6 +802,7 @@ def all_oracles() -> dict[str, str]:
         "encode_fused_roundtrip": encode_fused_roundtrip_sql(),
         "encode_wide_subset": encode_wide_subset_sql(),
         "encode_zonemap_scan": encode_zonemap_scan_sql(),
+        "encode_zonemap_multi": encode_zonemap_multi_sql(),
         "encode_presort_roundtrip": encode_presort_roundtrip_sql(),
         "encode_float32_roundtrip": encode_float32_roundtrip_sql(),
         "encode_uint64_roundtrip": encode_uint64_roundtrip_sql(),

@@ -37,6 +37,8 @@ __all__ = [
     "ivf_train",
     "ivf_assign_fast",
     "ivf_ann_topk",
+    "cluster_by_cell",
+    "ivf_ann_topk_clustered",
 ]
 
 SPARK = "spark"
@@ -347,11 +349,7 @@ def ivf_ann_topk(
     )
     qrow = q.filter(F.col("vid") == query_id).select("qv").collect()[0]
     qv = [int(x) for x in qrow["qv"]]
-    dists = sorted(
-        (sum((a - b) * (a - b) for a, b in zip(qv, c)), j)
-        for j, c in enumerate(cents)
-    )
-    probe_cells = [j for _, j in dists[:nprobe]]
+    probe_cells = _probe_cells_for(qv, cents, nprobe)
     if use_fast:
         assigned = ivf_assign_fast(
             emb_df, cents, emb_col, id_col, keep_embedding=True
@@ -369,6 +367,78 @@ def ivf_ann_topk(
     return (
         cand.orderBy(F.desc("cosine"), F.asc("vid"))
         .select(F.col("vid").alias(id_col), "cosine")
+        .limit(k)
+    )
+
+
+def _probe_cells_for(qv: list[int], cents: list[list[int]], nprobe: int) -> list[int]:
+    """nprobe nearest cells to a quantized query vector — integer sqdist,
+    (distance, cell) lexicographic order (the spec's tie-break)."""
+    dists = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qv, c)), j)
+        for j, c in enumerate(cents)
+    )
+    return [j for _, j in dists[:nprobe]]
+
+
+def cluster_by_cell(
+    emb_df: DataFrame,
+    cents: list[list[int]],
+    path: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the embedding table CLUSTERED by IVF cell: one
+    partition directory per coarse cell (``cell=<j>/``), assigned by the
+    vectorized :func:`ivf_assign_fast`. This is the storage layout that
+    makes the "probe = partition-pruned scan" claim real: an nprobe-cell
+    probe reads nprobe/n_cells of the files, enforced by parquet partition
+    pruning (plan-pinned in tests/test_round4_ops.py)."""
+    assigned = ivf_assign_fast(emb_df, cents, emb_col, id_col, keep_embedding=True)
+    assigned.select(id_col, emb_col, "cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+
+
+def ivf_ann_topk_clustered(
+    spark,
+    path: str,
+    cents: list[list[int]],
+    query_vec: list[float],
+    query_id: int | None = None,
+    k: int = 5,
+    nprobe: int = G.IVF_NPROBE,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe against a :func:`cluster_by_cell` store: quantize the
+    query DRIVER-SIDE, pick the nprobe nearest cells from the (driver-held)
+    codebook, and scan ONLY those partitions — the filter on the ``cell``
+    partition column never touches the other cells' files. Exact cosine +
+    top-k within the probed cells; returns (``id_col``, cosine)."""
+    import numpy as np
+
+    arr = np.asarray(query_vec)
+    # float32-exact quantization when the stored column is float32
+    emb_df = spark.read.parquet(path)
+    f32 = emb_df.schema[emb_col].dataType.simpleString() == "array<float>"
+    if f32:
+        prod = (arr.astype(np.float32) * np.float32(G.IVF_SCALE)).astype(np.float64)
+    else:
+        prod = arr.astype(np.float64) * float(G.IVF_SCALE)
+    qv = [int(x) for x in np.floor(prod).astype(np.int64)]
+    probe_cells = _probe_cells_for(qv, cents, nprobe)
+    cand = emb_df.filter(F.col("cell").isin(probe_cells))  # partition-pruned
+    if query_id is not None:
+        cand = cand.filter(F.col(id_col) != query_id)
+    qtype = "array<float>" if f32 else "array<double>"
+    q_df = spark.createDataFrame([(list(query_vec),)], f"qemb {qtype}")
+    scored = cand.crossJoin(F.broadcast(q_df)).withColumn(
+        "cosine", F.expr(G.cosine_expr(emb_col, "qemb", SPARK))
+    )
+    return (
+        scored.orderBy(F.desc("cosine"), F.asc(id_col))
+        .select(id_col, "cosine")
         .limit(k)
     )
 
