@@ -109,3 +109,15 @@ def test_manifest_sidecar_written(spark, tmp_path):
     meta = completed_units(spark, path)
     row = meta.agg({"in_bytes": "sum", "out_bytes": "sum"}).collect()[0]
     assert row[0] > 0 and row[1] > 0
+    # subset decode + zone-filter pass-through on the row-level dataset
+    sub = read_encoded_dataset(spark, path, columns=["doc_id", "n_tok"])
+    assert sub.columns == ["doc_id", "n_tok"] and sub.count() == 500
+    zf = read_encoded_dataset(
+        spark, path, columns=["doc_id", "n_tok"],
+        zone_filter=[("n_tok", 0, 10)],
+    ).filter("n_tok <= 10")
+    assert zf.count() == df.filter("n_tok <= 10").count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lacks encoded column"):
+        read_encoded_dataset(spark, path, columns=["nope"])

@@ -261,11 +261,31 @@ def encode_dataset(
     }
 
 
-def read_encoded_dataset(spark: SparkSession, path: str) -> DataFrame:
-    """Decode an encoded dataset directory back to its original columns."""
+def read_encoded_dataset(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    zone_filter=None,
+) -> DataFrame:
+    """Decode an encoded dataset directory back to its original columns.
+
+    ``columns`` decodes a subset (the other kernels are skipped);
+    ``zone_filter`` — one (col, lo, hi) tuple or a conjunction list —
+    prunes whole blocks before any kernel runs (decode_table semantics:
+    superset result, apply the row filter after)."""
     import yaml
 
     with open(os.path.join(path, MANIFEST_SIDEVAR)) as f:
         side = yaml.safe_load(f.read())
+    ddl = side["schema_ddl"]
+    if columns is not None:
+        by_name = {p.strip().split(" ")[0]: p.strip() for p in ddl.split(",")}
+        missing = set(columns) - set(by_name)
+        if missing:
+            raise ValueError(
+                f"dataset lacks encoded column(s) {sorted(missing)}; "
+                f"it has {sorted(by_name)}"
+            )
+        ddl = ", ".join(by_name[c] for c in columns)
     blocks = spark.read.parquet(os.path.join(path, "blocks"))
-    return decode_table(blocks, side["schema_ddl"])
+    return decode_table(blocks, ddl, zone_filter=zone_filter)
