@@ -293,6 +293,62 @@ def q_dataset_wide_subset(spark, sf_dir):
     return decode_dataset(spark, out, columns=["l_orderkey", "l_quantity"])
 
 
+def q_dataset_compact_roundtrip(spark, sf_dir):
+    """Compaction under the driver gate: a 12-file encoded dataset is
+    merged to <=3 generation-named compact files, then fused-decoded; the
+    oracle is the raw projection — compaction concatenates immutable
+    blocks and must be invisible to results (was pytest-only in r3)."""
+    import os
+
+    from xml2arrow_spark.operators.dataset import (
+        compact_dataset,
+        decode_dataset,
+        encode_parquet_dataset,
+    )
+
+    base = _scratch("cds_")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "ds")
+    _lineitem(spark, sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    ).repartition(12).write.mode("overwrite").parquet(src)
+    encode_parquet_dataset(spark, src, out)
+    compact_dataset(spark, out, target_files=3)
+    return decode_dataset(spark, out)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling on the portable hash bucket —
+    reproducible across engines/runs/cluster sizes (a rand(seed) sample
+    never is); the oracle reproduces the selection bit-for-bit."""
+    from xml2arrow_spark.pipeline.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir),
+        {"src0": 500, "src1": 200, "src2": 1000},
+        default_milli=100,
+    ).select("doc_id", "source", "n_chars")
+
+
+def q_deterministic_split(spark, sf_dir):
+    """Stable train/val/test assignment by hash-bucket ranges: every row
+    lands in exactly one split and never migrates between runs."""
+    from xml2arrow_spark.pipeline.sampling import deterministic_split
+
+    return deterministic_split(
+        _docs(spark, sf_dir), {"train": 800, "val": 100, "test": 100}
+    ).select("doc_id", "source", "split")
+
+
+def q_cosine_topk_batch(spark, sf_dir):
+    """Batch exact ANN: top-k for FOUR query vectors in one corpus pass
+    (broadcast query set + per-query window) — the exact verifier the
+    LSH/IVF candidate generators compose with at scale."""
+    return similarity.cosine_topk_batch(
+        _emb(spark, sf_dir), query_ids=[0, 1, 2, 3], k=5
+    )
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash_ids_fast(_docs(spark, sf_dir))
 
@@ -746,6 +802,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
         "incremental_near_dup": q_incremental_near_dup,
         "dataset_wide_subset": q_dataset_wide_subset,
+        "dataset_compact_roundtrip": q_dataset_compact_roundtrip,
+        "stratified_sample": q_stratified_sample,
+        "deterministic_split": q_deterministic_split,
+        "cosine_topk_batch": q_cosine_topk_batch,
         "near_dup_resolve": q_near_dup_resolve,
         "corpus_prep": q_corpus_prep,
         "simhash": q_simhash,

@@ -731,6 +731,50 @@ FROM documents
 ORACLES: dict[str, str] = {}
 
 
+def dataset_compact_roundtrip_sql() -> str:
+    # compaction concatenates immutable blocks; decode equals the raw table
+    return """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+"""
+
+
+def stratified_sample_sql() -> str:
+    bucket = G.sample_hash_expr("doc_id", D)
+    return f"""
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE {bucket} < CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 200
+                             WHEN 'src2' THEN 1000 ELSE 100 END
+"""
+
+
+def deterministic_split_sql() -> str:
+    # ranges walk the splits in sorted-name order (test, train, val), the
+    # same rule sampling.deterministic_split applies
+    bucket = G.sample_hash_expr("doc_id", D)
+    return f"""
+WITH b AS (SELECT doc_id, source, {bucket} AS bk FROM documents)
+SELECT doc_id, source,
+       CASE WHEN bk < 100 THEN 'test'
+            WHEN bk < 900 THEN 'train'
+            ELSE 'val' END AS split
+FROM b
+"""
+
+
+def cosine_topk_batch_sql(k: int = 5) -> str:
+    cos = G.cosine_expr("e.embedding", "q.qv", D)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id IN (0, 1, 2, 3)),
+s AS (SELECT q.query_id, e.vec_id, {cos} AS cosine
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn FROM s)
+SELECT query_id, vec_id, cosine FROM r WHERE rn <= {k}
+"""
+
+
 def parse_scalars_sql() -> str:
     """Twin of __spark_entry__.q_parse_scalars: the reference's 12-token
     case-insensitive boolean vocabulary with full-ASCII-whitespace trim
@@ -777,6 +821,10 @@ def all_oracles() -> dict[str, str]:
         "lsh_near_dup_pairs": lsh_near_dup_pairs_sql(),
         "incremental_near_dup": incremental_near_dup_sql(),
         "dataset_wide_subset": dataset_wide_subset_sql(),
+        "dataset_compact_roundtrip": dataset_compact_roundtrip_sql(),
+        "stratified_sample": stratified_sample_sql(),
+        "deterministic_split": deterministic_split_sql(),
+        "cosine_topk_batch": cosine_topk_batch_sql(),
         "near_dup_resolve": near_dup_resolve_sql(),
         "corpus_prep": corpus_prep_sql(),
         "simhash": simhash_sql(),

@@ -32,6 +32,7 @@ __all__ = [
     "with_lsh_bucket",
     "with_lsh_bands",
     "cosine_topk",
+    "cosine_topk_batch",
     "lsh_ann_topk",
     "embedding_near_dup",
     "ivf_train",
@@ -114,6 +115,42 @@ def cosine_topk(
         scored.orderBy(F.desc("cosine"), F.asc(id_col))
         .select(id_col, "cosine")
         .limit(k)
+    )
+
+
+def cosine_topk_batch(
+    emb_df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of query vectors in one pass:
+    the query set (tiny) broadcasts against the corpus, every (row, query)
+    pair scores inside whole-stage codegen, and a per-query window keeps
+    k — one corpus scan for |Q| queries instead of |Q| scans.
+
+    Returns (query_id, vec_id, cosine), ties broken by vec_id. Scale
+    shape: the scored relation is |corpus|×|Q| rows, shuffled once on
+    query_id for the window; for large |Q| compose with the LSH/IVF
+    candidate generators first so only candidates are scored (this
+    operator is the exact verifier both of them already use per query).
+    """
+    from pyspark.sql import Window
+
+    q = emb_df.filter(F.col(id_col).isin([int(x) for x in query_ids])).select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("qv")
+    )
+    scored = (
+        emb_df.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("cosine", F.expr(G.cosine_expr(emb_col, "qv", SPARK)))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", id_col, "cosine")
     )
 
 

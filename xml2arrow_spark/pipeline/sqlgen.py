@@ -262,6 +262,20 @@ def hyperplane_coeffs(j: int, dim: int) -> list[int]:
     return [((j * 97 + i * 31 + 7) % 19) - 9 for i in range(dim)]
 
 
+SAMPLE_MOD = 1000  # sampling hash buckets (fractions expressed in milli)
+
+
+def sample_hash_expr(id_col: str, dialect: str) -> str:
+    """Deterministic per-id sampling bucket 0..999: a small affine rehash
+    kept WELL inside int64 at any id magnitude (no overflow in either
+    engine's checked arithmetic), identical in Spark and DuckDB — the
+    portable substitute for rand(seed), whose sequence no two engines
+    share. Same id -> same bucket forever: samples are reproducible and
+    grow monotonically when the fraction is raised."""
+    _check(dialect)
+    return f"(({id_col} % 1000003) * 8191 + 12345) % {SAMPLE_MOD}"
+
+
 def lsh_bucket_expr(emb: str, dim: int, dialect: str) -> str:
     """Sign-of-projection LSH bucket id in [0, 2^HYPERPLANES) (legacy
     single-table geometry; the banded :func:`lsh_band_key_expr` is the
