@@ -116,6 +116,20 @@ def q_encode_roundtrip(spark, sf_dir):
     return _token_scalar_projection(decode_table(blocks, TOKENS_DDL))
 
 
+def q_encode_cascade_roundtrip(spark, sf_dir):
+    """The '+zstd' general-entropy cascade end-to-end: every column's
+    lightweight codec payload is zstd-wrapped per block (only where it
+    shrinks) and must decode bit-identically — same oracle as the plain
+    roundtrip, because the cascade must be invisible to results."""
+    tok = tokenize_documents(_docs(spark, sf_dir))
+    man = CodecManifest.auto_for(tok.schema, block_rows=4096)
+    for p in man.columns.values():
+        p.codec = "auto+zstd"
+    man = resolve_manifest(tok, man)
+    blocks = encode_table(tok, man)
+    return _token_scalar_projection(decode_table(blocks, TOKENS_DDL))
+
+
 def q_encode_metadata(spark, sf_dir):
     """Per-(column, codec) value counts from the block lineage. The oracle
     recomputes each column's total value count from the raw data and pins
@@ -792,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize": q_tokenize,
         "encode_roundtrip": q_encode_roundtrip,
+        "encode_cascade_roundtrip": q_encode_cascade_roundtrip,
         "encode_metadata": q_encode_metadata,
         "codec_selection": q_codec_selection,
         "token_stats": q_token_stats,

@@ -201,6 +201,7 @@ def main() -> None:
     # deterministic, so more variants only add wall-clock noise here — the
     # full matrix runs in tests/test_codecs.py.
     by_variant = {}
+    by_variant_cascade = {}
     with timed("variant_compression_sweep", baselines):
         for variant in ["runny", "skewed_zipf"]:
             vdir = tempfile.mkdtemp(prefix=f"bench_v_{variant}_")
@@ -218,10 +219,22 @@ def main() -> None:
                 vagg = encode_parquet_stats(spark, vdir, n_tasks=16).agg(
                     F.sum("out_bytes").alias("ob")).collect()[0]
                 by_variant[variant] = round(int(vagg["ob"]) / zb, 4)
+                # the "+zstd" general-entropy cascade over the same table:
+                # lightweight codecs expose structure, zstd squeezes the
+                # residual entropy (applied per block only where it shrinks)
+                vschema = spark.read.parquet(vdir).schema
+                zman = CodecManifest.auto_for(vschema)
+                for p in zman.columns.values():
+                    p.codec = "auto+zstd"
+                zagg = encode_parquet_stats(
+                    spark, vdir, manifest=zman, n_tasks=16
+                ).agg(F.sum("out_bytes").alias("ob")).collect()[0]
+                by_variant_cascade[variant] = round(int(zagg["ob"]) / zb, 4)
             finally:
                 shutil.rmtree(vdir, ignore_errors=True)
                 shutil.rmtree(zdir, ignore_errors=True)
     extra["compression_vs_zstd_by_variant"] = by_variant
+    extra["compression_vs_zstd_by_variant_cascade"] = by_variant_cascade
 
     # -- q3: documents tokenize -> encode -> decode -> verify ----------------
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")

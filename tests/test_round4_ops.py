@@ -194,6 +194,89 @@ def test_max_cell_drop_telemetry(spark, tmp_path):
     pairs3._sig_cache.unpersist()
 
 
+# -- general-entropy cascade ("+zstd" / "+lz4") --------------------------------
+
+
+def test_general_cascade_roundtrip_all_kinds():
+    import numpy as np
+    import pyarrow as pa
+
+    from xml2arrow_spark.operators.blocks import decode_column, encode_column
+
+    rng = np.random.default_rng(7)
+    cases = [
+        pa.array(rng.integers(0, 50, 5000), type=pa.int64()),
+        pa.array(
+            ["doc-%04d" % (i % 37) for i in range(5000)], type=pa.string()
+        ),
+        pa.array(rng.integers(0, 100, 5000) / 100.0, type=pa.float64()),
+        pa.array((rng.integers(0, 2, 5000) == 1)),
+        pa.array(
+            [list(range(i % 7)) for i in range(2000)], type=pa.list_(pa.int32())
+        ),
+        # nullable
+        pa.array(
+            [None if i % 11 == 0 else i % 13 for i in range(5000)],
+            type=pa.int32(),
+        ),
+    ]
+    for arr in cases:
+        for g in ("zstd", "lz4"):
+            resolved, meta, payload = encode_column(arr, f"auto+{g}")
+            assert decode_column(meta, payload).equals(arr)
+    # a cascaded block that benefits records the suffix and shrinks
+    text = pa.array(["the same boilerplate sentence"] * 4000, type=pa.string())
+    r_plain, m_plain, p_plain = encode_column(text, "plain_str")
+    r_z, m_z, p_z = encode_column(text, "plain_str+zstd")
+    assert r_z == "plain_str+zstd" and len(p_z) < len(p_plain)
+    assert decode_column(m_z, p_z).equals(text)
+    # a block that does NOT benefit stores the raw stream (suffix dropped)
+    rand_ints = pa.array(rng.integers(0, 2**60, 200), type=pa.int64())
+    r, m, p = encode_column(rand_ints, "plain+zstd")
+    assert r == "plain"
+    assert decode_column(m, p).equals(rand_ints)
+
+
+def test_general_cascade_through_table_and_selector(spark):
+    from xml2arrow_spark.manifest import CodecManifest, ColumnPolicy
+    from xml2arrow_spark.operators.encode import decode_table, encode_table
+    from xml2arrow_spark.plans.selector import resolve_manifest
+    from xml2arrow_spark.sources import tokens_dataframe
+
+    df = tokens_dataframe(spark, 2000, variant="skewed_zipf", n_partitions=2)
+    man = CodecManifest(
+        columns={c: ColumnPolicy(codec="auto+zstd") for c in
+                 ("doc_id", "tokens", "n_tok", "source")},
+        block_rows=512,
+    )
+    resolved = resolve_manifest(df, man)
+    # the sample-resolved base codec keeps the cascade suffix
+    assert all(p.codec.endswith("+zstd") for p in resolved.columns.values())
+    blocks = encode_table(df, resolved)
+    ddl = "doc_id string, tokens array<int>, n_tok int, source string"
+    from xml2arrow_spark.operators.verify import verify_roundtrip
+
+    assert verify_roundtrip(df, decode_table(blocks, ddl))["ok"]
+    # cascade shrinks the stored bytes on this fixture
+    plain_out = encode_table(df, resolve_manifest(df, CodecManifest.auto_for(
+        df.schema, block_rows=512))).agg({"out_bytes": "sum"}).collect()[0][0]
+    z_out = blocks.agg({"out_bytes": "sum"}).collect()[0][0]
+    assert z_out < plain_out
+
+
+def test_general_cascade_validation():
+    import pytest as _pytest
+
+    from xml2arrow_spark.errors import ManifestError
+    from xml2arrow_spark.manifest import ColumnPolicy
+
+    with _pytest.raises(ManifestError, match="general codec"):
+        ColumnPolicy(codec="auto+gzip").validate("c", "bigint")
+    with _pytest.raises(ManifestError, match="not valid for"):
+        ColumnPolicy(codec="fsst+zstd").validate("c", "bigint")
+    ColumnPolicy(codec="rle+lz4").validate("c", "bigint")  # ok
+
+
 # -- deterministic sampling / splitting ----------------------------------------
 
 

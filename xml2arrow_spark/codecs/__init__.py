@@ -39,6 +39,13 @@ BOOL_CODECS = {
 
 ALL_CODECS = {**INT_CODECS, **STR_CODECS, **FLOAT_CODECS, **BOOL_CODECS}
 
+# General-purpose entropy coders usable as a CASCADE stage on top of any
+# lightweight codec's payload ("<codec>+zstd" in a ColumnPolicy) — the
+# BtrBlocks/Parquet layering: lightweight encodings expose structure,
+# the general coder squeezes the residual entropy. Applied per block,
+# skipped automatically when it doesn't pay.
+GENERAL_CODECS = ("zstd", "lz4")
+
 
 def encode_values(codec: str, values):
     """Encode a numpy int array or StrData with the named codec."""

@@ -21,7 +21,13 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field, asdict
 
-from xml2arrow_spark.codecs import BOOL_CODECS, FLOAT_CODECS, INT_CODECS, STR_CODECS
+from xml2arrow_spark.codecs import (
+    BOOL_CODECS,
+    FLOAT_CODECS,
+    GENERAL_CODECS,
+    INT_CODECS,
+    STR_CODECS,
+)
 from xml2arrow_spark.errors import ManifestError
 
 __all__ = ["ColumnPolicy", "CodecManifest", "ManifestError"]
@@ -41,7 +47,9 @@ class ColumnPolicy:
 
     codec: one of auto|plain|bitpack|for|rle|dict (ints) /
     auto|plain_str|dict_str|fsst (strings). ``auto`` defers to the planner
-    (:mod:`xml2arrow_spark.plans.selector`).
+    (:mod:`xml2arrow_spark.plans.selector`). Any codec may carry a
+    ``+zstd`` / ``+lz4`` suffix — a general-entropy cascade over the
+    lightweight payload, applied per block only where it shrinks.
     """
 
     codec: str = AUTO
@@ -79,11 +87,17 @@ class ColumnPolicy:
                 f"(integers, strings, floats, booleans, decimal(p,0), and "
                 f"array<int> are encodable)"
             )
-        if self.codec not in allowed:
+        base_codec, _, general = self.codec.partition("+")
+        if general and general not in GENERAL_CODECS:
+            raise ManifestError(
+                f"column {column!r}: unknown general codec suffix "
+                f"{general!r}; supported: {list(GENERAL_CODECS)}"
+            )
+        if base_codec not in allowed:
             # codec/type compatibility — the analog of scale/offset being
             # float-only in the reference (src/config.rs:390-409).
             raise ManifestError(
-                f"column {column!r}: codec {self.codec!r} not valid for "
+                f"column {column!r}: codec {base_codec!r} not valid for "
                 f"type {spark_type!r}; allowed: {sorted(allowed)}"
             )
 

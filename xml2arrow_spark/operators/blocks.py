@@ -67,12 +67,49 @@ def _resolve_int(codec: str, values: np.ndarray) -> str:
     return codec
 
 
+# below this payload size the general coder's frame overhead dominates
+GENERAL_MIN_BYTES = 64
+
+
 def encode_column(arr: pa.Array, codec: str) -> tuple[str, str, bytes]:
     """Encode one Arrow column chunk -> (resolved_codec, meta_json, payload).
 
     Supports integer scalars, strings, and list/large_list of int32.
     ``codec='auto'`` resolves per block via the selector.
-    """
+
+    A ``+zstd`` / ``+lz4`` suffix (e.g. ``"auto+zstd"``) cascades a
+    general-purpose coder over the lightweight codec's payload —
+    lightweight encodings expose structure, the general coder squeezes
+    the residual entropy (the BtrBlocks/Parquet layering). Per block,
+    applied only when it actually shrinks the payload (a block that
+    doesn't benefit stores the raw stream; decode is branch-free either
+    way), so the cascade can only help, never hurt size."""
+    base, _, general = codec.partition("+")
+    resolved, meta_json, payload = _encode_column_raw(arr, base)
+    if general:
+        from xml2arrow_spark.codecs import GENERAL_CODECS
+        from xml2arrow_spark.errors import UnknownCodecError
+
+        if general not in GENERAL_CODECS:
+            raise UnknownCodecError(
+                f"unknown general codec {general!r}; supported: {GENERAL_CODECS}"
+            )
+        if len(payload) >= GENERAL_MIN_BYTES:
+            comp = pa.Codec(general).compress(payload, asbytes=True)
+            # the wrapper meta costs ~80 bytes of JSON; require a real win
+            if len(comp) + 80 < len(payload):
+                meta = {
+                    "kind": "general",
+                    "fmt": BLOCK_FORMAT_VERSION,
+                    "g": general,
+                    "raw_len": len(payload),
+                    "inner": meta_json,
+                }
+                return f"{resolved}+{general}", json.dumps(meta), comp
+    return resolved, meta_json, payload
+
+
+def _encode_column_raw(arr: pa.Array, codec: str) -> tuple[str, str, bytes]:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     t = arr.type
@@ -252,6 +289,11 @@ def decode_column(meta_json: str, payload: bytes) -> pa.Array:
             f"{BLOCK_FORMAT_VERSION}; re-encode the dataset"
         )
     kind = meta["kind"]
+    if kind == "general":
+        raw = pa.Codec(meta["g"]).decompress(
+            payload, decompressed_size=meta["raw_len"], asbytes=True
+        )
+        return decode_column(meta["inner"], raw)
     mask, payload = _unpack_validity(meta, payload)
     n = meta["n"]
 

@@ -236,6 +236,8 @@ def _encode_block(
         resolved, meta_json, payload = encode_column(arr, policies[name])
         col_out = len(payload) + len(meta_json)
         meta = json.loads(meta_json)
+        if meta["kind"] == "general":  # cascade wrapper: account the inner
+            meta = json.loads(meta["inner"])
         if meta["kind"] == "list_int":
             n_values += meta["values_meta"]["n"]
         else:
@@ -449,7 +451,10 @@ def resolve_manifest_parquet(
 
     resolved = {}
     for name, policy in manifest.columns.items():
-        if policy.codec != "auto" or name not in sample.column_names:
+        # preserve a "+zstd"/"+lz4" cascade suffix; resolve the base only
+        base, _, general = policy.codec.partition("+")
+        sfx = f"+{general}" if general else ""
+        if base != "auto" or name not in sample.column_names:
             resolved[name] = policy
             continue
         arr = sample.column(name).combine_chunks()
@@ -457,23 +462,24 @@ def resolve_manifest_parquet(
             resolved[name] = policy
         elif pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
             values = np.asarray(arr.flatten())
-            resolved[name] = replace(policy, codec=choose_int_codec(values))
+            resolved[name] = replace(policy, codec=choose_int_codec(values) + sfx)
         elif pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
             resolved[name] = replace(
-                policy, codec=choose_str_codec(strdata_from_arrow(arr.drop_null()))
+                policy,
+                codec=choose_str_codec(strdata_from_arrow(arr.drop_null())) + sfx,
             )
         elif pa.types.is_floating(arr.type):
             from xml2arrow_spark.codecs.floats import choose_float_codec
 
             resolved[name] = replace(
                 policy,
-                codec=choose_float_codec(np.asarray(arr.drop_null())),
+                codec=choose_float_codec(np.asarray(arr.drop_null())) + sfx,
             )
         elif pa.types.is_boolean(arr.type):
-            resolved[name] = replace(policy, codec="bool_pack")
+            resolved[name] = replace(policy, codec="bool_pack" + sfx)
         else:
             resolved[name] = replace(
-                policy, codec=choose_int_codec(np.asarray(arr.drop_null()))
+                policy, codec=choose_int_codec(np.asarray(arr.drop_null())) + sfx
             )
     return CodecManifest(
         columns=resolved, block_rows=manifest.block_rows,

@@ -811,6 +811,8 @@ def all_oracles() -> dict[str, str]:
     return {
         "tokenize": tokenize_sql(),
         "encode_roundtrip": tokenize_sql(),
+        # the general-entropy cascade must be invisible to results
+        "encode_cascade_roundtrip": tokenize_sql(),
         "encode_metadata": encode_metadata_sql(),
         "codec_selection": codec_selection_sql(),
         "token_stats": token_stats_sql(),

@@ -216,7 +216,11 @@ def resolve_manifest(df, manifest, sample_rows: int = 8192):
     pdf = df.select(*cols).limit(sample_rows).toPandas()
     resolved = {}
     for name, policy in manifest.columns.items():
-        if policy.codec != "auto":
+        # a "+zstd"/"+lz4" general-cascade suffix rides along unchanged;
+        # only the lightweight base codec is sample-resolved
+        base, _, general = policy.codec.partition("+")
+        suffix = f"+{general}" if general else ""
+        if base != "auto":
             resolved[name] = policy
             continue
         if name not in pdf.columns or len(pdf) == 0:
@@ -255,7 +259,9 @@ def resolve_manifest(df, manifest, sample_rows: int = 8192):
             # chooser needs the non-null values only (astype in choose_int_codec
             # restores exact int64)
             codec = choose_int_codec(series.dropna().to_numpy())
-        resolved[name] = replace(policy, codec=codec)
+        resolved[name] = replace(
+            policy, codec=codec + ("" if codec == policy.codec else suffix)
+        )
     return CodecManifest(
         columns=resolved, block_rows=manifest.block_rows,
         version=manifest.version, zone_maps=manifest.zone_maps,
