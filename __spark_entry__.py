@@ -505,6 +505,42 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_streaming_sessionize(spark, sf_dir):
+    """Custom STATEFUL streaming operator under the gate: gap
+    sessionization via applyInPandasWithState (buffered per-user state,
+    watermark-proven session closure, EventTimeTimeout draining). The
+    events table streams in micro-batches with a watermark delay covering
+    its full span (so ANY arrival order is in-contract), a flush sentinel
+    advances the final watermark, and the emitted sessions must equal the
+    batch window-function sessionize — same oracle."""
+    import datetime
+    import os
+
+    from xml2arrow_spark.streaming.sessionize_stream import (
+        FLUSH_EVENT_ID,
+        run_sessionize_stream,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    mm = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    span = int((mm["hi"] - mm["lo"]).total_seconds()) + 60
+    sentinel_ts = mm["hi"] + datetime.timedelta(seconds=span + 1800 + 3600)
+    base = _scratch("sess_")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ev.repartitionByRange(6, "ts").write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [(FLUSH_EVENT_ID, sentinel_ts, -1, "__flush__", 0.0)],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double",
+    ).write.mode("append").parquet(src)
+    return run_sessionize_stream(
+        spark, src, out, watermark_delay=f"{span} seconds"
+    )
+
+
 def q_event_type_stats(spark, sf_dir):
     return events_ops.event_type_stats(
         spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -840,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unnest_orders": q_unnest_orders,
         "affine_transform": q_affine_transform,
         "sessionize": q_sessionize,
+        "streaming_sessionize": q_streaming_sessionize,
         "event_type_stats": q_event_type_stats,
         "encode_typed_roundtrip": q_encode_typed_roundtrip,
         "encode_nullable_roundtrip": q_encode_nullable_roundtrip,

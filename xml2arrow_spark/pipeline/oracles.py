@@ -846,6 +846,8 @@ def all_oracles() -> dict[str, str]:
         "unnest_orders": unnest_orders_sql(),
         "affine_transform": affine_transform_sql(),
         "sessionize": sessionize_sql(),
+        # the stateful streaming twin must emit the SAME sessions
+        "streaming_sessionize": sessionize_sql(),
         "event_type_stats": event_type_stats_sql(),
         "encode_typed_roundtrip": encode_typed_roundtrip_sql(),
         "encode_nullable_roundtrip": encode_nullable_roundtrip_sql(),

@@ -1,0 +1,181 @@
+"""Custom stateful streaming operator: gap sessionization via
+``applyInPandasWithState`` — the arbitrary-state primitive the built-in
+streaming aggregations can't express (per-group ordered merge + incremental
+session numbering + exact integer session bounds).
+
+Contract (the streaming twin of :func:`xml2arrow_spark.pipeline.events.
+sessionize`, same output schema and values): events arrive in micro-batches
+with at most ``watermark_delay`` of event-time disorder; each user's events
+are BUFFERED in state, and a session is emitted exactly once, as soon as it
+is *provably closed* — its last event plus the gap lies before the current
+watermark, so no event that could still arrive may extend or precede it.
+Emission is therefore in per-user time order and ``session_idx`` is the
+same 0-based counter the batch operator assigns.
+
+Scale shape:
+
+- state per user = ONLY the events of not-yet-closed sessions (the
+  watermark prunes everything emitted) plus one counter — bounded by
+  ``watermark_delay`` + session span, not by stream length;
+- the buffered merge is exact under ANY within-watermark disorder — no
+  reliance on file arrival order;
+- Spark does NOT pre-filter late rows for applyInPandasWithState (the
+  user owns lateness), so the operator tracks the EMITTED FRONTIER (last
+  emitted session end) in state: an event that would fall into emitted
+  history — ``tse <= frontier + gap`` — is dropped (emitted rows are
+  immutable in append mode); any later event, even one behind the
+  watermark, is still integrated exactly;
+- ``EventTimeTimeout`` keeps groups flushing even when a micro-batch
+  carries no rows for them (the final no-data batch after a flush
+  sentinel drains every remaining closed session).
+
+A stream never "ends", so fully draining requires advancing the watermark
+past the last session: ingest one sentinel row (``event_id = -1``, any
+user) with an event time beyond ``last_real + delay + gap``; sentinel rows
+advance the watermark but are excluded from every buffer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from xml2arrow_spark.pipeline.events import _EPOCH_US, GAP_SECONDS
+
+__all__ = ["sessionize_stream", "run_sessionize_stream", "FLUSH_EVENT_ID"]
+
+FLUSH_EVENT_ID = -1
+
+EVENTS_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double"
+)
+_OUT_DDL = (
+    "user_id bigint, session_idx bigint, n_events bigint, "
+    "t_start_us bigint, t_end_us bigint, dur_us bigint"
+)
+_STATE_DDL = (
+    "tses array<bigint>, eids array<bigint>, next_idx bigint, "
+    "emitted_end bigint"
+)
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    source_dir: str,
+    gap_seconds: int = GAP_SECONDS,
+    watermark_delay: str = "0 seconds",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Streaming DataFrame of closed sessions (append mode) from a parquet
+    directory stream of events."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        user_id = int(key[0])
+        if state.exists:
+            tses, eids, next_idx, emitted_end = state.get
+            buf = list(zip(tses, eids))
+        else:
+            buf, next_idx, emitted_end = [], 0, -(1 << 62)
+        for pdf in pdfs:
+            buf.extend(
+                (int(t), int(e))
+                for t, e in zip(pdf["tse"], pdf["event_id"])
+                # drop sentinels AND events that would fall into already-
+                # EMITTED history (emitted rows are immutable): anything
+                # later than frontier+gap is integrated exactly, even if
+                # it arrived behind the watermark
+                if int(e) != FLUSH_EVENT_ID and int(t) > emitted_end + gap_us
+            )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        buf.sort()  # exact order restored regardless of arrival order
+        sessions: list[list[tuple[int, int]]] = []
+        cur: list[tuple[int, int]] = []
+        for t, e in buf:
+            if cur and t - cur[-1][0] > gap_us:
+                sessions.append(cur)
+                cur = []
+            cur.append((t, e))
+        if cur:
+            sessions.append(cur)
+        emitted = []
+        closed = 0
+        for s in sessions:
+            # provably closed: nothing arriving >= watermark can extend it
+            if s[-1][0] + gap_us < wm_us:
+                emitted.append(
+                    (user_id, next_idx, len(s), s[0][0], s[-1][0],
+                     s[-1][0] - s[0][0])
+                )
+                next_idx += 1
+                closed += 1
+                emitted_end = s[-1][0]
+            else:
+                break  # sessions are time-ordered; later ones can't be closed
+        kept = [p for s in sessions[closed:] for p in s]
+        state.update(
+            (
+                [t for t, _ in kept],
+                [e for _, e in kept],
+                int(next_idx),
+                int(emitted_end),
+            )
+        )
+        # re-arm: fire again on the next watermark advance so no-data
+        # batches keep draining closed sessions
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        if emitted:
+            yield pd.DataFrame(
+                emitted,
+                columns=["user_id", "session_idx", "n_events",
+                         "t_start_us", "t_end_us", "dur_us"],
+            )
+
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .withWatermark("ts", watermark_delay)
+    )
+    ev = stream.select(
+        "user_id", "event_id", F.expr(_EPOCH_US).alias("tse"), "ts"
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn, _OUT_DDL, _STATE_DDL, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+def run_sessionize_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    gap_seconds: int = GAP_SECONDS,
+    watermark_delay: str = "0 seconds",
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Drain the source with an availableNow query into ``out_dir`` and
+    return the emitted session rows."""
+    sessions = sessionize_stream(
+        spark, source_dir, gap_seconds, watermark_delay,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(out_dir, "_stream_checkpoint"),
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(_OUT_DDL).parquet(out_dir)
