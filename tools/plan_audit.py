@@ -82,6 +82,24 @@ def main() -> int:
             "in the band union (re-joined once per side after pair dedup).",
         ),
         (
+            "incremental_near_dup (partitioned signature store probe)",
+            lambda: entry.q_incremental_near_dup(spark, SF_DIR),
+            {"in_memory_relations": 0},
+            "Incremental probe against the stored signature tables: every "
+            "band branch reads bands/band_pos=<b> (a partition-pruned "
+            "scan, pinned in tests/test_round4_ops.py), no executor "
+            "cache; latest-wins dedupe is a narrow (sid, band_key, "
+            "batch_id) window per branch.",
+        ),
+        (
+            "dataset_compact_roundtrip (decode after compaction)",
+            lambda: entry.q_dataset_compact_roundtrip(spark, SF_DIR),
+            {"exchanges": 0, "in_memory_relations": 0},
+            "Compaction merges immutable block files; the fused decode of "
+            "the compacted dataset stays map-only — file tasks -> pyarrow "
+            "scan -> inverse kernels, zero shuffles.",
+        ),
+        (
             "cosine_topk (brute-force baseline)",
             lambda: entry.q_cosine_topk(spark, SF_DIR),
             {"exchanges": 0},

@@ -114,7 +114,16 @@ def write_signatures(
     from the WRITTEN parquet, so the signature expressions never recompute
     — land in ``bands/`` partitioned by band_pos. ``band_row_filter``
     drops rows that can never produce candidates (e.g. shingle-less docs)
-    from the bands table only; their signature rows are kept."""
+    from the bands table only; their signature rows are kept.
+
+    Crash-window contract (append mode): sigs are written BEFORE bands,
+    and :func:`next_batch_id` derives from sigs — so a crash between the
+    two writes can never cause a batch id to be REUSED (which could mix
+    two attempts' band keys for a revised doc under the within-epoch
+    tiebreak). The orphaned sigs-only batch is inert (its rows produce no
+    candidates) until the caller re-runs the failed increment, which
+    appends a complete fresh epoch and latest-wins supersedes the orphan
+    — the standard at-least-once recovery."""
     spark = sig_df.sparkSession
     sig_df.withColumn("batch_id", F.lit(int(batch_id))).write.mode(mode).parquet(
         os.path.join(sig_path, SIGS_SUBDIR)
