@@ -194,6 +194,85 @@ def test_max_cell_drop_telemetry(spark, tmp_path):
     pairs3._sig_cache.unpersist()
 
 
+# -- self-review fixes (round-4 review pass) -----------------------------------
+
+
+def test_row_level_subset_decode_decimal_column(spark, tmp_path):
+    """split_schema_ddl must not tear decimal(20,0) (the UInt64 widening
+    type) on its inner comma — subset decode of such a dataset works."""
+    from xml2arrow_spark.manifest import CodecManifest
+    from xml2arrow_spark.operators.checkpoint import (
+        encode_dataset,
+        read_encoded_dataset,
+    )
+
+    df = spark.createDataFrame(
+        [(f"d{i}", i) for i in range(200)], "doc_id string, v bigint"
+    ).select(
+        "doc_id",
+        (F.col("v").cast("decimal(20,0)")
+         + F.lit("9223372036854775808").cast("decimal(20,0)"))
+        .cast("decimal(20,0)").alias("big"),
+    )
+    path = str(tmp_path / "decds")
+    encode_dataset(df, path, CodecManifest.auto_for(df.schema), n_units=2)
+    sub = read_encoded_dataset(spark, path, columns=["big"])
+    assert sub.schema["big"].dataType.simpleString() == "decimal(20,0)"
+    assert sub.count() == 200
+    full = read_encoded_dataset(spark, path)
+    assert full.exceptAll(df).count() == 0
+
+
+def test_legacy_flat_sig_store_refused(spark, tmp_path):
+    """A pre-partitioned-store flat signature table is refused loudly —
+    resuming against it would silently drop the whole history."""
+    from xml2arrow_spark.errors import ManifestError
+    from xml2arrow_spark.pipeline import dedup
+
+    legacy = str(tmp_path / "legacy")
+    _docs_df(spark, [(1, BOILER)]).write.parquet(legacy)  # flat part files
+    with pytest.raises(ManifestError, match="legacy flat layout"):
+        dedup.next_batch_id(legacy)
+    with pytest.raises(ManifestError, match="legacy flat layout"):
+        dedup.lsh_near_dup_pairs_incremental(
+            _docs_df(spark, [(2, BOILER)]), legacy
+        )
+
+
+def test_within_epoch_winner_consistent_across_tables(spark, tmp_path):
+    """A batch pathologically carrying one id twice with different content
+    must resolve to ONE version in BOTH store tables (no chimera: band
+    keys from version A with the payload of version B)."""
+    from pyspark.sql import functions as SF
+
+    from xml2arrow_spark.pipeline import dedup
+    from xml2arrow_spark.pipeline import sqlgen as G
+
+    t_a = BOILER + " alpha beta gamma delta epsilon zeta eta theta"
+    t_b = "utterly different words about columnar codecs " * 3
+    dup = _docs_df(spark, [(7, t_a), (7, t_b), (8, "unrelated " * 8)])
+    sig = str(tmp_path / "sigs")
+    sigs_df = dedup.with_minhash(dup, "text").select(
+        SF.col("doc_id").alias("doc"), "dtoks",
+        *[f"band{b}" for b in range(G.MINHASH_BANDS)],
+    )
+    dedup.write_signatures(
+        sigs_df, sig, "doc", [f"band{b}" for b in range(G.MINHASH_BANDS)],
+        batch_id=0, mode="overwrite",
+        band_row_filter=SF.size("dtoks") > 0,
+    )
+    win = dedup.read_signatures(spark, sig, "doc", dedupe=True).filter(
+        "doc = 7"
+    ).collect()
+    assert len(win) == 1
+    winner_keys = {b: win[0][f"band{b}"] for b in range(G.MINHASH_BANDS)}
+    bands = dedup.stored_band_union(
+        spark, sig, G.MINHASH_BANDS, dedupe=True
+    ).filter("doc = 7").collect()
+    got_keys = {r.band_pos: r.band_key for r in bands}
+    assert got_keys == winner_keys  # same version end-to-end, never mixed
+
+
 # -- general-entropy cascade ("+zstd" / "+lz4") --------------------------------
 
 

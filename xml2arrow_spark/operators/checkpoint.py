@@ -279,7 +279,9 @@ def read_encoded_dataset(
         side = yaml.safe_load(f.read())
     ddl = side["schema_ddl"]
     if columns is not None:
-        by_name = {p.strip().split(" ")[0]: p.strip() for p in ddl.split(",")}
+        from xml2arrow_spark.operators.encode import split_schema_ddl
+
+        by_name = split_schema_ddl(ddl)  # decimal(p,0)-safe
         missing = set(columns) - set(by_name)
         if missing:
             raise ValueError(

@@ -348,6 +348,16 @@ def compact_dataset(
       retries converge on the same content. ``os.remove`` tolerates ENOENT
       (the other attempt already removed it).
 
+    Crash-window honesty: the rename->remove window is NOT closed, only
+    healed — a crash between a task's rename and its last removal leaves
+    covered originals on disk, and any decode BEFORE the next
+    ``compact_dataset`` call double-counts their rows (the sweep runs at
+    the start of the next call, not continuously). Production runs should
+    wrap replace+remove in a catalog commit — Iceberg's
+    rewrite_data_files is exactly this operation with a real snapshot
+    swap; ``compact_log`` + the coverage footers are the evidence a
+    repair job (or the sweep) needs.
+
     The coverage log also lands in ``<path>/compact_log`` (driver-side
     append, one row per output file per run) so unit->file lineage survives
     without parsing parquet footers — the pre-catalog stand-in for an
@@ -534,13 +544,13 @@ def decode_dataset(
     from xml2arrow_spark.operators.encode import (
         _zone_suffixes,
         normalize_zone_filters,
+        split_schema_ddl,
     )
     from xml2arrow_spark.sources.files import plan_parquet_tasks
 
     with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
         side = yaml.safe_load(f.read())
-    all_pairs = [p.strip() for p in side["schema_ddl"].split(",")]
-    by_name = {p.split(" ")[0]: p for p in all_pairs}
+    by_name = split_schema_ddl(side["schema_ddl"])  # decimal(p,0)-safe
     if columns is None:
         out_names = list(by_name)
     else:

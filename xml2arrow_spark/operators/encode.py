@@ -31,6 +31,7 @@ __all__ = [
     "decode_table",
     "prune_blocks",
     "normalize_zone_filters",
+    "split_schema_ddl",
     "BLOCKS_SCHEMA_DDL",
     "blocks_metadata",
     "wide_blocks_ddl",
@@ -658,6 +659,26 @@ def encode_parquet(
     resolved = resolve_manifest_parquet(path, manifest)
     tasks = plan_parquet_tasks(spark, path, n_tasks)
     return encode_parquet_tasks(tasks, resolved)
+
+
+def split_schema_ddl(ddl: str) -> dict[str, str]:
+    """name -> "name type" pairs from a stored schema DDL, splitting on
+    commas OUTSIDE parentheses — ``decimal(20,0)`` (the UInt64 widening
+    type) contains a comma that a naive ``split(',')`` would tear."""
+    pairs, depth, cur = [], 0, []
+    for ch in ddl:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            pairs.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        pairs.append("".join(cur).strip())
+    return {p.split(" ")[0]: p for p in pairs if p}
 
 
 def _zone_suffixes(lo, hi) -> tuple[str, str]:

@@ -64,12 +64,38 @@ SIGS_SUBDIR = "sigs"
 BANDS_SUBDIR = "bands"
 
 
+def _check_store_layout(sig_path: str) -> None:
+    """Refuse a PRE-partitioned-store signature table loudly: the old
+    layout was flat part-*.parquet at ``sig_path`` itself; silently
+    creating sigs/+bands/ next to it would drop the whole historical
+    corpus from candidate generation (the loud-refusal discipline of
+    checkpoint.py::_check_placement)."""
+    try:
+        flat = [
+            f for f in os.listdir(sig_path)
+            if f.endswith(".parquet") and os.path.isfile(os.path.join(sig_path, f))
+        ]
+    except FileNotFoundError:
+        return
+    if flat and not os.path.isdir(os.path.join(sig_path, SIGS_SUBDIR)):
+        from xml2arrow_spark.errors import ManifestError
+
+        raise ManifestError(
+            f"signature table at {sig_path!r} uses the legacy flat layout "
+            f"({len(flat)} parquet file(s) at the root); this engine "
+            f"stores sigs/ + bands/ subdirectories — re-run "
+            f"lsh_near_dup_pairs(sig_path=...) over the full corpus to "
+            f"rebuild it (resuming would silently ignore the history)"
+        )
+
+
 def next_batch_id(sig_path: str) -> int:
     """Next increment epoch: 1 + max(batch_id) over the stored sigs table,
     read DRIVER-SIDE from parquet row-group statistics (footers only — no
     Spark job, no data pages; the repo-wide KB-scale-metadata ground rule)."""
     import pyarrow.parquet as pq
 
+    _check_store_layout(sig_path)
     sdir = os.path.join(sig_path, SIGS_SUBDIR)
     try:
         files = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
@@ -78,6 +104,7 @@ def next_batch_id(sig_path: str) -> int:
     best = -1
     for f in files:
         pf = pq.ParquetFile(os.path.join(sdir, f))
+        need_full_read = False
         for rg in range(pf.metadata.num_row_groups):
             g = pf.metadata.row_group(rg)
             for ci in range(g.num_columns):
@@ -87,16 +114,17 @@ def next_batch_id(sig_path: str) -> int:
                 st = col.statistics
                 if st is not None and st.has_min_max:
                     best = max(best, int(st.max))
-                else:  # stats missing: fall back to reading the int column
-                    tbl = pq.read_table(
-                        os.path.join(sdir, f), columns=["batch_id"]
-                    )
-                    mx = tbl.column("batch_id")
-                    if len(mx):
-                        import pyarrow.compute as pc
-
-                        best = max(best, int(pc.max(mx).as_py()))
+                else:
+                    need_full_read = True
                 break
+        if need_full_read:  # stats missing: ONE column read for the file
+            import pyarrow.compute as pc
+
+            mx = pq.read_table(
+                os.path.join(sdir, f), columns=["batch_id"]
+            ).column("batch_id")
+            if len(mx):
+                best = max(best, int(pc.max(mx).as_py()))
     return best + 1
 
 
@@ -125,9 +153,15 @@ def write_signatures(
     appends a complete fresh epoch and latest-wins supersedes the orphan
     — the standard at-least-once recovery."""
     spark = sig_df.sparkSession
-    sig_df.withColumn("batch_id", F.lit(int(batch_id))).write.mode(mode).parquet(
-        os.path.join(sig_path, SIGS_SUBDIR)
-    )
+    if mode == "append":
+        _check_store_layout(sig_path)
+    # row_hash: one content-derived key shared by BOTH tables, so the
+    # within-epoch latest-wins tiebreak picks the SAME version's signature
+    # row and band keys (independent per-table tiebreaks could stitch a
+    # chimera: band0 from version A, band1 from version B)
+    sig_df.withColumn("batch_id", F.lit(int(batch_id))).withColumn(
+        "row_hash", F.xxhash64(*band_cols)
+    ).write.mode(mode).parquet(os.path.join(sig_path, SIGS_SUBDIR))
     stored = spark.read.parquet(os.path.join(sig_path, SIGS_SUBDIR)).filter(
         F.col("batch_id") == int(batch_id)
     )
@@ -139,6 +173,7 @@ def write_signatures(
             F.col(id_col).alias("sid"),
             F.coalesce(F.col(col), F.lit(-1)).alias("band_key"),
             F.col("batch_id"),
+            F.col("row_hash"),
             F.lit(b).alias("band_pos"),
         )
         bands = part if bands is None else bands.unionAll(part)
@@ -147,15 +182,16 @@ def write_signatures(
     )
 
 
-def _latest_wins(df: DataFrame, id_cols: list[str], tiebreak) -> DataFrame:
+def _latest_wins(df: DataFrame, id_cols: list[str], tiebreaks: list) -> DataFrame:
     """Deterministic winner per id across increment epochs: max batch_id
     wins (latest content); within one epoch (an at-least-once replay, or a
-    batch that pathologically carries one id twice) ``tiebreak`` — a
-    content-derived column — makes the pick deterministic rather than
-    whichever task finished first (ADVICE r03 on re-ingested ids)."""
+    batch that pathologically carries one id twice) the ``tiebreaks`` —
+    led by the shared content-derived ``row_hash`` both store tables carry
+    — make the pick deterministic AND consistent between the sigs and
+    bands tables (ADVICE r03 on re-ingested ids)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*id_cols).orderBy(F.desc("batch_id"), tiebreak)
+    w = Window.partitionBy(*id_cols).orderBy(F.desc("batch_id"), *tiebreaks)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -171,9 +207,14 @@ def read_signatures(
     construction and skips the window shuffle)."""
     sigs = spark.read.parquet(os.path.join(sig_path, SIGS_SUBDIR))
     if dedupe:
-        band_like = [c for c in sigs.columns if c not in (id_col, "batch_id")]
-        sigs = _latest_wins(sigs, [id_col], F.xxhash64(*band_like))
-    return sigs.drop("batch_id")
+        others = [
+            c for c in sigs.columns
+            if c not in (id_col, "batch_id", "row_hash")
+        ]
+        sigs = _latest_wins(
+            sigs, [id_col], [F.col("row_hash"), F.xxhash64(*others)]
+        )
+    return sigs.drop("batch_id", "row_hash")
 
 
 def _cap_cells(out: DataFrame, max_cell: int | None) -> DataFrame:
@@ -218,7 +259,9 @@ def stored_band_union(
             .filter(F.col("band_pos") == b)  # partition-pruned scan
         )
         if dedupe:
-            branch = _latest_wins(branch, ["sid"], F.col("band_key"))
+            branch = _latest_wins(
+                branch, ["sid"], [F.col("row_hash"), F.col("band_key")]
+            )
         branch = branch.select(
             F.col("sid").alias(id_alias),
             F.col("band_pos").cast("int").alias("band_pos"),

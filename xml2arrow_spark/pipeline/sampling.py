@@ -65,7 +65,8 @@ def deterministic_split(
     bucket = F.expr(G.sample_hash_expr(id_col, SPARK))
     lo = 0
     expr = F.lit(None).cast("string")
-    # build the CASE from the LAST range backwards so earlier whens win
+    # wrap forward, so the LAST-built when is outermost; precedence is
+    # irrelevant because the ranges are disjoint by construction
     ranges = []
     for name, milli in sorted(splits_milli.items()):
         ranges.append((name, lo, lo + int(milli)))

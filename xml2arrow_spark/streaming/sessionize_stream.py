@@ -127,9 +127,12 @@ def sessionize_stream(
                 int(emitted_end),
             )
         )
-        # re-arm: fire again on the next watermark advance so no-data
-        # batches keep draining closed sessions
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        # re-arm ONLY while something is buffered: a drained group must
+        # not re-fire on every future watermark advance (O(all users)
+        # invocations per batch otherwise); new data for the group
+        # triggers the function anyway
+        if kept:
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
         if emitted:
             yield pd.DataFrame(
                 emitted,
