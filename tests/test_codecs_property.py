@@ -226,3 +226,42 @@ def test_float32_auto_roundtrip_bits(values):
     out = np.asarray(decode_column(meta, blob))
     assert out.dtype == np.float32
     np.testing.assert_array_equal(out.view(np.uint32), values.view(np.uint32))
+
+
+# -- general-entropy cascade: arbitrary columns round-trip bit-exactly ----------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(-(2**62), 2**62)),
+        min_size=0, max_size=400,
+    ),
+    st.sampled_from(["zstd", "lz4"]),
+)
+def test_cascade_int_column_roundtrip(xs, general):
+    import pyarrow as pa
+
+    from xml2arrow_spark.operators.blocks import decode_column, encode_column
+
+    arr = pa.array(xs, type=pa.int64())
+    _, meta, payload = encode_column(arr, f"auto+{general}")
+    assert decode_column(meta, payload).equals(arr)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(max_size=40)),
+        min_size=0, max_size=300,
+    ),
+    st.sampled_from(["zstd", "lz4"]),
+)
+def test_cascade_str_column_roundtrip(xs, general):
+    import pyarrow as pa
+
+    from xml2arrow_spark.operators.blocks import decode_column, encode_column
+
+    arr = pa.array(xs, type=pa.string())
+    _, meta, payload = encode_column(arr, f"auto+{general}")
+    assert decode_column(meta, payload).equals(arr)
