@@ -331,6 +331,36 @@ def q_dataset_compact_roundtrip(spark, sf_dir):
     return decode_dataset(spark, out)
 
 
+def q_dataset_column_stats(spark, sf_dir):
+    """Zone maps doubling as table statistics: exact per-column min/max of
+    a STORED dataset computed from block zone stats alone — no payload
+    decode, no kernels; the oracle recomputes the extrema from the raw
+    table. Sentinels fill the inapplicable stats pair (int columns have no
+    float pair and vice versa)."""
+    import os
+
+    from xml2arrow_spark.operators.dataset import (
+        dataset_column_stats,
+        encode_parquet_dataset,
+    )
+
+    base = _scratch("stats_")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "ds")
+    _lineitem(spark, sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+    ).repartition(4).write.mode("overwrite").parquet(src)
+    encode_parquet_dataset(spark, src, out)
+    return dataset_column_stats(spark, out).select(
+        "column",
+        F.coalesce(F.col("vmin_i"), F.lit(-1)).alias("vmin_i"),
+        F.coalesce(F.col("vmax_i"), F.lit(-1)).alias("vmax_i"),
+        F.coalesce(F.col("vmin_d"), F.lit(-1.0)).alias("vmin_d"),
+        F.coalesce(F.col("vmax_d"), F.lit(-1.0)).alias("vmax_d"),
+        "n_unstated",
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum sampling on the portable hash bucket —
     reproducible across engines/runs/cluster sizes (a rand(seed) sample
@@ -854,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_near_dup": q_incremental_near_dup,
         "dataset_wide_subset": q_dataset_wide_subset,
         "dataset_compact_roundtrip": q_dataset_compact_roundtrip,
+        "dataset_column_stats": q_dataset_column_stats,
         "stratified_sample": q_stratified_sample,
         "deterministic_split": q_deterministic_split,
         "cosine_topk_batch": q_cosine_topk_batch,

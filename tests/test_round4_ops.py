@@ -194,6 +194,37 @@ def test_max_cell_drop_telemetry(spark, tmp_path):
     pairs3._sig_cache.unpersist()
 
 
+# -- zone maps as table statistics ---------------------------------------------
+
+
+@pytest.mark.parametrize("layout", ["nested", "wide"])
+def test_dataset_column_stats_exact_and_flagged(spark, tmp_path, layout):
+    """Zone-derived extrema are exact on both layouts; blocks that
+    withheld stats are COUNTED (n_unstated flags estimates), never
+    silently folded in."""
+    from xml2arrow_spark.manifest import CodecManifest
+    from xml2arrow_spark.operators.dataset import (
+        dataset_column_stats,
+        encode_parquet_dataset,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / f"st_{layout}")
+    spark.createDataFrame(
+        [(i, float(i) / 7.0, None if i < 64 else i * 3) for i in range(256)],
+        "a bigint, b double, c bigint",
+    ).orderBy("a").coalesce(2).write.mode("overwrite").parquet(src)
+    man = CodecManifest.auto_for(spark.read.parquet(src).schema, block_rows=64)
+    encode_parquet_dataset(spark, src, out, manifest=man, layout=layout)
+    stats = {r.column: r for r in dataset_column_stats(spark, out).collect()}
+    assert (stats["a"].vmin_i, stats["a"].vmax_i) == (0, 255)
+    assert stats["a"].n_unstated == 0
+    assert stats["b"].vmin_d == 0.0 and stats["b"].vmax_d == 255.0 / 7.0
+    # column c: its first 64-row block is all-null -> stats withheld there
+    assert (stats["c"].vmin_i, stats["c"].vmax_i) == (64 * 3, 255 * 3)
+    assert stats["c"].n_unstated == 1
+
+
 # -- self-review fixes (round-4 review pass) -----------------------------------
 
 

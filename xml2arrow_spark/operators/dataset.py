@@ -45,6 +45,7 @@ __all__ = [
     "decode_dataset",
     "compact_dataset",
     "dataset_metrics",
+    "dataset_column_stats",
     "METADATA_DDL",
 ]
 
@@ -304,6 +305,62 @@ def dataset_metrics(spark, out_path: str) -> dict:
         "in_bytes": sums["in_bytes"],
         "out_bytes": sums["out_bytes"],
     }
+
+
+def dataset_column_stats(spark, out_path: str):
+    """Exact per-column min/max of a STORED dataset from its zone maps —
+    no payload decode, no kernels: per-block zone stats aggregate to exact
+    table extrema for int/float columns whenever every block recorded
+    stats (``n_unstated`` counts the blocks that withheld them — all-null,
+    all-NaN, or ``zone_maps=False`` — so a nonzero count flags the extrema
+    as lower/upper ESTIMATES rather than exact). String zone bounds are
+    truncation-safe bounds, not exact extrema, and are reported as such.
+
+    Returns a DataFrame (column, vmin_i, vmax_i, vmin_d, vmax_d,
+    n_blocks, n_unstated). This is the query-planning surface the zone
+    maps buy for free — the reader-side twin of parquet column statistics,
+    at block granularity over the ENCODED payload."""
+    import yaml
+
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.encode import split_schema_ddl
+
+    with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
+        side = yaml.safe_load(f.read())
+    names = list(split_schema_ddl(side["schema_ddl"]))
+    blocks = spark.read.parquet(os.path.join(out_path, "blocks"))
+    if side.get("layout", "nested") == "wide":
+        per_col = None
+        for n in names:
+            one = blocks.select(
+                F.lit(n).alias("column"),
+                F.col(f"c_{n}__vmin_i").alias("vmin_i"),
+                F.col(f"c_{n}__vmax_i").alias("vmax_i"),
+                F.col(f"c_{n}__vmin_d").alias("vmin_d"),
+                F.col(f"c_{n}__vmax_d").alias("vmax_d"),
+            )
+            per_col = one if per_col is None else per_col.unionAll(one)
+    else:
+        c = F.explode("cols").alias("c")
+        per_col = blocks.select(c).select(
+            F.col("c.name").alias("column"),
+            F.col("c.vmin_i").alias("vmin_i"),
+            F.col("c.vmax_i").alias("vmax_i"),
+            F.col("c.vmin_d").alias("vmin_d"),
+            F.col("c.vmax_d").alias("vmax_d"),
+        )
+    unstated = (
+        F.col("vmin_i").isNull() & F.col("vmin_d").isNull()
+    ).cast("long")
+    return per_col.groupBy("column").agg(
+        F.min("vmin_i").alias("vmin_i"),
+        F.max("vmax_i").alias("vmax_i"),
+        F.min("vmin_d").alias("vmin_d"),
+        F.max("vmax_d").alias("vmax_d"),
+        F.count("*").alias("n_blocks"),
+        F.sum(unstated).alias("n_unstated"),
+    )
 
 
 def compact_dataset(

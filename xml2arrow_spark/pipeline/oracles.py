@@ -738,6 +738,31 @@ SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
 """
 
 
+def dataset_column_stats_sql() -> str:
+    # zone-map extrema must equal the raw table's exact min/max
+    def row(col, is_int):
+        if is_int:
+            return (
+                f"SELECT '{col}' AS column, CAST(min({col}) AS BIGINT) AS vmin_i, "
+                f"CAST(max({col}) AS BIGINT) AS vmax_i, -1.0 AS vmin_d, "
+                f"-1.0 AS vmax_d, CAST(0 AS BIGINT) AS n_unstated FROM lineitem"
+            )
+        return (
+            f"SELECT '{col}' AS column, CAST(-1 AS BIGINT) AS vmin_i, "
+            f"CAST(-1 AS BIGINT) AS vmax_i, min({col}) AS vmin_d, "
+            f"max({col}) AS vmax_d, CAST(0 AS BIGINT) AS n_unstated FROM lineitem"
+        )
+
+    return "\nUNION ALL\n".join(
+        [
+            row("l_orderkey", True),
+            row("l_linenumber", True),
+            row("l_quantity", False),
+            row("l_discount", False),
+        ]
+    )
+
+
 def stratified_sample_sql() -> str:
     bucket = G.sample_hash_expr("doc_id", D)
     return f"""
@@ -824,6 +849,7 @@ def all_oracles() -> dict[str, str]:
         "incremental_near_dup": incremental_near_dup_sql(),
         "dataset_wide_subset": dataset_wide_subset_sql(),
         "dataset_compact_roundtrip": dataset_compact_roundtrip_sql(),
+        "dataset_column_stats": dataset_column_stats_sql(),
         "stratified_sample": stratified_sample_sql(),
         "deterministic_split": deterministic_split_sql(),
         "cosine_topk_batch": cosine_topk_batch_sql(),
