@@ -432,6 +432,24 @@ def q_doc_fingerprint(spark, sf_dir):
     return textstats.doc_fingerprint(_docs(spark, sf_dir))
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Per-doc top-3 salient tokens by the integer tf-idf surrogate
+    (tf*N*1000 div df) — rank/score/tie-break all exact integers, so the
+    oracle reproduces the ranking bit-for-bit."""
+    return textstats.tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing of the token table: per-source running
+    token offsets and fixed-budget context-window (bin) spans from one
+    window cumsum — the padding-free batch layout a pretraining loader
+    slices."""
+    tok = tokenize_documents(_docs(spark, sf_dir)).select(
+        "doc_id", "source", "n_tok"
+    )
+    return textstats.pack_sequences(tok, budget_tokens=4096)
+
+
 # -- similarity ----------------------------------------------------------------
 
 
@@ -899,6 +917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_ngrams": q_repeated_ngrams,
         "quality_filter": q_quality_filter,
         "doc_fingerprint": q_doc_fingerprint,
+        "tfidf_topk": q_tfidf_topk,
+        "pack_sequences": q_pack_sequences,
         "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,

@@ -194,6 +194,55 @@ def test_max_cell_drop_telemetry(spark, tmp_path):
     pairs3._sig_cache.unpersist()
 
 
+# -- sequence packing / tf-idf --------------------------------------------------
+
+
+def test_pack_sequences_boundaries(spark):
+    from xml2arrow_spark.pipeline.textstats import pack_sequences
+
+    rows = [
+        ("a", "s1", 100),  # bins 0..0
+        ("b", "s1", 150),  # offset 100, spans bin 0 -> bin 1 (straddles 128)
+        ("c", "s1", 0),    # empty doc: occupies its start bin only
+        ("d", "s1", 300),  # offset 250: bins 1..4 (tokens 250..549)
+        ("e", "s2", 5),    # separate source: offsets restart at 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_tok int")
+    got = {
+        r.doc_id: (r.tok_offset, r.bin_start, r.bin_end)
+        for r in pack_sequences(df, budget_tokens=128).collect()
+    }
+    assert got["a"] == (0, 0, 0)
+    assert got["b"] == (100, 0, 1)   # straddles the 128-token boundary
+    assert got["c"] == (250, 1, 1)   # empty: start bin only
+    assert got["d"] == (250, 1, 4)   # long doc spans multiple bins
+    assert got["e"] == (0, 0, 0)     # per-source stream, no cross-talk
+
+
+def test_tfidf_topk_ranks_rare_tokens_first(spark):
+    from xml2arrow_spark.pipeline.textstats import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common unique1 unique1 unique1", "s", 1),
+            (2, "common words here", "s", 1),
+            (3, "common words there", "s", 1),
+        ],
+        "doc_id bigint, text string, source string, n_chars int",
+    )
+    top = tfidf_topk(docs, k=1).collect()
+    by_doc = {r.doc_id: r for r in top}
+    # doc 1's top token is its high-tf doc-unique token, not 'common'
+    from xml2arrow_spark.pipeline import sqlgen as G
+
+    tok_expr = G.word_token("'unique1'", "spark")
+    uniq_tok = spark.sql(f"SELECT {tok_expr} AS t").collect()[0]["t"]
+    assert by_doc[1].token == uniq_tok
+    assert by_doc[1].rank == 1
+    # score surrogate: tf=3, N=3, df=1 -> 3*3*1000/1 = 9000
+    assert by_doc[1].score_milli == 9000
+
+
 # -- zone maps as table statistics ---------------------------------------------
 
 

@@ -731,6 +731,51 @@ FROM documents
 ORACLES: dict[str, str] = {}
 
 
+def tfidf_topk_sql(k: int = 3) -> str:
+    # integer tf-idf surrogate: (tf * N * 1000) // df — all positive, so
+    # DuckDB's truncating // equals Spark's div; ties (score desc, token)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(CAST({_TOKS} AS BIGINT[])) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.token,
+         CAST((tf.tf * nn.n * 1000) // dfq.df AS BIGINT) AS score_milli
+  FROM tf JOIN dfq USING (token) CROSS JOIN nn
+),
+r AS (SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY score_milli DESC, token
+      ) AS INTEGER) AS rank FROM s)
+SELECT doc_id, rank, token, score_milli FROM r WHERE rank <= {k}
+"""
+
+
+def pack_sequences_sql(budget: int = 4096) -> str:
+    n_tok = G.asize(G.split_ws("text", D), D)
+    return f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         CAST({n_tok} AS BIGINT) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tok,
+         CAST(SUM(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum
+  FROM t
+)
+SELECT doc_id, source, cum - n_tok AS tok_offset,
+       (cum - n_tok) // {budget} AS bin_start,
+       greatest(cum - n_tok, cum - 1) // {budget} AS bin_end
+FROM c
+"""
+
+
 def dataset_compact_roundtrip_sql() -> str:
     # compaction concatenates immutable blocks; decode equals the raw table
     return """
@@ -864,6 +909,8 @@ def all_oracles() -> dict[str, str]:
         "quality_filter": quality_filter_sql(),
         "token_counts": token_counts_sql(),
         "doc_fingerprint": doc_fingerprint_sql(),
+        "tfidf_topk": tfidf_topk_sql(),
+        "pack_sequences": pack_sequences_sql(),
         "cosine_topk": cosine_topk_sql(),
         "lsh_ann_topk": lsh_ann_topk_sql(),
         "ivf_ann_topk": ivf_ann_topk_sql(),

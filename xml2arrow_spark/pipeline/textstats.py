@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from xml2arrow_spark.pipeline import sqlgen as G
 
-__all__ = ["STOPWORDS", "lang_id", "text_quality", "token_counts", "doc_fingerprint", "repeated_ngrams", "quality_filter"]
+__all__ = ["STOPWORDS", "lang_id", "text_quality", "token_counts", "doc_fingerprint", "repeated_ngrams", "quality_filter", "tfidf_topk", "pack_sequences"]
 
 SPARK = "spark"
 
@@ -146,4 +146,97 @@ def quality_filter(
         (F.col("n_words") >= min_words)
         & (F.col("max_word_len") <= max_word_len)
         & (F.col("distinct_ratio") >= F.lit(float(min_distinct_ratio)))
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    expected_n: int | None = None,
+) -> DataFrame:
+    """Per-document top-k salient tokens by an INTEGER tf-idf surrogate:
+    ``score_milli = (tf * N * 1000) div df`` — monotone in tf/df exactly
+    like tf·(N/df), but every value is exact integer arithmetic, so the
+    DuckDB oracle reproduces the ranking bit-for-bit (a float ``ln`` idf
+    differs in the last ulp across libms and could flip ties).
+
+    Plan shape at corpus scale: one explode -> (doc, token) count
+    aggregation (tf), one narrow (token) aggregation over the DISTINCT
+    (doc, token) rows (df — no second scan of the text), a broadcast-sized
+    df table joined back on token, and a per-doc window for top-k. The
+    corpus size ``N`` is driver state (pass ``expected_n`` to skip the
+    count action). Ties break (score desc, token asc) — deterministic.
+
+    Returns (doc_id, rank, token, score_milli).
+    """
+    from pyspark.sql import Window
+
+    n = expected_n if expected_n is not None else docs.count()
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(G.word_tokens_arr(text_col, SPARK))).alias("token"),
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(df, "token").withColumn(
+        # positive operands: truncating div == floor div in both engines
+        "score_milli",
+        F.expr(f"(tf * {int(n)} * 1000) div df"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_milli"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "token", "score_milli")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int,
+    n_tok_col: str = "n_tok",
+    id_col: str = "doc_id",
+    partition_col: str = "source",
+) -> DataFrame:
+    """GPT-style sequence packing: documents are concatenated in
+    deterministic (``partition_col``, ``id_col``) order and chunked into
+    fixed ``budget_tokens`` context windows; each document's global token
+    offset and first/last bin fall out of ONE running sum — the layout a
+    pretraining loader needs to slice packed batches without padding.
+
+    Packing stays WITHIN ``partition_col`` partitions (each source packs
+    independently), so the window never globally sorts the corpus — the
+    same no-global-sort stance as :func:`~xml2arrow_spark.pipeline.dedup.
+    neighbor_jaccard`. Documents may straddle bin boundaries (that's the
+    concat-then-chunk contract; a doc longer than the budget spans
+    multiple bins).
+
+    Returns (doc_id, partition_col, tok_offset, bin_start, bin_end) with
+    ``tok_offset`` = tokens before this doc within its source stream,
+    ``bin_start``/``bin_end`` = first/last window index the doc touches
+    (empty docs occupy their start bin only).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = docs.withColumn(
+        "_cum", F.sum(F.col(n_tok_col).cast("bigint")).over(w)
+    ).withColumn("tok_offset", F.col("_cum") - F.col(n_tok_col))
+    return out.select(
+        id_col,
+        partition_col,
+        "tok_offset",
+        F.expr(f"tok_offset div {int(budget_tokens)}").alias("bin_start"),
+        # last token index is cum-1; empty docs keep their start bin
+        F.expr(
+            f"greatest(tok_offset, _cum - 1) div {int(budget_tokens)}"
+        ).alias("bin_end"),
     )
