@@ -285,6 +285,16 @@ def q_incremental_near_dup(spark, sf_dir):
     return dedup.lsh_near_dup_pairs_incremental(new, sig)
 
 
+def q_contamination_hits(spark, sf_dir):
+    """Benchmark decontamination under the gate: docs sharing >= 2
+    distinct word-trigram shingles with the eval subset (doc_id % 97 == 0)
+    — the pre-training leak check; eval shingles broadcast, one probe per
+    corpus shingle."""
+    docs = _docs(spark, sf_dir)
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    return dedup.contamination_hits(docs, eval_docs, min_overlap=2)
+
+
 def q_dataset_wide_subset(spark, sf_dir):
     """Wide STORED dataset + subset decode: a lineitem projection goes
     through the fused sink with layout='wide', then only 2 of 4 columns are
@@ -900,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
         "incremental_near_dup": q_incremental_near_dup,
+        "contamination_hits": q_contamination_hits,
         "dataset_wide_subset": q_dataset_wide_subset,
         "dataset_compact_roundtrip": q_dataset_compact_roundtrip,
         "dataset_column_stats": q_dataset_column_stats,

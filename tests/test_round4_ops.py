@@ -194,6 +194,28 @@ def test_max_cell_drop_telemetry(spark, tmp_path):
     pairs3._sig_cache.unpersist()
 
 
+# -- decontamination -------------------------------------------------------------
+
+
+def test_decontamination_planted_leak(spark):
+    from xml2arrow_spark.pipeline import dedup
+
+    eval_passage = "what is the capital of france paris is the capital"
+    train = _docs_df(spark, [
+        (1, "totally innocent text about spark partitions and codecs here"),
+        (2, f"a crawled page quoting: {eval_passage} end of quote material"),
+        (3, "short"),  # < 3 words: no shingles, can never hit
+    ])
+    evals = _docs_df(spark, [(100, eval_passage)])
+    hits = {r.doc_id: r.n_hits for r in
+            dedup.contamination_hits(train, evals, min_overlap=2).collect()}
+    assert 2 in hits and hits[2] >= 2  # the quoting page is flagged
+    assert 1 not in hits and 3 not in hits
+    kept = {r.doc_id for r in
+            dedup.decontaminate(train, evals, min_overlap=2).collect()}
+    assert kept == {1, 3}  # exactly the complement survives
+
+
 # -- sequence packing / tf-idf --------------------------------------------------
 
 

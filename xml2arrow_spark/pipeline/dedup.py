@@ -42,6 +42,8 @@ __all__ = [
     "next_batch_id",
     "lsh_near_dup_pairs",
     "lsh_near_dup_pairs_incremental",
+    "contamination_hits",
+    "decontaminate",
     "resolve_near_dups",
     "with_simhash",
     "simhash_ids_fast",
@@ -561,6 +563,56 @@ def lsh_near_dup_pairs_incremental(
     ).select("doc_a", "doc_b", "inter_size", "union_size")
     out._drop_metrics = all_bands._drop_metrics
     return out
+
+
+def contamination_hits(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: training documents sharing at least
+    ``min_overlap`` distinct word-trigram shingles with ANY document of an
+    evaluation set — the standard leak check run before pretraining (eval
+    prompts quoted inside crawled pages inflate benchmark scores).
+
+    Plan shape: the eval set's distinct shingle UNION (eval sets are tiny
+    relative to the corpus) builds one small relation; the corpus explodes
+    its per-doc distinct shingles ONCE and joins — Catalyst broadcasts the
+    eval side, so the check is one map-side hash probe per corpus shingle
+    plus a per-doc count aggregation, never a corpus×eval cross product.
+    Returns (doc_id, n_hits) for contaminated docs;
+    :func:`decontaminate` keeps the complement.
+    """
+    eval_sh = (
+        _with_dshingles(eval_docs, text_col)
+        .select(F.explode("dtoks").alias("sh"))
+        .distinct()
+    )
+    doc_sh = _with_dshingles(docs, text_col).select(
+        F.col(id_col), F.explode("dtoks").alias("sh")
+    )
+    return (
+        doc_sh.join(F.broadcast(eval_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+        .filter(F.col("n_hits") >= int(min_overlap))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The keep-side of :func:`contamination_hits`: drop every training
+    document that leaks eval shingles (left-anti on the id — the payload
+    crosses no extra exchange)."""
+    hits = contamination_hits(docs, eval_docs, min_overlap, text_col, id_col)
+    return docs.join(hits.select(id_col), id_col, "left_anti")
 
 
 def resolve_near_dups(

@@ -731,6 +731,21 @@ FROM documents
 ORACLES: dict[str, str] = {}
 
 
+def contamination_hits_sql(min_overlap: int = 2) -> str:
+    # eval set = doc_id % 97 == 0; a doc is contaminated when it shares
+    # >= min_overlap distinct trigram shingles with ANY eval doc
+    return f"""
+WITH ds AS (
+  SELECT doc_id, unnest(CAST({_DSHINGLES} AS BIGINT[])) AS sh FROM documents
+),
+es AS (SELECT DISTINCT sh FROM ds WHERE doc_id % 97 = 0)
+SELECT doc_id, COUNT(*) AS n_hits
+FROM ds JOIN es USING (sh)
+GROUP BY doc_id
+HAVING COUNT(*) >= {min_overlap}
+"""
+
+
 def tfidf_topk_sql(k: int = 3) -> str:
     # integer tf-idf surrogate: (tf * N * 1000) // df — all positive, so
     # DuckDB's truncating // equals Spark's div; ties (score desc, token)
@@ -892,6 +907,7 @@ def all_oracles() -> dict[str, str]:
         "minhash_signatures": minhash_signatures_sql(),
         "lsh_near_dup_pairs": lsh_near_dup_pairs_sql(),
         "incremental_near_dup": incremental_near_dup_sql(),
+        "contamination_hits": contamination_hits_sql(),
         "dataset_wide_subset": dataset_wide_subset_sql(),
         "dataset_compact_roundtrip": dataset_compact_roundtrip_sql(),
         "dataset_column_stats": dataset_column_stats_sql(),
