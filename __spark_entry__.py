@@ -285,6 +285,29 @@ def q_incremental_near_dup(spark, sf_dir):
     return dedup.lsh_near_dup_pairs_incremental(new, sig)
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup (second custom stateful operator): the docs
+    table replays as FOUR doc-id-range micro-batches written in range
+    order (an ingest log replayed in order), the keyed seen-set emits
+    each digest's first-arrival winner, and the surviving set must equal
+    the batch min-id-per-text rule the oracle computes."""
+    import os
+
+    from xml2arrow_spark.streaming.dedup_stream import run_dedup_stream
+
+    docs = _docs(spark, sf_dir)
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    base = _scratch("sdedup_")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    step = (hi + 3) // 4
+    for k in range(4):  # sequential writes: mtime order == range order
+        docs.filter(
+            (F.col("doc_id") >= k * step) & (F.col("doc_id") < (k + 1) * step)
+        ).coalesce(1).write.mode("append").parquet(src)
+    return run_dedup_stream(spark, src, out, max_files_per_trigger=1)
+
+
 def q_contamination_hits(spark, sf_dir):
     """Benchmark decontamination under the gate: docs sharing >= 2
     distinct word-trigram shingles with the eval subset (doc_id % 97 == 0)
@@ -911,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
         "incremental_near_dup": q_incremental_near_dup,
         "contamination_hits": q_contamination_hits,
+        "streaming_dedup": q_streaming_dedup,
         "dataset_wide_subset": q_dataset_wide_subset,
         "dataset_compact_roundtrip": q_dataset_compact_roundtrip,
         "dataset_column_stats": q_dataset_column_stats,

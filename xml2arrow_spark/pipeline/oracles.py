@@ -731,6 +731,14 @@ FROM documents
 ORACLES: dict[str, str] = {}
 
 
+def streaming_dedup_sql() -> str:
+    # first-arrival winners under range-ordered replay == min id per text
+    return """
+SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
 def contamination_hits_sql(min_overlap: int = 2) -> str:
     # eval set = doc_id % 97 == 0; a doc is contaminated when it shares
     # >= min_overlap distinct trigram shingles with ANY eval doc
@@ -908,6 +916,7 @@ def all_oracles() -> dict[str, str]:
         "lsh_near_dup_pairs": lsh_near_dup_pairs_sql(),
         "incremental_near_dup": incremental_near_dup_sql(),
         "contamination_hits": contamination_hits_sql(),
+        "streaming_dedup": streaming_dedup_sql(),
         "dataset_wide_subset": dataset_wide_subset_sql(),
         "dataset_compact_roundtrip": dataset_compact_roundtrip_sql(),
         "dataset_column_stats": dataset_column_stats_sql(),
