@@ -468,8 +468,12 @@ def q_doc_fingerprint(spark, sf_dir):
 def q_tfidf_topk(spark, sf_dir):
     """Per-doc top-3 salient tokens by the integer tf-idf surrogate
     (tf*N*1000 div df) — rank/score/tie-break all exact integers, so the
-    oracle reproduces the ranking bit-for-bit."""
-    return textstats.tfidf_topk(_docs(spark, sf_dir), k=3)
+    oracle reproduces the ranking bit-for-bit. N comes from the parquet
+    footers (driver-side metadata), not a Spark count action."""
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(f"{sf_dir}/documents.parquet").count_rows()
+    return textstats.tfidf_topk(_docs(spark, sf_dir), k=3, expected_n=n)
 
 
 def q_pack_sequences(spark, sf_dir):

@@ -296,6 +296,28 @@ def test_dataset_column_stats_exact_and_flagged(spark, tmp_path, layout):
     assert stats["c"].n_unstated == 1
 
 
+@pytest.mark.parametrize("layout", ["nested", "wide"])
+def test_dataset_column_stats_string_bounds(spark, tmp_path, layout):
+    """String columns report their (truncation-safe) zone bounds — exact
+    here because every value is short — instead of reading as unstated."""
+    from xml2arrow_spark.manifest import CodecManifest
+    from xml2arrow_spark.operators.dataset import (
+        dataset_column_stats,
+        encode_parquet_dataset,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / f"ss_{layout}")
+    spark.createDataFrame(
+        [(i, f"k{i % 10}") for i in range(128)], "a bigint, s string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    man = CodecManifest.auto_for(spark.read.parquet(src).schema, block_rows=32)
+    encode_parquet_dataset(spark, src, out, manifest=man, layout=layout)
+    stats = {r.column: r for r in dataset_column_stats(spark, out).collect()}
+    assert (stats["s"].vmin_s, stats["s"].vmax_s) == ("k0", "k9")
+    assert stats["s"].n_unstated == 0  # fully stated, NOT flagged
+
+
 # -- self-review fixes (round-4 review pass) -----------------------------------
 
 
@@ -339,6 +361,18 @@ def test_legacy_flat_sig_store_refused(spark, tmp_path):
         dedup.lsh_near_dup_pairs_incremental(
             _docs_df(spark, [(2, BOILER)]), legacy
         )
+    # second revision guard: a partitioned store WITHOUT row_hash (written
+    # before the shared-tiebreak column) is refused, not silently mixed
+    old = str(tmp_path / "prehash")
+    _docs_df(spark, [(1, BOILER)]).selectExpr(
+        "doc_id AS doc", "array(1L, 2L) AS dtoks",
+        "1L AS band0", "2L AS band1", "3L AS band2", "4L AS band3",
+        "0L AS batch_id",
+    ).write.parquet(os.path.join(old, "sigs"))
+    with pytest.raises(ManifestError, match="row_hash"):
+        dedup.next_batch_id(old)
+    with pytest.raises(ManifestError, match="row_hash"):
+        dedup.read_signatures(spark, old, "doc")
 
 
 def test_within_epoch_winner_consistent_across_tables(spark, tmp_path):

@@ -316,10 +316,10 @@ def dataset_column_stats(spark, out_path: str):
     as lower/upper ESTIMATES rather than exact). String zone bounds are
     truncation-safe bounds, not exact extrema, and are reported as such.
 
-    Returns a DataFrame (column, vmin_i, vmax_i, vmin_d, vmax_d,
-    n_blocks, n_unstated). This is the query-planning surface the zone
-    maps buy for free — the reader-side twin of parquet column statistics,
-    at block granularity over the ENCODED payload."""
+    Returns a DataFrame (column, vmin_i, vmax_i, vmin_d, vmax_d, vmin_s,
+    vmax_s, n_blocks, n_unstated). This is the query-planning surface the
+    zone maps buy for free — the reader-side twin of parquet column
+    statistics, at block granularity over the ENCODED payload."""
     import yaml
 
     from pyspark.sql import functions as F
@@ -330,34 +330,46 @@ def dataset_column_stats(spark, out_path: str):
         side = yaml.safe_load(f.read())
     names = list(split_schema_ddl(side["schema_ddl"]))
     blocks = spark.read.parquet(os.path.join(out_path, "blocks"))
+    stat_fields = ("vmin_i", "vmax_i", "vmin_d", "vmax_d", "vmin_s", "vmax_s")
     if side.get("layout", "nested") == "wide":
-        per_col = None
+        # ONE scan: stack() unpivots every column's stat sextuple in a
+        # single projection (k separate selects would re-list and re-scan
+        # the blocks files k times)
+        args = []
         for n in names:
-            one = blocks.select(
-                F.lit(n).alias("column"),
-                F.col(f"c_{n}__vmin_i").alias("vmin_i"),
-                F.col(f"c_{n}__vmax_i").alias("vmax_i"),
-                F.col(f"c_{n}__vmin_d").alias("vmin_d"),
-                F.col(f"c_{n}__vmax_d").alias("vmax_d"),
-            )
-            per_col = one if per_col is None else per_col.unionAll(one)
+            args.append(f"'{n}'")
+            args += [f"c_{n}__{s}" for s in stat_fields]
+        per_col = blocks.selectExpr(
+            f"stack({len(names)}, {', '.join(args)}) AS "
+            f"(column, {', '.join(stat_fields)})"
+        )
     else:
         c = F.explode("cols").alias("c")
         per_col = blocks.select(c).select(
             F.col("c.name").alias("column"),
-            F.col("c.vmin_i").alias("vmin_i"),
-            F.col("c.vmax_i").alias("vmax_i"),
-            F.col("c.vmin_d").alias("vmin_d"),
-            F.col("c.vmax_d").alias("vmax_d"),
+            *[F.col(f"c.{s}").alias(s) for s in stat_fields],
         )
+    # a block counts as unstated when it contributes no bounds at all, OR
+    # when its string upper bound was withheld (un-incrementable truncated
+    # prefix) — in both cases the aggregated extrema may understate
     unstated = (
-        F.col("vmin_i").isNull() & F.col("vmin_d").isNull()
+        (
+            F.col("vmin_i").isNull()
+            & F.col("vmin_d").isNull()
+            & F.col("vmin_s").isNull()
+        )
+        | (F.col("vmin_s").isNotNull() & F.col("vmax_s").isNull())
     ).cast("long")
     return per_col.groupBy("column").agg(
         F.min("vmin_i").alias("vmin_i"),
         F.max("vmax_i").alias("vmax_i"),
         F.min("vmin_d").alias("vmin_d"),
         F.max("vmax_d").alias("vmax_d"),
+        # string bounds: exact when no block truncated; a truncated max is
+        # a safe UPPER bound (the per-block bump rule) — still a valid
+        # planning bound, never an understatement
+        F.min("vmin_s").alias("vmin_s"),
+        F.max("vmax_s").alias("vmax_s"),
         F.count("*").alias("n_blocks"),
         F.sum(unstated).alias("n_unstated"),
     )

@@ -663,13 +663,14 @@ def encode_parquet(
 
 def split_schema_ddl(ddl: str) -> dict[str, str]:
     """name -> "name type" pairs from a stored schema DDL, splitting on
-    commas OUTSIDE parentheses — ``decimal(20,0)`` (the UInt64 widening
-    type) contains a comma that a naive ``split(',')`` would tear."""
+    commas OUTSIDE parentheses AND angle brackets — ``decimal(20,0)``,
+    ``array<struct<a:int,b:int>>``, ``map<string,int>`` all contain
+    commas a naive ``split(',')`` would tear."""
     pairs, depth, cur = [], 0, []
     for ch in ddl:
-        if ch == "(":
+        if ch in "(<":
             depth += 1
-        elif ch == ")":
+        elif ch in ")>":
             depth -= 1
         if ch == "," and depth == 0:
             pairs.append("".join(cur).strip())

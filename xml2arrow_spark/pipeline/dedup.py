@@ -89,6 +89,27 @@ def _check_store_layout(sig_path: str) -> None:
             f"lsh_near_dup_pairs(sig_path=...) over the full corpus to "
             f"rebuild it (resuming would silently ignore the history)"
         )
+    # second store revision: the shared within-epoch tiebreak column. A
+    # pre-row_hash partitioned store would crash (or silently null-order)
+    # the latest-wins windows — refuse it just as loudly.
+    sdir = os.path.join(sig_path, SIGS_SUBDIR)
+    try:
+        first = next(
+            f for f in sorted(os.listdir(sdir)) if f.endswith(".parquet")
+        )
+    except (FileNotFoundError, StopIteration):
+        return
+    import pyarrow.parquet as pq
+
+    if "row_hash" not in pq.read_schema(os.path.join(sdir, first)).names:
+        from xml2arrow_spark.errors import ManifestError
+
+        raise ManifestError(
+            f"signature table at {sig_path!r} predates the row_hash "
+            f"tiebreak column; mixed-schema appends would break the "
+            f"latest-wins windows — rebuild it with "
+            f"lsh_near_dup_pairs(sig_path=...) over the full corpus"
+        )
 
 
 def next_batch_id(sig_path: str) -> int:
@@ -207,6 +228,7 @@ def read_signatures(
     """Stored signature rows. ``dedupe=True`` applies the latest-wins rule
     (needed after appends; a fresh single-batch table is unique by
     construction and skips the window shuffle)."""
+    _check_store_layout(sig_path)
     sigs = spark.read.parquet(os.path.join(sig_path, SIGS_SUBDIR))
     if dedupe:
         others = [
@@ -254,6 +276,7 @@ def stored_band_union(
     turns into a scan of only that partition's files (plan-pinned in
     tests/test_round4_ops.py) — a probe touches 1/n_bands of the band rows
     per branch instead of re-reading the whole signature table."""
+    _check_store_layout(sig_path)
     out = None
     for b in range(n_bands):
         branch = (

@@ -87,17 +87,7 @@ def run_dedup_stream(
 ) -> DataFrame:
     """Drain the source availableNow into ``out_dir``; returns the winner
     rows."""
-    q = (
-        dedup_stream(spark, source_dir, schema_ddl, max_files_per_trigger)
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option(
-            "checkpointLocation",
-            checkpoint_dir or os.path.join(out_dir, "_stream_checkpoint"),
-        )
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.schema(_OUT_DDL).parquet(out_dir)
+    from xml2arrow_spark.streaming.run import drain_available_now
+
+    winners = dedup_stream(spark, source_dir, schema_ddl, max_files_per_trigger)
+    return drain_available_now(spark, winners, out_dir, _OUT_DDL, checkpoint_dir)

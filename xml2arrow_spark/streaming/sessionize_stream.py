@@ -165,20 +165,10 @@ def run_sessionize_stream(
 ) -> DataFrame:
     """Drain the source with an availableNow query into ``out_dir`` and
     return the emitted session rows."""
+    from xml2arrow_spark.streaming.run import drain_available_now
+
     sessions = sessionize_stream(
         spark, source_dir, gap_seconds, watermark_delay,
         max_files_per_trigger=max_files_per_trigger,
     )
-    q = (
-        sessions.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option(
-            "checkpointLocation",
-            checkpoint_dir or os.path.join(out_dir, "_stream_checkpoint"),
-        )
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.schema(_OUT_DDL).parquet(out_dir)
+    return drain_available_now(spark, sessions, out_dir, _OUT_DDL, checkpoint_dir)
