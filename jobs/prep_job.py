@@ -39,6 +39,13 @@ def main() -> int:
     ap.add_argument("--output", required=True)
     ap.add_argument("--sig-table", required=True)
     ap.add_argument("--incremental", action="store_true")
+    ap.add_argument(
+        "--eval-dir", default=None,
+        help="parquet dir of evaluation documents (doc_id, text, ...); "
+        "training docs sharing >= --eval-overlap trigram shingles with "
+        "any eval doc are dropped (benchmark decontamination)",
+    )
+    ap.add_argument("--eval-overlap", type=int, default=2)
     ap.add_argument("--max-cell", type=int, default=None)
     ap.add_argument("--n-tasks", type=int, default=None)
     ap.add_argument("--n-units", type=int, default=64)
@@ -71,6 +78,20 @@ def main() -> int:
     qdocs = docs.join(q, "doc_id", "left_semi")
     keep = qdocs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     exact_kept = qdocs.join(keep, "doc_id", "left_semi")
+
+    n_contaminated = 0
+    if args.eval_dir:
+        # benchmark decontamination BEFORE the expensive near-dup stage:
+        # leaked docs must not survive, and dropping them early shrinks
+        # the minhash input
+        eval_docs = spark.read.parquet(args.eval_dir)
+        hits = dedup.contamination_hits(
+            exact_kept, eval_docs, min_overlap=args.eval_overlap
+        )
+        n_contaminated = hits.count()
+        exact_kept = exact_kept.join(
+            hits.select("doc_id"), "doc_id", "left_anti"
+        )
 
     if args.incremental:
         pairs = dedup.lsh_near_dup_pairs_incremental(
@@ -130,6 +151,7 @@ def main() -> int:
     metrics.update(
         {
             "docs_in": n_in,
+            "docs_contaminated": n_contaminated,
             "docs_out": metrics["rows"],
             "batch_dir": batch_dir,
             "wall_sec": round(wall, 2),
