@@ -265,3 +265,20 @@ def test_cascade_str_column_roundtrip(xs, general):
     arr = pa.array(xs, type=pa.string())
     _, meta, payload = encode_column(arr, f"auto+{general}")
     assert decode_column(meta, payload).equals(arr)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200), st.text(max_size=200))
+def test_zone_str_bounds_invariants(a, b):
+    """For ANY two strings: the truncated lower bound never exceeds the
+    true min, the bumped upper bound never undercuts the true max (or is
+    withheld), both fit the cap, and no surrogate is ever emitted."""
+    from xml2arrow_spark.operators.encode import _ZONE_STR_MAX, _zone_str_bounds
+
+    lo, hi = (a, b) if a <= b else (b, a)
+    lo_t, hi_t = _zone_str_bounds(lo, hi)
+    assert lo_t <= lo and len(lo_t) <= _ZONE_STR_MAX
+    if hi_t is not None:
+        assert hi_t >= hi
+        assert len(hi_t) <= _ZONE_STR_MAX
+        assert all(not 0xD800 <= ord(c) <= 0xDFFF for c in hi_t)
