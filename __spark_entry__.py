@@ -295,6 +295,30 @@ def q_incremental_near_dup(spark, sf_dir):
     return dedup.lsh_near_dup_pairs_incremental(new, sig)
 
 
+def q_streaming_near_dup(spark, sf_dir):
+    """Continuous near-dup detection: the corpus streams in THREE
+    doc-id-range micro-batches, each probing + appending the incremental
+    signature store; the union of all epochs' pairs must equal the batch
+    full-corpus pair set (each pair is reported by exactly the micro-batch
+    ingesting its later side) — same oracle as lsh_near_dup_pairs."""
+    import os
+
+    from xml2arrow_spark.streaming.neardup_stream import run_neardup_stream
+
+    docs = _docs(spark, sf_dir)
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    base = _scratch("sndup_")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    sig = os.path.join(base, "sigs")
+    step = (hi + 2) // 3
+    for k in range(3):  # sequential writes: mtime order == range order
+        docs.filter(
+            (F.col("doc_id") >= k * step) & (F.col("doc_id") < (k + 1) * step)
+        ).coalesce(1).write.mode("append").parquet(src)
+    return run_neardup_stream(spark, src, out, sig, max_files_per_trigger=1)
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Streaming exact dedup (second custom stateful operator): the docs
     table replays as FOUR doc-id-range micro-batches written in range
@@ -949,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_near_dup": q_incremental_near_dup,
         "contamination_hits": q_contamination_hits,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_near_dup": q_streaming_near_dup,
         "dataset_wide_subset": q_dataset_wide_subset,
         "dataset_compact_roundtrip": q_dataset_compact_roundtrip,
         "dataset_column_stats": q_dataset_column_stats,

@@ -917,6 +917,9 @@ def all_oracles() -> dict[str, str]:
         "incremental_near_dup": incremental_near_dup_sql(),
         "contamination_hits": contamination_hits_sql(),
         "streaming_dedup": streaming_dedup_sql(),
+        # continuous ingestion must be invisible: the epochs' union equals
+        # the batch full-corpus pair set
+        "streaming_near_dup": lsh_near_dup_pairs_sql(),
         "dataset_wide_subset": dataset_wide_subset_sql(),
         "dataset_compact_roundtrip": dataset_compact_roundtrip_sql(),
         "dataset_column_stats": dataset_column_stats_sql(),

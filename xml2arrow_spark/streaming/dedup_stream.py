@@ -35,7 +35,7 @@ def dedup_stream(
     spark: SparkSession,
     source_dir: str,
     schema_ddl: str = (
-        "doc_id bigint, text string, source string, n_chars int"
+        "doc_id bigint, text string, source string, n_chars bigint"
     ),
     max_files_per_trigger: int = 4,
 ) -> DataFrame:
@@ -80,7 +80,7 @@ def run_dedup_stream(
     source_dir: str,
     out_dir: str,
     schema_ddl: str = (
-        "doc_id bigint, text string, source string, n_chars int"
+        "doc_id bigint, text string, source string, n_chars bigint"
     ),
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int = 4,
