@@ -868,6 +868,33 @@ def q_encode_uint64_roundtrip(spark, sf_dir):
     )
 
 
+def q_encode_embeddings_roundtrip(spark, sf_dir):
+    """float-list columns through the encode engine: the embeddings table
+    (array<float>) round-trips bit-identically — lengths FOR-packed,
+    flattened values through the float codec family (dec probe -> plain
+    fallback). Canonical projection: dim + a sequential-fold double
+    fingerprint + first/last elements (exact float32->double widenings),
+    identical in the oracle."""
+    emb = _emb(spark, sf_dir)
+    manifest = resolve_manifest(
+        emb, CodecManifest.auto_for(emb.schema, block_rows=4096)
+    )
+    decoded = decode_table(
+        encode_table(emb, manifest), "vec_id bigint, embedding array<float>"
+    )
+    fold = F.expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc / CAST(2.0 AS DOUBLE) + x)"
+    )
+    return decoded.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        fold.alias("emb_fp"),
+        F.element_at("embedding", 1).cast("double").alias("e_first"),
+        F.element_at("embedding", F.size("embedding")).cast("double").alias("e_last"),
+    )
+
+
 def q_encode_dataset_resume(spark, sf_dir):
     """Checkpoint/resume under the driver gate: encode_dataset runs TWICE
     into the same directory — call 1 restricted to half the unit ids
@@ -1012,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_presort_roundtrip": q_encode_presort_roundtrip,
         "encode_float32_roundtrip": q_encode_float32_roundtrip,
         "encode_uint64_roundtrip": q_encode_uint64_roundtrip,
+        "encode_embeddings_roundtrip": q_encode_embeddings_roundtrip,
         "encode_dataset_resume": q_encode_dataset_resume,
         "streaming_encode": q_streaming_encode,
         "multimodal_meta": q_multimodal_meta,

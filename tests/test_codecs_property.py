@@ -282,3 +282,35 @@ def test_zone_str_bounds_invariants(a, b):
         assert hi_t >= hi
         assert len(hi_t) <= _ZONE_STR_MAX
         assert all(not 0xD800 <= ord(c) <= 0xDFFF for c in hi_t)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.floats(width=32, allow_nan=True, allow_infinity=True),
+                max_size=24,
+            ),
+        ),
+        max_size=120,
+    )
+)
+def test_list_float32_roundtrip_bit_exact(rows):
+    import numpy as np
+    import pyarrow as pa
+
+    from xml2arrow_spark.operators.blocks import decode_column, encode_column
+
+    arr = pa.array(rows, type=pa.list_(pa.float32()))
+    _, meta, payload = encode_column(arr, "auto")
+    out = decode_column(meta, payload)
+    assert out.is_valid().equals(arr.is_valid())
+    a = np.asarray(arr.flatten()).view(np.uint32)
+    b = np.asarray(out.flatten()).view(np.uint32)
+    np.testing.assert_array_equal(a, b)  # bit-exact incl. NaN payloads/-0.0
+    assert np.array_equal(
+        np.asarray(arr.offsets, dtype=np.int64),
+        np.asarray(out.offsets, dtype=np.int64),
+    )

@@ -117,8 +117,14 @@ def _encode_column_raw(arr: pa.Array, codec: str) -> tuple[str, str, bytes]:
     n = len(arr)
 
     if pa.types.is_list(t) or pa.types.is_large_list(t):
-        if not pa.types.is_integer(t.value_type):
-            raise EncodeTypeError(f"only integer list columns supported, got {t}")
+        if not (
+            pa.types.is_integer(t.value_type) or pa.types.is_floating(t.value_type)
+        ):
+            raise EncodeTypeError(
+                f"only integer or float list columns supported, got {t}"
+            )
+        if t.value_type == pa.float16():
+            raise EncodeTypeError("float16 lists are not supported; cast to float32")
         # lengths stream (null slot -> 0) + flattened child values
         lengths = np.zeros(n, dtype=np.int64)
         valid_arr = arr.drop_null() if mask is not None else arr
@@ -130,13 +136,30 @@ def _encode_column_raw(arr: pa.Array, codec: str) -> tuple[str, str, bytes]:
             lengths = lens_valid
         child = valid_arr.flatten()
         if child.null_count:
-            raise EncodeTypeError("nulls inside token arrays are not supported")
+            raise EncodeTypeError("nulls inside list values are not supported")
         values = np.asarray(child)
-        resolved = _resolve_int(codec, values)
         lmeta, lblob = encode_values("for", lengths)
-        vmeta, vblob = encode_values(resolved, values)
+        if pa.types.is_floating(t.value_type):
+            # float lists (embedding columns): flattened values ride the
+            # float codec family — the ALP-style decimal probe, falling
+            # back to bit-exact plain on real-valued data
+            if codec in ("auto", "dec_float"):
+                try:
+                    vmeta, vblob = encode_values("dec_float", values)
+                    resolved = "dec_float"
+                except EncodeValueError:
+                    resolved = "plain_float"
+                    vmeta, vblob = encode_values(resolved, values)
+            else:
+                resolved = codec
+                vmeta, vblob = encode_values(resolved, values)
+            kind = "list_float"
+        else:
+            resolved = _resolve_int(codec, values)
+            vmeta, vblob = encode_values(resolved, values)
+            kind = "list_int"
         meta = {
-            "kind": "list_int",
+            "kind": kind,
             "fmt": BLOCK_FORMAT_VERSION,
             "n": n,
             "value_dtype": str(t.value_type),
@@ -297,7 +320,7 @@ def decode_column(meta_json: str, payload: bytes) -> pa.Array:
     mask, payload = _unpack_validity(meta, payload)
     n = meta["n"]
 
-    if kind == "list_int":
+    if kind in ("list_int", "list_float"):
         llen = meta["lengths_len"]
         lengths = decode_values(meta["lengths_meta"], payload[:llen])
         values = decode_values(meta["values_meta"], payload[llen:])
@@ -305,9 +328,19 @@ def decode_column(meta_json: str, payload: bytes) -> pa.Array:
         np.cumsum(lengths, out=offsets[1:])
         if offsets[-1] > np.iinfo(np.int32).max:
             raise EncodeValueError("block too large for int32 list offsets; lower block_rows")
-        child = pa.array(values, type=_PA_INT[meta["value_dtype"]])
+        if kind == "list_float":
+            vtype = pa.float32() if meta["value_dtype"] == "float" else pa.float64()
+            if values.dtype != np.dtype(
+                np.float32 if meta["value_dtype"] == "float" else np.float64
+            ):
+                values = values.astype(
+                    np.float32 if meta["value_dtype"] == "float" else np.float64
+                )
+        else:
+            vtype = _PA_INT[meta["value_dtype"]]
+        child = pa.array(values, type=vtype)
         return pa.Array.from_buffers(
-            pa.list_(_PA_INT[meta["value_dtype"]]),
+            pa.list_(vtype),
             n,
             [_validity_buffer(mask), pa.py_buffer(offsets.astype(np.int32).tobytes())],
             children=[child],

@@ -239,7 +239,7 @@ def _encode_block(
         meta = json.loads(meta_json)
         if meta["kind"] == "general":  # cascade wrapper: account the inner
             meta = json.loads(meta["inner"])
-        if meta["kind"] == "list_int":
+        if meta["kind"] in ("list_int", "list_float"):
             n_values += meta["values_meta"]["n"]
         else:
             n_values += meta["n"]
@@ -463,7 +463,16 @@ def resolve_manifest_parquet(
             resolved[name] = policy
         elif pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
             values = np.asarray(arr.flatten())
-            resolved[name] = replace(policy, codec=choose_int_codec(values) + sfx)
+            if pa.types.is_floating(arr.type.value_type):
+                from xml2arrow_spark.codecs.floats import choose_float_codec
+
+                resolved[name] = replace(
+                    policy, codec=choose_float_codec(values) + sfx
+                )
+            else:
+                resolved[name] = replace(
+                    policy, codec=choose_int_codec(values) + sfx
+                )
         elif pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
             resolved[name] = replace(
                 policy,

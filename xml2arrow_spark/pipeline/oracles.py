@@ -799,6 +799,20 @@ FROM c
 """
 
 
+def encode_embeddings_roundtrip_sql() -> str:
+    # sequential-fold fingerprint over the float32 elements, every step an
+    # exact widening + one IEEE op — the cosine_expr discipline
+    return """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), embedding),
+                   (acc, x) -> acc / CAST(2.0 AS DOUBLE) + x) AS emb_fp,
+       CAST(embedding[1] AS DOUBLE) AS e_first,
+       CAST(embedding[len(embedding)] AS DOUBLE) AS e_last
+FROM embeddings
+"""
+
+
 def dataset_compact_roundtrip_sql() -> str:
     # compaction concatenates immutable blocks; decode equals the raw table
     return """
@@ -959,6 +973,7 @@ def all_oracles() -> dict[str, str]:
         "encode_presort_roundtrip": encode_presort_roundtrip_sql(),
         "encode_float32_roundtrip": encode_float32_roundtrip_sql(),
         "encode_uint64_roundtrip": encode_uint64_roundtrip_sql(),
+        "encode_embeddings_roundtrip": encode_embeddings_roundtrip_sql(),
         # resume + streaming decode back to the SAME token projection the
         # tokenize oracle recomputes — resumability/streaming must be
         # invisible to results

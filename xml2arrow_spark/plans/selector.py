@@ -229,12 +229,37 @@ def resolve_manifest(df, manifest, sample_rows: int = 8192):
         series = pdf[name]
         spark_type = df.schema[name].dataType
         if isinstance(spark_type, ArrayType):
-            # sample in int64: an int32 hard-cast would wrap array<bigint>
-            # elements (block-side guards keep data correct, but the codec
-            # choice would be garbage); the choosers work on int64 anyway
-            chunks = [np.asarray(x, dtype=np.int64) for x in series if x is not None]
-            values = np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int64)
-            codec = choose_int_codec(values)
+            if isinstance(spark_type.elementType, (DoubleType, FloatType)):
+                # float lists (embedding columns): the flattened sample
+                # rides the float chooser, in the element precision
+                fdt = (
+                    np.float32
+                    if isinstance(spark_type.elementType, FloatType)
+                    else np.float64
+                )
+                from xml2arrow_spark.codecs.floats import choose_float_codec
+
+                chunks = [
+                    np.asarray(x, dtype=fdt) for x in series if x is not None
+                ]
+                values = (
+                    np.concatenate(chunks) if chunks else np.zeros(0, dtype=fdt)
+                )
+                codec = choose_float_codec(values)
+            else:
+                # sample in int64: an int32 hard-cast would wrap
+                # array<bigint> elements (block-side guards keep data
+                # correct, but the codec choice would be garbage); the
+                # choosers work on int64 anyway
+                chunks = [
+                    np.asarray(x, dtype=np.int64) for x in series if x is not None
+                ]
+                values = (
+                    np.concatenate(chunks)
+                    if chunks
+                    else np.zeros(0, dtype=np.int64)
+                )
+                codec = choose_int_codec(values)
         elif isinstance(spark_type, StringType):
             arr = pa.array(series.fillna(""), type=pa.string())
             codec = choose_str_codec(strdata_from_arrow(arr))
