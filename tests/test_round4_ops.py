@@ -194,6 +194,23 @@ def test_max_cell_drop_telemetry(spark, tmp_path):
     pairs3._sig_cache.unpersist()
 
 
+# -- float-list (embedding) columns through the fused dataset path -------------
+
+
+@pytest.mark.parametrize("layout", ["nested", "wide"])
+def test_embeddings_dataset_roundtrip(spark, tmp_path, sf_dir, layout):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / f"emb_{layout}")
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb.repartition(4).write.mode("overwrite").parquet(src)
+    encode_parquet_dataset(spark, src, out, layout=layout)
+    dec = decode_dataset(spark, out)
+    # bit-identical float32 vectors back (no NaNs in the fixture, so
+    # exceptAll equality is exact)
+    assert dec.exceptAll(emb).count() == 0
+    assert emb.exceptAll(dec).count() == 0
+
+
 # -- decontamination -------------------------------------------------------------
 
 
