@@ -307,15 +307,23 @@ def q_streaming_near_dup(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    from xml2arrow_spark.streaming.run import stage_ordered
+
     base = _scratch("sndup_")
     src = os.path.join(base, "src")
     out = os.path.join(base, "out")
     sig = os.path.join(base, "sigs")
     step = (hi + 2) // 3
-    for k in range(3):  # sequential writes: mtime order == range order
-        docs.filter(
-            (F.col("doc_id") >= k * step) & (F.col("doc_id") < (k + 1) * step)
-        ).coalesce(1).write.mode("append").parquet(src)
+    stage_ordered(  # explicit mtime stamps: replay order == range order
+        [
+            docs.filter(
+                (F.col("doc_id") >= k * step)
+                & (F.col("doc_id") < (k + 1) * step)
+            )
+            for k in range(3)
+        ],
+        src,
+    )
     return run_neardup_stream(spark, src, out, sig, max_files_per_trigger=1)
 
 
@@ -329,16 +337,24 @@ def q_streaming_dedup(spark, sf_dir):
 
     from xml2arrow_spark.streaming.dedup_stream import run_dedup_stream
 
+    from xml2arrow_spark.streaming.run import stage_ordered
+
     docs = _docs(spark, sf_dir)
     hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     base = _scratch("sdedup_")
     src = os.path.join(base, "src")
     out = os.path.join(base, "out")
     step = (hi + 3) // 4
-    for k in range(4):  # sequential writes: mtime order == range order
-        docs.filter(
-            (F.col("doc_id") >= k * step) & (F.col("doc_id") < (k + 1) * step)
-        ).coalesce(1).write.mode("append").parquet(src)
+    stage_ordered(  # explicit mtime stamps: replay order == range order
+        [
+            docs.filter(
+                (F.col("doc_id") >= k * step)
+                & (F.col("doc_id") < (k + 1) * step)
+            )
+            for k in range(4)
+        ],
+        src,
+    )
     return run_dedup_stream(spark, src, out, max_files_per_trigger=1)
 
 
@@ -650,11 +666,19 @@ def q_streaming_sessionize(spark, sf_dir):
     src = os.path.join(base, "src")
     out = os.path.join(base, "out")
     ev.repartitionByRange(6, "ts").write.mode("overwrite").parquet(src)
+    import glob
+    import time
+
+    before = set(glob.glob(os.path.join(src, "*.parquet")))
     spark.createDataFrame(
         [(FLUSH_EVENT_ID, sentinel_ts, -1, "__flush__", 0.0)],
         "event_id bigint, ts timestamp, user_id bigint, "
         "event_type string, value double",
     ).write.mode("append").parquet(src)
+    # the sentinel must arrive LAST; stamp it firmly after the data files
+    # (rapid writes can otherwise tie at mtime granularity)
+    for p in set(glob.glob(os.path.join(src, "*.parquet"))) - before:
+        os.utime(p, (time.time() + 60, time.time() + 60))
     return run_sessionize_stream(
         spark, src, out, watermark_delay=f"{span} seconds"
     )
@@ -886,12 +910,20 @@ def q_encode_embeddings_roundtrip(spark, sf_dir):
         "aggregate(embedding, CAST(0.0 AS DOUBLE), "
         "(acc, x) -> acc / CAST(2.0 AS DOUBLE) + x)"
     )
+    # sentinel discipline (gate rule: no output nulls): null/empty rows map
+    # to -1/-999 on BOTH sides, and element_at is guarded against the
+    # empty array (index 0 raises in Spark)
+    nonempty = F.size("embedding") > 0
     return decoded.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
-        fold.alias("emb_fp"),
-        F.element_at("embedding", 1).cast("double").alias("e_first"),
-        F.element_at("embedding", F.size("embedding")).cast("double").alias("e_last"),
+        F.coalesce(F.size("embedding"), F.lit(-1)).alias("dim"),
+        F.coalesce(fold, F.lit(-999.0)).alias("emb_fp"),
+        F.when(nonempty, F.element_at("embedding", 1).cast("double"))
+        .otherwise(F.lit(-999.0)).alias("e_first"),
+        F.when(
+            nonempty,
+            F.element_at("embedding", F.size("embedding")).cast("double"),
+        ).otherwise(F.lit(-999.0)).alias("e_last"),
     )
 
 

@@ -80,14 +80,19 @@ def main() -> int:
     exact_kept = qdocs.join(keep, "doc_id", "left_semi")
 
     n_contaminated = 0
+    contamination_cache = None
     if args.eval_dir:
         # benchmark decontamination BEFORE the expensive near-dup stage:
         # leaked docs must not survive, and dropping them early shrinks
-        # the minhash input
+        # the minhash input. The hit set is PERSISTED: exact_kept's
+        # lineage embeds the anti-join, so without the cache the
+        # corpus-wide shingle explode+join would recompute inside every
+        # downstream action (sig write, tokenize, encode — measured ~3x).
         eval_docs = spark.read.parquet(args.eval_dir)
         hits = dedup.contamination_hits(
             exact_kept, eval_docs, min_overlap=args.eval_overlap
-        )
+        ).persist()
+        contamination_cache = hits
         n_contaminated = hits.count()
         exact_kept = exact_kept.join(
             hits.select("doc_id"), "doc_id", "left_anti"
@@ -159,6 +164,8 @@ def main() -> int:
         }
     )
     print(json.dumps(metrics))
+    if contamination_cache is not None:
+        contamination_cache.unpersist()
     spark.stop()
     return 0
 

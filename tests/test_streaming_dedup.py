@@ -9,11 +9,12 @@ DOCS_DDL = "doc_id bigint, text string, source string, n_chars int"
 
 
 def _stage(spark, tmp_path, name, batches):
+    from xml2arrow_spark.streaming.run import stage_ordered
+
     src = str(tmp_path / name)
-    for rows in batches:
-        spark.createDataFrame(rows, DOCS_DDL).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+    stage_ordered(
+        [spark.createDataFrame(rows, DOCS_DDL) for rows in batches], src
+    )
     return src
 
 

@@ -28,11 +28,18 @@ def test_epoch_union_equals_batch_and_exactly_once(spark, tmp_path):
         1: [(4, t2), (5, "unique content " * 5)],
         2: [(9, t1)],
     }
+    from xml2arrow_spark.streaming.run import stage_ordered
+
     src = str(tmp_path / "src")
-    for k in range(3):
-        spark.createDataFrame(
-            [(i, t, "s", len(t)) for i, t in rows[k]], DOCS_DDL
-        ).coalesce(1).write.mode("append").parquet(src)
+    stage_ordered(
+        [
+            spark.createDataFrame(
+                [(i, t, "s", len(t)) for i, t in rows[k]], DOCS_DDL
+            )
+            for k in range(3)
+        ],
+        src,
+    )
     out = str(tmp_path / "out")
     sig = str(tmp_path / "sigs")
     got = run_neardup_stream(

@@ -33,13 +33,15 @@ def _sentinel(sec):
 
 
 def _stage(spark, tmp_path, name, batches):
-    """Write each batch as one appended parquet job (later mtime => later
-    micro-batch under the file source's oldest-first ordering)."""
+    """One appended parquet file per batch with explicit increasing
+    mtimes (deterministic micro-batch order under the file source's
+    oldest-first rule — rapid writes can otherwise tie)."""
+    from xml2arrow_spark.streaming.run import stage_ordered
+
     src = str(tmp_path / name)
-    for rows in batches:
-        spark.createDataFrame(rows, EV_DDL).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+    stage_ordered(
+        [spark.createDataFrame(rows, EV_DDL) for rows in batches], src
+    )
     return src
 
 
@@ -51,10 +53,16 @@ def test_stream_matches_batch_on_fixture(spark, tmp_path, sf_dir):
     span = int((mm["hi"] - mm["lo"]).total_seconds()) + 60
     src = str(tmp_path / "src")
     ev.repartitionByRange(6, "ts").write.parquet(src)
+    import glob
+    import time
+
+    before = set(glob.glob(os.path.join(src, "*.parquet")))
     spark.createDataFrame(
         [(FLUSH_EVENT_ID, mm["hi"] + datetime.timedelta(seconds=span + 5400),
           -1, "f", 0.0)], EV_DDL,
     ).write.mode("append").parquet(src)
+    for p in set(glob.glob(os.path.join(src, "*.parquet"))) - before:
+        os.utime(p, (time.time() + 60, time.time() + 60))  # sentinel LAST
     got = run_sessionize_stream(
         spark, src, str(tmp_path / "out"), watermark_delay=f"{span} seconds"
     )

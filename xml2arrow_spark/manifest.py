@@ -84,8 +84,8 @@ class ColumnPolicy:
         else:
             raise ManifestError(
                 f"column {column!r}: unsupported type {spark_type!r} "
-                f"(integers, strings, floats, booleans, decimal(p,0), and "
-                f"array<int> are encodable)"
+                f"(integers, strings, floats, booleans, decimal(p,0), "
+                f"array<int>, and array<float/double> are encodable)"
             )
         base_codec, _, general = self.codec.partition("+")
         if general and general not in GENERAL_CODECS:

@@ -54,6 +54,22 @@ def _validity(arr: pa.Array) -> tuple[np.ndarray | None, bytes]:
     return mask, np.packbits(mask).tobytes()
 
 
+def _encode_float_values(codec: str, values: np.ndarray):
+    """Shared float-value encode for the scalar and list paths: the
+    ALP-style decimal probe with the bit-exact plain fallback (NaN / inf /
+    -0.0 / true reals) — ONE copy so the two paths can never diverge.
+    Returns (resolved, values_meta, values_blob)."""
+    if codec in ("auto", "dec_float"):
+        try:
+            vmeta, vblob = encode_values("dec_float", values)
+            return "dec_float", vmeta, vblob
+        except EncodeValueError:
+            vmeta, vblob = encode_values("plain_float", values)
+            return "plain_float", vmeta, vblob
+    vmeta, vblob = encode_values(codec, values)
+    return codec, vmeta, vblob
+
+
 def _resolve_int(codec: str, values: np.ndarray) -> str:
     if codec == "auto":
         return choose_int_codec(values)
@@ -74,7 +90,8 @@ GENERAL_MIN_BYTES = 64
 def encode_column(arr: pa.Array, codec: str) -> tuple[str, str, bytes]:
     """Encode one Arrow column chunk -> (resolved_codec, meta_json, payload).
 
-    Supports integer scalars, strings, and list/large_list of int32.
+    Supports integer/float/boolean/decimal(p,0) scalars, strings, and
+    list/large_list of integers or floats (embedding columns).
     ``codec='auto'`` resolves per block via the selector.
 
     A ``+zstd`` / ``+lz4`` suffix (e.g. ``"auto+zstd"``) cascades a
@@ -141,18 +158,8 @@ def _encode_column_raw(arr: pa.Array, codec: str) -> tuple[str, str, bytes]:
         lmeta, lblob = encode_values("for", lengths)
         if pa.types.is_floating(t.value_type):
             # float lists (embedding columns): flattened values ride the
-            # float codec family — the ALP-style decimal probe, falling
-            # back to bit-exact plain on real-valued data
-            if codec in ("auto", "dec_float"):
-                try:
-                    vmeta, vblob = encode_values("dec_float", values)
-                    resolved = "dec_float"
-                except EncodeValueError:
-                    resolved = "plain_float"
-                    vmeta, vblob = encode_values(resolved, values)
-            else:
-                resolved = codec
-                vmeta, vblob = encode_values(resolved, values)
+            # float codec family — see _encode_float_values
+            resolved, vmeta, vblob = _encode_float_values(codec, values)
             kind = "list_float"
         else:
             resolved = _resolve_int(codec, values)
@@ -211,20 +218,9 @@ def _encode_column_raw(arr: pa.Array, codec: str) -> tuple[str, str, bytes]:
             raise EncodeTypeError("float16 is not supported; cast to float32")
         valid_arr = arr.drop_null() if mask is not None else arr
         values = np.asarray(valid_arr)
-        if codec in ("auto", "dec_float"):
-            # ALP-style decimal probe: exactly-decimal blocks store scaled
-            # ints; anything else (NaN/inf/-0.0/true reals) falls back to
-            # plain — the same never-silently-corrupt fallback as
-            # bitpack->for in _resolve_int
-            try:
-                vmeta, vblob = encode_values("dec_float", values)
-                resolved = "dec_float"
-            except EncodeValueError:
-                resolved = "plain_float"
-                vmeta, vblob = encode_values(resolved, values)
-        else:
-            resolved = codec
-            vmeta, vblob = encode_values(resolved, values)
+        # ALP-style decimal probe with the never-silently-corrupt plain
+        # fallback — shared with the float-LIST path (_encode_float_values)
+        resolved, vmeta, vblob = _encode_float_values(codec, values)
         meta = {
             "kind": "float",
             "fmt": BLOCK_FORMAT_VERSION,

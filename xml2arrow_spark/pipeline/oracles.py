@@ -804,11 +804,15 @@ def encode_embeddings_roundtrip_sql() -> str:
     # exact widening + one IEEE op — the cosine_expr discipline
     return """
 SELECT vec_id,
-       CAST(len(embedding) AS INTEGER) AS dim,
-       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), embedding),
-                   (acc, x) -> acc / CAST(2.0 AS DOUBLE) + x) AS emb_fp,
-       CAST(embedding[1] AS DOUBLE) AS e_first,
-       CAST(embedding[len(embedding)] AS DOUBLE) AS e_last
+       COALESCE(CAST(len(embedding) AS INTEGER), -1) AS dim,
+       COALESCE(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), embedding),
+                   (acc, x) -> acc / CAST(2.0 AS DOUBLE) + x),
+                -999.0) AS emb_fp,
+       CASE WHEN len(embedding) > 0 THEN CAST(embedding[1] AS DOUBLE)
+            ELSE -999.0 END AS e_first,
+       CASE WHEN len(embedding) > 0
+            THEN CAST(embedding[len(embedding)] AS DOUBLE)
+            ELSE -999.0 END AS e_last
 FROM embeddings
 """
 

@@ -10,7 +10,25 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["drain_available_now"]
+__all__ = ["drain_available_now", "stage_ordered"]
+
+
+def stage_ordered(chunks, src_dir: str) -> None:
+    """Write each DataFrame chunk as one appended parquet file with
+    STRICTLY INCREASING mtimes. The file stream source orders files by
+    modification time (path as tiebreak), and rapid sequential writes can
+    land in the same millisecond — explicit ``os.utime`` stamps make the
+    replay order deterministic instead of disk-speed-dependent (ordered
+    ingest is the contract several streaming gates/tests rely on)."""
+    import glob
+    import time
+
+    t0 = time.time() - 3600  # firmly in the past; never ahead of new files
+    for k, chunk in enumerate(chunks):
+        before = set(glob.glob(os.path.join(src_dir, "*.parquet")))
+        chunk.coalesce(1).write.mode("append").parquet(src_dir)
+        for p in set(glob.glob(os.path.join(src_dir, "*.parquet"))) - before:
+            os.utime(p, (t0 + k, t0 + k))
 
 
 def drain_available_now(
