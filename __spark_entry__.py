@@ -1008,6 +1008,133 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+# -- r05 registry consolidation (VERDICT r04 #1) -------------------------------
+#
+# The driver's correctness gate checks the FIRST 50 registry entries; round 4
+# grew the registry to 59, so 9 operators lost (or never had) a driver row.
+# These composites join/union the single-operator queries — every leg is the
+# UNCHANGED operator with its unchanged oracle fragment, so per-operator
+# coverage is preserved bit-for-bit while the registry shrinks to 48.
+
+
+def q_encode_types_composite(spark, sf_dir):
+    """Three independent encode->decode legs (presort/RLE-amplified,
+    float32 dec-probe, uint64-as-decimal(20,0)) as one tagged union: one
+    gated row set pinning all three typed round trips. A union, not a
+    join — (l_orderkey, l_linenumber) is NOT unique in the synthetic
+    lineitem, so a key join would multiply rows. Sentinels keep the union
+    null-free per the canonicalizer contract."""
+    pre = q_encode_presort_roundtrip(spark, sf_dir).select(
+        F.lit("presort").alias("part"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        F.lit(-1.0).alias("qty_f"),
+        F.lit(-1.0).alias("disc_f"),
+        F.lit("").alias("big_id_str"),
+    )
+    f32 = q_encode_float32_roundtrip(spark, sf_dir).select(
+        F.lit("f32").alias("part"),
+        "l_orderkey",
+        "l_linenumber",
+        F.lit("").alias("l_returnflag"),
+        F.lit("").alias("l_linestatus"),
+        F.lit(-1.0).alias("l_quantity"),
+        "qty_f",
+        "disc_f",
+        F.lit("").alias("big_id_str"),
+    )
+    u64 = q_encode_uint64_roundtrip(spark, sf_dir).select(
+        F.lit("u64").alias("part"),
+        "l_orderkey",
+        "l_linenumber",
+        F.lit("").alias("l_returnflag"),
+        F.lit("").alias("l_linestatus"),
+        F.lit(-1.0).alias("l_quantity"),
+        F.lit(-1.0).alias("qty_f"),
+        F.lit(-1.0).alias("disc_f"),
+        "big_id_str",
+    )
+    return pre.unionByName(f32).unionByName(u64)
+
+
+def q_multimodal_pipeline(spark, sf_dir):
+    """Frame sampling + metadata + feature extraction in one row set at
+    (doc, frame) grain — all three multimodal projections driver-gated in
+    a single registry slot."""
+    fr = q_multimodal_frames(spark, sf_dir)
+    me = q_multimodal_meta(spark, sf_dir).select("doc_id", "mime")
+    fe = q_multimodal_features(spark, sf_dir)
+    return fr.join(me, "doc_id").join(fe, "doc_id")
+
+
+def q_text_analysis(spark, sf_dir):
+    """The doc-level text-analysis suite (lang-id, quality stats, token
+    counts, repeated ngrams, fingerprint) joined on doc_id — five
+    operators, one gated row set."""
+    docs = _docs(spark, sf_dir)
+    out = textstats.lang_id(docs)
+    for fn in (
+        textstats.text_quality,
+        textstats.token_counts,
+        textstats.repeated_ngrams,
+        textstats.doc_fingerprint,
+    ):
+        out = out.join(fn(docs), "doc_id")
+    return out
+
+
+def q_simhash_full(spark, sf_dir):
+    """Per-doc simhash + its group's keeper and size: pins the hash AND
+    the group reduction (simhash + simhash_groups consolidated)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        dedup.simhash_ids_fast(docs)
+        .join(dedup.simhash_groups(docs), "simhash")
+        .select("doc_id", "simhash", "keep_doc_id", "n_docs")
+    )
+
+
+def q_sample_split(spark, sf_dir):
+    """Tagged union of the deterministic sampler and splitter; sentinels
+    ('' / -1) keep the union null-free per the canonicalizer contract."""
+    sa = q_stratified_sample(spark, sf_dir).select(
+        F.lit("sample").alias("part"),
+        "doc_id",
+        "source",
+        "n_chars",
+        F.lit("").alias("split"),
+    )
+    sp = q_deterministic_split(spark, sf_dir).select(
+        F.lit("split").alias("part"),
+        "doc_id",
+        "source",
+        F.lit(-1).alias("n_chars"),
+        "split",
+    )
+    return sa.unionByName(sp)
+
+
+def q_cosine_topk_all(spark, sf_dir):
+    """Tagged union of the single-query (k=10) and batch (4 queries, k=5)
+    exact cosine verifiers."""
+    s = q_cosine_topk(spark, sf_dir).select(
+        F.lit("single").alias("variant"),
+        F.lit(0).cast("long").alias("query_id"),
+        "vec_id",
+        "cosine",
+    )
+    b = q_cosine_topk_batch(spark, sf_dir).select(
+        F.lit("batch").alias("variant"),
+        F.col("query_id").cast("long").alias("query_id"),
+        "vec_id",
+        "cosine",
+    )
+    return s.unionByName(b)
+
+
 # -- driver contract ------------------------------------------------------------
 
 
@@ -1017,9 +1144,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """48 entries — the whole surface fits inside the driver's 50-query
+    check window (VERDICT r04 #1). Ordered so the queries that never had
+    (or lost) a driver row in r04 come first."""
     return {
         "tokenize": q_tokenize,
         "encode_roundtrip": q_encode_roundtrip,
+        "encode_embeddings_roundtrip": q_encode_embeddings_roundtrip,
+        "encode_dataset_resume": q_encode_dataset_resume,
+        "streaming_encode": q_streaming_encode,
+        "encode_types_composite": q_encode_types_composite,
+        "multimodal_pipeline": q_multimodal_pipeline,
         "encode_cascade_roundtrip": q_encode_cascade_roundtrip,
         "encode_metadata": q_encode_metadata,
         "codec_selection": q_codec_selection,
@@ -1036,23 +1171,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_wide_subset": q_dataset_wide_subset,
         "dataset_compact_roundtrip": q_dataset_compact_roundtrip,
         "dataset_column_stats": q_dataset_column_stats,
-        "stratified_sample": q_stratified_sample,
-        "deterministic_split": q_deterministic_split,
-        "cosine_topk_batch": q_cosine_topk_batch,
+        "sample_split": q_sample_split,
+        "cosine_topk_all": q_cosine_topk_all,
         "near_dup_resolve": q_near_dup_resolve,
         "corpus_prep": q_corpus_prep,
-        "simhash": q_simhash,
-        "simhash_groups": q_simhash_groups,
+        "simhash_full": q_simhash_full,
         "neighbor_jaccard": q_neighbor_jaccard,
-        "lang_id": q_lang_id,
-        "text_quality": q_text_quality,
-        "token_counts": q_token_counts,
-        "repeated_ngrams": q_repeated_ngrams,
+        "text_analysis": q_text_analysis,
         "quality_filter": q_quality_filter,
-        "doc_fingerprint": q_doc_fingerprint,
         "tfidf_topk": q_tfidf_topk,
         "pack_sequences": q_pack_sequences,
-        "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1068,15 +1196,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_wide_subset": q_encode_wide_subset,
         "encode_zonemap_scan": q_encode_zonemap_scan,
         "encode_zonemap_multi": q_encode_zonemap_multi,
-        "encode_presort_roundtrip": q_encode_presort_roundtrip,
-        "encode_float32_roundtrip": q_encode_float32_roundtrip,
-        "encode_uint64_roundtrip": q_encode_uint64_roundtrip,
-        "encode_embeddings_roundtrip": q_encode_embeddings_roundtrip,
-        "encode_dataset_resume": q_encode_dataset_resume,
-        "streaming_encode": q_streaming_encode,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
     }
 
 

@@ -20,11 +20,9 @@ SUBSET = [
     "encode_roundtrip",
     "encode_typed_roundtrip",
     "dedup_exact",
-    "simhash",
-    "lang_id",
-    "token_counts",
-    "doc_fingerprint",
-    "cosine_topk",
+    "simhash_full",
+    "text_analysis",
+    "cosine_topk_all",
     "embedding_near_dup",
     "affine_transform",
     "event_type_stats",

@@ -1,0 +1,79 @@
+"""Round-5 operators: reliable (cluster-survivable) connected-components
+checkpointing, registry-consolidation composites, and the sampled IVF
+training path (VERDICT r04 items 1-3)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from xml2arrow_spark.pipeline import dedup
+
+
+def _chain_pairs(spark, n=40):
+    # a path graph 0-1-2-...-n: worst case for label propagation (deep
+    # diameter), so convergence genuinely takes several rounds
+    rows = [(i, i + 1) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_a bigint, doc_b bigint")
+
+
+def _labels(df) -> dict[int, int]:
+    return {r["node"]: r["label"] for r in df.collect()}
+
+
+def test_reliable_checkpoint_matches_local(spark, tmp_path):
+    pairs = _chain_pairs(spark)
+    want = _labels(dedup.resolve_near_dups(pairs))
+    got = _labels(
+        dedup.resolve_near_dups(pairs, checkpoint_dir=str(tmp_path / "cc"))
+    )
+    assert got == want
+    assert set(want.values()) == {0}  # one component, min-label = 0
+
+
+def test_reliable_checkpoint_resumes_from_killed_round(spark, tmp_path):
+    """A run killed mid-iteration restarts from the last committed round:
+    the marker + parquet labels are reliable storage, so the resumed run
+    converges to the same fixpoint WITHOUT redoing completed rounds."""
+    pairs = _chain_pairs(spark)
+    want = _labels(dedup.resolve_near_dups(pairs))
+    cc = str(tmp_path / "cc")
+
+    # simulate the kill: only round 0 completes before the job dies
+    partial = dedup.resolve_near_dups(pairs, max_iters=1, checkpoint_dir=cc)
+    assert _labels(partial) != want  # genuinely unconverged at the kill
+    state0 = json.load(open(os.path.join(cc, "STATE.json")))
+    assert state0["round"] == 0
+
+    # restart with the same directory: resumes at round 1 (the marker), not 0
+    resumed = dedup.resolve_near_dups(pairs, checkpoint_dir=cc)
+    assert _labels(resumed) == want
+    state1 = json.load(open(os.path.join(cc, "STATE.json")))
+    assert state1["round"] > 0
+
+    # storage stays O(2 rounds): stale label dirs are pruned as rounds advance
+    label_dirs = [d for d in os.listdir(cc) if d.startswith("labels_")]
+    assert len(label_dirs) <= 3
+
+
+def test_reliable_checkpoint_resume_after_convergence_is_stable(spark, tmp_path):
+    """Re-invoking on a CONVERGED directory is idempotent: one fixpoint
+    round, same labels."""
+    pairs = _chain_pairs(spark, n=8)
+    cc = str(tmp_path / "cc")
+    first = _labels(dedup.resolve_near_dups(pairs, checkpoint_dir=cc))
+    again = _labels(dedup.resolve_near_dups(pairs, checkpoint_dir=cc))
+    assert first == again
+
+
+def test_registry_fits_driver_window():
+    """VERDICT r04 #1: the driver checks the first 50 registry entries;
+    every operator must hold a slot inside that window."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    assert len(qs) <= 50
+    assert set(entry.oracle_sql()) == set(qs)

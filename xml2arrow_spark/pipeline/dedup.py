@@ -643,6 +643,7 @@ def resolve_near_dups(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs -> connected components: (node, label) with label =
     minimum doc id in the component — the keep/drop resolution every real
@@ -662,24 +663,87 @@ def resolve_near_dups(
     unchanged sum is a fixpoint — one scalar agg per round, no row-diff
     join.
 
-    Each round's labels are ``localCheckpoint``-ed: iterative self-joins
-    otherwise grow the logical plan exponentially (the Catalyst plan itself
-    OOMs the driver long before the data does — measured at a 12-node
-    chain). On a cluster, set a reliable ``spark.sparkContext.setCheckpointDir``
-    and swap for ``checkpoint()`` to also survive executor loss.
+    Each round's labels must be pinned to a FLAT plan: iterative
+    self-joins otherwise grow the logical plan exponentially (the Catalyst
+    plan itself OOMs the driver long before the data does — measured at a
+    12-node chain). Two pinning modes (VERDICT r04 #2):
+
+    - ``checkpoint_dir=None`` (default): ``localCheckpoint()`` — fastest,
+      but blocks live on executor LOCAL storage with lineage truncated, so
+      losing one executor mid-iteration on a real cluster kills the job.
+      The right mode for local[.] / single-JVM runs only.
+    - ``checkpoint_dir=<path>``: the symmetrized edge set and each round's
+      labels are materialized to parquet under the directory (reliable
+      storage — HDFS/S3 on a cluster) with a driver-side ``STATE.json``
+      marker committed AFTER each round's write. Executor loss just
+      re-reads parquet, and a KILLED run resumes from the last completed
+      round: call again with the same ``checkpoint_dir`` and it continues
+      where the marker points instead of restarting from round 0 (pinned
+      in tests/test_round5_ops.py). Rounds older than the previous one are
+      deleted as the loop advances, so storage is O(2 rounds). The marker
+      is KB-scale metadata → plain json, never a Spark write job.
     """
-    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = edges.unionAll(
-        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    ).localCheckpoint()
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iters):
+    spark = pairs.sparkSession
+    state: dict | None = None
+    if checkpoint_dir is not None:
+        import json
+        import os
+        import shutil
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        state_path = os.path.join(checkpoint_dir, "STATE.json")
+
+        def _pin(df: DataFrame, name: str) -> DataFrame:
+            path = os.path.join(checkpoint_dir, name)
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+
+        def _commit(round_no: int, label_sum: int) -> None:
+            tmp = state_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"round": round_no, "label_sum": label_sum}, f)
+            os.replace(tmp, state_path)  # atomic: marker commits the round
+            stale = os.path.join(checkpoint_dir, f"labels_{round_no - 2}")
+            shutil.rmtree(stale, ignore_errors=True)
+
+        if os.path.exists(state_path):
+            with open(state_path) as f:
+                state = json.load(f)
+    else:
+
+        def _pin(df: DataFrame, name: str) -> DataFrame:
+            return df.localCheckpoint()
+
+        def _commit(round_no: int, label_sum: int) -> None:
+            pass
+
+    if state is not None:
+        # resume: the marker's round is fully written (marker commits last)
+        import os
+
+        start_round = int(state["round"]) + 1
+        prev_sum = int(state["label_sum"])
+        edges = spark.read.parquet(os.path.join(checkpoint_dir, "edges"))
+        labels = spark.read.parquet(
+            os.path.join(checkpoint_dir, f"labels_{state['round']}")
+        )
+    else:
+        start_round = 0
+        edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        edges = _pin(
+            edges.unionAll(
+                pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+            ),
+            "edges",
+        )
+        labels = _pin(
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node")),
+            "labels_-1",
+        )
+        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _round in range(start_round, max_iters):
         nbr = (
             edges.join(labels, edges["src"] == labels["node"])
             .groupBy("dst")
@@ -694,18 +758,18 @@ def resolve_near_dups(
         # pointer jumping: label <- min(label, label(label)) — halves the
         # remaining chain depth, giving O(log diameter) total rounds
         x, y = propagated.alias("x"), propagated.alias("y")
-        new_labels = (
-            x.join(y, F.col("x.label") == F.col("y.node"), "left")
-            .select(
+        new_labels = _pin(
+            x.join(y, F.col("x.label") == F.col("y.node"), "left").select(
                 F.col("x.node").alias("node"),
                 F.least(
                     F.col("x.label"),
                     F.coalesce(F.col("y.label"), F.col("x.label")),
                 ).alias("label"),
-            )
-            .localCheckpoint()  # truncate lineage: flat plan every round
-        )
+            ),
+            f"labels_{_round}",
+        )  # flat plan every round (local or reliable, see docstring)
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        _commit(_round, new_sum)
         labels = new_labels
         if new_sum == prev_sum:
             break

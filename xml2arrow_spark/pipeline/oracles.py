@@ -918,10 +918,143 @@ FROM w
 """
 
 
+def encode_types_composite_sql() -> str:
+    """One row per lineitem PK carrying all three typed round-trip
+    contracts (r05 registry consolidation — VERDICT r04 #1): the presort
+    multiset (raw projection; the in-task permutation must preserve it),
+    float32 bit-parity (correctly-rounded REAL cast then the exact
+    REAL->DOUBLE widening), and the uint64/decimal(20,0) +2^63 digit
+    string. A tagged UNION, not a join — (l_orderkey, l_linenumber) is
+    not unique in the synthetic lineitem — with the same null-free
+    sentinels as the Spark side."""
+    return """
+SELECT 'presort' AS part, l_orderkey, l_linenumber,
+       l_returnflag, l_linestatus, l_quantity,
+       -1.0 AS qty_f, -1.0 AS disc_f, '' AS big_id_str
+FROM lineitem
+UNION ALL
+SELECT 'f32' AS part, l_orderkey, l_linenumber,
+       '' AS l_returnflag, '' AS l_linestatus, -1.0 AS l_quantity,
+       CAST(CAST(l_quantity AS REAL) AS DOUBLE) AS qty_f,
+       CAST(CAST(l_discount AS REAL) AS DOUBLE) AS disc_f,
+       '' AS big_id_str
+FROM lineitem
+UNION ALL
+SELECT 'u64' AS part, l_orderkey, l_linenumber,
+       '' AS l_returnflag, '' AS l_linestatus, -1.0 AS l_quantity,
+       -1.0 AS qty_f, -1.0 AS disc_f,
+       CAST(CAST(l_orderkey AS HUGEINT) + 9223372036854775808 AS VARCHAR)
+         AS big_id_str
+FROM lineitem
+"""
+
+
+def text_analysis_sql() -> str:
+    """Doc-level text-analysis suite in one gated row (r05 consolidation):
+    lang-id hits + prediction, quality stats, token counts, repeated-ngram
+    stats, and the rolling-hash fingerprint, joined on doc_id. Each leg is
+    the UNCHANGED single-operator oracle as a CTE, so per-operator
+    coverage is preserved bit-for-bit."""
+    langs = list(STOPWORDS)
+    hit_cols = ", ".join(f"la.hits_{lang}" for lang in langs)
+    return f"""
+WITH la AS ({lang_id_sql()}),
+tq AS ({text_quality_sql()}),
+tc AS ({token_counts_sql()}),
+rn AS ({repeated_ngrams_sql()}),
+fp AS ({doc_fingerprint_sql()})
+SELECT la.doc_id, {hit_cols}, la.predicted_lang,
+       tq.n_words, tq.n_distinct_words, tq.n_chars, tq.n_punct,
+       tq.max_word_len, tq.distinct_ratio,
+       tc.ws_tokens, tc.bpe_tokens,
+       rn.total_ngrams, rn.distinct_ngrams, rn.repeat_ratio,
+       fp.fingerprint
+FROM la
+JOIN tq ON la.doc_id = tq.doc_id
+JOIN tc ON la.doc_id = tc.doc_id
+JOIN rn ON la.doc_id = rn.doc_id
+JOIN fp ON la.doc_id = fp.doc_id
+"""
+
+
+def simhash_full_sql() -> str:
+    """Per-doc simhash joined with its group's keeper + size (r05
+    consolidation of simhash + simhash_groups): pins every per-doc hash
+    AND the group reduction in one row set."""
+    return f"""
+WITH s AS (SELECT doc_id, {G.simhash_expr(_TOKS, D)} AS simhash FROM documents),
+g AS (SELECT simhash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
+      FROM s GROUP BY simhash)
+SELECT s.doc_id, s.simhash, g.keep_doc_id, g.n_docs
+FROM s JOIN g ON s.simhash = g.simhash
+"""
+
+
+def sample_split_sql() -> str:
+    """Tagged union of the deterministic sampler and splitter (r05
+    consolidation): both legs are the unchanged single-operator oracles;
+    sentinels ('' split / -1 n_chars) keep the union null-free per the
+    driver canonicalizer contract."""
+    return f"""
+WITH sa AS ({stratified_sample_sql()}),
+sp AS ({deterministic_split_sql()})
+SELECT 'sample' AS part, doc_id, source, n_chars, '' AS split FROM sa
+UNION ALL
+SELECT 'split' AS part, doc_id, source, -1 AS n_chars, split FROM sp
+"""
+
+
+def cosine_topk_all_sql() -> str:
+    """Tagged union of the single-query (k=10) and batch (4 queries, k=5)
+    exact cosine verifiers (r05 consolidation)."""
+    return f"""
+WITH s AS ({cosine_topk_sql()}),
+b AS ({cosine_topk_batch_sql()})
+SELECT 'single' AS variant, CAST(0 AS BIGINT) AS query_id, vec_id, cosine
+FROM s
+UNION ALL
+SELECT 'batch' AS variant, CAST(query_id AS BIGINT) AS query_id, vec_id,
+       cosine
+FROM b
+"""
+
+
+def multimodal_pipeline_sql() -> str:
+    """The three multimodal projections in one gated row set at frame
+    grain (r05 consolidation): per-(doc, frame) window stats joined with
+    the doc-level mime/metadata and the full feature vector. Each leg is
+    the unchanged single-operator oracle as a CTE."""
+    return f"""
+WITH fr AS ({multimodal_frames_sql()}),
+me AS ({multimodal_meta_sql()}),
+fe AS ({multimodal_features_sql()})
+SELECT fr.doc_id, fr.frame_idx, fr.frame_len, fr.frame_sum,
+       me.mime, fe.n_bytes, fe.byte_sum, fe.head_hash,
+       fe.feature_0, fe.feature_1, fe.feature_2, fe.feature_3,
+       fe.feature_4, fe.feature_5, fe.feature_6, fe.feature_7
+FROM fr
+JOIN me ON fr.doc_id = me.doc_id
+JOIN fe ON fr.doc_id = fe.doc_id
+"""
+
+
 def all_oracles() -> dict[str, str]:
+    """48 entries, one per registry query, ordered to match
+    ``__spark_entry__.queries()`` — the whole surface now fits inside the
+    driver's 50-query check window (VERDICT r04 #1), with the
+    never-driver-checked queries (embeddings roundtrip, resume, streaming
+    encode, typed composite, multimodal) moved to the front."""
     return {
         "tokenize": tokenize_sql(),
         "encode_roundtrip": tokenize_sql(),
+        "encode_embeddings_roundtrip": encode_embeddings_roundtrip_sql(),
+        # resume + streaming decode back to the SAME token projection the
+        # tokenize oracle recomputes — resumability/streaming must be
+        # invisible to results
+        "encode_dataset_resume": tokenize_sql(),
+        "streaming_encode": tokenize_sql(),
+        "encode_types_composite": encode_types_composite_sql(),
+        "multimodal_pipeline": multimodal_pipeline_sql(),
         # the general-entropy cascade must be invisible to results
         "encode_cascade_roundtrip": tokenize_sql(),
         "encode_metadata": encode_metadata_sql(),
@@ -941,23 +1074,16 @@ def all_oracles() -> dict[str, str]:
         "dataset_wide_subset": dataset_wide_subset_sql(),
         "dataset_compact_roundtrip": dataset_compact_roundtrip_sql(),
         "dataset_column_stats": dataset_column_stats_sql(),
-        "stratified_sample": stratified_sample_sql(),
-        "deterministic_split": deterministic_split_sql(),
-        "cosine_topk_batch": cosine_topk_batch_sql(),
+        "sample_split": sample_split_sql(),
+        "cosine_topk_all": cosine_topk_all_sql(),
         "near_dup_resolve": near_dup_resolve_sql(),
         "corpus_prep": corpus_prep_sql(),
-        "simhash": simhash_sql(),
-        "simhash_groups": simhash_groups_sql(),
+        "simhash_full": simhash_full_sql(),
         "neighbor_jaccard": neighbor_jaccard_sql(),
-        "lang_id": lang_id_sql(),
-        "text_quality": text_quality_sql(),
-        "repeated_ngrams": repeated_ngrams_sql(),
+        "text_analysis": text_analysis_sql(),
         "quality_filter": quality_filter_sql(),
-        "token_counts": token_counts_sql(),
-        "doc_fingerprint": doc_fingerprint_sql(),
         "tfidf_topk": tfidf_topk_sql(),
         "pack_sequences": pack_sequences_sql(),
-        "cosine_topk": cosine_topk_sql(),
         "lsh_ann_topk": lsh_ann_topk_sql(),
         "ivf_ann_topk": ivf_ann_topk_sql(),
         "embedding_near_dup": embedding_near_dup_sql(),
@@ -974,16 +1100,4 @@ def all_oracles() -> dict[str, str]:
         "encode_wide_subset": encode_wide_subset_sql(),
         "encode_zonemap_scan": encode_zonemap_scan_sql(),
         "encode_zonemap_multi": encode_zonemap_multi_sql(),
-        "encode_presort_roundtrip": encode_presort_roundtrip_sql(),
-        "encode_float32_roundtrip": encode_float32_roundtrip_sql(),
-        "encode_uint64_roundtrip": encode_uint64_roundtrip_sql(),
-        "encode_embeddings_roundtrip": encode_embeddings_roundtrip_sql(),
-        # resume + streaming decode back to the SAME token projection the
-        # tokenize oracle recomputes — resumability/streaming must be
-        # invisible to results
-        "encode_dataset_resume": tokenize_sql(),
-        "streaming_encode": tokenize_sql(),
-        "multimodal_meta": multimodal_meta_sql(),
-        "multimodal_features": multimodal_features_sql(),
-        "multimodal_frames": multimodal_frames_sql(),
     }
