@@ -69,6 +69,23 @@ def test_reliable_checkpoint_resume_after_convergence_is_stable(spark, tmp_path)
     assert first == again
 
 
+def test_ivf_sampled_training(spark, sf_dir):
+    """VERDICT r04 #3: k-means iterates over the deterministic hash-bucket
+    sample, not the corpus. train_milli=1000 (every bucket) must equal the
+    full-corpus path exactly; the default 500-milli sample must genuinely
+    restrict the training set (different codebook on this data)."""
+    from xml2arrow_spark.pipeline import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    full = similarity.ivf_train(emb, train_milli=None)
+    all_buckets = similarity.ivf_train(emb, train_milli=1000)
+    assert all_buckets == full
+    sampled = similarity.ivf_train(emb)  # default IVF_TRAIN_MILLI
+    assert sampled != full
+    # sampled codebooks are themselves deterministic (same sample rule)
+    assert similarity.ivf_train(emb) == sampled
+
+
 def test_registry_fits_driver_window():
     """VERDICT r04 #1: the driver checks the first 50 registry entries;
     every operator must hold a slot inside that window."""

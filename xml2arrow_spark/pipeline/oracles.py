@@ -323,17 +323,23 @@ def ivf_ann_topk_sql(query_id: int = 0, k: int = 5) -> str:
     keep their centroid) as IVF_ITERS chained CTE rounds, then an
     NPROBE-nearest-cells probe + exact cosine. Integer sums are
     associative, so Spark's distributed training and this serial chain
-    produce bit-identical codebooks."""
+    produce bit-identical codebooks.
+
+    Training rounds iterate over the qt CTE — the deterministic
+    IVF_TRAIN_MILLI/1000 hash-bucket sample (the r05 sampled-training
+    geometry, VERDICT r04 #3); only the final assignment scans every
+    vector. The sample rule is a pure function of vec_id, so both engines
+    select the identical training set."""
     K, ITERS, NPROBE = G.IVF_CELLS, G.IVF_ITERS, G.IVF_NPROBE
     quant = G.ivf_quant_expr("embedding", D)
 
-    def assign_cte(name: str, cents: str) -> str:
+    def assign_cte(name: str, cents: str, src: str = "q") -> str:
         dist = G.ivf_sqdist_expr("q.qv", "c.qv", D)
         return f"""{name} AS (
   SELECT vec_id, qv, cell FROM (
     SELECT q.vec_id, q.qv, c.cell,
            row_number() OVER (PARTITION BY q.vec_id ORDER BY {dist}, c.cell) AS rn
-    FROM q CROSS JOIN {cents} c) WHERE rn = 1
+    FROM {src} q CROSS JOIN {cents} c) WHERE rn = 1
 )"""
 
     def update_cte(name: str, assigned: str, prev: str) -> str:
@@ -353,12 +359,14 @@ def ivf_ann_topk_sql(query_id: int = 0, k: int = 5) -> str:
     SELECT cell, [{sums}] AS qv FROM {assigned} GROUP BY cell) u USING (cell)
 )"""
 
+    samp = G.sample_hash_expr("vec_id", D)
     ctes = [
         f"q AS (SELECT vec_id, embedding, {quant} AS qv FROM embeddings)",
+        f"qt AS (SELECT * FROM q WHERE {samp} < {G.IVF_TRAIN_MILLI})",
         f"c0 AS (SELECT vec_id AS cell, qv FROM q WHERE vec_id < {K})",
     ]
     for it in range(ITERS):
-        ctes.append(assign_cte(f"a{it + 1}", f"c{it}"))
+        ctes.append(assign_cte(f"a{it + 1}", f"c{it}", src="qt"))
         ctes.append(update_cte(f"c{it + 1}", f"a{it + 1}", f"c{it}"))
     ctes.append(assign_cte("afinal", f"c{ITERS}"))
     probe_dist = G.ivf_sqdist_expr("qq.qv", "c.qv", D)

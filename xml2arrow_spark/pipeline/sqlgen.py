@@ -311,6 +311,13 @@ IVF_CELLS = 8
 IVF_ITERS = 3
 IVF_SCALE = 1000
 IVF_NPROBE = 2
+# k-means TRAINS on this /1000 deterministic hash-bucket sample of the
+# corpus (sample_hash_expr — the same portable rule the sampler uses), and
+# only the final assignment touches every vector: training cost is
+# O(sample × iters), not iters full scans (VERDICT r04 #3). The rule is a
+# pure function of the id, so the DuckDB oracle reproduces the sample —
+# and therefore the codebook — bit-for-bit.
+IVF_TRAIN_MILLI = 500
 
 
 def ivf_quant_expr(emb: str, dialect: str) -> str:
