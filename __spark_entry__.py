@@ -134,14 +134,13 @@ def q_encode_metadata(spark, sf_dir):
     """Per-(column, codec) value counts from the block lineage. The oracle
     recomputes each column's total value count from the raw data and pins
     the expected codec choice — layout-independent (byte counts vary with
-    block boundaries; value counts do not). ``doc_id`` rides the EXPLICIT
-    override path (plain_str — the reference's FieldConfig-with-codec
-    behavior): its auto choice legitimately flips to fsst once the corpus
-    is large enough, which a static SQL oracle cannot express; the other
-    three columns stay auto-selected at every sf."""
+    block boundaries; value counts do not). ALL FOUR columns are
+    auto-selected (r05): the canonical-block costing in choose_str_codec
+    makes the doc_id decision scale-invariant (fsst at every sf), so the
+    r04 explicit manifest override is gone and this row now gates the auto
+    choice itself at both parity scales."""
     tok = tokenize_documents(_docs(spark, sf_dir))
     base = CodecManifest.auto_for(tok.schema, block_rows=4096)
-    base.columns["doc_id"].codec = "plain_str"  # explicit override (S7)
     manifest = resolve_manifest(tok, base)
     blocks = encode_table(tok, manifest)
     c = F.explode("cols").alias("c")
@@ -170,12 +169,11 @@ def q_codec_selection(spark, sf_dir):
     (S7/S8: ``Config::from_yaml_file``/``to_yaml_file`` analog,
     /root/reference/src/config.rs:267-300) and the bounded-sample early
     termination inside resolve_manifest (L1: one limit(sample_rows)
-    collect, never a full scan). ``doc_id`` is explicitly overridden to
-    plain_str (the FieldConfig-with-codec path) because its auto choice
-    legitimately flips with corpus scale — see q_encode_metadata."""
+    collect, never a full scan). All columns are auto-selected — the r05
+    scale-invariant selector removed the need for the r04 doc_id
+    override — see q_encode_metadata."""
     tok = tokenize_documents(_docs(spark, sf_dir))
     base = CodecManifest.auto_for(tok.schema)
-    base.columns["doc_id"].codec = "plain_str"  # explicit override (S7)
     manifest = resolve_manifest(tok, base)
     manifest = CodecManifest.from_yaml(manifest.to_yaml())  # S7/S8 round trip
     rows = [(c, p.codec) for c, p in sorted(manifest.columns.items())]

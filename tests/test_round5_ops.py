@@ -86,6 +86,24 @@ def test_ivf_sampled_training(spark, sf_dir):
     assert similarity.ivf_train(emb) == sampled
 
 
+def test_selector_scale_invariant_choice(spark):
+    """VERDICT r04 #8: the auto string-codec choice must not flip with
+    corpus size. Digit-string id columns of 300 vs 6000 rows (the shape
+    that flipped plain_str->fsst between sf0.01 and sf0.1 in r04) resolve
+    to the SAME codec under canonical-block costing."""
+    from xml2arrow_spark.manifest import CodecManifest
+    from xml2arrow_spark.plans.selector import resolve_manifest
+
+    def choice(n):
+        df = spark.range(n).selectExpr("CAST(id AS STRING) AS doc_id")
+        man = resolve_manifest(
+            df, CodecManifest.auto_for(df.schema, block_rows=8192)
+        )
+        return man.columns["doc_id"].codec
+
+    assert choice(300) == choice(6000)
+
+
 def test_registry_fits_driver_window():
     """VERDICT r04 #1: the driver checks the first 50 registry entries;
     every operator must hold a slot inside that window."""

@@ -545,10 +545,13 @@ def encode_metadata_sql() -> str:
     """Per-(column, codec) value counts. Value counts are recomputed from
     the raw data (layout-independent, unlike byte counts); the codec names
     pin the selector's expected choices on the driver fixtures — a
-    regression gate on codec auto-selection itself."""
+    regression gate on codec auto-selection itself. All four columns are
+    AUTO-selected (r05: the scale-invariant canonical-block costing made
+    the doc_id choice deterministic across sfs, so the r04 explicit
+    override is gone — fsst at every scale)."""
     return f"""
 WITH t AS (SELECT {G.asize(G.split_ws('text', D), D)} AS n_tok FROM documents)
-SELECT 'doc_id' AS name, 'plain_str' AS codec, CAST(COUNT(*) AS BIGINT) AS n_values FROM t
+SELECT 'doc_id' AS name, 'fsst' AS codec, CAST(COUNT(*) AS BIGINT) AS n_values FROM t
 UNION ALL
 SELECT 'tokens', 'dict', CAST(SUM(n_tok) AS BIGINT) FROM t
 UNION ALL
@@ -560,11 +563,12 @@ SELECT 'source', 'dict_str', CAST(COUNT(*) AS BIGINT) FROM t
 
 def codec_selection_sql() -> str:
     """Pinned expected manifest resolution on the driver fixtures (doc ids
-    are non-uniform-length digit strings → plain_str; tokens are zipf-ish
-    small ints → dict; n_tok has a narrow range → FOR; source is
-    low-cardinality → dict_str)."""
+    are digit strings with heavy shared 2-byte chunks → fsst under the
+    r05 canonical-block costing, at EVERY corpus scale — the r04 manifest
+    override is gone; tokens are zipf-ish small ints → dict; n_tok has a
+    narrow range → FOR; source is low-cardinality → dict_str)."""
     return """
-SELECT 'doc_id' AS "column", 'plain_str' AS codec
+SELECT 'doc_id' AS "column", 'fsst' AS codec
 UNION ALL SELECT 'n_tok', 'for'
 UNION ALL SELECT 'source', 'dict_str'
 UNION ALL SELECT 'tokens', 'dict'

@@ -116,13 +116,28 @@ def choose_int_codec(values: np.ndarray) -> str:
     return min(est, key=est.get)
 
 
-def choose_str_codec(sd: StrData) -> str:
+def choose_str_codec(sd: StrData, target_rows: int | None = None) -> str:
     """Pick plain_str / dict_str / fsst for a string stream.
 
     dict pays off at low cardinality; fsst at shared substructure
     (common prefixes); plain otherwise. The selector must prefer dict over
     fsst for low-card columns like ``source`` (FIXTURES.md F1) — dict's
     estimate is strictly smaller there because indices beat per-chunk codes.
+
+    ``target_rows`` (r05, VERDICT r04 #8 — scale-invariant selection):
+    when the stream is a bounded SAMPLE standing in for the real encode
+    unit, cost the codecs for a canonical block of ``target_rows`` values
+    extrapolated from the sample's per-value stats, not for the sample
+    itself. Without this the decision is a sample-SIZE artifact: fsst's
+    fixed symbol-table cost amortized over a 500-row sample reads as
+    prohibitive but over an 8192-row block as negligible, so the same
+    column flipped plain_str->fsst between sf0.01 and sf0.1 purely because
+    the smaller corpus had fewer rows to sample (the r04 gates needed an
+    explicit manifest override to stay deterministic). Per-value ratios
+    (avg_len, fsst coverage fraction, cardinality ratio) are
+    distribution properties — scale-invariant — so costing a fixed-size
+    block makes the choice stable across corpus scale. Per-BLOCK callers
+    (operators/blocks.py) pass None: an actual block is costed as-is.
     """
     n = sd.n
     if n == 0 or len(sd.data) == 0:
@@ -152,8 +167,22 @@ def choose_str_codec(sd: StrData) -> str:
     else:
         card_scaled = min(n, int(card * n / take))
     avg_len = data_bytes / n
-    est_plain = float(data_bytes)
-    est_dict = n * bits_needed(max(card_scaled - 1, 0)) / 8 + card_scaled * avg_len
+    # canonical-block extrapolation (see docstring): only ever scales UP
+    # from a sample to the encode-block size, never down
+    if target_rows is not None and target_rows > n:
+        eff_n = int(target_rows)
+        eff_bytes = avg_len * eff_n
+        if card > take * 0.5:
+            # unique-ish ids stay unique-ish: cardinality tracks row count
+            card_eff = eff_n
+        elif card <= take * 0.1:
+            card_eff = card_scaled  # saturated fixed vocabulary
+        else:
+            card_eff = min(eff_n, int(card_scaled * eff_n / n))
+    else:
+        eff_n, eff_bytes, card_eff = n, float(data_bytes), card_scaled
+    est_plain = float(eff_bytes)
+    est_dict = eff_n * bits_needed(max(card_eff - 1, 0)) / 8 + card_eff * avg_len
     # fsst: roughly 1 code byte per stride bytes on repetitive data; probe via
     # trainer on a sample (cheap, bounded)
     from xml2arrow_spark.codecs.strings import _TRAIN_SAMPLE_BYTES, _chunk_keys
@@ -170,14 +199,22 @@ def choose_str_codec(sd: StrData) -> str:
         order = np.argsort(counts)[::-1]
         covered = int(counts[order[:255]].sum())
         frac = (keys.size + (keys.size - covered) * stride) / (keys.size * stride)
-        est_fsst = min(est_fsst, frac * data_bytes + min(uniq.size, 255) * 8)
+        est_fsst = min(est_fsst, frac * eff_bytes + min(uniq.size, 255) * 8)
     # fsst's model above omits its escape-position and code/plain split
     # streams (~15% measured on low-card columns), while dict's model tracks
     # its actual output within <1%. Calibrate so a near-tie goes to dict —
     # picking fsst on a tie cost 18% real bytes on the documents `source`
     # column.
     est = {"plain_str": est_plain, "dict_str": est_dict, "fsst": est_fsst * 1.15}
-    return min(est, key=est.get)
+    best = min(est, key=est.get)
+    # hysteresis: stay on plain_str unless the winner's estimate beats it
+    # by >5% — near-boundary columns must not flip codec with tiny shifts
+    # in the sampled distribution (the flip itself costs nothing locally,
+    # but deterministic choices are what make manifests reproducible
+    # across runs and corpus scales)
+    if best != "plain_str" and est[best] > 0.95 * est_plain:
+        return "plain_str"
+    return best
 
 
 def resolve_manifest(df, manifest, sample_rows: int = 8192):
@@ -262,7 +299,11 @@ def resolve_manifest(df, manifest, sample_rows: int = 8192):
                 codec = choose_int_codec(values)
         elif isinstance(spark_type, StringType):
             arr = pa.array(series.fillna(""), type=pa.string())
-            codec = choose_str_codec(strdata_from_arrow(arr))
+            # cost a canonical encode block, not the sample (scale-invariant
+            # selection — see choose_str_codec)
+            codec = choose_str_codec(
+                strdata_from_arrow(arr), target_rows=manifest.block_rows
+            )
         elif isinstance(spark_type, (DoubleType, FloatType)):
             from xml2arrow_spark.codecs.floats import choose_float_codec
 
