@@ -296,6 +296,47 @@ def main() -> None:
     # -- q10: un-nesting linkage ----------------------------------------------
     best_of("q10_unnest_orders", lambda: entry.q_unnest_orders(spark, SF_DIR).count())
 
+    # -- q11-q14: round-4 operators (VERDICT r04 #7: keep them regression-
+    # visible in the headline) ------------------------------------------------
+
+    def run_q11():
+        # '+zstd' general-entropy cascade end-to-end (encode + decode)
+        t = tokenize_documents(docs)
+        man = CodecManifest.auto_for(t.schema, block_rows=8192)
+        for p in man.columns.values():
+            p.codec = "auto+zstd"
+        man = resolve_manifest(t, man)
+        return decode_table(
+            encode_table(t, man),
+            "doc_id string, tokens array<int>, n_tok int, source string",
+        ).count()
+
+    best_of("q11_cascade_roundtrip", run_q11)
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from xml2arrow_spark.pipeline import events as events_ops
+
+    best_of(
+        "q12_sessionize",
+        lambda: events_ops.sessionize(events).count(),
+    )
+    # the stateful-streaming twin (applyInPandasWithState over staged
+    # micro-batches); each rep stages + drains a fresh stream — the gap vs
+    # q12 is the streaming-machinery overhead at this scale. ONE rep: the
+    # wall is micro-batch scheduling + checkpoint commits (fixed machinery,
+    # low variance), and a 3-rep min would triple the bench's total wall
+    # for no extra signal
+    best_of(
+        "q12b_sessionize_stream",
+        lambda: entry.q_streaming_sessionize(spark, SF_DIR).count(),
+        reps=1,
+    )
+    best_of("q13_tfidf_topk", lambda: entry.q_tfidf_topk(spark, SF_DIR).count())
+    best_of(
+        "q14_pack_sequences",
+        lambda: entry.q_pack_sequences(spark, SF_DIR).count(),
+    )
+
     total = round(sum(queries.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
