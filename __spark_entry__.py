@@ -356,6 +356,60 @@ def q_streaming_dedup(spark, sf_dir):
     return run_dedup_stream(spark, src, out, max_files_per_trigger=1)
 
 
+def q_streaming_dedup_tiered(spark, sf_dir):
+    """The r05 TIERED streaming dedup under the gate: same four-range
+    ordered replay as q_streaming_dedup, but through the bounded-state
+    operator — hot keyed state with an ingest-time TTL, first-arrivals
+    folded per micro-batch into the persisted digest store, which keeps
+    coverage exact across evictions. Tiering must be invisible to results:
+    the oracle is the same batch min-id-per-text rule. A tiny TTL makes
+    eviction REAL inside the drain, not just configured."""
+    import os
+
+    from xml2arrow_spark.streaming.dedup_stream import run_dedup_stream_tiered
+    from xml2arrow_spark.streaming.run import stage_ordered
+
+    docs = _docs(spark, sf_dir)
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    base = _scratch("sdeduptier_")
+    src = os.path.join(base, "src")
+    store = os.path.join(base, "store")
+    step = (hi + 3) // 4
+    stage_ordered(
+        [
+            docs.filter(
+                (F.col("doc_id") >= k * step)
+                & (F.col("doc_id") < (k + 1) * step)
+            )
+            for k in range(4)
+        ],
+        src,
+    )
+    return run_dedup_stream_tiered(
+        spark, src, store, max_files_per_trigger=1, ttl_ms=1
+    )
+
+
+def q_near_dup_resolve_reliable(spark, sf_dir):
+    """Connected components through the RELIABLE checkpoint path (r05):
+    every round's labels materialize to parquet with a committed marker
+    (cluster-survivable, resumable) instead of executor-local blocks.
+    The storage mode must be invisible to results — same recursive-CTE
+    oracle as near_dup_resolve."""
+    import os
+
+    base = _scratch("resolverel_")
+    pairs = dedup.lsh_near_dup_pairs(
+        _docs(spark, sf_dir), sig_path=os.path.join(base, "sigs")
+    )
+    labels = dedup.resolve_near_dups(
+        pairs, checkpoint_dir=os.path.join(base, "cc")
+    )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
+    )
+
+
 def q_contamination_hits(spark, sf_dir):
     """Benchmark decontamination under the gate: docs sharing >= 2
     distinct word-trigram shingles with the eval subset (doc_id % 97 == 0)
@@ -1165,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_near_dup": q_incremental_near_dup,
         "contamination_hits": q_contamination_hits,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_dedup_tiered": q_streaming_dedup_tiered,
         "streaming_near_dup": q_streaming_near_dup,
         "dataset_wide_subset": q_dataset_wide_subset,
         "dataset_compact_roundtrip": q_dataset_compact_roundtrip,
@@ -1172,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": q_sample_split,
         "cosine_topk_all": q_cosine_topk_all,
         "near_dup_resolve": q_near_dup_resolve,
+        "near_dup_resolve_reliable": q_near_dup_resolve_reliable,
         "corpus_prep": q_corpus_prep,
         "simhash_full": q_simhash_full,
         "neighbor_jaccard": q_neighbor_jaccard,

@@ -1080,6 +1080,9 @@ def all_oracles() -> dict[str, str]:
         "incremental_near_dup": incremental_near_dup_sql(),
         "contamination_hits": contamination_hits_sql(),
         "streaming_dedup": streaming_dedup_sql(),
+        # r05 tiered variant: hot-state TTL eviction + archival store must
+        # be invisible — same first-arrival winner set
+        "streaming_dedup_tiered": streaming_dedup_sql(),
         # continuous ingestion must be invisible: the epochs' union equals
         # the batch full-corpus pair set
         "streaming_near_dup": lsh_near_dup_pairs_sql(),
@@ -1089,6 +1092,8 @@ def all_oracles() -> dict[str, str]:
         "sample_split": sample_split_sql(),
         "cosine_topk_all": cosine_topk_all_sql(),
         "near_dup_resolve": near_dup_resolve_sql(),
+        # r05 reliable-checkpoint path: storage mode invisible to results
+        "near_dup_resolve_reliable": near_dup_resolve_sql(),
         "corpus_prep": corpus_prep_sql(),
         "simhash_full": simhash_full_sql(),
         "neighbor_jaccard": neighbor_jaccard_sql(),
