@@ -375,6 +375,47 @@ spark.stop()
         "Raw per-run numbers: `BENCH/scaling.json`.",
         "",
     ]
+    # regenerate the orchestration-gap summary from the probe's json so a
+    # rerun of this harness never silently drops it (the probe itself is
+    # tools/orchestration_probe.py; full table in BENCH/ORCHESTRATION.md)
+    orch_path = os.path.join(REPO, "BENCH", "orchestration.json")
+    if os.path.exists(orch_path):
+        with open(orch_path) as f:
+            orch = json.load(f)
+        p1, p8 = orch["decomposition"]["p1"], orch["decomposition"]["p8"]
+        b8 = p8["budget_core_sec"]
+        md += [
+            "## Orchestration-gap decomposition (what the overhead actually is)",
+            "",
+            "`tools/orchestration_probe.py` instruments every task of the SAME",
+            "fused encode and decomposes the 8-core core-second budget",
+            "(full table: `BENCH/ORCHESTRATION.md`):",
+            "",
+            "| component | core-sec at local[8] | share | nature |",
+            "|---|---|---|---|",
+            f"| kernel compute | {p8['compute_core_sec']} | "
+            f"{p8['compute_core_sec'] / b8:.1%} | the work |",
+            f"| compute inflation vs 1-core | "
+            f"{round(p8['compute_core_sec'] - p1['compute_core_sec'], 2)} "
+            f"({orch['compute_inflation_1_to_8']}x) | "
+            f"{(p8['compute_core_sec'] - p1['compute_core_sec']) / b8:.1%} "
+            "| memory bus (hardware) |",
+            f"| launch + tail | {p8['launch_tail_core_sec']} | "
+            f"{p8['launch_tail_core_sec'] / b8:.1%} | FIXED per-job cost "
+            f"(~{p8['launch_tail_core_sec'] / 8:.2f} s wall: job submit, "
+            "worker dispatch, result drain) |",
+            f"| scheduler idle | {p8['sched_idle_core_sec']} | "
+            f"{p8['sched_idle_core_sec'] / b8:.1%} | straggler tails |",
+            f"| in-task input residual | {p8['in_task_residual_core_sec']} | "
+            f"{p8['in_task_residual_core_sec'] / b8:.1%} | Arrow IPC of task rows |",
+            "",
+            "Named, measured cause: the engine-vs-roofline gap at 8 cores is",
+            "mostly a FIXED per-job launch/drain latency, not a per-byte",
+            "cost — it amortizes to noise on production-sized jobs. The",
+            "task-granularity sweep (8/16/32 tasks at 8 cores) confirms",
+            "tasks == slots, the engine default, is optimal.",
+            "",
+        ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(md))
     print(json.dumps(out))
