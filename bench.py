@@ -338,9 +338,18 @@ def main() -> None:
     )
 
     total = round(sum(queries.values()), 3)
+    # cross-round comparability: the r01-r04 headline covered q1-q10; the
+    # r05 additions (q11-q14, incl. the machinery-dominated streaming
+    # sessionize) widen coverage, so the same-query-set sum is reported
+    # alongside the full total
+    legacy = round(
+        sum(v for k, v in queries.items() if not k.startswith(("q11", "q12", "q13", "q14"))),
+        3,
+    )
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
+        "value_13q_compat": legacy,
         "unit": "sec",
         "queries": queries,
         "bench_reps": BEST_OF,  # each query = min of this many in-JVM reps

@@ -47,6 +47,14 @@ def main() -> int:
     )
     ap.add_argument("--eval-overlap", type=int, default=2)
     ap.add_argument("--max-cell", type=int, default=None)
+    ap.add_argument(
+        "--resolve-checkpoint-dir",
+        default=None,
+        help="reliable parquet checkpoint dir for connected-components "
+        "resolution (HDFS/S3 on a cluster): survives executor loss and "
+        "resumes a killed run from the last committed round; default is "
+        "the localCheckpoint fast path (single-JVM only)",
+    )
     ap.add_argument("--n-tasks", type=int, default=None)
     ap.add_argument("--n-units", type=int, default=64)
     ap.add_argument("--block-rows", type=int, default=65536)
@@ -106,7 +114,9 @@ def main() -> int:
         pairs = dedup.lsh_near_dup_pairs(
             exact_kept, sig_path=args.sig_table, max_cell=args.max_cell
         )
-    labels = dedup.resolve_near_dups(pairs)
+    labels = dedup.resolve_near_dups(
+        pairs, checkpoint_dir=args.resolve_checkpoint_dir
+    )
     drop = labels.filter(F.col("label") != F.col("node")).select(
         F.col("node").alias("doc_id")
     )
