@@ -355,11 +355,23 @@ spark.stop()
     ]
     for k in sorted(roofline, key=int):
         md.append(f"| {k} | {roofline[k]:,} |")
+    if overhead is not None and overhead <= 0:
+        gap_line = (
+            f" {overhead:+.1%}** — the engine now MEETS/EXCEEDS the probe"
+            " (the probe re-reads whole files per worker while the fused"
+            " path streams batches; residual orchestration cost is inside"
+            " measurement noise). Both fused stages have no serial"
+            " component:"
+        )
+    else:
+        gap_line = (
+            f" {overhead:+.1%}**. Both fused stages have no serial"
+            " component:"
+        )
     md += [
         "",
         f"Spark encode at local[8] reaches {spark8:,} tokens/sec vs the",
-        f"{roof8:,} no-Spark roofline — **orchestration overhead"
-        f" {overhead:+.1%}**. Both fused stages have no serial component:",
+        f"{roof8:,} no-Spark roofline — **orchestration overhead" + gap_line,
         "file-split inputs, one LPT bin per task partition, per-task",
         "kernels, no shuffle, no payload through the JVM. Within ONE VM",
         "every `local[k]` worker shares a single memory controller, so the",
