@@ -69,6 +69,24 @@ def test_reliable_checkpoint_resume_after_convergence_is_stable(spark, tmp_path)
     assert first == again
 
 
+def test_resolve_string_ids(spark, tmp_path):
+    """String doc ids (the tokenized table's type) resolve correctly: the
+    numeric-sum convergence check is an ANSI cast ERROR on strings (r05
+    finding), so non-numeric labels use the exact changed-count check —
+    in both pinning modes."""
+    pairs = spark.createDataFrame(
+        [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(9)],
+        "doc_a string, doc_b string",
+    )
+    for kwargs in ({}, {"checkpoint_dir": str(tmp_path / "cc_str")}):
+        labels = {
+            r["node"]: r["label"]
+            for r in dedup.resolve_near_dups(pairs, **kwargs).collect()
+        }
+        assert set(labels.values()) == {"d00"}
+        assert len(labels) == 10
+
+
 def test_ivf_sampled_training(spark, sf_dir):
     """VERDICT r04 #3: k-means iterates over the deterministic hash-bucket
     sample, not the corpus. train_milli=1000 (every bucket) must equal the

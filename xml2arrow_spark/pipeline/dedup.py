@@ -683,7 +683,15 @@ def resolve_near_dups(
       deleted as the loop advances, so storage is O(2 rounds). The marker
       is KB-scale metadata → plain json, never a Spark write job.
     """
+    from pyspark.sql.types import NumericType
+
     spark = pairs.sparkSession
+    # convergence detection is TYPE-aware: numeric labels use the monotone
+    # label sum (labels only decrease, so an unchanged sum is a fixpoint —
+    # one scalar agg, zero extra cost); any other label type (string doc
+    # ids!) uses an exact changed-row count against the previous round —
+    # sum() on a string column is an ANSI cast error (r05 finding)
+    numeric_ids = isinstance(pairs.schema[a_col].dataType, NumericType)
     state: dict | None = None
     if checkpoint_dir is not None:
         import json
@@ -722,7 +730,11 @@ def resolve_near_dups(
         import os
 
         start_round = int(state["round"]) + 1
-        prev_sum = int(state["label_sum"])
+        prev_sum = (
+            int(state["label_sum"])
+            if state.get("label_sum") is not None
+            else None
+        )
         edges = spark.read.parquet(os.path.join(checkpoint_dir, "edges"))
         labels = spark.read.parquet(
             os.path.join(checkpoint_dir, f"labels_{state['round']}")
@@ -742,7 +754,9 @@ def resolve_near_dups(
             .withColumn("label", F.col("node")),
             "labels_-1",
         )
-        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+        prev_sum = (
+            labels.agg(F.sum("label")).collect()[0][0] if numeric_ids else None
+        )
     for _round in range(start_round, max_iters):
         nbr = (
             edges.join(labels, edges["src"] == labels["node"])
@@ -768,12 +782,26 @@ def resolve_near_dups(
             ),
             f"labels_{_round}",
         )  # flat plan every round (local or reliable, see docstring)
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        if numeric_ids:
+            new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+            done = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            new_sum = None  # marker payload; the changed-count is exact
+            done = (
+                new_labels.join(
+                    labels.select("node", F.col("label").alias("_prev")),
+                    "node",
+                )
+                .filter(F.col("label") != F.col("_prev"))
+                .limit(1)
+                .count()
+                == 0
+            )
         _commit(_round, new_sum)
         labels = new_labels
-        if new_sum == prev_sum:
+        if done:
             break
-        prev_sum = new_sum
     return labels
 
 
