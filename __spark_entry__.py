@@ -528,43 +528,19 @@ def q_cosine_topk_batch(spark, sf_dir):
     )
 
 
-def q_simhash(spark, sf_dir):
-    return dedup.simhash_ids_fast(_docs(spark, sf_dir))
-
-
-def q_simhash_groups(spark, sf_dir):
-    return dedup.simhash_groups(_docs(spark, sf_dir))
-
-
 def q_neighbor_jaccard(spark, sf_dir):
     return dedup.neighbor_jaccard(_docs(spark, sf_dir))
 
 
 # -- text analysis -------------------------------------------------------------
-
-
-def q_lang_id(spark, sf_dir):
-    return textstats.lang_id(_docs(spark, sf_dir))
-
-
-def q_text_quality(spark, sf_dir):
-    return textstats.text_quality(_docs(spark, sf_dir))
-
-
-def q_token_counts(spark, sf_dir):
-    return textstats.token_counts(_docs(spark, sf_dir))
-
-
-def q_repeated_ngrams(spark, sf_dir):
-    return textstats.repeated_ngrams(_docs(spark, sf_dir))
+# (the per-operator simhash/lang_id/quality/counts/ngrams/fingerprint
+# wrappers were removed with the r05 registry consolidation — the
+# composites q_text_analysis / q_simhash_full call the pipeline functions
+# directly, and keeping dead one-line twins here invited drift)
 
 
 def q_quality_filter(spark, sf_dir):
     return textstats.quality_filter(_docs(spark, sf_dir))
-
-
-def q_doc_fingerprint(spark, sf_dir):
-    return textstats.doc_fingerprint(_docs(spark, sf_dir))
 
 
 def q_tfidf_topk(spark, sf_dir):

@@ -322,14 +322,13 @@ def main() -> None:
     )
     # the stateful-streaming twin (applyInPandasWithState over staged
     # micro-batches); each rep stages + drains a fresh stream — the gap vs
-    # q12 is the streaming-machinery overhead at this scale. ONE rep: the
-    # wall is micro-batch scheduling + checkpoint commits (fixed machinery,
-    # low variance), and a 3-rep min would triple the bench's total wall
-    # for no extra signal
+    # q12 is the streaming-machinery overhead at this scale. Full BEST_OF
+    # reps like every other query: this VM's 2-3x wall noise applies to
+    # micro-batch scheduling too (n=1 samples are meaningless here — the
+    # repo bench ground rule)
     best_of(
         "q12b_sessionize_stream",
         lambda: entry.q_streaming_sessionize(spark, SF_DIR).count(),
-        reps=1,
     )
     best_of("q13_tfidf_topk", lambda: entry.q_tfidf_topk(spark, SF_DIR).count())
     best_of(

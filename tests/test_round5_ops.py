@@ -60,13 +60,30 @@ def test_reliable_checkpoint_resumes_from_killed_round(spark, tmp_path):
 
 
 def test_reliable_checkpoint_resume_after_convergence_is_stable(spark, tmp_path):
-    """Re-invoking on a CONVERGED directory is idempotent: one fixpoint
-    round, same labels."""
+    """Re-invoking on a CONVERGED directory is idempotent: the completed
+    run's state is rebuilt from the input, same labels."""
     pairs = _chain_pairs(spark, n=8)
     cc = str(tmp_path / "cc")
     first = _labels(dedup.resolve_near_dups(pairs, checkpoint_dir=cc))
     again = _labels(dedup.resolve_near_dups(pairs, checkpoint_dir=cc))
     assert first == again
+
+
+def test_completed_checkpoint_dir_never_replays_stale_labels(spark, tmp_path):
+    """r05 review finding: a stable checkpoint dir reused across corpus
+    versions must RESOLVE THE NEW INPUT, not resume the finished run's
+    labels — resume semantics apply to killed (unconverged) runs only."""
+    cc = str(tmp_path / "cc")
+    a = spark.createDataFrame([(1, 2), (2, 3)], "doc_a bigint, doc_b bigint")
+    got_a = _labels(dedup.resolve_near_dups(a, checkpoint_dir=cc))
+    assert set(got_a) == {1, 2, 3}
+    # corpus B: disjoint node set through the SAME directory
+    b = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13)], "doc_a bigint, doc_b bigint"
+    )
+    got_b = _labels(dedup.resolve_near_dups(b, checkpoint_dir=cc))
+    assert set(got_b) == {10, 11, 12, 13}  # B's nodes, not A's replay
+    assert set(got_b.values()) == {10}
 
 
 def test_resolve_string_ids(spark, tmp_path):

@@ -679,9 +679,14 @@ def resolve_near_dups(
       re-reads parquet, and a KILLED run resumes from the last completed
       round: call again with the same ``checkpoint_dir`` and it continues
       where the marker points instead of restarting from round 0 (pinned
-      in tests/test_round5_ops.py). Rounds older than the previous one are
-      deleted as the loop advances, so storage is O(2 rounds). The marker
-      is KB-scale metadata → plain json, never a Spark write job.
+      in tests/test_round5_ops.py). A CONVERGED marker never resumes: a
+      completed run's directory is rebuilt from the new ``pairs`` input,
+      so reusing a stable checkpoint dir across corpus versions cannot
+      replay stale labels. Rounds older than the previous one are deleted
+      as the loop advances, so storage is O(2 rounds). The marker is
+      KB-scale metadata → json through the Hadoop FileSystem API
+      (:mod:`xml2arrow_spark.fsutil`): driver-side, never a Spark write
+      job, correct on any scheme including ``hdfs://``/``s3a://``.
     """
     from pyspark.sql.types import NumericType
 
@@ -695,49 +700,64 @@ def resolve_near_dups(
     state: dict | None = None
     if checkpoint_dir is not None:
         import json
-        import os
-        import shutil
 
-        os.makedirs(checkpoint_dir, exist_ok=True)
-        state_path = os.path.join(checkpoint_dir, "STATE.json")
+        from xml2arrow_spark import fsutil
+
+        # all bookkeeping goes through the Hadoop FileSystem API (fsutil):
+        # driver-side and job-free like os.*, but correct when the
+        # checkpoint dir is hdfs:// / s3a:// — the advertised cluster case
+        fsutil.mkdirs(spark, checkpoint_dir)
+        state_path = checkpoint_dir + "/STATE.json"
 
         def _pin(df: DataFrame, name: str) -> DataFrame:
-            path = os.path.join(checkpoint_dir, name)
+            path = checkpoint_dir + "/" + name
             df.write.mode("overwrite").parquet(path)
             return spark.read.parquet(path)
 
-        def _commit(round_no: int, label_sum: int) -> None:
-            tmp = state_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"round": round_no, "label_sum": label_sum}, f)
-            os.replace(tmp, state_path)  # atomic: marker commits the round
-            stale = os.path.join(checkpoint_dir, f"labels_{round_no - 2}")
-            shutil.rmtree(stale, ignore_errors=True)
+        def _commit(round_no: int, label_sum, converged: bool) -> None:
+            fsutil.write_text_atomic(
+                spark,
+                state_path,
+                json.dumps(
+                    {
+                        "round": round_no,
+                        "label_sum": label_sum,
+                        "converged": converged,
+                    }
+                ),
+            )  # marker commits the round (written AFTER the labels parquet)
+            fsutil.delete(spark, checkpoint_dir + f"/labels_{round_no - 2}")
 
-        if os.path.exists(state_path):
-            with open(state_path) as f:
-                state = json.load(f)
+        if fsutil.exists(spark, state_path):
+            state = json.loads(fsutil.read_text(spark, state_path))
+            if state.get("converged"):
+                # the directory holds a COMPLETED run. Resume semantics are
+                # for KILLED runs only — a finished marker must not make a
+                # later call silently ignore its (possibly different) pairs
+                # input and replay the old run's labels (r05 review
+                # finding). Rebuild from scratch on the new input.
+                fsutil.delete(spark, checkpoint_dir)
+                fsutil.mkdirs(spark, checkpoint_dir)
+                state = None
     else:
 
         def _pin(df: DataFrame, name: str) -> DataFrame:
             return df.localCheckpoint()
 
-        def _commit(round_no: int, label_sum: int) -> None:
+        def _commit(round_no: int, label_sum, converged: bool) -> None:
             pass
 
     if state is not None:
-        # resume: the marker's round is fully written (marker commits last)
-        import os
-
+        # resume a killed run: the marker's round is fully written
         start_round = int(state["round"]) + 1
         prev_sum = (
             int(state["label_sum"])
             if state.get("label_sum") is not None
             else None
         )
-        edges = spark.read.parquet(os.path.join(checkpoint_dir, "edges"))
+        edges = spark.read.parquet(checkpoint_dir + "/edges")
         labels = spark.read.parquet(
-            os.path.join(checkpoint_dir, f"labels_{state['round']}")
+            checkpoint_dir + f"/labels_{state['round']}"
         )
     else:
         start_round = 0
@@ -798,7 +818,7 @@ def resolve_near_dups(
                 .count()
                 == 0
             )
-        _commit(_round, new_sum)
+        _commit(_round, new_sum, done)
         labels = new_labels
         if done:
             break

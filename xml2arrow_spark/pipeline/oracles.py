@@ -938,26 +938,27 @@ def encode_types_composite_sql() -> str:
     REAL->DOUBLE widening), and the uint64/decimal(20,0) +2^63 digit
     string. A tagged UNION, not a join — (l_orderkey, l_linenumber) is
     not unique in the synthetic lineitem — with the same null-free
-    sentinels as the Spark side."""
-    return """
+    sentinels as the Spark side. Each leg is the UNCHANGED single-operator
+    oracle as a CTE: one source of truth per contract, no inline
+    re-implementation to drift."""
+    return f"""
+WITH pre AS ({encode_presort_roundtrip_sql()}),
+f32 AS ({encode_float32_roundtrip_sql()}),
+u64 AS ({encode_uint64_roundtrip_sql()})
 SELECT 'presort' AS part, l_orderkey, l_linenumber,
        l_returnflag, l_linestatus, l_quantity,
        -1.0 AS qty_f, -1.0 AS disc_f, '' AS big_id_str
-FROM lineitem
+FROM pre
 UNION ALL
 SELECT 'f32' AS part, l_orderkey, l_linenumber,
        '' AS l_returnflag, '' AS l_linestatus, -1.0 AS l_quantity,
-       CAST(CAST(l_quantity AS REAL) AS DOUBLE) AS qty_f,
-       CAST(CAST(l_discount AS REAL) AS DOUBLE) AS disc_f,
-       '' AS big_id_str
-FROM lineitem
+       qty_f, disc_f, '' AS big_id_str
+FROM f32
 UNION ALL
 SELECT 'u64' AS part, l_orderkey, l_linenumber,
        '' AS l_returnflag, '' AS l_linestatus, -1.0 AS l_quantity,
-       -1.0 AS qty_f, -1.0 AS disc_f,
-       CAST(CAST(l_orderkey AS HUGEINT) + 9223372036854775808 AS VARCHAR)
-         AS big_id_str
-FROM lineitem
+       -1.0 AS qty_f, -1.0 AS disc_f, big_id_str
+FROM u64
 """
 
 
@@ -992,11 +993,11 @@ JOIN fp ON la.doc_id = fp.doc_id
 def simhash_full_sql() -> str:
     """Per-doc simhash joined with its group's keeper + size (r05
     consolidation of simhash + simhash_groups): pins every per-doc hash
-    AND the group reduction in one row set."""
+    AND the group reduction in one row set. Both legs are the UNCHANGED
+    single-operator oracles as CTEs."""
     return f"""
-WITH s AS (SELECT doc_id, {G.simhash_expr(_TOKS, D)} AS simhash FROM documents),
-g AS (SELECT simhash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
-      FROM s GROUP BY simhash)
+WITH s AS ({simhash_sql()}),
+g AS ({simhash_groups_sql()})
 SELECT s.doc_id, s.simhash, g.keep_doc_id, g.n_docs
 FROM s JOIN g ON s.simhash = g.simhash
 """

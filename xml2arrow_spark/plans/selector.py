@@ -207,12 +207,17 @@ def choose_str_codec(sd: StrData, target_rows: int | None = None) -> str:
     # column.
     est = {"plain_str": est_plain, "dict_str": est_dict, "fsst": est_fsst * 1.15}
     best = min(est, key=est.get)
-    # hysteresis: stay on plain_str unless the winner's estimate beats it
-    # by >5% — near-boundary columns must not flip codec with tiny shifts
-    # in the sampled distribution (the flip itself costs nothing locally,
-    # but deterministic choices are what make manifests reproducible
-    # across runs and corpus scales)
-    if best != "plain_str" and est[best] > 0.95 * est_plain:
+    # hysteresis — SAMPLE-based selection only (target_rows set): stay on
+    # plain_str unless the winner's estimate beats it by >5%, so
+    # near-boundary columns don't flip codec with tiny shifts in the
+    # sampled distribution. Per-block callers (target_rows None) cost the
+    # exact block they hold — no sampling noise to guard against, so they
+    # keep the raw minimum and never forfeit real compression
+    if (
+        target_rows is not None
+        and best != "plain_str"
+        and est[best] > 0.95 * est_plain
+    ):
         return "plain_str"
     return best
 

@@ -144,17 +144,28 @@ def dedup_stream_tiered(
         if state.exists:
             return  # hot suppress: digest already won within the window
         best = None
+        ing_ms = 0
         for pdf in pdfs:
             for d in pdf["doc_id"]:
                 d = int(d)
                 if best is None or d < best:
                     best = d
+            if len(pdf):
+                # the batch's ingest stamp (constant per batch) — the TTL
+                # anchor. NOT getCurrentWatermarkMs(): the watermark is 0 on
+                # the first batch (and always lags by the delay), which gave
+                # first-batch groups an epoch-dated timeout ≈ instant
+                # eviction regardless of ttl_ms (r05 review finding)
+                ing_ms = max(
+                    ing_ms, int(pdf["ing_ts"].iloc[0].timestamp() * 1000)
+                )
         if best is None:
             return
         state.update((best,))
         # armed ONCE, at first arrival; expires when the ingest watermark
-        # has advanced ttl_ms past this batch
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + int(ttl_ms))
+        # passes arrival + ttl (always > current watermark: the watermark
+        # trails ing_ts by exactly the ttl delay)
+        state.setTimeoutTimestamp(ing_ms + int(ttl_ms))
         yield pd.DataFrame(
             [(key[0], best)], columns=["text_md5", "keep_doc_id"]
         )
@@ -209,8 +220,14 @@ def run_dedup_stream_tiered(
     store_ddl = _OUT_DDL + ", batch bigint"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from xml2arrow_spark import fsutil
+
         out = batch_df.withColumn("batch", F.lit(int(batch_id)))
-        if os.path.isdir(store_path):
+        # Hadoop-FS existence check, NOT os.path.isdir: the store lives on
+        # hdfs://-style storage in exactly the cluster scenario this tier
+        # exists for, where a local-fs check is always False and would
+        # silently disable re-appearance filtering (r05 review finding)
+        if fsutil.exists(spark, store_path):
             known = (
                 spark.read.schema(store_ddl)
                 .parquet(store_path)
