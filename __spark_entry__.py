@@ -543,6 +543,29 @@ def q_quality_filter(spark, sf_dir):
     return textstats.quality_filter(_docs(spark, sf_dir))
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction under the gate: deterministic pii-bearing text is
+    DERIVED from each row (email/phone/ipv4 planted from doc_id, then the
+    real document text appended), scrubbed to typed tokens, and counted.
+    The oracle derives the identical string and applies the identical
+    RE2-and-Java-compatible patterns — redaction is byte-for-byte."""
+    docs = _docs(spark, sf_dir)
+    pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("mail "),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.com tel 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.1.2."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" :: "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return textstats.pii_scrub(pii)
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Per-doc top-3 salient tokens by the integer tf-idf surrogate
     (tf*N*1000 div df) — rank/score/tie-break all exact integers, so the
@@ -1145,6 +1168,29 @@ def q_sample_split(spark, sf_dir):
     return sa.unionByName(sp)
 
 
+def q_encode_zonemap(spark, sf_dir):
+    """Both zone-map pruning shapes in one gated row set (r05: frees a
+    registry slot for pii_scrub): the single-int-range leg and the
+    conjunctive int+string leg, tagged union with '' sentinels where the
+    int leg has no string column. Pruning must stay invisible to results
+    on BOTH legs."""
+    a = q_encode_zonemap_scan(spark, sf_dir).select(
+        F.lit("int").alias("part"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.lit("").alias("l_returnflag"),
+    )
+    b = q_encode_zonemap_multi(spark, sf_dir).select(
+        F.lit("multi").alias("part"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_returnflag",
+    )
+    return a.unionByName(b)
+
+
 def q_cosine_topk_all(spark, sf_dir):
     """Tagged union of the single-query (k=10) and batch (4 queries, k=5)
     exact cosine verifiers."""
@@ -1209,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_jaccard": q_neighbor_jaccard,
         "text_analysis": q_text_analysis,
         "quality_filter": q_quality_filter,
+        "pii_scrub": q_pii_scrub,
         "tfidf_topk": q_tfidf_topk,
         "pack_sequences": q_pack_sequences,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -1224,8 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_nullable_roundtrip": q_encode_nullable_roundtrip,
         "encode_fused_roundtrip": q_encode_fused_roundtrip,
         "encode_wide_subset": q_encode_wide_subset,
-        "encode_zonemap_scan": q_encode_zonemap_scan,
-        "encode_zonemap_multi": q_encode_zonemap_multi,
+        "encode_zonemap": q_encode_zonemap,
     }
 
 

@@ -139,6 +139,31 @@ def test_selector_scale_invariant_choice(spark):
     assert choice(300) == choice(6000)
 
 
+def test_pii_scrub(spark):
+    """Typed redaction + per-category counts; patterns must behave
+    identically on Java and RE2 (no lookaround), order email->ip->phone."""
+    from xml2arrow_spark.pipeline import textstats
+
+    rows = [
+        (1, "write a.b+c@ex.co.uk or x@y.io today"),
+        (2, "call 555-123-4567 from 10.0.0.1 now"),
+        (3, "no pii here at all"),
+        (4, "ver 1.2.3 is not an ip; 12-34-5678 not a phone"),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in textstats.pii_scrub(
+            spark.createDataFrame(rows, "doc_id bigint, text string")
+        ).collect()
+    }
+    assert got[1]["scrubbed"] == "write <EMAIL> or <EMAIL> today"
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (2, 0, 0)
+    assert got[2]["scrubbed"] == "call <PHONE> from <IP> now"
+    assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_phone"]) == (0, 1, 1)
+    assert got[3]["scrubbed"] == rows[2][1]
+    assert got[4]["scrubbed"] == rows[3][1]  # near-misses untouched
+
+
 def test_registry_fits_driver_window():
     """VERDICT r04 #1: the driver checks the first 50 registry entries;
     every operator must hold a slot inside that window."""

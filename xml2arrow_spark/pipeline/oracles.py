@@ -1032,6 +1032,46 @@ FROM b
 """
 
 
+def pii_scrub_sql() -> str:
+    """Byte-for-byte twin of textstats.pii_scrub over the derived
+    pii-bearing text: same RE2/Java-compatible patterns, same redaction
+    order (email -> ipv4 -> phone), counts on the original text."""
+    from xml2arrow_spark.pipeline.textstats import PII_PATTERNS
+
+    derive = (
+        "'mail ' || CAST(doc_id AS VARCHAR) || '@ex.com tel 555-123-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ip 10.1.2.' || "
+        "CAST(doc_id % 256 AS VARCHAR) || ' :: ' || text"
+    )
+    scrub = "text"
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            G.asize(f"regexp_extract_all(text, '{pat}')", D) + f" AS n_{name}"
+        )
+        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    return f"""
+WITH p AS (SELECT doc_id, {derive} AS text FROM documents)
+SELECT doc_id, {scrub} AS scrubbed, {", ".join(counts)}
+FROM p
+"""
+
+
+def encode_zonemap_sql() -> str:
+    """Tagged union of both zone-map pruning legs (r05 consolidation);
+    each leg is the unchanged single-operator oracle as a CTE."""
+    return f"""
+WITH a AS ({encode_zonemap_scan_sql()}),
+b AS ({encode_zonemap_multi_sql()})
+SELECT 'int' AS part, l_orderkey, l_linenumber, l_quantity,
+       '' AS l_returnflag
+FROM a
+UNION ALL
+SELECT 'multi' AS part, l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM b
+"""
+
+
 def multimodal_pipeline_sql() -> str:
     """The three multimodal projections in one gated row set at frame
     grain (r05 consolidation): per-(doc, frame) window stats joined with
@@ -1100,6 +1140,7 @@ def all_oracles() -> dict[str, str]:
         "neighbor_jaccard": neighbor_jaccard_sql(),
         "text_analysis": text_analysis_sql(),
         "quality_filter": quality_filter_sql(),
+        "pii_scrub": pii_scrub_sql(),
         "tfidf_topk": tfidf_topk_sql(),
         "pack_sequences": pack_sequences_sql(),
         "lsh_ann_topk": lsh_ann_topk_sql(),
@@ -1116,6 +1157,5 @@ def all_oracles() -> dict[str, str]:
         "encode_nullable_roundtrip": encode_nullable_roundtrip_sql(),
         "encode_fused_roundtrip": encode_fused_roundtrip_sql(),
         "encode_wide_subset": encode_wide_subset_sql(),
-        "encode_zonemap_scan": encode_zonemap_scan_sql(),
-        "encode_zonemap_multi": encode_zonemap_multi_sql(),
+        "encode_zonemap": encode_zonemap_sql(),
     }

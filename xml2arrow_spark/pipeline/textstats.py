@@ -91,6 +91,40 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+# PII redaction patterns — deliberately lookaround-free so the SAME string
+# is a valid, equivalent regex under Java (Spark) and RE2 (DuckDB): the
+# oracle reproduces the redaction byte-for-byte. Order matters and is part
+# of the contract: emails first (their local parts contain dots/digits
+# that the other patterns could nibble), then IPv4, then phones.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact emails / IPv4 addresses / phone numbers to typed tokens and
+    count each category (on the ORIGINAL text) — the privacy pass every
+    production training-data pipeline runs before a corpus ships.
+
+    All JVM-side built-ins (regexp_replace / regexp_extract_all inside
+    whole-stage codegen), one narrow projection, no shuffle — the filter/
+    transform shape that scales to the full corpus. Returns
+    (id_col, scrubbed, n_email, n_ipv4, n_phone).
+    """
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+            ).alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return docs.select(id_col, scrubbed.alias("scrubbed"), *counts)
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive rolling-hash fingerprint of the word-token stream:
     fold acc = (acc*31 + token) % (2^31-1). Detects reordered-content docs
