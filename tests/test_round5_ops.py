@@ -86,6 +86,21 @@ def test_completed_checkpoint_dir_never_replays_stale_labels(spark, tmp_path):
     assert set(got_b.values()) == {10}
 
 
+def test_killed_checkpoint_dir_with_new_input_rebuilds(spark, tmp_path):
+    """Second review finding: a KILLED (unconverged) marker must not make
+    a later call with a DIFFERENT corpus resume the old run either — the
+    input fingerprint in the marker gates every resume."""
+    cc = str(tmp_path / "cc")
+    a = _chain_pairs(spark, n=12)
+    dedup.resolve_near_dups(a, max_iters=1, checkpoint_dir=cc)  # killed on A
+    b = spark.createDataFrame(
+        [(20, 21), (21, 22)], "doc_a bigint, doc_b bigint"
+    )
+    got_b = _labels(dedup.resolve_near_dups(b, checkpoint_dir=cc))
+    assert set(got_b) == {20, 21, 22}
+    assert set(got_b.values()) == {20}
+
+
 def test_resolve_string_ids(spark, tmp_path):
     """String doc ids (the tokenized table's type) resolve correctly: the
     numeric-sum convergence check is an ANSI cast ERROR on strings (r05

@@ -56,8 +56,15 @@ def read_text(spark, path: str) -> str:
 
 def write_text_atomic(spark, path: str, text: str) -> None:
     """Write-then-rename: readers see the old marker or the new one,
-    never a torn write (rename is atomic on local fs and HDFS; on S3A it
-    is copy+delete — still never torn, just not instantaneous)."""
+    never a torn write.
+
+    The replace rides ``FileContext.rename(..., OVERWRITE)`` — an atomic
+    in-place replace on local fs and HDFS, with NO window where neither
+    marker exists. Where FileContext is unavailable for the scheme, falls
+    back to delete+rename (a crash between the two can lose the marker —
+    which degrades to a from-scratch rebuild, never corruption) and
+    RAISES when the Hadoop rename reports failure (it returns false, it
+    does not throw)."""
     fs, hp, jvm = _fs(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
     out = fs.create(tmp, True)
@@ -65,6 +72,18 @@ def write_text_atomic(spark, path: str, text: str) -> None:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.getUri(), spark._jsc.hadoopConfiguration()
+        )
+        gateway = spark.sparkContext._gateway
+        opts = gateway.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp, hp, opts)
+        return
+    except Exception:
+        pass  # scheme without FileContext support -> two-step fallback
     if fs.exists(hp):
         fs.delete(hp, False)
-    fs.rename(tmp, hp)
+    if not fs.rename(tmp, hp):
+        raise IOError(f"atomic marker write failed: rename {path}.tmp -> {path}")

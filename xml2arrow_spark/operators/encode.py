@@ -474,9 +474,17 @@ def resolve_manifest_parquet(
                     policy, codec=choose_int_codec(values) + sfx
                 )
         elif pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+            # sample-based caller: cost a canonical encode block, with the
+            # plain_str hysteresis (same rule as resolve_manifest — this
+            # path previously passed no target_rows and silently lost both
+            # the scale-invariant costing and the stability guard)
             resolved[name] = replace(
                 policy,
-                codec=choose_str_codec(strdata_from_arrow(arr.drop_null())) + sfx,
+                codec=choose_str_codec(
+                    strdata_from_arrow(arr.drop_null()),
+                    target_rows=manifest.block_rows,
+                )
+                + sfx,
             )
         elif pa.types.is_floating(arr.type):
             from xml2arrow_spark.codecs.floats import choose_float_codec

@@ -708,6 +708,21 @@ def resolve_near_dups(
         # checkpoint dir is hdfs:// / s3a:// — the advertised cluster case
         fsutil.mkdirs(spark, checkpoint_dir)
         state_path = checkpoint_dir + "/STATE.json"
+        # input fingerprint: an order-insensitive (count, hash-sum) of the
+        # pair set, stored in the marker. A marker whose fingerprint does
+        # not match THIS call's pairs never resumes — a stable checkpoint
+        # dir reused across corpus versions must resolve the new input,
+        # not replay the old run's labels (r05 review; this closes the
+        # killed-run variant too, not just the converged one). Costs one
+        # aggregation pass over ``pairs`` per call in checkpoint mode —
+        # the price of not silently returning another corpus's labels.
+        fprow = pairs.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.xxhash64(F.col(a_col), F.col(b_col)).cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+        input_fp = f"{fprow['n']}:{fprow['h']}"
 
         def _pin(df: DataFrame, name: str) -> DataFrame:
             path = checkpoint_dir + "/" + name
@@ -723,6 +738,7 @@ def resolve_near_dups(
                         "round": round_no,
                         "label_sum": label_sum,
                         "converged": converged,
+                        "input_fp": input_fp,
                     }
                 ),
             )  # marker commits the round (written AFTER the labels parquet)
@@ -730,15 +746,18 @@ def resolve_near_dups(
 
         if fsutil.exists(spark, state_path):
             state = json.loads(fsutil.read_text(spark, state_path))
-            if state.get("converged"):
-                # the directory holds a COMPLETED run. Resume semantics are
-                # for KILLED runs only — a finished marker must not make a
-                # later call silently ignore its (possibly different) pairs
-                # input and replay the old run's labels (r05 review
-                # finding). Rebuild from scratch on the new input.
+            if state.get("input_fp") != input_fp:
+                # different corpus through the same directory: rebuild —
+                # NEVER resume another input's run, killed or finished
                 fsutil.delete(spark, checkpoint_dir)
                 fsutil.mkdirs(spark, checkpoint_dir)
                 state = None
+            elif state.get("converged"):
+                # same input, completed run: the stored labels ARE the
+                # answer — idempotent fast path, no recomputation
+                return spark.read.parquet(
+                    checkpoint_dir + f"/labels_{state['round']}"
+                )
     else:
 
         def _pin(df: DataFrame, name: str) -> DataFrame:

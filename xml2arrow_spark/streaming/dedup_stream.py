@@ -155,10 +155,15 @@ def dedup_stream_tiered(
                 # anchor. NOT getCurrentWatermarkMs(): the watermark is 0 on
                 # the first batch (and always lags by the delay), which gave
                 # first-batch groups an epoch-dated timeout ≈ instant
-                # eviction regardless of ttl_ms (r05 review finding)
-                ing_ms = max(
-                    ing_ms, int(pdf["ing_ts"].iloc[0].timestamp() * 1000)
-                )
+                # eviction regardless of ttl_ms (r05 review finding).
+                # ing_ms is computed JVM-side (unix_millis) — the pandas
+                # timestamp arrives session-tz-NAIVE, and naive
+                # .timestamp() assumes UTC, shifting the anchor by the
+                # session-tz offset (second review finding: instant
+                # eviction west of UTC, a setTimeoutTimestamp
+                # IllegalArgumentException behind the watermark, inflated
+                # TTL east of it)
+                ing_ms = max(ing_ms, int(pdf["ing_ms"].iloc[0]))
         if best is None:
             return
         state.update((best,))
@@ -180,7 +185,10 @@ def dedup_stream_tiered(
             F.md5(F.col("text")).alias("text_md5"),
             "doc_id",
             F.current_timestamp().alias("ing_ts"),
-        ).withWatermark("ing_ts", f"{int(ttl_ms)} milliseconds")
+        )
+        .withWatermark("ing_ts", f"{int(ttl_ms)} milliseconds")
+        # tz-safe epoch anchor for the state fn (see fn's comment)
+        .withColumn("ing_ms", F.unix_millis(F.col("ing_ts")))
     )
     return keyed.groupBy("text_md5").applyInPandasWithState(
         fn, _OUT_DDL, _STATE_DDL, "append", GroupStateTimeout.EventTimeTimeout
