@@ -1123,8 +1123,11 @@ def q_multimodal_pipeline(spark, sf_dir):
 
 def q_text_analysis(spark, sf_dir):
     """The doc-level text-analysis suite (lang-id, quality stats, token
-    counts, repeated ngrams, fingerprint) joined on doc_id — five
-    operators, one gated row set."""
+    counts, repeated ngrams, fingerprint, paragraph-dedup) joined on
+    doc_id — six operators, one gated row set. The paragraph-dedup leg
+    uses 3-word paragraphs / max_df=4 so the drop is real at gate scale
+    (145 of 9216 paragraphs at sf0.01); its clean_fp pins the reassembled
+    cleaned text byte-for-byte via the shared rolling-hash fold."""
     docs = _docs(spark, sf_dir)
     out = textstats.lang_id(docs)
     for fn in (
@@ -1132,6 +1135,7 @@ def q_text_analysis(spark, sf_dir):
         textstats.token_counts,
         textstats.repeated_ngrams,
         textstats.doc_fingerprint,
+        lambda d: textstats.paragraph_dedup(d, para_words=3, max_df=4),
     ):
         out = out.join(fn(docs), "doc_id")
     return out

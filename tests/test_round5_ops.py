@@ -179,6 +179,44 @@ def test_pii_scrub(spark):
     assert got[4]["scrubbed"] == rows[3][1]  # near-misses untouched
 
 
+def test_paragraph_dedup(spark):
+    """CCNet-style paragraph dedup: a boilerplate paragraph shared by more
+    than max_df docs is dropped everywhere; unique content survives in
+    original order (pinned via the cleaned-text fingerprint)."""
+    from xml2arrow_spark.pipeline import textstats
+
+    boiler = "click here now"
+    rows = [(i, f"unique words {i} " + boiler) for i in range(5)]
+    rows.append((99, "all original content here"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r
+        for r in textstats.paragraph_dedup(
+            docs, para_words=3, max_df=2
+        ).collect()
+    }
+    # each 6-word doc = two 3-word paragraphs; the boilerplate tail is
+    # shared by 5 > max_df docs and dropped, the unique head survives
+    for i in range(5):
+        assert (got[i]["n_paras"], got[i]["n_kept"]) == (2, 1)
+        assert got[i]["clean_len"] == len(f"unique words {i}")
+    assert (got[99]["n_paras"], got[99]["n_kept"]) == (2, 2)
+    assert got[99]["clean_len"] == len(rows[-1][1])
+    # cleaned-text fingerprint == doc_fingerprint of the kept text
+    ref = spark.createDataFrame(
+        [(0, "unique words 0")], "doc_id bigint, text string"
+    )
+    want = textstats.doc_fingerprint(ref).collect()[0]["fingerprint"]
+    assert got[0]["clean_fp"] == want
+    # a doc that is ENTIRELY boilerplate keeps nothing, null-free output
+    allb = spark.createDataFrame(
+        [(i, boiler) for i in range(4)], "doc_id bigint, text string"
+    )
+    out = textstats.paragraph_dedup(allb, para_words=3, max_df=2).collect()
+    assert all((r["n_kept"], r["clean_len"]) == (0, 0) for r in out)
+    assert all(r["clean_fp"] is not None for r in out)
+
+
 def test_registry_fits_driver_window():
     """VERDICT r04 #1: the driver checks the first 50 registry entries;
     every operator must hold a slot inside that window."""

@@ -962,10 +962,63 @@ FROM u64
 """
 
 
+def paragraph_dedup_sql(para_words: int = 8, max_df: int = 2) -> str:
+    """Oracle twin of textstats.paragraph_dedup: segment the word stream
+    into ``para_words``-word paragraphs, drop those appearing in more than
+    ``max_df`` distinct docs, reassemble in order, and fingerprint the
+    cleaned text with the shared rolling-hash fold. All-positive integer
+    arithmetic only, so DuckDB's truncating ``//`` equals floor."""
+    pw = int(para_words)
+    fold = G.afold(
+        G.word_tokens_arr("clean_text", D), f"(acc * 31 + x) % {FINGERPRINT_MOD}", D
+    )
+    return f"""
+WITH pd_base AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+pd_segs AS (
+  SELECT doc_id, CAST(unnest(range((len(words) + {pw - 1}) // {pw})) AS INT) AS seg,
+         words
+  FROM pd_base
+),
+pd_paras AS (
+  SELECT doc_id, seg,
+         array_to_string(words[seg * {pw} + 1 : seg * {pw} + {pw}], ' ') AS para
+  FROM pd_segs
+),
+pd_freq AS (
+  SELECT para FROM pd_paras GROUP BY para HAVING COUNT(DISTINCT doc_id) > {max_df}
+),
+pd_kept AS (
+  SELECT doc_id, seg, para FROM pd_paras
+  WHERE para NOT IN (SELECT para FROM pd_freq)
+),
+pd_tot AS (
+  SELECT doc_id, COUNT(*) AS n_paras FROM pd_paras GROUP BY doc_id
+),
+pd_agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(para, ' ' ORDER BY seg) AS clean_text
+  FROM pd_kept GROUP BY doc_id
+),
+pd_out AS (
+  SELECT t.doc_id, t.n_paras,
+         COALESCE(a.n_kept, 0) AS n_kept,
+         COALESCE(a.clean_text, '') AS clean_text
+  FROM pd_tot t LEFT JOIN pd_agg a USING (doc_id)
+)
+SELECT doc_id, n_paras, n_kept,
+       CAST(length(clean_text) AS INT) AS clean_len,
+       {fold} AS clean_fp
+FROM pd_out
+"""
+
+
 def text_analysis_sql() -> str:
     """Doc-level text-analysis suite in one gated row (r05 consolidation):
     lang-id hits + prediction, quality stats, token counts, repeated-ngram
-    stats, and the rolling-hash fingerprint, joined on doc_id. Each leg is
+    stats, the rolling-hash fingerprint, and the paragraph-dedup summary
+    (counts + cleaned-text fingerprint), joined on doc_id. Each leg is
     the UNCHANGED single-operator oracle as a CTE, so per-operator
     coverage is preserved bit-for-bit."""
     langs = list(STOPWORDS)
@@ -975,18 +1028,21 @@ WITH la AS ({lang_id_sql()}),
 tq AS ({text_quality_sql()}),
 tc AS ({token_counts_sql()}),
 rn AS ({repeated_ngrams_sql()}),
-fp AS ({doc_fingerprint_sql()})
+fp AS ({doc_fingerprint_sql()}),
+pd AS ({paragraph_dedup_sql(3, 4)})
 SELECT la.doc_id, {hit_cols}, la.predicted_lang,
        tq.n_words, tq.n_distinct_words, tq.n_chars, tq.n_punct,
        tq.max_word_len, tq.distinct_ratio,
        tc.ws_tokens, tc.bpe_tokens,
        rn.total_ngrams, rn.distinct_ngrams, rn.repeat_ratio,
-       fp.fingerprint
+       fp.fingerprint,
+       pd.n_paras, pd.n_kept, pd.clean_len, pd.clean_fp
 FROM la
 JOIN tq ON la.doc_id = tq.doc_id
 JOIN tc ON la.doc_id = tc.doc_id
 JOIN rn ON la.doc_id = rn.doc_id
 JOIN fp ON la.doc_id = fp.doc_id
+JOIN pd ON la.doc_id = pd.doc_id
 """
 
 

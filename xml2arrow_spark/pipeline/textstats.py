@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from xml2arrow_spark.pipeline import sqlgen as G
 
-__all__ = ["STOPWORDS", "lang_id", "text_quality", "token_counts", "doc_fingerprint", "repeated_ngrams", "quality_filter", "tfidf_topk", "pack_sequences"]
+__all__ = ["STOPWORDS", "lang_id", "text_quality", "token_counts", "doc_fingerprint", "paragraph_dedup", "repeated_ngrams", "quality_filter", "tfidf_topk", "pack_sequences"]
 
 SPARK = "spark"
 
@@ -132,6 +132,82 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     toks = G.word_tokens_arr(text_col, SPARK)
     fold = G.afold(toks, f"(acc * 31 + x) % {FINGERPRINT_MOD}", SPARK)
     return docs.select(id_col, F.expr(fold).alias("fingerprint"))
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    para_words: int = 8,
+    max_df: int = 2,
+) -> DataFrame:
+    """CCNet-style paragraph-level dedup: drop globally-frequent paragraphs
+    from every document, keep the rest in original order.
+
+    The corpus has no layout markers, so a "paragraph" is a run of
+    ``para_words`` consecutive whitespace words (the same derived-structure
+    trick as the PII gate); a paragraph appearing in more than ``max_df``
+    distinct documents is boilerplate and is dropped everywhere.
+
+    Scale shape: segmentation is a narrow per-row array transform (no
+    shuffle); the document-frequency table is one hash aggregation on the
+    paragraph text; the removal is a left-anti join against only the
+    FREQUENT paragraphs — a tiny relation by construction (each survivor
+    of the HAVING df > max_df filter represents > max_df corpus rows), so
+    AQE broadcasts it at any corpus size where boilerplate is sparse; no
+    broadcast hint so a pathological boilerplate-heavy corpus degrades to
+    a shuffled anti-join instead of an OOM. Reassembly is one groupBy on
+    the doc id. Reference analog: the reference dedups at record grain
+    only (/root/reference/src/xml_parser.rs has no sub-document pass);
+    this is the sub-document operator production LLM corpora add on top.
+
+    Returns (id_col, n_paras, n_kept, clean_len, clean_fp) — null-free
+    scalars; clean_fp is the rolling-hash fingerprint of the CLEANED text
+    (doc_fingerprint's fold), so the oracle pins the reassembled bytes
+    without shipping them.
+    """
+    pw = int(para_words)
+    words = F.split(F.col(text_col), " ")
+    n_seg = F.floor((F.size(words) + F.lit(pw - 1)) / pw).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - F.lit(1)),
+        lambda i: F.array_join(F.slice(words, i * pw + F.lit(1), F.lit(pw)), " "),
+    )
+    paras = docs.select(id_col, F.posexplode(segs).alias("seg", "para"))
+    frequent = (
+        paras.groupBy("para")
+        .agg(F.count_distinct(id_col).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("para")
+    )
+    kept = paras.join(frequent, "para", "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", "para"))),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    tot = paras.groupBy(id_col).agg(F.count("*").alias("n_paras"))
+    fold = G.afold(
+        G.word_tokens_arr("clean_text", SPARK),
+        f"(acc * 31 + x) % {FINGERPRINT_MOD}",
+        SPARK,
+    )
+    return (
+        tot.join(agg, id_col, "left")
+        .withColumn("clean_text", F.coalesce("clean_text", F.lit("")))
+        .select(
+            id_col,
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            F.length("clean_text").cast("int").alias("clean_len"),
+            F.expr(fold).alias("clean_fp"),
+        )
+    )
 
 
 def repeated_ngrams(
