@@ -115,6 +115,24 @@ def main() -> int:
             "parquet columns and run the inverse kernels in-task.",
         ),
         (
+            "paragraph_dedup (frequent-paragraph anti-join + reassembly)",
+            lambda: __import__(
+                "xml2arrow_spark.pipeline.textstats", fromlist=["textstats"]
+            ).paragraph_dedup(
+                spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+                para_words=3,
+                max_df=4,
+            ),
+            {"in_memory_relations": 0},
+            "Segmentation is a narrow per-row array transform; the "
+            "document-frequency aggregation and the per-doc reassembly are "
+            "the only wide stages. The anti-join's frequent-paragraph side "
+            "is tiny by construction (each survivor of df > max_df stands "
+            "for > max_df corpus rows), so AQE broadcasts it — no hint, so "
+            "a boilerplate-heavy corpus degrades to a shuffled anti-join "
+            "instead of an OOM.",
+        ),
+        (
             "unnest_orders (collect_list -> posexplode linkage)",
             lambda: entry.q_unnest_orders(spark, SF_DIR),
             {},
