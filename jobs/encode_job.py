@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -33,6 +34,11 @@ def main() -> int:
     ap.add_argument("--block-rows", type=int, default=65536)
     ap.add_argument("--decode-verify", action="store_true",
                     help="decode everything back and assert bit-identical vs input")
+    ap.add_argument("--bench-reps", type=int, default=1,
+                    help="benchmark mode: run the encode this many times in "
+                         "the SAME JVM into fresh output subdirs after one "
+                         "untimed warm-up, and report the MIN timed wall "
+                         "(this VM's best-of-N discipline; 1 = normal job)")
     args = ap.parse_args()
 
     from xml2arrow_spark.env import recommended_spark_confs, set_kernel_malloc_env
@@ -57,11 +63,39 @@ def main() -> int:
             version=manifest.version, zone_maps=manifest.zone_maps,
         )
 
-    t0 = time.time()
-    metrics = encode_parquet_dataset(
-        spark, args.input, args.output, manifest=manifest, n_tasks=args.n_tasks
-    )
-    wall = time.time() - t0
+    if args.bench_reps > 1:
+        # in-JVM best-of-N: rep 0 is an untimed warm-up (python-worker
+        # startup + codegen are per-JVM fixed costs, not encode costs);
+        # each rep encodes into a fresh subdir so the sink's resume
+        # lineage cannot skip work between reps
+        import shutil
+
+        metrics, wall, rep_walls = None, None, []
+        for rep in range(args.bench_reps + 1):
+            rep_out = os.path.join(args.output, f"rep{rep}")
+            shutil.rmtree(rep_out, ignore_errors=True)
+            t0 = time.time()
+            m = encode_parquet_dataset(
+                spark, args.input, rep_out, manifest=manifest,
+                n_tasks=args.n_tasks,
+            )
+            w = time.time() - t0
+            if rep > 0:
+                rep_walls.append(round(w, 2))
+                if wall is None or w < wall:
+                    metrics, wall = m, w
+            if rep < args.bench_reps:
+                shutil.rmtree(rep_out, ignore_errors=True)
+        metrics["bench_reps"] = args.bench_reps
+        metrics["rep_walls"] = rep_walls
+        args.output = os.path.join(args.output, f"rep{args.bench_reps}")
+    else:
+        t0 = time.time()
+        metrics = encode_parquet_dataset(
+            spark, args.input, args.output, manifest=manifest,
+            n_tasks=args.n_tasks,
+        )
+        wall = time.time() - t0
     metrics["wall_sec"] = round(wall, 2)
     metrics["tokens_per_sec"] = round(metrics["values"] / wall) if wall else None
 
