@@ -1153,14 +1153,22 @@ def q_simhash_full(spark, sf_dir):
 
 
 def q_sample_split(spark, sf_dir):
-    """Tagged union of the deterministic sampler and splitter; sentinels
-    ('' / -1) keep the union null-free per the canonicalizer contract."""
+    """Tagged union of the deterministic sampler, splitter, target-mixture
+    resampler, and corpus shuffler; sentinels ('' / -1) keep the union
+    null-free per the canonicalizer contract. ``aux`` is the per-leg
+    evidence integer: the applied f_milli for the mixture leg (pins the
+    scale-to-binding-source fraction math, not just the row set),
+    shard*100000+pos (injective) for the order leg."""
+    from xml2arrow_spark.pipeline.sampling import mixture_sample, shuffle_order
+
+    aux_sentinel = F.lit(-1).cast("long").alias("aux")
     sa = q_stratified_sample(spark, sf_dir).select(
         F.lit("sample").alias("part"),
         "doc_id",
         "source",
         "n_chars",
         F.lit("").alias("split"),
+        aux_sentinel,
     )
     sp = q_deterministic_split(spark, sf_dir).select(
         F.lit("split").alias("part"),
@@ -1168,8 +1176,27 @@ def q_sample_split(spark, sf_dir):
         "source",
         F.lit(-1).alias("n_chars"),
         "split",
+        aux_sentinel,
     )
-    return sa.unionByName(sp)
+    mx = mixture_sample(
+        _docs(spark, sf_dir), {"src0": 600, "src1": 300, "src2": 100}
+    ).select(
+        F.lit("mixture").alias("part"),
+        "doc_id",
+        "source",
+        F.lit(-1).alias("n_chars"),
+        F.lit("").alias("split"),
+        F.col("f_milli").cast("long").alias("aux"),
+    )
+    so = shuffle_order(_docs(spark, sf_dir), n_shards=8).select(
+        F.lit("order").alias("part"),
+        "doc_id",
+        "source",
+        F.lit(-1).alias("n_chars"),
+        F.lit("").alias("split"),
+        (F.col("shard").cast("long") * 100000 + F.col("pos")).alias("aux"),
+    )
+    return sa.unionByName(sp).unionByName(mx).unionByName(so)
 
 
 def q_encode_zonemap(spark, sf_dir):

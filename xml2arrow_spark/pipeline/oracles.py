@@ -885,6 +885,42 @@ FROM b
 """
 
 
+def mixture_sample_sql(weights_milli: dict[str, int] | None = None) -> str:
+    """Oracle twin of sampling.mixture_sample: the target-mixture
+    fractions are recomputed from the SAME corpus counts with the same
+    non-negative integer floor divisions (DuckDB ``//`` truncates toward
+    zero, == floor for non-negatives), then the same bucket predicate."""
+    weights_milli = weights_milli or {"src0": 600, "src1": 300, "src2": 100}
+    vals = ", ".join(f"('{s}', {int(w)})" for s, w in sorted(weights_milli.items()))
+    bucket = G.sample_hash_expr("d.doc_id", D)
+    return f"""
+WITH w(source, w_milli) AS (VALUES {vals}),
+c AS (SELECT d.source, COUNT(*) AS n FROM documents d
+      JOIN w ON d.source = w.source GROUP BY d.source),
+t AS (SELECT MIN((c.n * {G.SAMPLE_MOD}) // w.w_milli) AS tot
+      FROM c JOIN w ON c.source = w.source),
+f AS (SELECT w.source, ((SELECT tot FROM t) * w.w_milli) // c.n AS f_milli
+      FROM w JOIN c ON w.source = c.source)
+SELECT d.doc_id, d.source, f.f_milli
+FROM documents d JOIN f ON d.source = f.source
+WHERE {bucket} < f.f_milli
+"""
+
+
+def shuffle_order_sql(n_shards: int = 8) -> str:
+    """Oracle twin of sampling.shuffle_order: same shuffle-hash, same
+    shard mod, same (hash, id) rank within each shard."""
+    rh = G.shuffle_hash_expr("doc_id", D)
+    return f"""
+WITH h AS (SELECT doc_id, source, {rh} AS rh FROM documents)
+SELECT doc_id, source, CAST(rh % {int(n_shards)} AS INT) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY rh % {int(n_shards)} ORDER BY rh, doc_id
+       ) - 1 AS BIGINT) AS pos
+FROM h
+"""
+
+
 def cosine_topk_batch_sql(k: int = 5) -> str:
     cos = G.cosine_expr("e.embedding", "q.qv", D)
     return f"""
@@ -1060,16 +1096,30 @@ FROM s JOIN g ON s.simhash = g.simhash
 
 
 def sample_split_sql() -> str:
-    """Tagged union of the deterministic sampler and splitter (r05
-    consolidation): both legs are the unchanged single-operator oracles;
-    sentinels ('' split / -1 n_chars) keep the union null-free per the
-    driver canonicalizer contract."""
+    """Tagged union of the deterministic sampler, splitter, target-mixture
+    resampler, and corpus shuffler (r05 consolidation): every leg is the
+    unchanged single-operator oracle; sentinels ('' split / -1 n_chars /
+    -1 aux) keep the union null-free per the driver canonicalizer
+    contract. ``aux`` is the per-leg evidence integer: the applied
+    f_milli for the mixture leg, shard*100000+pos (injective — pos is
+    bounded by the shard size, far below 100000 at any parity sf) for the
+    order leg."""
     return f"""
 WITH sa AS ({stratified_sample_sql()}),
-sp AS ({deterministic_split_sql()})
-SELECT 'sample' AS part, doc_id, source, n_chars, '' AS split FROM sa
+sp AS ({deterministic_split_sql()}),
+mx AS ({mixture_sample_sql()}),
+so AS ({shuffle_order_sql()})
+SELECT 'sample' AS part, doc_id, source, n_chars, '' AS split,
+       CAST(-1 AS BIGINT) AS aux FROM sa
 UNION ALL
-SELECT 'split' AS part, doc_id, source, -1 AS n_chars, split FROM sp
+SELECT 'split' AS part, doc_id, source, -1 AS n_chars, split,
+       CAST(-1 AS BIGINT) AS aux FROM sp
+UNION ALL
+SELECT 'mixture' AS part, doc_id, source, -1 AS n_chars, '' AS split,
+       CAST(f_milli AS BIGINT) AS aux FROM mx
+UNION ALL
+SELECT 'order' AS part, doc_id, source, -1 AS n_chars, '' AS split,
+       CAST(shard AS BIGINT) * 100000 + pos AS aux FROM so
 """
 
 

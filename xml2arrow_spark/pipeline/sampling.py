@@ -19,11 +19,16 @@ broadcast join against a fractions DataFrame — same plan shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from xml2arrow_spark.pipeline import sqlgen as G
 
-__all__ = ["stratified_sample", "deterministic_split"]
+__all__ = [
+    "stratified_sample",
+    "deterministic_split",
+    "mixture_sample",
+    "shuffle_order",
+]
 
 SPARK = "spark"
 
@@ -75,3 +80,89 @@ def deterministic_split(
         expr = F.when((bucket >= a) & (bucket < b), F.lit(name)).otherwise(expr)
     out = docs.withColumn(split_col, expr)
     return out.filter(F.col(split_col).isNotNull())
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights_milli: dict[str, int],
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    counts: dict[str, int] | None = None,
+) -> DataFrame:
+    """Resample the corpus toward a TARGET output mixture (data-mixing /
+    source-reweighting, the knob LLM training runs turn on every corpus):
+    ``weights_milli`` gives the desired per-source proportions of the
+    OUTPUT (only ratios matter). The achievable total is capped by the
+    binding source — the one whose corpus share falls shortest of its
+    target share — so the sampler solves ``T = min_s floor(n_s * 1000 /
+    w_s)`` (the largest output respecting keep-fraction <= 1 everywhere)
+    and keeps fraction ``f_s = floor(T * w_s / n_s)`` milli of source s.
+    All arithmetic is exact non-negative integer floor division, so the
+    DuckDB oracle reproduces the fractions — and therefore the row set —
+    bit-for-bit. Sources not in ``weights_milli`` are dropped (weight 0).
+
+    ``counts`` injects per-source row counts (production: read them from
+    table statistics / the metadata rollup instead of a counting scan);
+    omitted, one narrow map-side-combined groupBy computes them — the
+    collect is one row per stratum, KB-scale by definition. The returned
+    frame carries ``f_milli`` (the applied fraction) per row.
+    """
+    if not weights_milli:
+        raise ValueError("weights_milli must name at least one source")
+    if any(w < 0 for w in weights_milli.values()):
+        raise ValueError("mixture weights must be non-negative")
+    live = {s: w for s, w in weights_milli.items() if w > 0}
+    if not live:
+        raise ValueError("at least one mixture weight must be positive")
+    if counts is None:
+        rows = (
+            docs.filter(F.col(strata_col).isin(list(live)))
+            .groupBy(strata_col)
+            .count()
+            .collect()  # one row per stratum: KB-scale metadata
+        )
+        counts = {r[strata_col]: r["count"] for r in rows}
+    missing = sorted(s for s in live if not counts.get(s))
+    if missing:
+        raise ValueError(
+            f"mixture sources absent from the corpus: {missing} — a silent "
+            "skip would change every other source's share"
+        )
+    total = min((counts[s] * G.SAMPLE_MOD) // w for s, w in live.items())
+    fracs = {s: (total * w) // counts[s] for s, w in live.items()}
+    bucket = F.expr(G.sample_hash_expr(id_col, SPARK))
+    frac = F.lit(0)
+    for stratum, milli in sorted(fracs.items()):
+        frac = F.when(F.col(strata_col) == stratum, F.lit(milli)).otherwise(frac)
+    return docs.filter(bucket < frac).withColumn("f_milli", frac)
+
+
+def shuffle_order(
+    docs: DataFrame,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic pseudo-random training order: every row gets a
+    ``(shard, pos)`` pair defining a total order (read shards in index
+    order, rows by ``pos`` within each) that is a pure function of the id
+    — reproducible across runs, engines, and cluster sizes, unlike an
+    ``ORDER BY rand()`` shuffle. Shard = shuffle-hash mod ``n_shards``;
+    pos = dense 0-based rank within the shard by (shuffle-hash, id).
+
+    Scale shape: one hash exchange on ``shard`` + an in-partition sort —
+    never a global single-partition window. Pick ``n_shards`` well above
+    the executor count so shards stay memory-sized and the sort
+    parallelizes; at 100 TB each shard is an independent unit a training
+    loader can stream.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    rh = F.expr(G.shuffle_hash_expr(id_col, SPARK))
+    out = docs.withColumn("_rh", rh).withColumn(
+        "shard", (F.col("_rh") % F.lit(int(n_shards))).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("_rh", id_col)
+    return (
+        out.withColumn("pos", (F.row_number().over(w) - F.lit(1)).cast("long"))
+        .drop("_rh")
+    )

@@ -276,6 +276,17 @@ def sample_hash_expr(id_col: str, dialect: str) -> str:
     return f"(({id_col} % 1000003) * 8191 + 12345) % {SAMPLE_MOD}"
 
 
+def shuffle_hash_expr(id_col: str, dialect: str) -> str:
+    """Deterministic pseudo-random rank in [0, 1000003) for corpus
+    shuffling: a Knuth-multiplicative rehash of the id, kept well inside
+    int64 (max intermediate ~2.7e15), identical in Spark and DuckDB.
+    Distinct from :func:`sample_hash_expr` so shuffle order is
+    uncorrelated with sample membership (sampling then shuffling must not
+    produce bucket-sorted output)."""
+    _check(dialect)
+    return f"((({id_col} % 1000003) * 2654435761 + 97) % 1000003)"
+
+
 def lsh_bucket_expr(emb: str, dim: int, dialect: str) -> str:
     """Sign-of-projection LSH bucket id in [0, 2^HYPERPLANES) (legacy
     single-table geometry; the banded :func:`lsh_band_key_expr` is the
