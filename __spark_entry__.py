@@ -217,7 +217,35 @@ def q_salted_source_stats(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    return dedup.exact_dedup(_docs(spark, sf_dir))
+    """Tagged union of the two EXACT dedup grains: record-level (md5
+    hash-agg keep/copy table) and token-span (Lee-et-al-style substring
+    pass over the token table — windows whose double-hash key appears in
+    > max_df docs are dropped everywhere; the surviving sequence is
+    pinned by the shared base-31 fold). Sentinels ('' / -1) keep the
+    union null-free per the canonicalizer contract."""
+    rd = dedup.exact_dedup(_docs(spark, sf_dir)).select(
+        F.lit("record").alias("part"),
+        F.col("text_md5").alias("key"),
+        F.col("keep_doc_id").cast("string").alias("doc_id"),
+        F.col("n_copies"),
+        F.lit(-1).alias("n_tok"),
+        F.lit(-1).alias("n_frequent_spans"),
+        F.lit(-1).alias("n_kept"),
+        F.lit(-1).cast("long").alias("kept_fp"),
+    )
+    sd = dedup.token_span_dedup(
+        tokenize_documents(_docs(spark, sf_dir)), span=8, max_df=2
+    ).select(
+        F.lit("span").alias("part"),
+        F.lit("").alias("key"),
+        "doc_id",
+        F.lit(-1).cast("long").alias("n_copies"),
+        "n_tok",
+        "n_frequent_spans",
+        "n_kept",
+        "kept_fp",
+    )
+    return rd.unionByName(sd)
 
 
 def q_minhash_signatures(spark, sf_dir):

@@ -31,6 +31,7 @@ from xml2arrow_spark.pipeline import sqlgen as G
 
 __all__ = [
     "exact_dedup",
+    "token_span_dedup",
     "with_minhash",
     "minhash_signatures",
     "minhash_signatures_fast",
@@ -351,6 +352,74 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """One row per distinct text: digest, surviving (minimum) id, copy count."""
     return docs.groupBy(F.md5(F.col(text_col)).alias("text_md5")).agg(
         F.min(id_col).alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+def token_span_dedup(
+    tokens_df: DataFrame,
+    span: int = 8,
+    max_df: int = 2,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Exact SUB-SEQUENCE dedup over the token table (the Lee-et-al-style
+    substring pass, at the boilerplate-removal threshold): every ``span``-
+    token window whose key appears in more than ``max_df`` distinct
+    documents is dropped from every document; uncovered tokens keep their
+    order. Operates on the engine's core payload — the cleaned table feeds
+    straight into the codec encode.
+
+    Window keys are a packed double polynomial hash
+    (:func:`sqlgen.span_keys_expr`) rather than the k-token arrays
+    themselves, so the frequency aggregation shuffles 8 bytes per window,
+    not k tokens; both engines compute the identical key, so oracle parity
+    never depends on collision-freedom (~2^-62 per pair).
+
+    Scale shape: window keys are one narrow per-row transform (no
+    shuffle); the document-frequency table is a hash agg on the key; the
+    frequent-key set is tiny by construction (each survivor of
+    ``df > max_df`` represents > max_df corpus rows), so the semi-join
+    back broadcasts under AQE; per-doc frequent starts are a sparse array
+    and removal is an O(|starts|)-per-token array filter, never an
+    explode of the token payload. Reference analog: the reference dedups
+    at record grain only; this is the sub-record member of the family.
+
+    Returns null-free per-doc scalars
+    ``(id_col, n_tok, n_frequent_spans, n_kept, kept_fp)`` — ``kept_fp``
+    is the shared base-31 rolling fold of the CLEANED token array, so the
+    oracle pins the surviving sequence bit-for-bit without shipping it.
+    """
+    from xml2arrow_spark.pipeline.textstats import FINGERPRINT_MOD
+
+    k = int(span)
+    if k < 1:
+        raise ValueError("span must be >= 1")
+    keys = F.expr(G.span_keys_expr(tokens_col, k, SPARK))
+    windows = tokens_df.select(id_col, F.posexplode(keys).alias("start0", "skey"))
+    frequent = (
+        windows.groupBy("skey")
+        .agg(F.count_distinct(id_col).alias("df"))
+        .filter(F.col("df") > int(max_df))
+        .select("skey")
+    )
+    fstarts = (
+        windows.join(frequent, "skey", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("start0")).alias("fstarts"))
+    )
+    base = tokens_df.join(fstarts, id_col, "left").withColumn(
+        "fstarts", F.coalesce("fstarts", F.expr("CAST(array() AS array<int>)"))
+    )
+    kept = base.withColumn(
+        "_kept", F.expr(G.span_kept_expr(tokens_col, "fstarts", k, SPARK))
+    )
+    fold = G.afold("_kept", f"(acc * 31 + x) % {FINGERPRINT_MOD}", SPARK)
+    return kept.select(
+        id_col,
+        F.size(tokens_col).alias("n_tok"),
+        F.size("fstarts").alias("n_frequent_spans"),
+        F.size("_kept").alias("n_kept"),
+        F.expr(fold).alias("kept_fp"),
     )
 
 

@@ -82,10 +82,80 @@ FROM tok GROUP BY source
 """
 
 
-def dedup_exact_sql() -> str:
+def record_dedup_sql() -> str:
     return """
 SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
 FROM documents GROUP BY text
+"""
+
+
+def token_span_dedup_sql(span: int = 8, max_df: int = 2) -> str:
+    """Oracle twin of dedup.token_span_dedup: same packed double-hash
+    window keys, same df threshold, same coverage removal and base-31
+    fold of the surviving token sequence."""
+    k = int(span)
+    keys = G.span_keys_expr("tokens", k, D)
+    kept = G.span_kept_expr("tokens", "fstarts", k, D)
+    fold = G.afold("kept", f"(acc * 31 + x) % {FINGERPRINT_MOD}", D)
+    return f"""
+WITH sd_tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST({_TOKS} AS INTEGER[]) AS tokens
+  FROM documents
+),
+sd_keys AS (
+  SELECT doc_id, {keys} AS keys FROM sd_tok
+),
+sd_win AS (
+  SELECT doc_id, unnest(keys) AS skey,
+         generate_subscripts(keys, 1) - 1 AS start0
+  FROM sd_keys
+),
+sd_freq AS (
+  SELECT skey FROM sd_win GROUP BY skey
+  HAVING COUNT(DISTINCT doc_id) > {int(max_df)}
+),
+sd_starts AS (
+  SELECT doc_id, list_sort(list(start0)) AS fstarts
+  FROM sd_win WHERE skey IN (SELECT skey FROM sd_freq)
+  GROUP BY doc_id
+),
+sd_base AS (
+  SELECT t.doc_id, t.tokens,
+         COALESCE(s.fstarts, CAST([] AS BIGINT[])) AS fstarts
+  FROM sd_tok t LEFT JOIN sd_starts s USING (doc_id)
+),
+sd_kept AS (
+  SELECT doc_id, tokens, fstarts, {kept} AS kept FROM sd_base
+)
+SELECT doc_id,
+       {G.asize('tokens', D)} AS n_tok,
+       {G.asize('fstarts', D)} AS n_frequent_spans,
+       {G.asize('kept', D)} AS n_kept,
+       {fold} AS kept_fp
+FROM sd_kept
+"""
+
+
+def dedup_exact_sql() -> str:
+    """Tagged union of record-grain exact dedup and token-span (substring)
+    dedup — the two exact members of the dedup family in one gated row
+    set; sentinels keep the union null-free per the canonicalizer
+    contract."""
+    return f"""
+WITH rd AS ({record_dedup_sql()}),
+sd AS ({token_span_dedup_sql()})
+SELECT 'record' AS part, text_md5 AS key,
+       CAST(keep_doc_id AS VARCHAR) AS doc_id,
+       n_copies, CAST(-1 AS INT) AS n_tok,
+       CAST(-1 AS INT) AS n_frequent_spans,
+       CAST(-1 AS INT) AS n_kept, CAST(-1 AS BIGINT) AS kept_fp
+FROM rd
+UNION ALL
+SELECT 'span' AS part, '' AS key, doc_id,
+       CAST(-1 AS BIGINT) AS n_copies, n_tok, n_frequent_spans, n_kept,
+       kept_fp
+FROM sd
 """
 
 

@@ -66,6 +66,21 @@ def transform(arr: str, var: str, body: str, dialect: str) -> str:
     return f"{fn}({arr}, {var} -> {body})"
 
 
+def afilter(arr: str, var: str, cond: str, dialect: str) -> str:
+    _check(dialect)
+    fn = "filter" if dialect == "spark" else "list_filter"
+    return f"{fn}({arr}, {var} -> {cond})"
+
+
+def aexists(arr: str, var: str, cond: str, dialect: str) -> str:
+    """TRUE iff any element satisfies ``cond`` (DuckDB spells it as a
+    non-empty filter; Spark has exists())."""
+    _check(dialect)
+    if dialect == "spark":
+        return f"exists({arr}, {var} -> {cond})"
+    return f"(len(list_filter({arr}, {var} -> {cond})) > 0)"
+
+
 def adistinct(arr: str, dialect: str) -> str:
     _check(dialect)
     fn = "array_distinct" if dialect == "spark" else "list_distinct"
@@ -173,6 +188,66 @@ def shingles_expr(toks: str, dialect: str, n: int = 3) -> str:
         guard = f"{asize(toks, dialect)} >= {n}"
     body = transform(idx, "i", combine, dialect)
     return f"(CASE WHEN {guard} THEN {body} ELSE {empty} END)"
+
+
+# token-span dedup: double polynomial hash of k-token windows — two
+# independent (base, mod) folds packed into one int64 key, so a cross-span
+# key collision needs a simultaneous collision in both ~2^31 spaces
+# (~2^-62 per pair; the oracle computes the identical key either way, so
+# parity never depends on collision-freedom).
+SPAN_MOD1 = 2147483647  # 2^31 - 1
+SPAN_MOD2 = 2147483629  # largest prime below 2^31 - 1
+SPAN_BASE1 = 31
+SPAN_BASE2 = 131
+
+
+def span_keys_expr(toks: str, k: int, dialect: str) -> str:
+    """Window keys of every k-token window (1-based starts 1..n-k+1) as a
+    BIGINT array; docs with fewer than ``k`` tokens yield an empty array
+    in both dialects (Spark's ``sequence(1, 0)`` counts DOWN, so the
+    short-doc guard is load-bearing). Each key is the packed double hash
+    ``h1 * SPAN_MOD2 + h2`` with per-step mods keeping every intermediate
+    inside int64 at any token magnitude."""
+    _check(dialect)
+
+    def _fold(base: int, mod: int) -> str:
+        # the CAST seeds the fold in BIGINT — int32 tokens would otherwise
+        # keep the whole chain in int32 and overflow at the first multiply
+        h = f"(CAST({element(toks, 'i', dialect)} AS BIGINT) % {mod})"
+        for j in range(1, int(k)):
+            nxt = element(toks, f"i + {j}", dialect)
+            h = f"(({h} * {base} + {nxt}) % {mod})"
+        return h
+
+    key = f"({_fold(SPAN_BASE1, SPAN_MOD1)} * {SPAN_MOD2} + {_fold(SPAN_BASE2, SPAN_MOD2)})"
+    n = asize(toks, dialect)
+    if dialect == "spark":
+        idx = f"sequence(1, {n} - {int(k) - 1})"
+        empty = "CAST(array() AS array<bigint>)"
+    else:
+        idx = f"range(1, {n} - {int(k) - 2})"
+        empty = "CAST([] AS BIGINT[])"
+    body = transform(idx, "i", key, dialect)
+    return f"(CASE WHEN {n} >= {int(k)} THEN {body} ELSE {empty} END)"
+
+
+def span_kept_expr(toks: str, starts: str, k: int, dialect: str) -> str:
+    """The token array with every position covered by a frequent window
+    removed: position p (0-based) is dropped iff some start s in
+    ``starts`` (0-based frequent window starts) satisfies s <= p < s+k.
+    Cost per token is O(|starts|) — frequent spans are sparse by the same
+    df-threshold argument as paragraph boilerplate."""
+    _check(dialect)
+    n = asize(toks, dialect)
+    if dialect == "spark":
+        pos = f"(CASE WHEN {n} > 0 THEN sequence(0, {n} - 1) ELSE CAST(array() AS array<int>) END)"
+        get = f"element_at({toks}, p + 1)"
+    else:
+        pos = f"range(0, {n})"
+        get = f"{toks}[p + 1]"
+    covered = aexists(starts, "s", f"p >= s AND p < s + {int(k)}", dialect)
+    keep = afilter(pos, "p", f"NOT ({covered})", dialect)
+    return transform(keep, "p", get, dialect)
 
 
 def minhash_expr(dtoks: str, i: int, dialect: str) -> str:
