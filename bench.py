@@ -336,13 +336,43 @@ def main() -> None:
         lambda: entry.q_pack_sequences(spark, SF_DIR).count(),
     )
 
+    # -- q15-q17: round-5 curation operators (regression-visible like the
+    # round-4 set) ------------------------------------------------------------
+    from xml2arrow_spark.pipeline.sampling import mixture_sample, shuffle_order
+
+    def run_q15():
+        # privacy + sub-document boilerplate passes over the documents table
+        textstats.pii_scrub(docs).agg(
+            F.sum("n_email") + F.sum("n_ipv4") + F.sum("n_phone"),
+            F.sum(F.length("scrubbed")),
+        ).collect()
+        textstats.paragraph_dedup(docs).agg(F.sum("n_kept")).collect()
+
+    best_of("q15_pii_paragraph", run_q15)
+
+    best_of(
+        "q16_span_dedup",
+        lambda: dedup.token_span_dedup(tokenize_documents(docs))
+        .agg(F.sum("n_kept")).collect(),
+    )
+
+    def run_q17():
+        mixture_sample(docs, {"src0": 600, "src1": 300, "src2": 100}).count()
+        shuffle_order(docs).agg(F.max("pos")).collect()
+
+    best_of("q17_mixture_shuffle", run_q17)
+
     total = round(sum(queries.values()), 3)
     # cross-round comparability: the r01-r04 headline covered q1-q10; the
-    # r05 additions (q11-q14, incl. the machinery-dominated streaming
+    # r05 additions (q11-q17, incl. the machinery-dominated streaming
     # sessionize) widen coverage, so the same-query-set sum is reported
     # alongside the full total
     legacy = round(
-        sum(v for k, v in queries.items() if not k.startswith(("q11", "q12", "q13", "q14"))),
+        sum(
+            v
+            for k, v in queries.items()
+            if not k.startswith(("q11", "q12", "q13", "q14", "q15", "q16", "q17"))
+        ),
         3,
     )
     out = {
