@@ -133,6 +133,51 @@ def main() -> int:
             "instead of an OOM.",
         ),
         (
+            "token_span_dedup (frequent-window semi-join + array removal)",
+            lambda: __import__(
+                "xml2arrow_spark.pipeline.dedup", fromlist=["dedup"]
+            ).token_span_dedup(
+                __import__(
+                    "xml2arrow_spark.sources.tokens", fromlist=["tokens"]
+                ).tokenize_documents(
+                    spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                ),
+                span=8,
+                max_df=2,
+            ),
+            {"in_memory_relations": 0},
+            "Window keys are one narrow per-row transform (8-byte keys, "
+            "never k tokens, through the frequency shuffle); the frequent "
+            "set is tiny by the df-threshold argument so its semi-join "
+            "broadcasts under AQE; removal is an O(|starts|)-per-token "
+            "array filter — the token payload is never exploded.",
+        ),
+        (
+            "mixture_sample (target-mixture resampling)",
+            lambda: __import__(
+                "xml2arrow_spark.pipeline.sampling", fromlist=["sampling"]
+            ).mixture_sample(
+                spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+                {"src0": 600, "src1": 300, "src2": 100},
+            ),
+            {"exchanges": 0, "in_memory_relations": 0},
+            "The per-source counting agg is driver-side KB-scale metadata; "
+            "the applied sample itself is a zero-exchange scan with the "
+            "bucket predicate pushed into the parquet source.",
+        ),
+        (
+            "shuffle_order (deterministic training order)",
+            lambda: __import__(
+                "xml2arrow_spark.pipeline.sampling", fromlist=["sampling"]
+            ).shuffle_order(
+                spark.read.parquet(f"{SF_DIR}/documents.parquet"), n_shards=8
+            ),
+            {"exchanges": 1, "in_memory_relations": 0},
+            "Exactly one hash exchange on shard + a per-shard window sort — "
+            "never a global single-partition sort; shards are independent "
+            "units a training loader streams in index order.",
+        ),
+        (
             "unnest_orders (collect_list -> posexplode linkage)",
             lambda: entry.q_unnest_orders(spark, SF_DIR),
             {},
