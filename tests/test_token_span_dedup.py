@@ -115,6 +115,27 @@ def test_all_boilerplate_doc_empties(spark):
     assert got["a"] == (8, 1, 0, 0)  # emptied: fold of [] is 0
 
 
+def test_keys_path_two_phase_identical(spark, tmp_path):
+    """The materialized-window shape (keys_path=) must be invisible to
+    results — same contract as the sig_path pair generators."""
+    boiler = [7, 7, 3, 9, 1, 4, 4, 2]
+    corpus = {
+        "a": [10, 11] + boiler,
+        "b": boiler + [20] * 3,
+        "c": boiler,
+        "d": [40] * 9,
+    }
+    direct = _run(spark, corpus, span=8, max_df=2)
+    two_phase = {
+        r["doc_id"]: (r["n_tok"], r["n_frequent_spans"], r["n_kept"], r["kept_fp"])
+        for r in token_span_dedup(
+            _df(spark, corpus), span=8, max_df=2,
+            keys_path=str(tmp_path / "win"),
+        ).collect()
+    }
+    assert two_phase == direct == _twin(corpus, 8, 2)
+
+
 def test_negative_tokens_round_trip(spark):
     # int32 tokens may be negative; both engines' % truncates toward zero
     # identically, so keys and folds stay deterministic

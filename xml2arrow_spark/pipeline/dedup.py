@@ -361,6 +361,7 @@ def token_span_dedup(
     max_df: int = 2,
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
+    keys_path: str | None = None,
 ) -> DataFrame:
     """Exact SUB-SEQUENCE dedup over the token table (the Lee-et-al-style
     substring pass, at the boilerplate-removal threshold): every ``span``-
@@ -381,7 +382,11 @@ def token_span_dedup(
     ``df > max_df`` represents > max_df corpus rows), so the semi-join
     back broadcasts under AQE; per-doc frequent starts are a sparse array
     and removal is an O(|starts|)-per-token array filter, never an
-    explode of the token payload. Reference analog: the reference dedups
+    explode of the token payload. ``keys_path`` materializes the window
+    relation to parquet once (the two-phase ``sig_path`` discipline) so
+    the frequency agg and the frequent-starts probe read it instead of
+    each recomputing the O(n·k) key transform over the full payload —
+    the shape to use at corpus scale. Reference analog: the reference dedups
     at record grain only; this is the sub-record member of the family.
 
     Returns null-free per-doc scalars
@@ -396,6 +401,14 @@ def token_span_dedup(
         raise ValueError("span must be >= 1")
     keys = F.expr(G.span_keys_expr(tokens_col, k, SPARK))
     windows = tokens_df.select(id_col, F.posexplode(keys).alias("start0", "skey"))
+    if keys_path:
+        # two-phase shape (the sig_path discipline): the window relation
+        # feeds BOTH the frequency agg and the frequent-starts semi-join —
+        # without materialization each branch recomputes the O(n*k) key
+        # transform over the full token payload. No executor-storage
+        # cache: parquet is the reliable store, immune to memory pressure.
+        windows.write.mode("overwrite").parquet(keys_path)
+        windows = tokens_df.sparkSession.read.parquet(keys_path)
     frequent = (
         windows.groupBy("skey")
         .agg(F.count_distinct(id_col).alias("df"))
