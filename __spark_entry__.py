@@ -606,14 +606,41 @@ def q_tfidf_topk(spark, sf_dir):
 
 
 def q_pack_sequences(spark, sf_dir):
-    """GPT-style sequence packing of the token table: per-source running
-    token offsets and fixed-budget context-window (bin) spans from one
-    window cumsum — the padding-free batch layout a pretraining loader
-    slices."""
-    tok = tokenize_documents(_docs(spark, sf_dir)).select(
-        "doc_id", "source", "n_tok"
+    """Tagged union of the two context-window layout ops: GPT-style
+    sequence PACKING (per-source running token offsets + fixed-budget bin
+    spans from one window cumsum — the padding-free batch layout) and
+    overlapping-stride CHUNKING (docs longer than the context split into
+    max_len-token chunks stepping by stride; each chunk pinned by start/
+    len and the shared base-31 fold). Sentinels ('' / -1) keep the union
+    null-free per the canonicalizer contract."""
+    tok = tokenize_documents(_docs(spark, sf_dir))
+    pk = textstats.pack_sequences(
+        tok.select("doc_id", "source", "n_tok"), budget_tokens=4096
+    ).select(
+        F.lit("pack").alias("part"),
+        "doc_id",
+        "source",
+        "tok_offset",
+        "bin_start",
+        "bin_end",
+        F.lit(-1).alias("chunk_id"),
+        F.lit(-1).alias("chunk_start"),
+        F.lit(-1).alias("chunk_len"),
+        F.lit(-1).cast("long").alias("chunk_fp"),
     )
-    return textstats.pack_sequences(tok, budget_tokens=4096)
+    ck = textstats.chunk_sequences(tok, max_len=48, stride=32).select(
+        F.lit("chunk").alias("part"),
+        "doc_id",
+        F.lit("").alias("source"),
+        F.lit(-1).cast("long").alias("tok_offset"),
+        F.lit(-1).cast("long").alias("bin_start"),
+        F.lit(-1).cast("long").alias("bin_end"),
+        "chunk_id",
+        "chunk_start",
+        "chunk_len",
+        "chunk_fp",
+    )
+    return pk.unionByName(ck)
 
 
 # -- similarity ----------------------------------------------------------------

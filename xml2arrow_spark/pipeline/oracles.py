@@ -881,6 +881,61 @@ FROM c
 """
 
 
+def chunk_sequences_sql(max_len: int = 48, stride: int = 32) -> str:
+    """Oracle twin of textstats.chunk_sequences: same exact integer chunk
+    count (non-negative operands, so DuckDB's truncating // == floor),
+    same stride starts, same clamped slice and base-31 fold."""
+    L, st = int(max_len), int(stride)
+    return f"""
+WITH ck_tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST({_TOKS} AS INTEGER[]) AS tokens
+  FROM documents
+),
+ck_n AS (
+  SELECT doc_id, tokens,
+         CASE WHEN len(tokens) <= 0 THEN 0
+              ELSE 1 + greatest(0, len(tokens) - {L} + {st} - 1) // {st}
+         END AS n_chunks
+  FROM ck_tok
+),
+ck_rows AS (
+  SELECT doc_id, tokens,
+         CAST(unnest(range(n_chunks)) AS INT) AS chunk_id
+  FROM ck_n
+),
+ck AS (
+  SELECT doc_id, chunk_id, chunk_id * {st} AS chunk_start,
+         tokens[chunk_id * {st} + 1 : chunk_id * {st} + {L}] AS chunk
+  FROM ck_rows
+)
+SELECT doc_id, chunk_id, chunk_start,
+       {G.asize('chunk', D)} AS chunk_len,
+       {G.afold('chunk', f'(acc * 31 + x) % {FINGERPRINT_MOD}', D)} AS chunk_fp
+FROM ck
+"""
+
+
+def pack_chunk_sql() -> str:
+    """Tagged union of sequence packing and overlapping-stride chunking
+    (r05 consolidation): both legs are the unchanged single-operator
+    oracles; sentinels ('' / -1) keep the union null-free."""
+    return f"""
+WITH pk AS ({pack_sequences_sql()}),
+ck AS ({chunk_sequences_sql()})
+SELECT 'pack' AS part, doc_id, source, tok_offset, bin_start, bin_end,
+       CAST(-1 AS INT) AS chunk_id, CAST(-1 AS INT) AS chunk_start,
+       CAST(-1 AS INT) AS chunk_len, CAST(-1 AS BIGINT) AS chunk_fp
+FROM pk
+UNION ALL
+SELECT 'chunk' AS part, doc_id, '' AS source,
+       CAST(-1 AS BIGINT) AS tok_offset, CAST(-1 AS BIGINT) AS bin_start,
+       CAST(-1 AS BIGINT) AS bin_end, chunk_id, chunk_start, chunk_len,
+       chunk_fp
+FROM ck
+"""
+
+
 def encode_embeddings_roundtrip_sql() -> str:
     # sequential-fold fingerprint over the float32 elements, every step an
     # exact widening + one IEEE op — the cosine_expr discipline
@@ -1318,7 +1373,7 @@ def all_oracles() -> dict[str, str]:
         "quality_filter": quality_filter_sql(),
         "pii_scrub": pii_scrub_sql(),
         "tfidf_topk": tfidf_topk_sql(),
-        "pack_sequences": pack_sequences_sql(),
+        "pack_sequences": pack_chunk_sql(),
         "lsh_ann_topk": lsh_ann_topk_sql(),
         "ivf_ann_topk": ivf_ann_topk_sql(),
         "embedding_near_dup": embedding_near_dup_sql(),

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from xml2arrow_spark.pipeline import sqlgen as G
 
-__all__ = ["STOPWORDS", "lang_id", "text_quality", "token_counts", "doc_fingerprint", "paragraph_dedup", "repeated_ngrams", "quality_filter", "tfidf_topk", "pack_sequences"]
+__all__ = ["STOPWORDS", "lang_id", "text_quality", "token_counts", "doc_fingerprint", "paragraph_dedup", "repeated_ngrams", "quality_filter", "tfidf_topk", "pack_sequences", "chunk_sequences"]
 
 SPARK = "spark"
 
@@ -207,6 +207,60 @@ def paragraph_dedup(
             F.length("clean_text").cast("int").alias("clean_len"),
             F.expr(fold).alias("clean_fp"),
         )
+    )
+
+
+def chunk_sequences(
+    tokens_df: DataFrame,
+    max_len: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Context-length chunking — the complement of :func:`pack_sequences`:
+    every document LONGER than the model context is split into
+    ``max_len``-token training chunks whose starts step by ``stride``
+    (overlap = max_len − stride carries context across boundaries; the
+    default stride = max_len is non-overlapping). Chunk count is the
+    exact integer ``1 + ceil(max(0, n − max_len) / stride)`` (0 for empty
+    docs), so the final chunk always reaches the last token and no chunk
+    is fully contained in its predecessor.
+
+    Scale shape: a pure per-row explode + projection — no shuffle, no
+    join; each chunk row carries only scalars (start/len and the shared
+    base-31 fold of the chunk's tokens), so the token payload never
+    crosses a stage boundary. The loader slices the real chunk from the
+    decoded table by (doc_id, chunk_start, chunk_len).
+
+    Returns (id_col, chunk_id, chunk_start, chunk_len, chunk_fp).
+    """
+    L = int(max_len)
+    st = int(stride) if stride is not None else L
+    if L < 1 or st < 1 or st > L:
+        raise ValueError("need 1 <= stride <= max_len")
+    n = F.size(tokens_col)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1) + F.expr(f"greatest(0, size({tokens_col}) - {L} + {st} - 1) div {st}")
+    )
+    starts = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1), lambda c: c * F.lit(st)
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    out = tokens_df.withColumn("_starts", starts).select(
+        id_col,
+        tokens_col,
+        F.posexplode("_starts").alias("chunk_id", "chunk_start"),
+    )
+    chunk = f"slice({tokens_col}, chunk_start + 1, {L})"
+    fold = G.afold(chunk, f"(acc * 31 + x) % {FINGERPRINT_MOD}", SPARK)
+    return out.select(
+        id_col,
+        "chunk_id",
+        "chunk_start",
+        F.expr(f"size({chunk})").alias("chunk_len"),
+        F.expr(fold).alias("chunk_fp"),
     )
 
 
