@@ -105,7 +105,10 @@ def mixture_sample(
     table statistics / the metadata rollup instead of a counting scan);
     omitted, one narrow map-side-combined groupBy computes them — the
     collect is one row per stratum, KB-scale by definition. The returned
-    frame carries ``f_milli`` (the applied fraction) per row.
+    frame carries ``f_milli`` (the applied fraction) per row. Reference
+    analog: none — the reference has no sampling surface (SURVEY §2.5
+    covers only its stop-at-N early termination); this is a beyond-
+    reference LLM-pipeline operator.
     """
     if not weights_milli:
         raise ValueError("weights_milli must name at least one source")

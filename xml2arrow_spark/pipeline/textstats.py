@@ -230,7 +230,11 @@ def chunk_sequences(
     join; each chunk row carries only scalars (start/len and the shared
     base-31 fold of the chunk's tokens), so the token payload never
     crosses a stage boundary. The loader slices the real chunk from the
-    decoded table by (doc_id, chunk_start, chunk_len).
+    decoded table by (doc_id, chunk_start, chunk_len). Reference analog:
+    the counter un-nesting of nested levels (index builders,
+    /root/reference/src/xml_parser.rs:393, 472-489) — one row fans out to
+    counted children; here the children are context windows of the token
+    array.
 
     Returns (id_col, chunk_id, chunk_start, chunk_len, chunk_fp).
     """
