@@ -572,11 +572,15 @@ def q_quality_filter(spark, sf_dir):
 
 
 def q_pii_scrub(spark, sf_dir):
-    """PII redaction under the gate: deterministic pii-bearing text is
-    DERIVED from each row (email/phone/ipv4 planted from doc_id, then the
-    real document text appended), scrubbed to typed tokens, and counted.
-    The oracle derives the identical string and applies the identical
-    RE2-and-Java-compatible patterns — redaction is byte-for-byte."""
+    """Tagged union of the two text-scrubbing passes, each over
+    deterministically DERIVED dirty text (the corpus itself is clean, so
+    planting from doc_id + text is what makes the gate prove anything):
+    PII redaction (email/phone/ipv4 planted, scrubbed to typed tokens,
+    counted) and control/whitespace NORMALIZATION (per-row control chars
+    + tab/CR/LF runs planted, stripped/collapsed/trimmed). The oracle
+    derives the identical strings and applies the identical
+    RE2-and-Java-compatible patterns — both outputs byte-for-byte.
+    Sentinels (-1) keep the union null-free."""
     docs = _docs(spark, sf_dir)
     pii = docs.select(
         "doc_id",
@@ -591,7 +595,34 @@ def q_pii_scrub(spark, sf_dir):
             F.col("text"),
         ).alias("text"),
     )
-    return textstats.pii_scrub(pii)
+    pl = textstats.pii_scrub(pii).select(
+        F.lit("pii").alias("part"),
+        "doc_id",
+        F.col("scrubbed").alias("text_out"),
+        F.col("n_email").alias("n_a"),
+        F.col("n_ipv4").alias("n_b"),
+        F.col("n_phone").alias("n_c"),
+    )
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.expr("chr(1 + doc_id % 7)"),
+            F.lit("x\t\t"),
+            F.col("text"),
+            F.lit(" \r\n"),
+            F.expr("chr(11)"),
+            F.expr("chr(127)"),
+        ).alias("text"),
+    )
+    nl = textstats.normalize_text(dirty).select(
+        F.lit("norm").alias("part"),
+        "doc_id",
+        F.col("clean").alias("text_out"),
+        F.col("n_control").alias("n_a"),
+        F.col("clean_len").alias("n_b"),
+        F.lit(-1).alias("n_c"),
+    )
+    return pl.unionByName(nl)
 
 
 def q_tfidf_topk(spark, sf_dir):

@@ -1288,6 +1288,46 @@ FROM p
 """
 
 
+def normalize_text_sql() -> str:
+    """Byte-for-byte twin of textstats.normalize_text over the derived
+    control-char-bearing text: same strip class, same whitespace-run
+    collapse, same trim ('g' flag — DuckDB replaces first-match-only by
+    default, Spark replaces all)."""
+    from xml2arrow_spark.pipeline.textstats import CONTROL_CLASS, WS_RUN
+
+    derive = (
+        "chr(CAST(1 + doc_id % 7 AS INT)) || 'x' || chr(9) || chr(9) || "
+        "text || ' ' || chr(13) || chr(10) || chr(11) || chr(127)"
+    )
+    stripped = f"regexp_replace(text, '{CONTROL_CLASS}', '', 'g')"
+    clean = f"trim(regexp_replace({stripped}, '{WS_RUN}', ' ', 'g'))"
+    return f"""
+WITH nz AS (SELECT doc_id, {derive} AS text FROM documents)
+SELECT doc_id, {clean} AS clean,
+       CAST(length(text) - length({stripped}) AS INT) AS n_control,
+       CAST(length({clean}) AS INT) AS clean_len
+FROM nz
+"""
+
+
+def pii_norm_sql() -> str:
+    """Tagged union of PII redaction and control/whitespace normalization
+    (r05 consolidation): both legs are the unchanged single-operator
+    oracles over their derived dirty texts; sentinels keep the union
+    null-free."""
+    return f"""
+WITH pl AS ({pii_scrub_sql()}),
+nl AS ({normalize_text_sql()})
+SELECT 'pii' AS part, doc_id, scrubbed AS text_out,
+       n_email AS n_a, n_ipv4 AS n_b, n_phone AS n_c
+FROM pl
+UNION ALL
+SELECT 'norm' AS part, doc_id, clean AS text_out,
+       n_control AS n_a, clean_len AS n_b, CAST(-1 AS INT) AS n_c
+FROM nl
+"""
+
+
 def encode_zonemap_sql() -> str:
     """Tagged union of both zone-map pruning legs (r05 consolidation);
     each leg is the unchanged single-operator oracle as a CTE."""
@@ -1371,7 +1411,7 @@ def all_oracles() -> dict[str, str]:
         "neighbor_jaccard": neighbor_jaccard_sql(),
         "text_analysis": text_analysis_sql(),
         "quality_filter": quality_filter_sql(),
-        "pii_scrub": pii_scrub_sql(),
+        "pii_scrub": pii_norm_sql(),
         "tfidf_topk": tfidf_topk_sql(),
         "pack_sequences": pack_chunk_sql(),
         "lsh_ann_topk": lsh_ann_topk_sql(),

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from xml2arrow_spark.pipeline import sqlgen as G
 
-__all__ = ["STOPWORDS", "lang_id", "text_quality", "token_counts", "doc_fingerprint", "paragraph_dedup", "repeated_ngrams", "quality_filter", "tfidf_topk", "pack_sequences", "chunk_sequences"]
+__all__ = ["STOPWORDS", "lang_id", "text_quality", "token_counts", "doc_fingerprint", "paragraph_dedup", "repeated_ngrams", "quality_filter", "tfidf_topk", "pack_sequences", "chunk_sequences", "normalize_text", "pii_scrub"]
 
 SPARK = "spark"
 
@@ -101,6 +101,33 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
 ]
+
+
+# text normalization: C0/C1-ish control chars stripped outright (tab /
+# newline / CR / form-feed are WHITESPACE, handled by the collapse);
+# hex-escape classes are valid and identical under Java (Spark) and RE2
+# (DuckDB). \x00 is deliberately not planted by the gate (embedded NUL in
+# varchar literals is engine-dependent), but the class would strip it.
+CONTROL_CLASS = r"[\x01-\x08\x0B\x0E-\x1F\x7F]"
+WS_RUN = r"[ \t\n\r\x0C]+"
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Text normalization — the C4-style cleanup pass run before any
+    other text curation: strip control characters, collapse whitespace
+    runs (space/tab/newline/CR/FF) to single spaces, trim the ends. All
+    JVM-side built-ins (two regexp_replace in whole-stage codegen), one
+    narrow projection, no shuffle; the cleaned string is returned
+    directly so the oracle pins the bytes. Returns
+    (id_col, clean, n_control, clean_len)."""
+    stripped = F.regexp_replace(F.col(text_col), CONTROL_CLASS, "")
+    clean = F.trim(F.regexp_replace(stripped, WS_RUN, " "))
+    return docs.select(
+        id_col,
+        clean.alias("clean"),
+        (F.length(text_col) - F.length(stripped)).cast("int").alias("n_control"),
+        F.length(clean).cast("int").alias("clean_len"),
+    )
 
 
 def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
