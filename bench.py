@@ -341,7 +341,9 @@ def main() -> None:
     from xml2arrow_spark.pipeline.sampling import mixture_sample, shuffle_order
 
     def run_q15():
-        # privacy + sub-document boilerplate passes over the documents table
+        # normalization + privacy + sub-document boilerplate passes over
+        # the documents table
+        textstats.normalize_text(docs).agg(F.sum("clean_len")).collect()
         textstats.pii_scrub(docs).agg(
             F.sum("n_email") + F.sum("n_ipv4") + F.sum("n_phone"),
             F.sum(F.length("scrubbed")),
