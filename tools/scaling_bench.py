@@ -428,7 +428,22 @@ spark.stop()
             "tasks == slots, the engine default, is optimal.",
             "",
         ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # carry forward the deployment-mode section tools/submit_scaling.py
+    # appends — a ladder rerun must never silently drop that evidence
+    baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    submit_mark = "## Deployment-mode scaling (spark-submit --py-files)"
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            old = f.read()
+        if submit_mark in old:
+            import re as _re
+
+            kept = _re.search(
+                _re.escape(submit_mark) + r".*?(?=^## |\Z)", old, _re.S | _re.M
+            )
+            if kept:
+                md += [kept.group(0).rstrip(), ""]
+    with open(baseline_path, "w") as f:
         f.write("\n".join(md))
     print(json.dumps(out))
 
