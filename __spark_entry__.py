@@ -1032,14 +1032,18 @@ def q_encode_uint64_roundtrip(spark, sf_dir):
 def q_encode_embeddings_roundtrip(spark, sf_dir):
     """float-list columns through the encode engine: the embeddings table
     (array<float>) round-trips bit-identically — lengths FOR-packed,
-    flattened values through the float codec family (dec probe -> plain
-    fallback). Canonical projection: dim + a sequential-fold double
-    fingerprint + first/last elements (exact float32->double widenings),
-    identical in the oracle."""
+    flattened values through the float codec family. The embedding column
+    is pinned to ``bss_float+zstd`` (byte-stream split + entropy cascade,
+    the Parquet BYTE_STREAM_SPLIT layout — r05) so the driver gate covers
+    the cascade-stage float kernel; every other column stays auto (dec
+    probe -> plain fallback). Decode is bit-identical either way, so the
+    oracle is codec-agnostic. Canonical projection: dim + a sequential-fold
+    double fingerprint + first/last elements (exact float32->double
+    widenings), identical in the oracle."""
     emb = _emb(spark, sf_dir)
-    manifest = resolve_manifest(
-        emb, CodecManifest.auto_for(emb.schema, block_rows=4096)
-    )
+    base = CodecManifest.auto_for(emb.schema, block_rows=4096)
+    base.columns["embedding"].codec = "bss_float+zstd"
+    manifest = resolve_manifest(emb, base)
     decoded = decode_table(
         encode_table(emb, manifest), "vec_id bigint, embedding array<float>"
     )

@@ -236,6 +236,61 @@ def main() -> None:
     extra["compression_vs_zstd_by_variant"] = by_variant
     extra["compression_vs_zstd_by_variant_cascade"] = by_variant_cascade
 
+    # float-payload variant (r05): bf16-upcast float32 embeddings — the
+    # dominant real-world float payload (mixed-precision training writes
+    # bf16, pipelines upcast to float32, the bottom two mantissa bytes are
+    # zero). byte-stream split (bss_float) + zstd vs plain+zstd vs
+    # parquet-zstd on the same table; deterministic synthetic data (the
+    # testdata embeddings are IID full-precision, where bss correctly does
+    # not fire — the probe picks plain)
+    with timed("embedding_compression_sweep", baselines):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(17)
+        n_vec, dim = 20000, 128
+        flat = (
+            rng.normal(size=n_vec * dim).astype(np.float32).view(np.uint32)
+            & np.uint32(0xFFFF0000)
+        ).view(np.float32)
+        emb_tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n_vec, dtype=np.int64)),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(flat), dim
+                ).cast(pa.list_(pa.float32())),
+            }
+        )
+        edir = tempfile.mkdtemp(prefix="bench_emb_")
+        ezdir = tempfile.mkdtemp(prefix="bench_embz_")
+        try:
+            pq.write_table(emb_tbl, os.path.join(edir, "part-0.parquet"))
+            spark.read.parquet(edir).repartition(8).write.mode(
+                "overwrite"
+            ).option("compression", "zstd").parquet(ezdir)
+            ezb = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(ezdir) for f in fs
+                if f.endswith(".parquet")
+            )
+            eschema = spark.read.parquet(edir).schema
+            emb_ratios = {}
+            for name, codec in (
+                ("plain_zstd", "plain_float+zstd"),
+                ("bss_zstd", "bss_float+zstd"),
+            ):
+                eman = CodecManifest.auto_for(eschema)
+                eman.columns["embedding"].codec = codec
+                eagg = encode_parquet_stats(
+                    spark, edir, manifest=eman, n_tasks=8
+                ).agg(F.sum("out_bytes").alias("ob")).collect()[0]
+                emb_ratios[name] = round(int(eagg["ob"]) / ezb, 4)
+        finally:
+            shutil.rmtree(edir, ignore_errors=True)
+            shutil.rmtree(ezdir, ignore_errors=True)
+    extra["bf16_embedding_vs_zstd"] = emb_ratios
+
     # -- q3: documents tokenize -> encode -> decode -> verify ----------------
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
 

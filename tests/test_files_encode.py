@@ -141,3 +141,67 @@ def test_encode_parquet_single_file(spark, token_dir):
 def test_encode_parquet_missing_path_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         encode_parquet(spark, str(tmp_path / "nope"))
+
+
+def test_fused_auto_cascade_resolves_bss_on_reduced_precision_floats(
+    spark, tmp_path
+):
+    """The fused stats/encode path resolves ``auto+zstd`` float-list columns
+    through the cascade-aware chooser: on bf16-upcast float32 embeddings
+    (two all-zero mantissa byte planes) it must pick bss_float, and the
+    encoded bytes must beat the forced plain_float+zstd encode of the same
+    table (measured ~0.72x; the r05 regression this pins was
+    resolve_manifest_parquet dropping the cascade before the probe ran)."""
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(23)
+    n_vec, dim = 4000, 64
+    flat = (
+        rng.normal(size=n_vec * dim).astype(np.float32).view(np.uint32)
+        & np.uint32(0xFFFF0000)
+    ).view(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n_vec, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(flat), dim
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    d = str(tmp_path / "bf16emb")
+    os.makedirs(d)
+    pq.write_table(tbl, os.path.join(d, "part-0.parquet"))
+    schema = spark.read.parquet(d).schema
+
+    def total_out(codec):
+        man = CodecManifest.auto_for(schema, block_rows=4096)
+        man.columns["embedding"].codec = codec
+        from xml2arrow_spark.operators.encode import encode_parquet_stats
+
+        row = (
+            encode_parquet_stats(spark, d, manifest=man, n_tasks=2)
+            .agg(F.sum("out_bytes").alias("ob"))
+            .collect()[0]
+        )
+        return int(row["ob"])
+
+    auto_bytes = total_out("auto+zstd")
+    plain_bytes = total_out("plain_float+zstd")
+    assert auto_bytes < plain_bytes
+    # and the driver-side resolver itself names the codec
+    man = CodecManifest.auto_for(schema, block_rows=4096)
+    man.columns["embedding"].codec = "auto+zstd"
+    resolved = resolve_manifest_parquet(d, man)
+    assert resolved.columns["embedding"].codec == "bss_float+zstd"
+    # roundtrip through the real encode (not just stats) stays bit-exact
+    blocks = encode_parquet_tasks(
+        plan_parquet_tasks(spark, d, n_tasks=2), resolved
+    )
+    decoded = decode_table(blocks, "vec_id bigint, embedding array<float>")
+    got = decoded.orderBy("vec_id").collect()
+    assert len(got) == n_vec
+    emb0 = np.array(got[0]["embedding"], dtype=np.float32)
+    np.testing.assert_array_equal(
+        emb0.view(np.uint32), flat[:dim].view(np.uint32)
+    )

