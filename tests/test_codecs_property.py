@@ -387,3 +387,43 @@ def test_bss_cascade_beats_plain_on_reduced_precision_block():
     np.testing.assert_array_equal(
         np.asarray(out.flatten()).view(np.uint32), flat.view(np.uint32)
     )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.data(),
+    st.sampled_from(["auto", "auto+zstd"]),
+)
+def test_any_single_bit_flip_is_detected(data, codec):
+    """Storage-integrity property (r05): flip ANY single bit at ANY position
+    of a stored block payload and decode must raise BlockCorruptionError —
+    CRC-32 detects all 1-bit errors by construction, so this holds for
+    every position, not just sampled ones; hypothesis picks adversarial
+    positions anyway."""
+    import pyarrow as pa
+
+    from xml2arrow_spark.errors import BlockCorruptionError
+    from xml2arrow_spark.operators.blocks import decode_column, encode_column
+
+    rows = data.draw(
+        st.lists(
+            st.lists(st.integers(-(2**31), 2**31 - 1), max_size=8),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    arr = pa.array(rows, type=pa.list_(pa.int32()))
+    _, meta_json, blob = encode_column(arr, codec)
+    if not blob:
+        return  # nothing stored, nothing to rot
+    pos = data.draw(st.integers(0, len(blob) * 8 - 1))
+    flipped = bytearray(blob)
+    flipped[pos // 8] ^= 1 << (pos % 8)
+    try:
+        out = decode_column(meta_json, bytes(flipped))
+    except BlockCorruptionError:
+        return
+    raise AssertionError(
+        f"bit {pos} flipped in a {len(blob)}-byte block decoded without "
+        f"error (got {out.to_pylist()[:3]}...)"
+    )

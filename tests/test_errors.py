@@ -92,3 +92,32 @@ def test_block_corruption_old_format_rejected():
 def test_unknown_codec_error():
     with pytest.raises(UnknownCodecError, match="unknown codec"):
         encode_values("snappy", np.array([1], dtype=np.int32))
+
+
+def test_block_crc_detects_bit_rot():
+    """Every stored block header carries a CRC-32 of the exact stored bytes
+    (r05): a single flipped bit anywhere in the payload must raise
+    BlockCorruptionError instead of decoding silently wrong values — for
+    BOTH the raw and the cascade-compressed layouts (the cascade crc covers
+    the compressed bytes, so corruption is caught before decompression)."""
+    arr = pa.array([[i, i + 1, i + 2] for i in range(2000)], type=pa.list_(pa.int32()))
+    for codec in ("auto", "auto+zstd"):
+        _, meta_json, blob = encode_column(arr, codec)
+        assert '"crc"' in meta_json
+        # pristine bytes decode fine
+        assert decode_column(meta_json, blob).equals(arr)
+        flipped = bytearray(blob)
+        flipped[len(flipped) // 2] ^= 0x01
+        with pytest.raises(BlockCorruptionError, match="CRC mismatch"):
+            decode_column(meta_json, bytes(flipped))
+
+
+def test_block_without_crc_stays_readable():
+    """Blocks written before the crc field existed (same format version)
+    must keep decoding — the integrity gate is binding only when the header
+    carries a crc."""
+    arr = pa.array([1, 2, 3, None, 5], type=pa.int64())
+    _, meta_json, blob = encode_column(arr, "auto")
+    meta = json.loads(meta_json)
+    meta.pop("crc")
+    assert decode_column(json.dumps(meta), blob).equals(arr)

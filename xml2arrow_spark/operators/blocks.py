@@ -15,6 +15,7 @@ re-expands exactly. Empty string != null round-trips (Utf8 asymmetry).
 from __future__ import annotations
 
 import json
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -131,10 +132,25 @@ def encode_column(arr: pa.Array, codec: str) -> tuple[str, str, bytes]:
                     "fmt": BLOCK_FORMAT_VERSION,
                     "g": general,
                     "raw_len": len(payload),
+                    "crc": zlib.crc32(comp),
                     "inner": meta_json,
                 }
                 return f"{resolved}+{general}", json.dumps(meta), comp
-    return resolved, meta_json, payload
+    return resolved, _stamp_crc(meta_json, payload), payload
+
+
+def _stamp_crc(meta_json: str, payload: bytes) -> str:
+    """Record the CRC-32 of the STORED payload in the outer block header —
+    decode_column refuses to decode a flipped bit instead of returning
+    silently wrong values (the reference's no-silent-corruption contract,
+    /root/reference/src/xml_parser.rs:209-215, extended to the storage
+    layer: at 10^12-sequence scale, undetected media bit-rot is a
+    certainty, not a tail risk). Only the outermost header carries a crc:
+    it covers the exact bytes read back from storage (compressed when a
+    cascade applied), so one pass verifies everything beneath it."""
+    m = json.loads(meta_json)
+    m["crc"] = zlib.crc32(payload)
+    return json.dumps(m)
 
 
 def _encode_column_raw(
@@ -319,6 +335,14 @@ def decode_column(meta_json: str, payload: bytes) -> pa.Array:
         raise BlockCorruptionError(
             f"block format {meta.get('fmt', 1)} != engine format "
             f"{BLOCK_FORMAT_VERSION}; re-encode the dataset"
+        )
+    # storage-integrity gate (see _stamp_crc): headers without a crc are
+    # pre-r05 blocks and stay readable; a header WITH a crc is binding
+    if "crc" in meta and zlib.crc32(payload) != meta["crc"]:
+        raise BlockCorruptionError(
+            f"block payload CRC mismatch (column {meta.get('kind')!r}, "
+            f"{len(payload)} bytes): stored bytes are corrupt; refusing to "
+            f"decode silently wrong values"
         )
     kind = meta["kind"]
     if kind == "general":
