@@ -1091,6 +1091,14 @@ def q_encode_dataset_resume(spark, sf_dir):
     n_units = 8
     encode_dataset(tok, path, man, n_units=n_units, only_units=[0, 1, 2, 3])
     encode_dataset(tok, path, man, n_units=n_units)  # resume: encodes 4..7
+    # r05 delete leg: row-level delete with unit-pruned re-encode (the
+    # right-to-be-forgotten pass) — docs whose id ends in '7' are removed
+    # from the COMPLETED dataset; the oracle applies the same predicate to
+    # the raw projection, so resume AND delete must both be invisible
+    # except for exactly the doomed rows
+    from xml2arrow_spark.operators.checkpoint import delete_rows
+
+    delete_rows(tok.filter("doc_id LIKE '%7'").select("doc_id"), path)
     return _token_scalar_projection(read_encoded_dataset(spark, path))
 
 

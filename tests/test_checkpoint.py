@@ -121,3 +121,139 @@ def test_manifest_sidecar_written(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="lacks encoded column"):
         read_encoded_dataset(spark, path, columns=["nope"])
+
+
+# -- delete_rows (row-level delete with unit-pruned re-encode, r05) ----------
+
+
+def _ids_df(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "doc_id string")
+
+
+def test_delete_rows_rewrites_only_affected_units(spark, tmp_path):
+    """Deletion must (a) leave the dataset equal to the anti-joined input,
+    (b) rewrite ONLY the units the doomed ids hash into — every other
+    unit's files are untouched bytes, (c) update the manifest rollup."""
+    path = str(tmp_path / "del1")
+    df = tokens_dataframe(spark, 3000, variant="skewed_zipf", n_partitions=4).cache()
+    man = CodecManifest.auto_for(df.schema, block_rows=512)
+    encode_dataset(df, path, man, n_units=8)
+
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.checkpoint import delete_rows
+
+    doomed = [r["doc_id"] for r in df.select("doc_id").limit(40).collect()]
+    victim_units = {
+        r["unit_id"]
+        for r in plan_units(_ids_df(spark, doomed), 8).select("unit_id").collect()
+    }
+    untouched = {
+        f for f in _data_files(path)
+        if int(f.split("unit_id=")[1].split("/")[0]) not in victim_units
+    }
+    before_mtimes = {f: os.path.getmtime(f) for f in untouched}
+
+    m = delete_rows(_ids_df(spark, doomed), path)
+    assert m["affected_units"] == len(victim_units)
+    assert m["rows_deleted"] == 40
+    assert m["rows_before"] - m["rows_after"] == 40
+
+    # (a) content equality with the anti-joined input
+    expect = df.join(_ids_df(spark, doomed), "doc_id", "left_anti")
+    assert verify_roundtrip(expect, read_encoded_dataset(spark, path))["ok"]
+    # (b) untouched units: identical files, identical mtimes
+    assert {f: os.path.getmtime(f) for f in untouched} == before_mtimes
+    # (c) manifest agrees with the data and keeps one row per unit
+    done = completed_units(spark, path)
+    assert done.count() == done.select("unit_id").distinct().count()
+    assert done.agg(F.sum("n_rows")).collect()[0][0] == 3000 - 40
+    df.unpersist()
+
+
+def test_delete_rows_empties_whole_unit_and_replays_idempotently(spark, tmp_path):
+    """Deleting EVERY row of a unit must remove its blocks partition and its
+    manifest row (dynamic overwrite alone cannot — it only touches written
+    partitions); re-running the same delete is a no-op that reports 0."""
+    path = str(tmp_path / "del2")
+    df = tokens_dataframe(spark, 2000, variant="low_card", n_partitions=4).cache()
+    man = CodecManifest.auto_for(df.schema, block_rows=512)
+    encode_dataset(df, path, man, n_units=4)
+
+    from xml2arrow_spark.operators.checkpoint import delete_rows
+
+    unit0_ids = [
+        r["doc_id"]
+        for r in plan_units(df, 4).filter("unit_id = 0").select("doc_id").collect()
+    ]
+    assert unit0_ids  # the variant populates every unit at this size
+    m = delete_rows(_ids_df(spark, unit0_ids), path)
+    assert m["rows_deleted"] == len(unit0_ids)
+    assert not os.path.exists(os.path.join(path, "blocks", "unit_id=0"))
+    done = completed_units(spark, path)
+    assert done.filter("unit_id = 0").count() == 0
+    expect = df.join(_ids_df(spark, unit0_ids), "doc_id", "left_anti")
+    assert verify_roundtrip(expect, read_encoded_dataset(spark, path))["ok"]
+
+    # replay: same ids again — affected unit is already gone from the data
+    m2 = delete_rows(_ids_df(spark, unit0_ids), path)
+    assert m2["rows_deleted"] == 0
+    assert verify_roundtrip(expect, read_encoded_dataset(spark, path))["ok"]
+    # absent ids are a clean no-op too
+    m3 = delete_rows(_ids_df(spark, ["no_such_doc"]), path)
+    assert m3["rows_deleted"] == 0
+    df.unpersist()
+
+
+def test_delete_rows_crash_windows_repair_on_rerun(spark, tmp_path, monkeypatch):
+    """The two crash windows: (1) died after the blocks rewrite but before
+    any manifest work — data already correct, lineage stale; (2) died mid
+    manifest swap — healed on entry. Re-running the SAME delete must repair
+    both to the fully-committed state."""
+    path = str(tmp_path / "del3")
+    df = tokens_dataframe(spark, 1500, variant="uniform_vocab", n_partitions=4).cache()
+    man = CodecManifest.auto_for(df.schema, block_rows=256)
+    encode_dataset(df, path, man, n_units=4)
+
+    import xml2arrow_spark.operators.checkpoint as cp
+
+    doomed = [r["doc_id"] for r in df.select("doc_id").limit(25).collect()]
+    expect = df.join(_ids_df(spark, doomed), "doc_id", "left_anti")
+
+    # window 1: crash right after the blocks overwrite
+    real = cp._unit_rollup_aggs
+
+    def boom():
+        raise RuntimeError("injected crash after blocks rewrite")
+
+    monkeypatch.setattr(cp, "_unit_rollup_aggs", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected"):
+        cp.delete_rows(_ids_df(spark, doomed), path)
+    monkeypatch.setattr(cp, "_unit_rollup_aggs", real)
+    # data is already correct; the manifest still claims the old counts
+    assert verify_roundtrip(expect, read_encoded_dataset(spark, path))["ok"]
+    m = cp.delete_rows(_ids_df(spark, doomed), path)  # repair run
+    # rows_before is read from the (stale) manifest, so the repair run
+    # reports the crashed run's work as its own — the lineage catch-up;
+    # the data itself was already correct (verified above)
+    assert m["rows_deleted"] == 25
+    from pyspark.sql import functions as F
+
+    assert (
+        completed_units(spark, path).agg(F.sum("n_rows")).collect()[0][0]
+        == 1500 - 25
+    )
+
+    # window 2: crash mid-swap (manifest renamed away, .new not yet in)
+    mdir = os.path.join(path, "manifest")
+    os.rename(mdir, mdir + ".old")
+    m2 = cp.delete_rows(_ids_df(spark, doomed), path)  # heals, then no-ops
+    assert m2["rows_deleted"] == 0
+    assert verify_roundtrip(expect, read_encoded_dataset(spark, path))["ok"]
+    assert (
+        completed_units(spark, path).agg(F.sum("n_rows")).collect()[0][0]
+        == 1500 - 25
+    )
+    df.unpersist()

@@ -34,6 +34,7 @@ __all__ = [
     "encode_dataset",
     "read_encoded_dataset",
     "completed_units",
+    "delete_rows",
 ]
 
 MANIFEST_SIDEVAR = "_manifest.yaml"
@@ -134,6 +135,40 @@ def _atomic_write_text(path: str, text: str) -> None:
     os.replace(tmp, path)
 
 
+def _manifest_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("unit_id", pa.int32()),
+            pa.field("n_blocks", pa.int64()),
+            pa.field("n_rows", pa.int64()),
+            pa.field("n_values", pa.int64()),
+            pa.field("in_bytes", pa.int64()),
+            pa.field("out_bytes", pa.int64()),
+            pa.field("checksum", pa.int64()),
+        ]
+    )
+
+
+def _unit_rollup_aggs():
+    """Per-unit lineage rollup — ONE definition so encode and delete can
+    never drift on what a manifest row means."""
+    return [
+        F.count("*").alias("n_blocks"),
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_values").alias("n_values"),
+        F.sum("in_bytes").alias("in_bytes"),
+        F.sum("out_bytes").alias("out_bytes"),
+        # order-insensitive lineage fingerprint; each term is pmod-bounded to
+        # [0, 2^31) so the ANSI-mode long sum cannot overflow below 2^32
+        # blocks per unit (the raw xxhash64 sum overflowed in practice)
+        F.sum(
+            F.pmod(F.xxhash64(F.col("block_id").cast("string")), F.lit(2**31))
+        ).alias("checksum"),
+    ]
+
+
 def encode_dataset(
     df: DataFrame,
     path: str,
@@ -209,36 +244,18 @@ def encode_dataset(
     written = spark.read.parquet(os.path.join(path, "blocks")).join(
         F.broadcast(done), "unit_id", "left_anti"
     )
-    meta_rows = written.groupBy("unit_id").agg(
-        F.count("*").alias("n_blocks"),
-        F.sum("n_rows").alias("n_rows"),
-        F.sum("n_values").alias("n_values"),
-        F.sum("in_bytes").alias("in_bytes"),
-        F.sum("out_bytes").alias("out_bytes"),
-        F.sum(F.xxhash64(F.col("block_id").cast("string"))).alias("checksum"),
-    ).collect()  # the distributed rollup; the rows themselves are KB-scale
+    meta_rows = written.groupBy("unit_id").agg(*_unit_rollup_aggs()).collect()
+    # ^ the distributed rollup; the rows themselves are KB-scale
     if meta_rows:
         # manifest append driver-side + atomic — see operators/metadata.py
         import uuid
-
-        import pyarrow as pa
 
         from xml2arrow_spark.operators.metadata import append_rows
 
         append_rows(
             os.path.join(path, "manifest"),
             [r.asDict() for r in meta_rows],
-            pa.schema(
-                [
-                    pa.field("unit_id", pa.int32()),
-                    pa.field("n_blocks", pa.int64()),
-                    pa.field("n_rows", pa.int64()),
-                    pa.field("n_values", pa.int64()),
-                    pa.field("in_bytes", pa.int64()),
-                    pa.field("out_bytes", pa.int64()),
-                    pa.field("checksum", pa.int64()),
-                ]
-            ),
+            _manifest_schema(),
             f"manifest-{uuid.uuid4().hex}.parquet",
         )
     # final rollup driver-side for the same reason
@@ -291,3 +308,156 @@ def read_encoded_dataset(
         ddl = ", ".join(by_name[c] for c in columns)
     blocks = spark.read.parquet(os.path.join(path, "blocks"))
     return decode_table(blocks, ddl, zone_filter=zone_filter)
+
+
+def delete_rows(ids: DataFrame, path: str, id_col: str = "doc_id") -> dict:
+    """Row-level delete on an encoded dataset — the right-to-be-forgotten /
+    post-hoc curation pass. At 10^12-sequence scale a deletion batch must
+    never rewrite the whole dataset: unit placement is a pure function of
+    the id (``pmod(murmur3(id), n_units)``, the resume invariant), so the
+    units holding the doomed rows are computed from the ids ALONE, and only
+    those ``blocks/unit_id=<u>`` partitions are decoded, filtered, and
+    re-encoded (dynamic partition overwrite — the idempotent sink the
+    resume path already uses). Every other unit's files are untouched
+    bytes. Reference analog: the reference's whole-run rebuild is its only
+    update path (/root/reference/src/xml_parser.rs:934-936); a partitioned
+    dataset can do strictly better.
+
+    Crash contract (same discipline as resume): blocks partitions are
+    rewritten FIRST, the manifest table is swapped LAST (consolidate into
+    ``manifest.new`` -> rename away ``manifest`` -> rename ``manifest.new``
+    in -> drop the old). A crash anywhere leaves the data rows correct and
+    at worst the lineage counts stale or the manifest mid-swap; RE-RUNNING
+    the same delete repairs both (replay-idempotent, pinned by test), and a
+    torn swap is healed on entry. A concurrent encode_dataset resume during
+    a delete is out of contract (documented here, as for compaction).
+
+    Returns ``{"affected_units", "rows_before", "rows_after",
+    "rows_deleted"}``; a delete of absent ids is a no-op with
+    ``rows_deleted == 0``.
+    """
+    import shutil
+    import uuid
+
+    import yaml
+
+    spark = ids.sparkSession
+    mdir = os.path.join(path, "manifest")
+    # heal a torn manifest swap from a previous crashed delete: the old
+    # directory is complete (the swap had not finished), the .new one may be
+    # torn — restore the old, discard the new, and let this run redo it
+    if not os.path.exists(mdir) and os.path.exists(mdir + ".old"):
+        os.rename(mdir + ".old", mdir)
+    for leftover in (
+        mdir + ".new",
+        mdir + ".old",
+        os.path.join(path, ".delete_tmp"),
+    ):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+
+    with open(os.path.join(path, MANIFEST_SIDEVAR)) as f:
+        side = yaml.safe_load(f.read())
+    n_units = int(side["n_units"])
+    ddl = side["schema_ddl"]
+    _check_placement(path, n_units, ddl)
+    # the sidecar IS the manifest yaml plus placement keys; from_dict
+    # tolerates the extras, so re-encode uses the exact codecs of the
+    # original run (never a re-resolved guess)
+    manifest = CodecManifest.from_dict(side)
+
+    ids = ids.select(id_col).distinct()
+    affected = sorted(
+        r["unit_id"]
+        for r in plan_units(ids, n_units, id_col)
+        .select("unit_id")
+        .distinct()
+        .collect()  # bounded by n_units — metadata-scale
+    )
+    if not affected:
+        return {
+            "affected_units": 0, "rows_before": 0,
+            "rows_after": 0, "rows_deleted": 0,
+        }
+
+    blocks_dir = os.path.join(path, "blocks")
+    # partition-pruned scan: only the affected unit directories are read
+    blocks = spark.read.parquet(blocks_dir).filter(
+        F.col("unit_id").isin(affected)
+    )
+    decoded = decode_table(blocks, ddl)
+    kept = decoded.join(F.broadcast(ids), id_col, "left_anti")
+    # two-phase staging (the repo-wide branch-reuse pattern): the kept rows
+    # are needed TWICE — as the re-encode input and to learn which affected
+    # units still have rows at all (a fully-emptied unit writes NO partition,
+    # so dynamic overwrite would leave its stale directory AND a read-back
+    # rollup would resurrect its old counts — the bug this staging fixes).
+    # Materializing once also means the decode of the affected units runs
+    # once, not per branch.
+    tmpdir = os.path.join(path, ".delete_tmp")
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    staged_in = plan_units(kept, n_units, id_col)
+    staged_in.write.parquet(tmpdir)
+    staged = spark.read.schema(staged_in.schema).parquet(tmpdir)
+    survivors = {
+        r["unit_id"]
+        for r in staged.select("unit_id").distinct().collect()
+    }
+    # exact placement re-encode (same invariants as encode_dataset)
+    todo = staged.repartition(n_units, id_col)
+    encode_table(todo, manifest, unit_col="unit_id").write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "unit_id"
+    ).parquet(blocks_dir)
+    # fully-emptied units: remove the stale partition directories dynamic
+    # overwrite could not touch — BEFORE the rollup read-back, so stale
+    # blocks can never re-enter the lineage
+    for u in affected:
+        if u not in survivors:
+            shutil.rmtree(
+                os.path.join(blocks_dir, f"unit_id={u}"), ignore_errors=True
+            )
+    if survivors:
+        written = spark.read.parquet(blocks_dir).filter(
+            F.col("unit_id").isin(sorted(survivors))
+        )
+        meta_rows = [
+            r.asDict()
+            for r in written.groupBy("unit_id").agg(*_unit_rollup_aggs()).collect()
+        ]
+    else:
+        meta_rows = []
+    shutil.rmtree(tmpdir, ignore_errors=True)
+
+    # manifest consolidate-replace, driver-side (KB-scale — repo ground
+    # rule: lineage rows never ride a Spark write job)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    old = pq.read_table(mdir).cast(_manifest_schema())
+    aff_arr = pa.array(affected, type=pa.int32())
+    was = old.filter(pc.is_in(old.column("unit_id"), value_set=aff_arr))
+    rows_before = int(pc.sum(was.column("n_rows")).as_py() or 0)
+    keep_tbl = old.filter(
+        pc.invert(pc.is_in(old.column("unit_id"), value_set=aff_arr))
+    )
+    new_tbl = pa.Table.from_pylist(meta_rows, schema=_manifest_schema())
+    merged = pa.concat_tables([keep_tbl, new_tbl])
+    os.makedirs(mdir + ".new")
+    pq.write_table(
+        merged,
+        os.path.join(mdir + ".new", f"manifest-{uuid.uuid4().hex}.parquet"),
+    )
+    os.rename(mdir, mdir + ".old")
+    os.rename(mdir + ".new", mdir)
+    shutil.rmtree(mdir + ".old")
+
+    rows_after = int(sum(r["n_rows"] for r in meta_rows))
+    return {
+        "affected_units": len(affected),
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "rows_deleted": rows_before - rows_after,
+    }

@@ -1374,8 +1374,12 @@ def all_oracles() -> dict[str, str]:
         "encode_embeddings_roundtrip": encode_embeddings_roundtrip_sql(),
         # resume + streaming decode back to the SAME token projection the
         # tokenize oracle recomputes — resumability/streaming must be
-        # invisible to results
-        "encode_dataset_resume": tokenize_sql(),
+        # invisible to results. The resume gate then DELETES ids ending in
+        # '7' from the completed dataset (r05 row-level delete), so its
+        # oracle is the same projection minus exactly those rows
+        "encode_dataset_resume": (
+            f"SELECT * FROM ({tokenize_sql()}) WHERE doc_id NOT LIKE '%7'"
+        ),
         "streaming_encode": tokenize_sql(),
         "encode_types_composite": encode_types_composite_sql(),
         "multimodal_pipeline": multimodal_pipeline_sql(),
