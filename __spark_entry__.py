@@ -1093,12 +1093,24 @@ def q_encode_dataset_resume(spark, sf_dir):
     encode_dataset(tok, path, man, n_units=n_units)  # resume: encodes 4..7
     # r05 delete leg: row-level delete with unit-pruned re-encode (the
     # right-to-be-forgotten pass) — docs whose id ends in '7' are removed
-    # from the COMPLETED dataset; the oracle applies the same predicate to
-    # the raw projection, so resume AND delete must both be invisible
-    # except for exactly the doomed rows
-    from xml2arrow_spark.operators.checkpoint import delete_rows
+    # from the COMPLETED dataset
+    from xml2arrow_spark.operators.checkpoint import delete_rows, upsert_rows
 
     delete_rows(tok.filter("doc_id LIKE '%7'").select("doc_id"), path)
+    # r05 upsert leg (MERGE semantics, unit-pruned like the delete): docs
+    # ending in '3' are REPLACED by 16-token truncations, docs ending in
+    # '9' are re-INSERTED under a new id. The oracle states the final row
+    # set directly, so resume, delete, and upsert must all be invisible
+    # except for exactly these row edits.
+    replaced = (
+        tok.filter("doc_id LIKE '%3'")
+        .withColumn("tokens", F.expr("slice(tokens, 1, 16)"))
+        .withColumn("n_tok", F.expr("CAST(size(tokens) AS INT)"))
+    )
+    inserted = tok.filter("doc_id LIKE '%9'").withColumn(
+        "doc_id", F.concat("doc_id", F.lit("::v2"))
+    )
+    upsert_rows(replaced.unionByName(inserted), path)
     return _token_scalar_projection(read_encoded_dataset(spark, path))
 
 

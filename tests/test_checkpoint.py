@@ -257,3 +257,164 @@ def test_delete_rows_crash_windows_repair_on_rerun(spark, tmp_path, monkeypatch)
         == 1500 - 25
     )
     df.unpersist()
+
+
+# -- upsert_rows / lookup_rows (merge + point reads, r05 continuation) --------
+
+
+def test_upsert_rows_replaces_and_inserts_only_affected_units(spark, tmp_path):
+    """Merge semantics: ids already present are replaced by the batch row,
+    new ids are inserted; only the units the batch ids hash into are
+    rewritten (every other unit's files keep their mtimes); the manifest
+    rollup agrees with the data."""
+    path = str(tmp_path / "ups1")
+    df = tokens_dataframe(spark, 3000, variant="skewed_zipf", n_partitions=4).cache()
+    man = CodecManifest.auto_for(df.schema, block_rows=512)
+    encode_dataset(df, path, man, n_units=8)
+
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.checkpoint import upsert_rows
+
+    # batch: 30 replaced docs (tokens truncated) + 10 brand-new docs
+    replaced = (
+        df.orderBy("doc_id").limit(30)
+        .withColumn("tokens", F.expr("slice(tokens, 1, 8)"))
+        .withColumn("n_tok", F.expr("CAST(size(slice(tokens, 1, 8)) AS INT)"))
+    )
+    inserted = (
+        df.orderBy("doc_id").limit(10)
+        .withColumn("doc_id", F.concat(F.col("doc_id"), F.lit("::new")))
+    )
+    batch = replaced.unionByName(inserted).cache()
+
+    victim_units = {
+        r["unit_id"]
+        for r in plan_units(batch.select("doc_id"), 8).select("unit_id").collect()
+    }
+    untouched = {
+        f for f in _data_files(path)
+        if int(f.split("unit_id=")[1].split("/")[0]) not in victim_units
+    }
+    before_mtimes = {f: os.path.getmtime(f) for f in untouched}
+
+    m = upsert_rows(batch, path)
+    assert m["affected_units"] == len(victim_units)
+    assert m["rows_in_batch"] == 40
+    assert m["rows_replaced"] == 30
+    assert m["rows_inserted"] == 10
+    assert m["rows_after"] - m["rows_before"] == 10
+
+    expect = df.join(batch.select("doc_id"), "doc_id", "left_anti").unionByName(batch)
+    assert verify_roundtrip(expect, read_encoded_dataset(spark, path))["ok"]
+    assert {f: os.path.getmtime(f) for f in untouched} == before_mtimes
+    done = completed_units(spark, path)
+    assert done.count() == done.select("unit_id").distinct().count()
+    from pyspark.sql import functions as F2
+
+    assert done.agg(F2.sum("n_rows")).collect()[0][0] == 3000 + 10
+
+    # replay the same batch: idempotent (replace-by-id), nothing inserted
+    m2 = upsert_rows(batch, path)
+    assert m2["rows_replaced"] == 40 and m2["rows_inserted"] == 0
+    assert verify_roundtrip(expect, read_encoded_dataset(spark, path))["ok"]
+    batch.unpersist()
+    df.unpersist()
+
+
+def test_upsert_rows_refuses_bad_batches(spark, tmp_path):
+    """Schema drift and in-batch duplicate ids are refused, not resolved
+    silently; an empty batch is a clean no-op."""
+    import pytest as _pytest
+
+    from xml2arrow_spark.errors import ManifestError
+    from xml2arrow_spark.operators.checkpoint import upsert_rows
+
+    path = str(tmp_path / "ups2")
+    df = tokens_dataframe(spark, 500, n_partitions=2).cache()
+    encode_dataset(df, path, CodecManifest.auto_for(df.schema), n_units=4)
+
+    with _pytest.raises(ManifestError, match="lacks encoded column"):
+        upsert_rows(df.drop("source"), path)
+    with _pytest.raises(ManifestError, match="does not match"):
+        upsert_rows(df.withColumn("n_tok", df.n_tok.cast("long")), path)
+    with _pytest.raises(ValueError, match="duplicate"):
+        upsert_rows(df.orderBy("doc_id").limit(5).unionByName(df.orderBy("doc_id").limit(5)), path)
+    m = upsert_rows(df.limit(0), path)
+    assert m == {
+        "affected_units": 0, "rows_in_batch": 0, "rows_replaced": 0,
+        "rows_inserted": 0, "rows_before": 0, "rows_after": 0,
+    }
+    assert read_encoded_dataset(spark, path).count() == 500
+    df.unpersist()
+
+
+def test_upsert_rows_crash_windows_repair_on_rerun(spark, tmp_path, monkeypatch):
+    """Same two crash windows as delete: (1) after the blocks rewrite,
+    before manifest work — data correct, lineage stale; (2) mid manifest
+    swap — healed on entry. Replaying the SAME batch repairs both."""
+    import pytest as _pytest
+
+    import xml2arrow_spark.operators.checkpoint as cp
+
+    path = str(tmp_path / "ups3")
+    df = tokens_dataframe(spark, 1500, variant="uniform_vocab", n_partitions=4).cache()
+    encode_dataset(df, path, CodecManifest.auto_for(df.schema, block_rows=256), n_units=4)
+
+    from pyspark.sql import functions as F
+
+    batch = (
+        df.orderBy("doc_id").limit(20)
+        .withColumn("tokens", F.expr("slice(tokens, 1, 4)"))
+        .withColumn("n_tok", F.expr("CAST(size(slice(tokens, 1, 4)) AS INT)"))
+    ).cache()
+    expect = df.join(batch.select("doc_id"), "doc_id", "left_anti").unionByName(batch)
+
+    real = cp._unit_rollup_aggs
+
+    def boom():
+        raise RuntimeError("injected crash after blocks rewrite")
+
+    monkeypatch.setattr(cp, "_unit_rollup_aggs", boom)
+    with _pytest.raises(RuntimeError, match="injected"):
+        cp.upsert_rows(batch, path)
+    monkeypatch.setattr(cp, "_unit_rollup_aggs", real)
+    # data already correct, lineage stale; replay repairs the lineage
+    assert verify_roundtrip(expect, read_encoded_dataset(spark, path))["ok"]
+    m = cp.upsert_rows(batch, path)
+    assert m["rows_inserted"] == 0 and m["rows_replaced"] == 20
+    assert (
+        completed_units(spark, path).agg(F.sum("n_rows")).collect()[0][0] == 1500
+    )
+
+    # window 2: crash mid-swap (manifest renamed away, .new not yet in)
+    mdir = os.path.join(path, "manifest")
+    os.rename(mdir, mdir + ".old")
+    m2 = cp.upsert_rows(batch, path)  # heals, then replays cleanly
+    assert m2["rows_inserted"] == 0 and m2["rows_replaced"] == 20
+    assert verify_roundtrip(expect, read_encoded_dataset(spark, path))["ok"]
+    batch.unpersist()
+    df.unpersist()
+
+
+def test_lookup_rows_prunes_to_affected_units(spark, tmp_path):
+    """Point reads decode only the units the ids hash into: the executed
+    plan's PartitionFilters must pin the pruning, results must equal the
+    semi-joined input, and absent ids return no row."""
+    path = str(tmp_path / "look1")
+    df = tokens_dataframe(spark, 2000, variant="low_card", n_partitions=4).cache()
+    encode_dataset(df, path, CodecManifest.auto_for(df.schema, block_rows=512), n_units=8)
+
+    from xml2arrow_spark.operators.checkpoint import lookup_rows
+
+    wanted = [r["doc_id"] for r in df.select("doc_id").limit(7).collect()]
+    got = lookup_rows(_ids_df(spark, wanted + ["no_such_doc"]), path)
+    expect = df.join(_ids_df(spark, wanted), "doc_id", "left_semi")
+    assert verify_roundtrip(expect, got)["ok"]
+    assert got.count() == 7
+
+    # pruning pin: the unit filter must reach the scan's PartitionFilters
+    # (df.inputFiles ignores pruning — round-4 gotcha — so read the plan)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "unit_id" in plan
+    df.unpersist()

@@ -35,6 +35,8 @@ __all__ = [
     "read_encoded_dataset",
     "completed_units",
     "delete_rows",
+    "upsert_rows",
+    "lookup_rows",
 ]
 
 MANIFEST_SIDEVAR = "_manifest.yaml"
@@ -310,98 +312,77 @@ def read_encoded_dataset(
     return decode_table(blocks, ddl, zone_filter=zone_filter)
 
 
-def delete_rows(ids: DataFrame, path: str, id_col: str = "doc_id") -> dict:
-    """Row-level delete on an encoded dataset — the right-to-be-forgotten /
-    post-hoc curation pass. At 10^12-sequence scale a deletion batch must
-    never rewrite the whole dataset: unit placement is a pure function of
-    the id (``pmod(murmur3(id), n_units)``, the resume invariant), so the
-    units holding the doomed rows are computed from the ids ALONE, and only
-    those ``blocks/unit_id=<u>`` partitions are decoded, filtered, and
-    re-encoded (dynamic partition overwrite — the idempotent sink the
-    resume path already uses). Every other unit's files are untouched
-    bytes. Reference analog: the reference's whole-run rebuild is its only
-    update path (/root/reference/src/xml_parser.rs:934-936); a partitioned
-    dataset can do strictly better.
-
-    Crash contract (same discipline as resume): blocks partitions are
-    rewritten FIRST, the manifest table is swapped LAST (consolidate into
-    ``manifest.new`` -> rename away ``manifest`` -> rename ``manifest.new``
-    in -> drop the old). A crash anywhere leaves the data rows correct and
-    at worst the lineage counts stale or the manifest mid-swap; RE-RUNNING
-    the same delete repairs both (replay-idempotent, pinned by test), and a
-    torn swap is healed on entry. A concurrent encode_dataset resume during
-    a delete is out of contract (documented here, as for compaction).
-
-    Returns ``{"affected_units", "rows_before", "rows_after",
-    "rows_deleted"}``; a delete of absent ids is a no-op with
-    ``rows_deleted == 0``.
-    """
+def _heal_torn_swap(path: str) -> None:
+    """Heal a torn manifest swap left by a previous crashed mutation
+    (delete/upsert): the ``manifest.old`` directory is complete (the swap
+    had not finished), the ``.new`` one may be torn — restore the old,
+    discard the new plus any staging leftovers, and let this run redo the
+    whole mutation (mutations are replay-idempotent by contract)."""
     import shutil
-    import uuid
 
-    import yaml
-
-    spark = ids.sparkSession
     mdir = os.path.join(path, "manifest")
-    # heal a torn manifest swap from a previous crashed delete: the old
-    # directory is complete (the swap had not finished), the .new one may be
-    # torn — restore the old, discard the new, and let this run redo it
     if not os.path.exists(mdir) and os.path.exists(mdir + ".old"):
         os.rename(mdir + ".old", mdir)
     for leftover in (
         mdir + ".new",
         mdir + ".old",
-        os.path.join(path, ".delete_tmp"),
+        os.path.join(path, ".rewrite_tmp"),
     ):
         if os.path.exists(leftover):
             shutil.rmtree(leftover)
+
+
+def _load_sidecar(path: str) -> tuple[CodecManifest, str, int]:
+    """Resolved codec manifest + encoded-column DDL + unit count of an
+    existing dataset, placement-checked. The sidecar IS the manifest yaml
+    plus placement keys; ``from_dict`` tolerates the extras, so mutations
+    re-encode with the exact codecs of the original run (never a
+    re-resolved guess)."""
+    import yaml
 
     with open(os.path.join(path, MANIFEST_SIDEVAR)) as f:
         side = yaml.safe_load(f.read())
     n_units = int(side["n_units"])
     ddl = side["schema_ddl"]
     _check_placement(path, n_units, ddl)
-    # the sidecar IS the manifest yaml plus placement keys; from_dict
-    # tolerates the extras, so re-encode uses the exact codecs of the
-    # original run (never a re-resolved guess)
-    manifest = CodecManifest.from_dict(side)
+    return CodecManifest.from_dict(side), ddl, n_units
 
-    ids = ids.select(id_col).distinct()
-    affected = sorted(
-        r["unit_id"]
-        for r in plan_units(ids, n_units, id_col)
-        .select("unit_id")
-        .distinct()
-        .collect()  # bounded by n_units — metadata-scale
-    )
-    if not affected:
-        return {
-            "affected_units": 0, "rows_before": 0,
-            "rows_after": 0, "rows_deleted": 0,
-        }
+
+def _rewrite_units(
+    spark: SparkSession,
+    path: str,
+    manifest: CodecManifest,
+    n_units: int,
+    id_col: str,
+    affected: list[int],
+    rows: DataFrame,
+) -> tuple[int, int]:
+    """Shared mutation core for delete_rows / upsert_rows: ``rows`` is the
+    COMPLETE new contents of the ``affected`` units; every other unit's
+    files are untouched bytes. Blocks partitions are rewritten FIRST
+    (dynamic partition overwrite — the idempotent sink the resume path
+    uses), fully-emptied units' stale partitions are removed explicitly
+    (dynamic overwrite cannot touch a partition that received no rows),
+    and the manifest table is consolidate-replaced LAST via an atomic-ish
+    rename swap. Returns ``(rows_before, rows_after)`` counted over the
+    affected units. Crash anywhere leaves data rows correct and at worst
+    lineage stale or the swap torn; replaying the same mutation repairs
+    both (see _heal_torn_swap)."""
+    import shutil
+    import uuid
 
     blocks_dir = os.path.join(path, "blocks")
-    # partition-pruned scan: only the affected unit directories are read
-    blocks = spark.read.parquet(blocks_dir).filter(
-        F.col("unit_id").isin(affected)
-    )
-    decoded = decode_table(blocks, ddl)
-    kept = decoded.join(F.broadcast(ids), id_col, "left_anti")
-    # two-phase staging (the repo-wide branch-reuse pattern): the kept rows
+    # two-phase staging (the repo-wide branch-reuse pattern): the new rows
     # are needed TWICE — as the re-encode input and to learn which affected
-    # units still have rows at all (a fully-emptied unit writes NO partition,
-    # so dynamic overwrite would leave its stale directory AND a read-back
-    # rollup would resurrect its old counts — the bug this staging fixes).
-    # Materializing once also means the decode of the affected units runs
-    # once, not per branch.
-    tmpdir = os.path.join(path, ".delete_tmp")
+    # units still have rows at all. Materializing once also means the
+    # decode/union feeding `rows` runs once, not per branch.
+    tmpdir = os.path.join(path, ".rewrite_tmp")
     shutil.rmtree(tmpdir, ignore_errors=True)
-    staged_in = plan_units(kept, n_units, id_col)
+    staged_in = plan_units(rows, n_units, id_col)
     staged_in.write.parquet(tmpdir)
     staged = spark.read.schema(staged_in.schema).parquet(tmpdir)
     survivors = {
-        r["unit_id"]
-        for r in staged.select("unit_id").distinct().collect()
+        r["unit_id"] for r in staged.select("unit_id").distinct().collect()
     }
     # exact placement re-encode (same invariants as encode_dataset)
     todo = staged.repartition(n_units, id_col)
@@ -436,6 +417,7 @@ def delete_rows(ids: DataFrame, path: str, id_col: str = "doc_id") -> dict:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    mdir = os.path.join(path, "manifest")
     old = pq.read_table(mdir).cast(_manifest_schema())
     aff_arr = pa.array(affected, type=pa.int32())
     was = old.filter(pc.is_in(old.column("unit_id"), value_set=aff_arr))
@@ -455,9 +437,200 @@ def delete_rows(ids: DataFrame, path: str, id_col: str = "doc_id") -> dict:
     shutil.rmtree(mdir + ".old")
 
     rows_after = int(sum(r["n_rows"] for r in meta_rows))
+    return rows_before, rows_after
+
+
+def delete_rows(ids: DataFrame, path: str, id_col: str = "doc_id") -> dict:
+    """Row-level delete on an encoded dataset — the right-to-be-forgotten /
+    post-hoc curation pass. At 10^12-sequence scale a deletion batch must
+    never rewrite the whole dataset: unit placement is a pure function of
+    the id (``pmod(murmur3(id), n_units)``, the resume invariant), so the
+    units holding the doomed rows are computed from the ids ALONE, and only
+    those ``blocks/unit_id=<u>`` partitions are decoded, filtered, and
+    re-encoded (dynamic partition overwrite — the idempotent sink the
+    resume path already uses). Every other unit's files are untouched
+    bytes. Reference analog: the reference's whole-run rebuild is its only
+    update path (/root/reference/src/xml_parser.rs:934-936); a partitioned
+    dataset can do strictly better.
+
+    Crash contract (same discipline as resume): blocks partitions are
+    rewritten FIRST, the manifest table is swapped LAST (consolidate into
+    ``manifest.new`` -> rename away ``manifest`` -> rename ``manifest.new``
+    in -> drop the old). A crash anywhere leaves the data rows correct and
+    at worst the lineage counts stale or the manifest mid-swap; RE-RUNNING
+    the same delete repairs both (replay-idempotent, pinned by test), and a
+    torn swap is healed on entry. A concurrent encode_dataset resume during
+    a delete is out of contract (documented here, as for compaction).
+
+    Returns ``{"affected_units", "rows_before", "rows_after",
+    "rows_deleted"}``; a delete of absent ids is a no-op with
+    ``rows_deleted == 0``.
+    """
+    spark = ids.sparkSession
+    _heal_torn_swap(path)
+    manifest, ddl, n_units = _load_sidecar(path)
+
+    ids = ids.select(id_col).distinct()
+    affected = sorted(
+        r["unit_id"]
+        for r in plan_units(ids, n_units, id_col)
+        .select("unit_id")
+        .distinct()
+        .collect()  # bounded by n_units — metadata-scale
+    )
+    if not affected:
+        return {
+            "affected_units": 0, "rows_before": 0,
+            "rows_after": 0, "rows_deleted": 0,
+        }
+
+    blocks_dir = os.path.join(path, "blocks")
+    # partition-pruned scan: only the affected unit directories are read
+    blocks = spark.read.parquet(blocks_dir).filter(
+        F.col("unit_id").isin(affected)
+    )
+    decoded = decode_table(blocks, ddl)
+    kept = decoded.join(F.broadcast(ids), id_col, "left_anti")
+    rows_before, rows_after = _rewrite_units(
+        spark, path, manifest, n_units, id_col, affected, kept
+    )
     return {
         "affected_units": len(affected),
         "rows_before": rows_before,
         "rows_after": rows_after,
         "rows_deleted": rows_before - rows_after,
     }
+
+
+def upsert_rows(rows: DataFrame, path: str, id_col: str = "doc_id") -> dict:
+    """Merge a batch of rows into an encoded dataset — replace-by-id for ids
+    already present, insert for new ids (MERGE INTO semantics, the
+    continuous-curation twin of :func:`delete_rows`). At 10^12-sequence
+    scale an update batch must never rewrite the whole dataset: unit
+    placement is a pure function of the id, so the units the batch touches
+    are computed from the incoming ids ALONE; only those
+    ``blocks/unit_id=<u>`` partitions are decoded, anti-joined against the
+    incoming ids (dropping the superseded row versions), unioned with the
+    batch, and re-encoded with the exact codecs of the original run. Every
+    other unit's files are untouched bytes. Reference analog: the
+    reference's whole-run rebuild is its only update path
+    (/root/reference/src/xml_parser.rs:934-936).
+
+    Crash contract — identical to delete_rows (blocks first, manifest swap
+    last, torn swap healed on entry): re-running the SAME batch repairs any
+    crash window, because replace-by-id is idempotent.
+
+    The batch must carry every encoded column (checked against the dataset
+    sidecar) and at most one row per id — two rows for the same id in one
+    batch have no defined winner, so that is refused rather than resolved
+    silently (resolve upstream with an explicit latest-wins rule, e.g.
+    pipeline/dedup.py's epoch pattern).
+
+    The anti-join is deliberately UNHINTED: a curation batch is usually
+    tiny next to the decoded units (AQE broadcasts it), but a bulk backfill
+    can be arbitrarily large and must degrade to a shuffled join instead of
+    OOMing the driver.
+
+    Returns ``{"affected_units", "rows_in_batch", "rows_replaced",
+    "rows_inserted", "rows_before", "rows_after"}``; an empty batch is a
+    no-op.
+    """
+    spark = rows.sparkSession
+    _heal_torn_swap(path)
+    manifest, ddl, n_units = _load_sidecar(path)
+
+    from xml2arrow_spark.errors import ManifestError
+    from xml2arrow_spark.operators.encode import split_schema_ddl
+
+    by_name = split_schema_ddl(ddl)  # decimal(p,0)-safe
+    missing = set(by_name) - set(rows.columns)
+    if missing:
+        raise ManifestError(
+            f"upsert batch lacks encoded column(s) {sorted(missing)}; "
+            f"the dataset at {path!r} encodes [{ddl}]"
+        )
+    incoming = rows.select(*by_name)  # sidecar column order
+    got_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in incoming.schema.fields
+    )
+    if got_ddl != ddl:
+        raise ManifestError(
+            f"upsert batch schema [{got_ddl}] does not match the dataset's "
+            f"encoded schema [{ddl}] — cast upstream; silent coercion here "
+            f"would break bit-identity"
+        )
+
+    # one aggregate over the batch answers both "is it empty" and "does any
+    # id repeat" without a second scan
+    n_in, n_ids = (
+        incoming.agg(
+            F.count("*").alias("n"), F.count_distinct(id_col).alias("d")
+        ).collect()[0]
+    )
+    if n_in == 0:
+        return {
+            "affected_units": 0, "rows_in_batch": 0, "rows_replaced": 0,
+            "rows_inserted": 0, "rows_before": 0, "rows_after": 0,
+        }
+    if n_ids != n_in:
+        raise ValueError(
+            f"upsert batch has {n_in - n_ids} duplicate {id_col} row(s): "
+            f"no defined winner inside one batch — resolve upstream "
+            f"(latest-wins epochs) before upserting"
+        )
+
+    ids = incoming.select(id_col)
+    affected = sorted(
+        r["unit_id"]
+        for r in plan_units(ids, n_units, id_col)
+        .select("unit_id")
+        .distinct()
+        .collect()  # bounded by n_units — metadata-scale
+    )
+    blocks_dir = os.path.join(path, "blocks")
+    # partition-pruned scan: only the touched unit directories are decoded
+    blocks = spark.read.parquet(blocks_dir).filter(
+        F.col("unit_id").isin(affected)
+    )
+    decoded = decode_table(blocks, ddl)
+    kept = decoded.join(ids, id_col, "left_anti")
+    rows_before, rows_after = _rewrite_units(
+        spark, path, manifest, n_units, id_col, affected,
+        kept.unionByName(incoming),
+    )
+    # rows_after = kept + batch and kept = rows_before - replaced, so both
+    # split counts fall out of the two lineage totals — no extra jobs
+    kept_n = rows_after - int(n_in)
+    replaced = rows_before - kept_n
+    return {
+        "affected_units": len(affected),
+        "rows_in_batch": int(n_in),
+        "rows_replaced": replaced,
+        "rows_inserted": int(n_in) - replaced,
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+    }
+
+
+def lookup_rows(ids: DataFrame, path: str, id_col: str = "doc_id") -> DataFrame:
+    """Point reads from an encoded dataset: decode ONLY the units the
+    requested ids hash into (partition-pruned scan — the read twin of the
+    mutation pruning above), then semi-join down to the requested rows.
+    At 10^12 sequences a k-id lookup touches at most min(k, n_units) unit
+    directories instead of the corpus; absent ids simply return no row.
+    The semi-join is broadcast: a lookup batch is ids-only and small by
+    construction (bulk retrieval is read_encoded_dataset's job)."""
+    spark = ids.sparkSession
+    _, ddl, n_units = _load_sidecar(path)
+    ids = ids.select(id_col).distinct()
+    affected = sorted(
+        r["unit_id"]
+        for r in plan_units(ids, n_units, id_col)
+        .select("unit_id")
+        .distinct()
+        .collect()  # bounded by n_units — metadata-scale
+    )
+    blocks = spark.read.parquet(os.path.join(path, "blocks")).filter(
+        F.col("unit_id").isin(affected)
+    )
+    return decode_table(blocks, ddl).join(F.broadcast(ids), id_col, "left_semi")

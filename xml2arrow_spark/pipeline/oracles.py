@@ -41,6 +41,39 @@ FROM t
 """
 
 
+def encode_dataset_resume_sql() -> str:
+    """Oracle for the full dataset-mutation chain the resume gate runs:
+    partial encode -> resume -> DELETE of ids ending in '7' -> UPSERT that
+    replaces ids ending in '3' with 16-token truncations and inserts ids
+    ending in '9' under ``doc_id || '::v2'``. The oracle states the final
+    row set directly over the raw projection — resume, delete, and upsert
+    must all be invisible except for exactly these row edits."""
+    return f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST({_TOKS} AS INTEGER[]) AS tokens,
+         {G.asize(G.split_ws('text', D), D)} AS n_tok,
+         source
+  FROM documents
+),
+final AS (
+  SELECT * FROM t WHERE doc_id NOT LIKE '%7' AND doc_id NOT LIKE '%3'
+  UNION ALL
+  SELECT doc_id, tokens[1:16] AS tokens,
+         CAST(len(tokens[1:16]) AS INTEGER) AS n_tok, source
+  FROM t WHERE doc_id LIKE '%3'
+  UNION ALL
+  SELECT doc_id || '::v2' AS doc_id, tokens, n_tok, source
+  FROM t WHERE doc_id LIKE '%9'
+)
+SELECT doc_id, n_tok, source,
+       {G.afold('tokens', f'(acc * 31 + x) % {FINGERPRINT_MOD}', D)} AS tok_fp,
+       coalesce(list_min(tokens), -1) AS tok_min,
+       coalesce(list_max(tokens), -1) AS tok_max
+FROM final
+"""
+
+
 def token_stats_sql() -> str:
     return f"""
 WITH tok AS (
@@ -1375,11 +1408,10 @@ def all_oracles() -> dict[str, str]:
         # resume + streaming decode back to the SAME token projection the
         # tokenize oracle recomputes — resumability/streaming must be
         # invisible to results. The resume gate then DELETES ids ending in
-        # '7' from the completed dataset (r05 row-level delete), so its
-        # oracle is the same projection minus exactly those rows
-        "encode_dataset_resume": (
-            f"SELECT * FROM ({tokenize_sql()}) WHERE doc_id NOT LIKE '%7'"
-        ),
+        # '7' from the completed dataset (r05 row-level delete) and then
+        # UPSERTS a batch (replace '%3', insert '%9::v2'); the oracle
+        # states the final row set over the raw projection
+        "encode_dataset_resume": encode_dataset_resume_sql(),
         "streaming_encode": tokenize_sql(),
         "encode_types_composite": encode_types_composite_sql(),
         "multimodal_pipeline": multimodal_pipeline_sql(),
