@@ -66,10 +66,11 @@ def _scratch(prefix: str) -> str:
 
 
 
-def _token_scalar_projection(tok: DataFrame) -> DataFrame:
+def _token_scalar_projection(tok: DataFrame, *extra) -> DataFrame:
     """Canonicalizable projection of a token table: the array column becomes
     a base-31 fold fingerprint + min/max — bit-identical token arrays give
-    bit-identical rows, and the driver's canonicalizer can sort them."""
+    bit-identical rows, and the driver's canonicalizer can sort them.
+    ``extra`` columns (already aliased, null-free) are appended."""
     fp = F.expr(
         f"aggregate(tokens, CAST(0 AS BIGINT), "
         f"(acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD})"
@@ -83,6 +84,7 @@ def _token_scalar_projection(tok: DataFrame) -> DataFrame:
         # and the driver gate's canonicalizer requires null-free output
         F.coalesce(F.array_min("tokens"), F.lit(-1)).alias("tok_min"),
         F.coalesce(F.array_max("tokens"), F.lit(-1)).alias("tok_max"),
+        *extra,
     )
 
 
@@ -1111,7 +1113,23 @@ def q_encode_dataset_resume(spark, sf_dir):
         "doc_id", F.concat("doc_id", F.lit("::v2"))
     )
     upsert_rows(replaced.unionByName(inserted), path)
-    return _token_scalar_projection(read_encoded_dataset(spark, path))
+    # r05 column-family leg (schema evolution without rewriting): a quality
+    # score is backfilled for docs ending in '1' ONLY — its own encoded
+    # blocks tree, zero base bytes touched; the read path left-joins it, so
+    # uncovered rows surface the -1 sentinel (the oracle's CASE arm)
+    from xml2arrow_spark.operators.checkpoint import add_columns
+
+    add_columns(
+        tok.filter("doc_id LIKE '%1'").select(
+            "doc_id", (F.col("n_tok") % F.lit(31)).cast("int").alias("q_score")
+        ),
+        path,
+        "quality",
+    )
+    return _token_scalar_projection(
+        read_encoded_dataset(spark, path),
+        F.coalesce("q_score", F.lit(-1)).alias("q_score"),
+    )
 
 
 def q_streaming_encode(spark, sf_dir):

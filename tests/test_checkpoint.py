@@ -418,3 +418,132 @@ def test_lookup_rows_prunes_to_affected_units(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "unit_id" in plan
     df.unpersist()
+
+
+# -- add_columns / column families (schema evolution, r05 continuation) ------
+
+
+def test_add_columns_family_roundtrip_and_null_fill(spark, tmp_path):
+    """A family backfills new columns without touching a base byte: base
+    block files keep their mtimes; covered rows read the family value,
+    uncovered rows read NULL; a base-columns-only read never scans the
+    family; ghost family rows (base row deleted later) never surface."""
+    path = str(tmp_path / "fam1")
+    df = tokens_dataframe(spark, 2000, variant="skewed_zipf", n_partitions=4).cache()
+    encode_dataset(df, path, CodecManifest.auto_for(df.schema, block_rows=512), n_units=8)
+    base_mtimes = {f: os.path.getmtime(f) for f in _data_files(path)}
+
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.checkpoint import (
+        add_columns,
+        delete_rows,
+        drop_family,
+        list_families,
+    )
+
+    covered = df.orderBy("doc_id").limit(500)
+    fam = covered.select(
+        "doc_id", (F.col("n_tok") % F.lit(13)).cast("int").alias("q_score")
+    )
+    m = add_columns(fam, path, "quality")
+    assert m["rows"] == 500
+    assert base_mtimes == {f: os.path.getmtime(f) for f in _data_files(path)}
+    assert list(list_families(path)) == ["quality"]
+
+    out = read_encoded_dataset(spark, path)  # base + family columns
+    assert out.columns == ["doc_id", "tokens", "n_tok", "source", "q_score"]
+    assert out.filter("q_score IS NOT NULL").count() == 500
+    assert out.filter("q_score IS NULL").count() == 1500
+    expect = df.join(
+        fam.withColumnRenamed("q_score", "e_score"), "doc_id", "left"
+    )
+    bad = (
+        out.join(expect, "doc_id")
+        .filter("q_score IS DISTINCT FROM e_score")
+        .count()
+    )
+    assert bad == 0
+
+    # subset read mixing sides keeps the requested order
+    sub = read_encoded_dataset(spark, path, columns=["q_score", "n_tok"])
+    assert sub.columns == ["q_score", "n_tok"]
+    # base-only read: the family blocks are never scanned
+    base_only = read_encoded_dataset(spark, path, columns=["doc_id", "n_tok"])
+    plan = base_only._jdf.queryExecution().executedPlan().toString()
+    assert "families" not in plan
+
+    # ghosts: delete covered base rows; their family rows must not surface
+    doomed = [r["doc_id"] for r in covered.select("doc_id").limit(30).collect()]
+    delete_rows(_ids_df(spark, doomed), path)
+    out2 = read_encoded_dataset(spark, path)
+    assert out2.count() == 2000 - 30
+    assert out2.filter("q_score IS NOT NULL").count() == 470
+
+    assert drop_family(path, "quality") is True
+    assert drop_family(path, "quality") is False
+    assert read_encoded_dataset(spark, path).columns == [
+        "doc_id", "tokens", "n_tok", "source",
+    ]
+    df.unpersist()
+
+
+def test_add_columns_zone_filter_routes_to_family(spark, tmp_path):
+    """A zone predicate on a family column prunes FAMILY blocks (superset
+    semantics survive the left join: pruned rows surface NULL, which the
+    caller's row filter drops exactly like an exact filter would)."""
+    path = str(tmp_path / "fam2")
+    df = tokens_dataframe(spark, 1500, variant="low_card", n_partitions=4).cache()
+    encode_dataset(df, path, CodecManifest.auto_for(df.schema, block_rows=256), n_units=4)
+
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.checkpoint import add_columns
+
+    fam = df.select(
+        "doc_id", (F.col("n_tok") % F.lit(100)).cast("int").alias("bucket")
+    )
+    add_columns(fam, path, "extras")
+
+    got = read_encoded_dataset(
+        spark, path, columns=["doc_id", "bucket"],
+        zone_filter=[("bucket", 0, 5)],
+    ).filter("bucket BETWEEN 0 AND 5")
+    expect = fam.filter("bucket BETWEEN 0 AND 5")
+    assert got.count() == expect.count()
+    assert (
+        got.alias("g").join(expect.alias("e"), "doc_id")
+        .filter("g.bucket IS DISTINCT FROM e.bucket").count()
+    ) == 0
+    df.unpersist()
+
+
+def test_add_columns_refusals(spark, tmp_path):
+    """Name/collision/duplicate-id/coverage contracts are refused loudly."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.errors import ManifestError
+    from xml2arrow_spark.operators.checkpoint import add_columns
+
+    path = str(tmp_path / "fam3")
+    df = tokens_dataframe(spark, 400, n_partitions=2).cache()
+    encode_dataset(df, path, CodecManifest.auto_for(df.schema), n_units=4)
+    fam = df.select("doc_id", (F.col("n_tok") * 2).cast("int").alias("twice"))
+
+    with _pytest.raises(ManifestError, match="must be"):
+        add_columns(fam, path, "bad/name")
+    with _pytest.raises(ManifestError, match="collide"):
+        add_columns(df.select("doc_id", "n_tok"), path, "clash")
+    with _pytest.raises(ManifestError, match="at least one new column"):
+        add_columns(df.select("doc_id"), path, "empty")
+    with _pytest.raises(ValueError, match="duplicate"):
+        add_columns(fam.unionByName(fam), path, "dups")
+    add_columns(fam, path, "ok")
+    with _pytest.raises(ManifestError, match="already exists"):
+        add_columns(fam, path, "ok")
+    # cross-family collision
+    with _pytest.raises(ManifestError, match="collide"):
+        add_columns(fam, path, "ok2")
+    df.unpersist()

@@ -37,6 +37,9 @@ __all__ = [
     "delete_rows",
     "upsert_rows",
     "lookup_rows",
+    "add_columns",
+    "list_families",
+    "drop_family",
 ]
 
 MANIFEST_SIDEVAR = "_manifest.yaml"
@@ -285,31 +288,73 @@ def read_encoded_dataset(
     path: str,
     columns: list[str] | None = None,
     zone_filter=None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Decode an encoded dataset directory back to its original columns.
 
-    ``columns`` decodes a subset (the other kernels are skipped);
+    ``columns`` decodes a subset (the other kernels are skipped) and may
+    name COLUMN-FAMILY columns (see :func:`add_columns`): family payloads
+    are decoded from their own ``families/<name>/blocks`` and left-joined
+    onto the base rows by ``id_col`` — rows the family never covered get
+    NULL, family rows for ids no longer in the base (deleted after the
+    family was built) never surface. With ``columns=None`` every base
+    column plus every family column is returned.
+
     ``zone_filter`` — one (col, lo, hi) tuple or a conjunction list —
-    prunes whole blocks before any kernel runs (decode_table semantics:
-    superset result, apply the row filter after)."""
+    prunes whole blocks before any kernel runs; each predicate is routed
+    to the side (base or family) that stores its column. decode_table
+    semantics throughout: superset result, apply the row filter after
+    (a family-side prune turns pruned rows' family values into NULLs,
+    which the caller's row filter drops the same way)."""
     import yaml
+
+    from xml2arrow_spark.operators.encode import split_schema_ddl
 
     with open(os.path.join(path, MANIFEST_SIDEVAR)) as f:
         side = yaml.safe_load(f.read())
-    ddl = side["schema_ddl"]
-    if columns is not None:
-        from xml2arrow_spark.operators.encode import split_schema_ddl
+    base_cols = split_schema_ddl(side["schema_ddl"])  # decimal(p,0)-safe
+    fams = list_families(path)
+    fam_cols = {c: fam for fam, cols in fams.items() for c in cols
+                if c != id_col}
+    if columns is None:
+        columns = list(base_cols) + list(fam_cols)
+    missing = set(columns) - set(base_cols) - set(fam_cols)
+    if missing:
+        raise ValueError(
+            f"dataset lacks encoded column(s) {sorted(missing)}; "
+            f"it has {sorted(base_cols)} + family columns {sorted(fam_cols)}"
+        )
+    zf = zone_filter
+    if zf is not None and not isinstance(zf, list):
+        zf = [zf]
+    base_want = [c for c in columns if c in base_cols]
+    fam_want: dict[str, list[str]] = {}
+    for c in columns:
+        if c in fam_cols:
+            fam_want.setdefault(fam_cols[c], []).append(c)
 
-        by_name = split_schema_ddl(ddl)  # decimal(p,0)-safe
-        missing = set(columns) - set(by_name)
-        if missing:
-            raise ValueError(
-                f"dataset lacks encoded column(s) {sorted(missing)}; "
-                f"it has {sorted(by_name)}"
-            )
-        ddl = ", ".join(by_name[c] for c in columns)
+    def _side_filter(owned) -> list | None:
+        picked = [t for t in (zf or []) if t[0] in owned]
+        return picked or None
+
+    need_id = bool(fam_want)
+    base_sel = ([id_col] if need_id and id_col not in base_want else []) + base_want
+    ddl = ", ".join(base_cols[c] for c in base_sel)
     blocks = spark.read.parquet(os.path.join(path, "blocks"))
-    return decode_table(blocks, ddl, zone_filter=zone_filter)
+    out = decode_table(blocks, ddl, zone_filter=_side_filter(base_cols))
+    for fam, cols in fam_want.items():
+        fddl = ", ".join([fams[fam][id_col]] + [fams[fam][c] for c in cols])
+        fblocks = spark.read.parquet(
+            os.path.join(path, "families", fam, "blocks")
+        )
+        fdec = decode_table(fblocks, fddl, zone_filter=_side_filter(fams[fam]))
+        # base rows are the row set; family rows only contribute values.
+        # Both sides are hash-placed by the same unit function, but two
+        # independent parquet scans cannot prove co-partitioning to Spark,
+        # so this is one shuffle per family — at 100 TB, sink both sides
+        # bucketBy(id) to make the join exchange-free.
+        out = out.join(fdec, id_col, "left")
+    return out.select(*columns)
 
 
 def _heal_torn_swap(path: str) -> None:
@@ -634,3 +679,117 @@ def lookup_rows(ids: DataFrame, path: str, id_col: str = "doc_id") -> DataFrame:
         F.col("unit_id").isin(affected)
     )
     return decode_table(blocks, ddl).join(F.broadcast(ids), id_col, "left_semi")
+
+
+def list_families(path: str) -> dict[str, dict[str, str]]:
+    """Column families of an encoded dataset: ``{family: {col: "col type"}}``
+    (the id column included), in sorted family order — the deterministic
+    projection order read_encoded_dataset uses for ``columns=None``."""
+    import yaml
+
+    from xml2arrow_spark.operators.encode import split_schema_ddl
+
+    fdir = os.path.join(path, "families")
+    out: dict[str, dict[str, str]] = {}
+    if os.path.isdir(fdir):
+        for name in sorted(os.listdir(fdir)):
+            spath = os.path.join(fdir, name, MANIFEST_SIDEVAR)
+            if os.path.exists(spath):
+                with open(spath) as f:
+                    side = yaml.safe_load(f.read())
+                out[name] = split_schema_ddl(side["schema_ddl"])
+    return out
+
+
+def add_columns(
+    vals: DataFrame,
+    path: str,
+    family: str,
+    id_col: str = "doc_id",
+    manifest: CodecManifest | None = None,
+) -> dict:
+    """Schema evolution without rewriting: attach new columns to an encoded
+    dataset as a COLUMN FAMILY — its own encoded blocks/manifest tree under
+    ``families/<family>/``, built with the SAME unit placement as the base
+    (so every maintenance op prunes identically) and never touching a byte
+    of the existing payload. At 10^12 sequences this is the difference
+    between backfilling a quality-score column as a metadata-scale job and
+    rewriting 100 TB of token payload. The reference can only express this
+    as a full re-parse with a wider config (/root/reference/src/config.rs
+    table mappings are fixed at parse time); a partitioned columnar store
+    can do strictly better.
+
+    ``vals`` carries ``id_col`` plus the new columns, at most one row per
+    id (duplicate ids are refused — no defined winner); ids need not cover
+    the base (uncovered rows read as NULL) and ids unknown to the base are
+    stored but never surface (the read path left-joins FROM the base).
+    Codecs are auto-selected from the family's own sampled stats unless a
+    ``manifest`` is given. Delegates storage to :func:`encode_dataset`, so
+    families inherit resume, lineage, and the idempotent sink; re-running
+    the same add_columns after a crash completes it.
+
+    Returns encode_dataset's run metrics."""
+    from xml2arrow_spark.errors import ManifestError
+    from xml2arrow_spark.operators.encode import split_schema_ddl
+    from xml2arrow_spark.plans.selector import resolve_manifest
+
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9_]+", family):
+        raise ManifestError(
+            f"family name {family!r} must be [A-Za-z0-9_]+ (it becomes a "
+            f"directory name)"
+        )
+    _, ddl, n_units = _load_sidecar(path)
+    base_cols = split_schema_ddl(ddl)
+    if id_col not in base_cols:
+        raise ManifestError(
+            f"id column {id_col!r} is not an encoded base column of "
+            f"{path!r} ([{ddl}]) — family rows could never be joined back"
+        )
+    fams = list_families(path)
+    if family in fams:
+        raise ManifestError(
+            f"family {family!r} already exists at {path!r}; drop_family() "
+            f"first or pick a new name (families are immutable-by-name so "
+            f"readers can never see a half-replaced family)"
+        )
+    new_cols = [c for c in vals.columns if c != id_col]
+    if id_col not in vals.columns or not new_cols:
+        raise ManifestError(
+            f"add_columns needs [{id_col!r} + at least one new column]; "
+            f"got {vals.columns}"
+        )
+    taken = set(base_cols) | {
+        c for cols in fams.values() for c in cols if c != id_col
+    }
+    clash = taken & set(new_cols)
+    if clash:
+        raise ManifestError(
+            f"new column(s) {sorted(clash)} collide with existing "
+            f"base/family columns of {path!r}"
+        )
+    vals = vals.select(id_col, *new_cols)
+    n_in, n_ids = vals.agg(
+        F.count("*").alias("n"), F.count_distinct(id_col).alias("d")
+    ).collect()[0]
+    if n_ids != n_in:
+        raise ValueError(
+            f"family batch has {n_in - n_ids} duplicate {id_col} row(s): "
+            f"no defined winner — resolve upstream before attaching"
+        )
+    fam_path = os.path.join(path, "families", family)
+    man = manifest or resolve_manifest(vals, CodecManifest.auto_for(vals.schema))
+    return encode_dataset(vals, fam_path, man, n_units=n_units, id_col=id_col)
+
+
+def drop_family(path: str, family: str) -> bool:
+    """Remove a column family (directory tree delete — family blocks are
+    self-contained, nothing in the base references them). Returns whether
+    it existed."""
+    import shutil
+
+    fam_path = os.path.join(path, "families", family)
+    existed = os.path.isdir(fam_path)
+    shutil.rmtree(fam_path, ignore_errors=True)
+    return existed

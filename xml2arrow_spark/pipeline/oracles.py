@@ -45,9 +45,11 @@ def encode_dataset_resume_sql() -> str:
     """Oracle for the full dataset-mutation chain the resume gate runs:
     partial encode -> resume -> DELETE of ids ending in '7' -> UPSERT that
     replaces ids ending in '3' with 16-token truncations and inserts ids
-    ending in '9' under ``doc_id || '::v2'``. The oracle states the final
-    row set directly over the raw projection — resume, delete, and upsert
-    must all be invisible except for exactly these row edits."""
+    ending in '9' under ``doc_id || '::v2'`` -> ADD_COLUMNS that backfills a
+    quality-score column family for ids ending in '1' (uncovered rows read
+    as the -1 sentinel). The oracle states the final row set directly over
+    the raw projection — resume, delete, upsert, and the family join must
+    all be invisible except for exactly these row edits."""
     return f"""
 WITH t AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -69,7 +71,8 @@ final AS (
 SELECT doc_id, n_tok, source,
        {G.afold('tokens', f'(acc * 31 + x) % {FINGERPRINT_MOD}', D)} AS tok_fp,
        coalesce(list_min(tokens), -1) AS tok_min,
-       coalesce(list_max(tokens), -1) AS tok_max
+       coalesce(list_max(tokens), -1) AS tok_max,
+       CASE WHEN doc_id LIKE '%1' THEN n_tok % 31 ELSE -1 END AS q_score
 FROM final
 """
 
