@@ -429,6 +429,57 @@ def main() -> None:
 
     best_of("q17_mixture_shuffle", run_q17)
 
+    # -- q18: dataset maintenance (upsert + point lookup + family read) -------
+    # Setup (untimed): encode the token table once, attach a quality family.
+    # Per rep: merge a ~1% batch (replace-by-id — rep 1 inserts the new ids,
+    # later reps replace them, so every rep rewrites the same affected-unit
+    # set), point-look-up 16 ids, and decode base+family join. This is the
+    # continuous-curation hot path: at 10^12 sequences its cost must track
+    # the batch (affected units), not the corpus.
+    from xml2arrow_spark.operators.checkpoint import (
+        add_columns,
+        encode_dataset,
+        lookup_rows,
+        read_encoded_dataset,
+        upsert_rows,
+    )
+
+    maint_dir = tempfile.mkdtemp(prefix="bench_maint_")
+    try:
+        ds_path = os.path.join(maint_dir, "ds")
+        tok_docs = tokenize_documents(docs).cache()
+        man_m = resolve_manifest(
+            tok_docs, CodecManifest.auto_for(tok_docs.schema, block_rows=8192)
+        )
+        encode_dataset(tok_docs, ds_path, man_m, n_units=CPUS)
+        add_columns(
+            tok_docs.select(
+                "doc_id", (F.col("n_tok") % F.lit(31)).cast("int").alias("q_score")
+            ),
+            ds_path,
+            "quality",
+        )
+        batch = (
+            tok_docs.filter("doc_id LIKE '%77'")
+            .withColumn("doc_id", F.concat("doc_id", F.lit("::m")))
+        ).cache()
+        batch.count()
+        probe_ids = [r["doc_id"] for r in tok_docs.select("doc_id").limit(16).collect()]
+        probe = spark.createDataFrame([(i,) for i in probe_ids], "doc_id string")
+
+        def run_q18():
+            upsert_rows(batch, ds_path)
+            lookup_rows(probe, ds_path).collect()
+            read_encoded_dataset(
+                spark, ds_path, columns=["doc_id", "n_tok", "q_score"]
+            ).agg(F.sum(F.coalesce("q_score", F.lit(0)))).collect()
+
+        best_of("q18_dataset_maintenance", run_q18)
+        tok_docs.unpersist()
+        batch.unpersist()
+    finally:
+        shutil.rmtree(maint_dir, ignore_errors=True)
+
     total = round(sum(queries.values()), 3)
     # cross-round comparability: the r01-r04 headline covered q1-q10; the
     # r05 additions (q11-q17, incl. the machinery-dominated streaming
@@ -438,7 +489,9 @@ def main() -> None:
         sum(
             v
             for k, v in queries.items()
-            if not k.startswith(("q11", "q12", "q13", "q14", "q15", "q16", "q17"))
+            if not k.startswith(
+                ("q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18")
+            )
         ),
         3,
     )
