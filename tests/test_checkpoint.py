@@ -547,3 +547,55 @@ def test_add_columns_refusals(spark, tmp_path):
     with _pytest.raises(ManifestError, match="collide"):
         add_columns(fam, path, "ok2")
     df.unpersist()
+
+
+def test_lookup_rows_block_prunes_on_presorted_dataset(spark, tmp_path):
+    """An id-presorted dataset records its clustering in the sidecar, point
+    lookups prune at block granularity (strictly fewer blocks survive the
+    zone prune than the affected units hold), mutations re-encode with the
+    SAME clustering (pruning still bites after an upsert), and results
+    always equal the semi-joined truth."""
+    import yaml
+
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.checkpoint import lookup_rows, upsert_rows
+    from xml2arrow_spark.operators.encode import prune_blocks_any
+
+    path = str(tmp_path / "look2")
+    df = tokens_dataframe(spark, 3000, variant="low_card", n_partitions=4).cache()
+    man = CodecManifest.auto_for(df.schema, block_rows=128)
+    encode_dataset(df, path, man, n_units=4, presort=["doc_id"])
+    with open(os.path.join(path, "_manifest.yaml")) as f:
+        assert yaml.safe_load(f.read())["presort"] == ["doc_id"]
+
+    wanted = [r["doc_id"] for r in df.select("doc_id").limit(6).collect()]
+    got = lookup_rows(_ids_df(spark, wanted), path)
+    expect = df.join(_ids_df(spark, wanted), "doc_id", "left_semi")
+    assert verify_roundtrip(expect, got)["ok"]
+
+    blocks = spark.read.parquet(os.path.join(path, "blocks"))
+    assert (
+        prune_blocks_any(blocks, "doc_id", wanted).count() < blocks.count()
+    )
+
+    # upsert a batch; the rewrite must keep the recorded clustering so the
+    # block prune still bites afterwards
+    batch = (
+        df.orderBy("doc_id").limit(25)
+        .withColumn("tokens", F.expr("slice(tokens, 1, 4)"))
+        .withColumn("n_tok", F.expr("CAST(size(tokens) AS INT)"))
+    )
+    upsert_rows(batch, path)
+    blocks2 = spark.read.parquet(os.path.join(path, "blocks"))
+    assert (
+        prune_blocks_any(blocks2, "doc_id", wanted).count() < blocks2.count()
+    )
+    got2 = lookup_rows(_ids_df(spark, wanted), path)
+    expect2 = (
+        df.join(batch.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(batch)
+        .join(_ids_df(spark, wanted), "doc_id", "left_semi")
+    )
+    assert verify_roundtrip(expect2, got2)["ok"]
+    df.unpersist()

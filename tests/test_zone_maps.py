@@ -130,3 +130,46 @@ def test_zone_maps_toggle_off(spark, sorted_df):
     assert prune_blocks(blocks, "id", 0, 1).count() == blocks.count()
     # yaml round trip preserves the knob
     assert CodecManifest.from_yaml(man.to_yaml()).zone_maps is False
+
+
+def test_prune_blocks_any_disjunctive_point_sets(spark):
+    """OR-of-points zone pruning (the lookup shape): on id-presorted blocks
+    the survivors are exactly the blocks whose range contains a requested
+    id (a strict subset here); result rows are a superset of the matches;
+    missing stats keep the block (conservative)."""
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.manifest import CodecManifest
+    from xml2arrow_spark.operators.encode import (
+        decode_table,
+        encode_table,
+        prune_blocks_any,
+    )
+    from xml2arrow_spark.sources import tokens_dataframe
+
+    df = tokens_dataframe(spark, 2000, variant="low_card", n_partitions=1)
+    man = CodecManifest.auto_for(df.schema, block_rows=128)
+    blocks = encode_table(df, man, presort=["doc_id"]).cache()
+    n_blocks = blocks.count()
+
+    wanted = [r["doc_id"] for r in df.select("doc_id").limit(5).collect()]
+    kept = prune_blocks_any(blocks, "doc_id", wanted).cache()
+    assert 0 < kept.count() < n_blocks  # presort => tight ranges => pruning
+
+    got = decode_table(kept, "doc_id string, n_tok int").filter(
+        F.col("doc_id").isin(wanted)
+    )
+    assert got.count() == 5  # superset decode + exact row filter = all hits
+
+    # hash-scrambled row order (each block's id range spans ~everything):
+    # pruning may keep every block, but must never lose a hit
+    blocks2 = encode_table(df.orderBy(F.xxhash64("doc_id")), man).cache()
+    kept2 = prune_blocks_any(blocks2, "doc_id", wanted)
+    got2 = decode_table(kept2, "doc_id string, n_tok int").filter(
+        F.col("doc_id").isin(wanted)
+    )
+    assert got2.count() == 5
+    # empty value list is a no-op passthrough
+    assert prune_blocks_any(blocks2, "doc_id", []).count() == blocks2.count()
+    blocks.unpersist()
+    blocks2.unpersist()

@@ -181,6 +181,7 @@ def encode_dataset(
     n_units: int = 32,
     id_col: str = "doc_id",
     only_units: list[int] | None = None,
+    presort: list[str] | None = None,
 ) -> dict:
     """Encode ``df`` into ``path`` with resume-from-checkpoint.
 
@@ -192,6 +193,13 @@ def encode_dataset(
     tests and the driver gate use to simulate a run that failed partway
     (units outside the subset behave exactly like units lost to a crash:
     absent from the manifest, encoded by the next run).
+
+    ``presort`` clusters rows within each unit's blocks (in-task sort, no
+    shuffle — encode_table semantics). Presorting by the id column makes
+    per-block id zone bounds tight, which is what point lookups prune on
+    (:func:`lookup_rows`); it is recorded in the sidecar so every later
+    mutation re-encodes affected units with the SAME clustering (a rewrite
+    must not quietly degrade lookup pruning).
     """
     spark = df.sparkSession
     manifest.validate(df.schema)
@@ -217,7 +225,8 @@ def encode_dataset(
         os.path.join(path, MANIFEST_SIDEVAR),
         manifest.to_yaml()
         + f"\nschema_ddl: '{schema_ddl}'\nplacement: {PLACEMENT_ID}\n"
-        + f"n_units: {int(n_units)}\n",
+        + f"n_units: {int(n_units)}\n"
+        + (f"presort: {list(presort)}\n" if presort else ""),
     )
 
     # Exact unit placement: HashPartitioning on id_col computes
@@ -227,7 +236,7 @@ def encode_dataset(
     # distinct ids into k partitions: ~1/e empty, others doubled (measured;
     # see sources/files.py).
     todo = todo.repartition(n_units, id_col)
-    blocks = encode_table(todo, manifest, unit_col="unit_id")
+    blocks = encode_table(todo, manifest, unit_col="unit_id", presort=presort)
     # Dynamic partition overwrite: each written unit REPLACES its
     # blocks/unit_id=<u> partition instead of appending into it. This closes
     # the one real crash window of the append sink: a run that died between
@@ -377,12 +386,12 @@ def _heal_torn_swap(path: str) -> None:
             shutil.rmtree(leftover)
 
 
-def _load_sidecar(path: str) -> tuple[CodecManifest, str, int]:
-    """Resolved codec manifest + encoded-column DDL + unit count of an
-    existing dataset, placement-checked. The sidecar IS the manifest yaml
-    plus placement keys; ``from_dict`` tolerates the extras, so mutations
-    re-encode with the exact codecs of the original run (never a
-    re-resolved guess)."""
+def _load_sidecar(path: str) -> tuple[CodecManifest, str, int, list[str] | None]:
+    """Resolved codec manifest + encoded-column DDL + unit count + presort
+    of an existing dataset, placement-checked. The sidecar IS the manifest
+    yaml plus placement keys; ``from_dict`` tolerates the extras, so
+    mutations re-encode with the exact codecs (and clustering) of the
+    original run (never a re-resolved guess)."""
     import yaml
 
     with open(os.path.join(path, MANIFEST_SIDEVAR)) as f:
@@ -390,7 +399,7 @@ def _load_sidecar(path: str) -> tuple[CodecManifest, str, int]:
     n_units = int(side["n_units"])
     ddl = side["schema_ddl"]
     _check_placement(path, n_units, ddl)
-    return CodecManifest.from_dict(side), ddl, n_units
+    return CodecManifest.from_dict(side), ddl, n_units, side.get("presort")
 
 
 def _rewrite_units(
@@ -401,6 +410,7 @@ def _rewrite_units(
     id_col: str,
     affected: list[int],
     rows: DataFrame,
+    presort: list[str] | None = None,
 ) -> tuple[int, int]:
     """Shared mutation core for delete_rows / upsert_rows: ``rows`` is the
     COMPLETE new contents of the ``affected`` units; every other unit's
@@ -429,9 +439,10 @@ def _rewrite_units(
     survivors = {
         r["unit_id"] for r in staged.select("unit_id").distinct().collect()
     }
-    # exact placement re-encode (same invariants as encode_dataset)
+    # exact placement re-encode (same invariants as encode_dataset,
+    # including the dataset's recorded clustering)
     todo = staged.repartition(n_units, id_col)
-    encode_table(todo, manifest, unit_col="unit_id").write.mode(
+    encode_table(todo, manifest, unit_col="unit_id", presort=presort).write.mode(
         "overwrite"
     ).option("partitionOverwriteMode", "dynamic").partitionBy(
         "unit_id"
@@ -513,7 +524,7 @@ def delete_rows(ids: DataFrame, path: str, id_col: str = "doc_id") -> dict:
     """
     spark = ids.sparkSession
     _heal_torn_swap(path)
-    manifest, ddl, n_units = _load_sidecar(path)
+    manifest, ddl, n_units, presort = _load_sidecar(path)
 
     ids = ids.select(id_col).distinct()
     affected = sorted(
@@ -537,7 +548,7 @@ def delete_rows(ids: DataFrame, path: str, id_col: str = "doc_id") -> dict:
     decoded = decode_table(blocks, ddl)
     kept = decoded.join(F.broadcast(ids), id_col, "left_anti")
     rows_before, rows_after = _rewrite_units(
-        spark, path, manifest, n_units, id_col, affected, kept
+        spark, path, manifest, n_units, id_col, affected, kept, presort
     )
     return {
         "affected_units": len(affected),
@@ -582,7 +593,7 @@ def upsert_rows(rows: DataFrame, path: str, id_col: str = "doc_id") -> dict:
     """
     spark = rows.sparkSession
     _heal_torn_swap(path)
-    manifest, ddl, n_units = _load_sidecar(path)
+    manifest, ddl, n_units, presort = _load_sidecar(path)
 
     from xml2arrow_spark.errors import ManifestError
     from xml2arrow_spark.operators.encode import split_schema_ddl
@@ -641,7 +652,7 @@ def upsert_rows(rows: DataFrame, path: str, id_col: str = "doc_id") -> dict:
     kept = decoded.join(ids, id_col, "left_anti")
     rows_before, rows_after = _rewrite_units(
         spark, path, manifest, n_units, id_col, affected,
-        kept.unionByName(incoming),
+        kept.unionByName(incoming), presort,
     )
     # rows_after = kept + batch and kept = rows_before - replaced, so both
     # split counts fall out of the two lineage totals — no extra jobs
@@ -657,17 +668,40 @@ def upsert_rows(rows: DataFrame, path: str, id_col: str = "doc_id") -> dict:
     }
 
 
+LOOKUP_PRUNE_MAX_IDS = 4096
+
+
 def lookup_rows(ids: DataFrame, path: str, id_col: str = "doc_id") -> DataFrame:
-    """Point reads from an encoded dataset: decode ONLY the units the
-    requested ids hash into (partition-pruned scan — the read twin of the
-    mutation pruning above), then semi-join down to the requested rows.
-    At 10^12 sequences a k-id lookup touches at most min(k, n_units) unit
-    directories instead of the corpus; absent ids simply return no row.
-    The semi-join is broadcast: a lookup batch is ids-only and small by
-    construction (bulk retrieval is read_encoded_dataset's job)."""
+    """Point reads from an encoded dataset, pruned at TWO granularities:
+
+    1. unit: only the ``blocks/unit_id=<u>`` directories the ids hash into
+       are scanned (partition pruning — the read twin of the mutation
+       pruning above); a k-id lookup touches ≤ min(k, n_units) units.
+    2. block: within those units, blocks whose per-block id zone bounds
+       contain NONE of the requested ids are skipped before any decode
+       kernel runs (disjunctive zone prune,
+       :func:`~xml2arrow_spark.operators.encode.prune_blocks_any`). This
+       bites when the dataset was written with ``presort=[id_col]`` —
+       clustered blocks have tight id ranges, so a point read decodes a
+       handful of blocks instead of the whole unit; on unclustered data it
+       keeps everything (conservative superset, still correct). Applied
+       only when the batch is ≤ LOOKUP_PRUNE_MAX_IDS ids (the values ride a
+       literal array evaluated per block row).
+
+    Absent ids simply return no row. The final semi-join is broadcast: a
+    lookup batch is ids-only and small by construction (bulk retrieval is
+    read_encoded_dataset's job)."""
+    from xml2arrow_spark.operators.encode import prune_blocks_any
+
     spark = ids.sparkSession
-    _, ddl, n_units = _load_sidecar(path)
+    _, ddl, n_units, _presort = _load_sidecar(path)
     ids = ids.select(id_col).distinct()
+    id_rows = ids.limit(LOOKUP_PRUNE_MAX_IDS + 1).collect()
+    id_values = (
+        [r[id_col] for r in id_rows]
+        if len(id_rows) <= LOOKUP_PRUNE_MAX_IDS
+        else None  # oversized batch: unit pruning only
+    )
     affected = sorted(
         r["unit_id"]
         for r in plan_units(ids, n_units, id_col)
@@ -678,6 +712,8 @@ def lookup_rows(ids: DataFrame, path: str, id_col: str = "doc_id") -> DataFrame:
     blocks = spark.read.parquet(os.path.join(path, "blocks")).filter(
         F.col("unit_id").isin(affected)
     )
+    if id_values is not None:
+        blocks = prune_blocks_any(blocks, id_col, id_values)
     return decode_table(blocks, ddl).join(F.broadcast(ids), id_col, "left_semi")
 
 
@@ -740,7 +776,7 @@ def add_columns(
             f"family name {family!r} must be [A-Za-z0-9_]+ (it becomes a "
             f"directory name)"
         )
-    _, ddl, n_units = _load_sidecar(path)
+    _, ddl, n_units, _presort = _load_sidecar(path)
     base_cols = split_schema_ddl(ddl)
     if id_col not in base_cols:
         raise ManifestError(

@@ -30,6 +30,7 @@ __all__ = [
     "encode_parquet_tasks",
     "decode_table",
     "prune_blocks",
+    "prune_blocks_any",
     "normalize_zone_filters",
     "split_schema_ddl",
     "BLOCKS_SCHEMA_DDL",
@@ -755,6 +756,44 @@ def prune_blocks(blocks_df, column: str, lo, hi):
         vmin = entry[suffix_min]
         vmax = entry[suffix_max]
     keep = vmin.isNull() | vmax.isNull() | ((F.lit(lo) <= vmax) & (vmin <= F.lit(hi)))
+    return blocks_df.filter(keep)
+
+
+def prune_blocks_any(blocks_df, column: str, values: list):
+    """Disjunctive zone-map pruning: keep only blocks whose [vmin, vmax]
+    for ``column`` contains AT LEAST ONE of the point ``values`` — the
+    point-lookup shape (:func:`prune_blocks` is the conjunctive range
+    shape; a scattered id set is not expressible as one range). Same
+    conservative contract: blocks with missing stats are always kept, the
+    result is a superset, the caller row-filters after decode. The
+    truncation-safe string bounds stay valid for containment (vmin is a
+    prefix of the true min, vmax is raised above the true max, so
+    ``vmin <= v <= vmax`` can only over-keep). Effective when blocks are
+    value-clustered on ``column`` (``presort=[column]`` at encode); on
+    unclustered data every block's range spans the id space and nothing
+    prunes — still correct, just no win. The values ride a literal array
+    (one O(len(values)) `exists` per block row, JVM-side), so callers
+    should cap the list at metadata scale."""
+    from pyspark.sql import functions as F
+
+    if not values:
+        return blocks_df
+    suffix_min, suffix_max = _zone_suffixes(values[0], values[0])
+    if "cols" not in blocks_df.columns:  # wide layout
+        vmin = F.col(f"c_{column}__{suffix_min}")
+        vmax = F.col(f"c_{column}__{suffix_max}")
+    else:
+        entry = F.element_at(
+            F.filter(F.col("cols"), lambda c: c["name"] == F.lit(column)), 1
+        )
+        vmin = entry[suffix_min]
+        vmax = entry[suffix_max]
+    arr = F.array(*[F.lit(v) for v in values])
+    keep = (
+        vmin.isNull()
+        | vmax.isNull()
+        | F.exists(arr, lambda x: (vmin <= x) & (x <= vmax))
+    )
     return blocks_df.filter(keep)
 
 
