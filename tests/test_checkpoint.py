@@ -599,3 +599,88 @@ def test_lookup_rows_block_prunes_on_presorted_dataset(spark, tmp_path):
     )
     assert verify_roundtrip(expect2, got2)["ok"]
     df.unpersist()
+
+
+def test_audit_dataset_reconciles_disk_against_manifest(spark, tmp_path):
+    """fsck: a clean dataset (base + family) audits ok; a vanished blocks
+    partition reports missing_blocks; a unit whose manifest row was lost
+    (the encode crash window) reports unmanifested; a single flipped
+    payload byte is INVISIBLE to the metadata audit but fails the deep
+    audit via the stored CRC."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.errors import BlockCorruptionError
+    from xml2arrow_spark.operators.checkpoint import add_columns, audit_dataset
+
+    path = str(tmp_path / "fsck")
+    df = tokens_dataframe(spark, 1200, variant="low_card", n_partitions=2).cache()
+    encode_dataset(df, path, CodecManifest.auto_for(df.schema, block_rows=256), n_units=4)
+    add_columns(
+        df.select("doc_id", (F.col("n_tok") % F.lit(7)).cast("int").alias("s7")),
+        path,
+        "scores",
+    )
+
+    rep = audit_dataset(spark, path, deep=True)
+    assert set(rep) == {"base", "family:scores"}
+    assert all(t["ok"] for t in rep.values())
+    assert rep["base"]["deep_rows"] == 1200
+
+    # (1) lost manifest row -> unmanifested (blocks exist, lineage doesn't)
+    mdir = os.path.join(path, "manifest")
+    snap = str(tmp_path / "msnap")
+    shutil.copytree(mdir, snap)
+    import pyarrow as pa
+
+    tbl = pq.read_table(mdir)
+    mfile = [x for x in os.listdir(mdir) if x.endswith(".parquet")][0]
+    pq.write_table(
+        tbl.filter(pa.compute.not_equal(tbl.column("unit_id"), pa.scalar(2, pa.int32()))),
+        os.path.join(mdir, mfile),
+    )
+    # a pyarrow rewrite invalidates the Hadoop .crc sidecar and Spark's
+    # cached file size — clear both or the read fails at the WRONG layer
+    for c in [os.path.join(mdir, "." + mfile + ".crc")]:
+        if os.path.exists(c):
+            os.remove(c)
+    spark.catalog.refreshByPath(mdir)
+    rep1 = audit_dataset(spark, path)
+    assert rep1["base"]["unmanifested"] == [2] and not rep1["base"]["ok"]
+    shutil.rmtree(mdir)
+    shutil.copytree(snap, mdir)
+    spark.catalog.refreshByPath(mdir)
+
+    # (2) vanished partition -> missing_blocks
+    shutil.rmtree(os.path.join(path, "blocks", "unit_id=1"))
+    spark.catalog.refreshByPath(os.path.join(path, "blocks"))
+    rep2 = audit_dataset(spark, path)
+    assert rep2["base"]["missing_blocks"] == [1] and not rep2["base"]["ok"]
+
+    # (3) bit rot inside a stored payload: metadata audit can't see it,
+    # the deep audit refuses via CRC
+    u0 = os.path.join(path, "blocks", "unit_id=0")
+    fpath = os.path.join(u0, [f for f in os.listdir(u0) if f.endswith(".parquet")][0])
+    t0 = pq.read_table(fpath)
+    rows = t0.to_pylist()
+    payload = bytearray(rows[0]["cols"][0]["data"])
+    payload[len(payload) // 2] ^= 0x01
+    rows[0]["cols"][0]["data"] = bytes(payload)
+    pq.write_table(pa.Table.from_pylist(rows, schema=t0.schema), fpath)
+    crc = os.path.join(u0, "." + os.path.basename(fpath) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    spark.catalog.refreshByPath(os.path.join(path, "blocks"))
+
+    rep3 = audit_dataset(spark, path)
+    assert rep3["base"]["mismatched"] == []  # lineage columns untouched
+    with _pytest.raises(Exception) as ei:
+        audit_dataset(spark, path, deep=True)
+    assert "BlockCorruption" in str(ei.value) or isinstance(
+        ei.value, BlockCorruptionError
+    )
+    df.unpersist()

@@ -40,6 +40,7 @@ __all__ = [
     "add_columns",
     "list_families",
     "drop_family",
+    "audit_dataset",
 ]
 
 MANIFEST_SIDEVAR = "_manifest.yaml"
@@ -829,3 +830,94 @@ def drop_family(path: str, family: str) -> bool:
     existed = os.path.isdir(fam_path)
     shutil.rmtree(fam_path, ignore_errors=True)
     return existed
+
+
+def audit_dataset(
+    spark: SparkSession, path: str, deep: bool = False
+) -> dict:
+    """Integrity audit (fsck) of an encoded dataset: reconcile what is ON
+    DISK against what the lineage manifest CLAIMS, per unit, base and every
+    column family. At 10^12 sequences storage drifts — a crashed mutation
+    leaves an unmanifested partition (the resume path repairs it), an
+    operator rmtree's the wrong directory, media rots — and the audit is
+    how drift is found before a training run reads garbage.
+
+    Metadata-only by default: the blocks scan reads lineage columns only
+    (parquet column pruning keeps payload bytes on disk) and recomputes the
+    per-unit rollup `_unit_rollup_aggs` writes, so a mismatch in ANY of
+    n_blocks / n_rows / n_values / out_bytes / checksum is caught without
+    decoding a value. ``deep=True`` additionally decodes every block —
+    running each codec kernel and the stored CRC-32 check, so silent
+    payload corruption surfaces as BlockCorruptionError — and verifies the
+    decoded row count against the manifest total.
+
+    Returns per-tree findings::
+
+        {"<tree>": {
+            "units_ok": int,
+            "mismatched": [unit_id...],   # both sides present, rollup differs
+            "unmanifested": [unit_id...], # blocks on disk, no manifest row
+                                          # (the encode crash window; resume
+                                          # repairs it)
+            "missing_blocks": [unit_id...], # manifest row, no blocks on disk
+            "deep_rows": int | None,      # decoded rows (deep only)
+            "ok": bool,
+        }, ...}
+
+    where ``<tree>`` is ``"base"`` or ``"family:<name>"``.
+    """
+    def _audit_tree(tree_path: str, ddl: str) -> dict:
+        blocks_dir = os.path.join(tree_path, "blocks")
+        try:
+            blocks = spark.read.parquet(blocks_dir)
+        except Exception:
+            blocks = None
+        manifest_df = completed_units(spark, tree_path)
+        claimed = {
+            r["unit_id"]: r.asDict() for r in manifest_df.collect()
+        }  # one row per unit — metadata-scale
+        actual = {}
+        if blocks is not None:
+            actual = {
+                r["unit_id"]: r.asDict()
+                for r in blocks.groupBy("unit_id").agg(*_unit_rollup_aggs()).collect()
+            }
+        fields = (
+            "n_blocks", "n_rows", "n_values", "in_bytes", "out_bytes",
+            "checksum",
+        )
+        mismatched = sorted(
+            u
+            for u in claimed.keys() & actual.keys()
+            if any(claimed[u][f] != actual[u][f] for f in fields)
+        )
+        unmanifested = sorted(actual.keys() - claimed.keys())
+        missing = sorted(claimed.keys() - actual.keys())
+        deep_rows = None
+        if deep and blocks is not None:
+            # full decode: every kernel runs, every stored CRC is checked
+            # (BlockCorruptionError propagates — corruption FAILS the audit
+            # rather than appearing in a report it might never reach)
+            deep_rows = decode_table(blocks, ddl).count()
+        out = {
+            "units_ok": len(claimed.keys() & actual.keys()) - len(mismatched),
+            "mismatched": mismatched,
+            "unmanifested": unmanifested,
+            "missing_blocks": missing,
+            "deep_rows": deep_rows,
+        }
+        claimed_rows = sum(r["n_rows"] for r in claimed.values())
+        out["ok"] = (
+            not mismatched
+            and not unmanifested
+            and not missing
+            and (deep_rows is None or deep_rows == claimed_rows)
+        )
+        return out
+
+    _, ddl, _n_units, _presort = _load_sidecar(path)
+    report = {"base": _audit_tree(path, ddl)}
+    for fam, cols in list_families(path).items():
+        fam_path = os.path.join(path, "families", fam)
+        report[f"family:{fam}"] = _audit_tree(fam_path, ", ".join(cols.values()))
+    return report
