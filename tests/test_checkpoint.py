@@ -340,6 +340,12 @@ def test_upsert_rows_refuses_bad_batches(spark, tmp_path):
         upsert_rows(df.withColumn("n_tok", df.n_tok.cast("long")), path)
     with _pytest.raises(ValueError, match="duplicate"):
         upsert_rows(df.orderBy("doc_id").limit(5).unionByName(df.orderBy("doc_id").limit(5)), path)
+    from pyspark.sql import functions as F
+
+    with _pytest.raises(ValueError, match="NULL"):
+        upsert_rows(
+            df.limit(3).withColumn("doc_id", F.lit(None).cast("string")), path
+        )
     m = upsert_rows(df.limit(0), path)
     assert m == {
         "affected_units": 0, "rows_in_batch": 0, "rows_replaced": 0,
@@ -540,6 +546,12 @@ def test_add_columns_refusals(spark, tmp_path):
         add_columns(df.select("doc_id"), path, "empty")
     with _pytest.raises(ValueError, match="duplicate"):
         add_columns(fam.unionByName(fam), path, "dups")
+    with _pytest.raises(ValueError, match="NULL"):
+        add_columns(
+            fam.limit(2).withColumn("doc_id", F.lit(None).cast("string")),
+            path,
+            "nulls",
+        )
     add_columns(fam, path, "ok")
     with _pytest.raises(ManifestError, match="already exists"):
         add_columns(fam, path, "ok")

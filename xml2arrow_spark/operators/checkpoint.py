@@ -617,13 +617,23 @@ def upsert_rows(rows: DataFrame, path: str, id_col: str = "doc_id") -> dict:
             f"would break bit-identity"
         )
 
-    # one aggregate over the batch answers both "is it empty" and "does any
-    # id repeat" without a second scan
-    n_in, n_ids = (
+    # one aggregate over the batch answers "is it empty", "does any id
+    # repeat", and "is any id NULL" without a second scan
+    n_in, n_ids, n_null = (
         incoming.agg(
-            F.count("*").alias("n"), F.count_distinct(id_col).alias("d")
+            F.count("*").alias("n"),
+            F.count_distinct(id_col).alias("d"),
+            F.count_if(F.col(id_col).isNull()).alias("z"),
         ).collect()[0]
     )
+    if n_null:
+        # a NULL id has no identity: the superseded-row anti-join could
+        # never drop its old version (NULL joins nothing), so replace-by-id
+        # silently degrades to append — refuse instead
+        raise ValueError(
+            f"upsert batch has {n_null} NULL {id_col} row(s); ids must be "
+            f"non-null for replace-by-id semantics"
+        )
     if n_in == 0:
         return {
             "affected_units": 0, "rows_in_batch": 0, "rows_replaced": 0,
@@ -807,9 +817,16 @@ def add_columns(
             f"base/family columns of {path!r}"
         )
     vals = vals.select(id_col, *new_cols)
-    n_in, n_ids = vals.agg(
-        F.count("*").alias("n"), F.count_distinct(id_col).alias("d")
+    n_in, n_ids, n_null = vals.agg(
+        F.count("*").alias("n"),
+        F.count_distinct(id_col).alias("d"),
+        F.count_if(F.col(id_col).isNull()).alias("z"),
     ).collect()[0]
+    if n_null:
+        raise ValueError(
+            f"family batch has {n_null} NULL {id_col} row(s); family values "
+            f"join back by id, so a NULL id could never surface"
+        )
     if n_ids != n_in:
         raise ValueError(
             f"family batch has {n_in - n_ids} duplicate {id_col} row(s): "
