@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Dataset-maintenance entrypoint — the ``spark-submit --py-files``
+deployment of the row-level storage surface (the same discipline as
+jobs/encode_job.py: the north rule's jobs run on a cluster through
+spark-submit, not a notebook).
+
+    spark-submit --py-files xml2arrow_spark.zip jobs/maintain_job.py \
+        --dataset <encoded dataset dir> --action ACTION [inputs...]
+
+Actions (one JSON metrics line on stdout, non-zero exit on failure):
+
+    delete      --ids  <parquet dir with the id column>
+    upsert      --rows <parquet dir with every encoded column>
+    add-family  --rows <parquet dir: id + new columns> --family NAME
+    lookup      --ids  <parquet dir> --out <parquet dir for the rows>
+    audit       [--deep]   (exit 1 if any tree fails reconciliation)
+
+Build the --py-files archive with ``tools/make_pyfiles_zip.sh``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", required=True)
+    ap.add_argument(
+        "--action", required=True,
+        choices=["delete", "upsert", "add-family", "lookup", "audit"],
+    )
+    ap.add_argument("--ids", default=None, help="parquet dir of ids")
+    ap.add_argument("--rows", default=None, help="parquet dir of row batches")
+    ap.add_argument("--family", default=None)
+    ap.add_argument("--out", default=None, help="lookup output parquet dir")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--deep", action="store_true", help="audit: decode + CRC")
+    args = ap.parse_args()
+
+    from xml2arrow_spark.env import recommended_spark_confs, set_kernel_malloc_env
+
+    set_kernel_malloc_env()
+
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder.appName(f"xml2arrow-maintain-{args.action}")
+    for k, v in recommended_spark_confs().items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from xml2arrow_spark.operators import checkpoint as cp
+
+    def _need(opt, name):
+        if opt is None:
+            print(f"--{name} is required for --action {args.action}",
+                  file=sys.stderr)
+            raise SystemExit(2)
+        return opt
+
+    if args.action == "delete":
+        ids = spark.read.parquet(_need(args.ids, "ids"))
+        out = cp.delete_rows(ids, args.dataset, id_col=args.id_col)
+    elif args.action == "upsert":
+        rows = spark.read.parquet(_need(args.rows, "rows"))
+        out = cp.upsert_rows(rows, args.dataset, id_col=args.id_col)
+    elif args.action == "add-family":
+        rows = spark.read.parquet(_need(args.rows, "rows"))
+        out = cp.add_columns(
+            rows, args.dataset, _need(args.family, "family"), id_col=args.id_col
+        )
+    elif args.action == "lookup":
+        ids = spark.read.parquet(_need(args.ids, "ids"))
+        got = cp.lookup_rows(ids, args.dataset, id_col=args.id_col)
+        got.write.mode("overwrite").parquet(_need(args.out, "out"))
+        out = {"rows_found": spark.read.parquet(args.out).count()}
+    else:  # audit
+        out = cp.audit_dataset(spark, args.dataset, deep=args.deep)
+        print(json.dumps(out))
+        return 0 if all(t["ok"] for t in out.values()) else 1
+
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

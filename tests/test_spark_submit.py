@@ -78,3 +78,82 @@ def test_spark_submit_pyfiles_encode_job(spark, sf_dir, tmp_path):
     assert metrics["values"] > 0 and metrics["tokens_per_sec"] > 0
     # the sink actually materialized encoded blocks + sidecar metadata
     assert any(f.endswith(".parquet") for _r, _d, fs in os.walk(out_dir) for f in fs)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not installed"
+)
+def test_spark_submit_pyfiles_maintain_job(spark, sf_dir, tmp_path):
+    """The maintenance surface through the real deployment path: a dataset
+    bootstrapped in-process is UPSERTED and then AUDITED by separate
+    spark-submit JVMs importing the engine from the shipped zip."""
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.manifest import CodecManifest
+    from xml2arrow_spark.operators.checkpoint import (
+        encode_dataset,
+        read_encoded_dataset,
+    )
+    from xml2arrow_spark.sources.tokens import tokenize_documents
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tok = tokenize_documents(docs)
+    ds = str(tmp_path / "ds")
+    encode_dataset(tok, ds, CodecManifest.auto_for(tok.schema, block_rows=512), n_units=4)
+
+    batch_dir = str(tmp_path / "batch")
+    (
+        tok.orderBy("doc_id").limit(12)
+        .withColumn("tokens", F.expr("slice(tokens, 1, 6)"))
+        .withColumn("n_tok", F.expr("CAST(size(tokens) AS INT)"))
+    ).write.parquet(batch_dir)
+
+    zip_path = str(tmp_path / "xml2arrow_spark.zip")
+    subprocess.run(
+        ["sh", os.path.join(REPO, "tools", "make_pyfiles_zip.sh"), zip_path],
+        check=True, cwd=REPO, capture_output=True,
+    )
+    env = {
+        **os.environ,
+        "PYSPARK_PYTHON": sys.executable,
+        "PYSPARK_DRIVER_PYTHON": sys.executable,
+    }
+
+    def submit(*job_args):
+        return subprocess.run(
+            [
+                SPARK_SUBMIT,
+                "--master", "local[4]",
+                "--driver-memory", "4g",
+                "--conf", "spark.sql.shuffle.partitions=4",
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.ui.showConsoleProgress=false",
+                "--py-files", zip_path,
+                os.path.join(REPO, "jobs", "maintain_job.py"),
+                "--dataset", ds,
+                *job_args,
+            ],
+            cwd=str(tmp_path),  # repo not importable from here: zip or bust
+            env=env, capture_output=True, text=True, timeout=360,
+        )
+
+    p1 = submit("--action", "upsert", "--rows", batch_dir)
+    assert p1.returncode == 0, f"stdout:\n{p1.stdout}\nstderr:\n{p1.stderr[-4000:]}"
+    m = json.loads([l for l in p1.stdout.splitlines() if l.startswith("{")][-1])
+    assert m["rows_replaced"] == 12 and m["rows_inserted"] == 0
+
+    p2 = submit("--action", "audit", "--deep")
+    assert p2.returncode == 0, f"stdout:\n{p2.stdout}\nstderr:\n{p2.stderr[-4000:]}"
+    rep = json.loads([l for l in p2.stdout.splitlines() if l.startswith("{")][-1])
+    assert rep["base"]["ok"] and rep["base"]["deep_rows"] == tok.count()
+
+    # the in-process session sees the subprocess's mutation
+    spark.catalog.refreshByPath(os.path.join(ds, "blocks"))
+    batch = spark.read.parquet(batch_dir)
+    expect = tok.join(batch.select("doc_id"), "doc_id", "left_anti").unionByName(batch)
+    got = read_encoded_dataset(spark, ds)
+    assert got.count() == expect.count()
+    assert (
+        expect.alias("a").join(got.alias("b"), "doc_id")
+        .filter("a.tokens IS DISTINCT FROM b.tokens").count() == 0
+    )
