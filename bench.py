@@ -291,6 +291,43 @@ def main() -> None:
             shutil.rmtree(ezdir, ignore_errors=True)
     extra["bf16_embedding_vs_zstd"] = emb_ratios
 
+    # almost-decimal float variant (r05 continuation): quality/score columns
+    # are decimals in disguise with a sentinel sprinkle (NaN / true reals),
+    # which knocks the all-or-nothing dec_float off the integer path for
+    # EVERY block — alp_float's exception patching keeps it. auto vs
+    # parquet-zstd of the same column (the engine's auto chain picks alp)
+    with timed("dirty_decimal_sweep", baselines):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(19)
+        n_q = 400_000
+        q = np.round(rng.uniform(0, 1000, n_q), 2)
+        q[rng.choice(n_q, n_q // 100, replace=False)] = np.nan
+        q[rng.choice(n_q, n_q // 200, replace=False)] = np.e
+        q_tbl = pa.table({"score": pa.array(q)})  # the column under test, alone
+        qdir = tempfile.mkdtemp(prefix="bench_alp_")
+        qzdir = tempfile.mkdtemp(prefix="bench_alpz_")
+        try:
+            pq.write_table(q_tbl, os.path.join(qdir, "part-0.parquet"))
+            spark.read.parquet(qdir).repartition(8).write.mode(
+                "overwrite"
+            ).option("compression", "zstd").parquet(qzdir)
+            qzb = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(qzdir) for f in fs
+                if f.endswith(".parquet")
+            )
+            qman = CodecManifest.auto_for(spark.read.parquet(qdir).schema)
+            qagg = encode_parquet_stats(
+                spark, qdir, manifest=qman, n_tasks=8
+            ).agg(F.sum("out_bytes").alias("ob")).collect()[0]
+            extra["dirty_decimal_vs_zstd"] = round(int(qagg["ob"]) / qzb, 4)
+        finally:
+            shutil.rmtree(qdir, ignore_errors=True)
+            shutil.rmtree(qzdir, ignore_errors=True)
+
     # -- q3: documents tokenize -> encode -> decode -> verify ----------------
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
 

@@ -427,3 +427,92 @@ def test_any_single_bit_flip_is_detected(data, codec):
         f"bit {pos} flipped in a {len(blob)}-byte block decoded without "
         f"error (got {out.to_pylist()[:3]}...)"
     )
+
+
+# -- alp_float (dec_float + per-value exception patching) ---------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(-(10**9), 10**9), min_size=64, max_size=300),
+    st.integers(0, 4),
+    st.lists(
+        st.sampled_from(
+            [float("nan"), float("inf"), float("-inf"), -0.0, 3.141592653589793]
+        ),
+        min_size=0,
+        max_size=16,
+    ),
+)
+def test_alp_float_roundtrip_decimals_with_exceptions(ints, k, excs):
+    """Decimal bulk + a bounded sprinkle of inexpressible values: the
+    exception patch list must restore every bit (NaN payloads, signed
+    zeros, true reals), and the exception count must equal the sprinkle."""
+    values = np.array([i / 10**k for i in ints], dtype=np.float64)
+    rng = np.random.default_rng(len(ints) * 31 + k)
+    # stay safely inside the 1/16 exception budget at every size
+    n_exc = min(len(excs), values.size // 32)
+    pos = rng.choice(values.size, size=n_exc, replace=False)
+    planted = list(zip(pos, excs))
+    clean_at = {
+        int(p) for p, e in planted
+        if np.isfinite(e) and e != 3.141592653589793 and values[int(p)] == 0.0
+    }
+    for p, e in planted:
+        values[int(p)] = e
+    meta, blob = encode_values("alp_float", values)
+    out = decode_values(meta, blob)
+    np.testing.assert_array_equal(out.view(np.uint64), values.view(np.uint64))
+    # -0.0 planted over a 0.0 slot is still an exception; every other
+    # planted value must be too (they are non-decimal by construction)
+    assert meta["n_exc"] >= len(set(int(p) for p in pos)) - len(clean_at) - 1
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(-(10**6), 10**6), min_size=64, max_size=300))
+def test_alp_float32_roundtrip(ints):
+    values = (np.array(ints, dtype=np.float64) / 10.0).astype(np.float32)
+    values[0] = np.float32("nan")
+    meta, blob = encode_values("alp_float", values)
+    out = decode_values(meta, blob)
+    np.testing.assert_array_equal(out.view(np.uint32), values.view(np.uint32))
+
+
+def test_alp_float_rejects_past_exception_budget():
+    from xml2arrow_spark.errors import EncodeValueError
+
+    rng = np.random.default_rng(11)
+    with __import__("pytest").raises(EncodeValueError):
+        encode_values("alp_float", rng.standard_normal(10_000))  # all real
+    # 20% NaN is past the 1/16 budget even though the bulk is decimal
+    v = np.round(rng.uniform(0, 10, 10_000), 1)
+    v[rng.choice(10_000, 2_000, replace=False)] = np.nan
+    with __import__("pytest").raises(EncodeValueError):
+        encode_values("alp_float", v)
+
+
+def test_alp_float_wins_on_dirty_prices_and_auto_selects():
+    """The motivating case dec_float CANNOT take: prices with a 1% NaN
+    sentinel sprinkle. dec_float refuses the whole block; alp_float keeps
+    the integer path (>2x under plain) and the auto chain picks it."""
+    import pyarrow as pa
+
+    from xml2arrow_spark.errors import EncodeValueError
+    from xml2arrow_spark.operators.blocks import decode_column, encode_column
+
+    rng = np.random.default_rng(13)
+    prices = np.round(rng.uniform(1, 2000, 60_000), 2)
+    prices[rng.choice(60_000, 600, replace=False)] = np.nan
+    with __import__("pytest").raises(EncodeValueError):
+        encode_values("dec_float", prices)
+    meta, blob = encode_values("alp_float", prices)
+    assert meta["exp"] == 2 and meta["n_exc"] == 600
+    assert len(blob) < prices.nbytes / 2
+    out = decode_values(meta, blob)
+    np.testing.assert_array_equal(out.view(np.uint64), prices.view(np.uint64))
+
+    arr = pa.array(prices, type=pa.float64(), from_pandas=False)
+    resolved, cmeta, cblob = encode_column(arr, "auto")
+    assert resolved == "alp_float"
+    out2 = np.asarray(decode_column(cmeta, cblob))
+    np.testing.assert_array_equal(out2.view(np.uint64), prices.view(np.uint64))

@@ -31,6 +31,7 @@ STR_CODECS = {
 FLOAT_CODECS = {
     "plain_float": (floats.encode_plain_float, floats.decode_plain_float),
     "dec_float": (floats.encode_dec_float, floats.decode_dec_float),
+    "alp_float": (floats.encode_alp_float, floats.decode_alp_float),
     "bss_float": (floats.encode_bss_float, floats.decode_bss_float),
 }
 

@@ -31,6 +31,8 @@ __all__ = [
     "decode_plain_float",
     "encode_dec_float",
     "decode_dec_float",
+    "encode_alp_float",
+    "decode_alp_float",
     "encode_bss_float",
     "decode_bss_float",
     "choose_float_codec",
@@ -197,6 +199,136 @@ def decode_dec_float(meta: dict, blob: bytes) -> np.ndarray:
     return out
 
 
+# alp_float acceptance: at most this fraction of values may be exceptions
+# (each costs pos int32 + raw value, so past ~1/16 the patch list erodes the
+# integer-path win), and blocks below ALP_MIN_N can't amortize the section
+# framing. The head-sample reject keeps truly-random blocks cheap.
+ALP_MAX_EXC = 1.0 / 16.0
+ALP_MIN_N = 64
+
+
+def _alp_candidates(v: np.ndarray, k: int, dtype32: bool) -> tuple[np.ndarray, np.ndarray]:
+    """(ints, exception_mask) for exponent k: positions whose int64 ->
+    /10^k (-> float32 cast when dtype32) decode does NOT reproduce the
+    original bits are exceptions; their int slot is zeroed so the patch
+    list never widens the integer codec's range."""
+    v64 = v.astype(np.float64) if dtype32 else v
+    scale = float(10**k)
+    with np.errstate(over="ignore", invalid="ignore"):
+        scaled = v64 * scale
+    finite = np.isfinite(scaled) & (np.abs(scaled) < _DEC_MAX_ABS)
+    ints = np.zeros(v.size, dtype=np.int64)
+    # np.rint = round-half-to-even, the same rule np.round applies at
+    # decimals=0 (and a real ufunc, so where= masking works)
+    np.rint(scaled, out=scaled, where=finite)
+    ints[finite] = scaled[finite].astype(np.int64)
+    decoded = ints.astype(np.float64) / scale
+    if dtype32:
+        exc = decoded.astype(np.float32).view(np.uint32) != v.view(np.uint32)
+    else:
+        exc = decoded.view(np.uint64) != v.view(np.uint64)
+    exc |= ~finite
+    ints[exc] = 0
+    return ints, exc
+
+
+def _alp_probe(v: np.ndarray) -> tuple[int, np.ndarray, np.ndarray] | None:
+    """Best exponent by match count on a head sample (ties -> smallest k),
+    verified by building the full-block exception mask; None when even the
+    best sample exponent exceeds ALP_MAX_EXC (the cheap reject for truly
+    non-decimal blocks — ~7 passes over 4096 values, like _dec_probe)."""
+    if v.size < ALP_MIN_N:
+        return None
+    dtype32 = v.dtype.name == "float32"
+    head = v[:_DEC_SAMPLE]
+    rates = []
+    for k in range(DEC_MAX_EXP + 1):
+        _, exc = _alp_candidates(head, k, dtype32)
+        rates.append(float(exc.mean()))
+    k_best = int(np.argmin(rates))
+    if rates[k_best] > ALP_MAX_EXC:
+        return None
+    ints, exc = _alp_candidates(v, k_best, dtype32)
+    if float(exc.mean()) > ALP_MAX_EXC:
+        return None
+    return k_best, ints, exc
+
+
+def encode_alp_float(values: np.ndarray) -> tuple[dict, bytes]:
+    """ALP with its second half: dec_float's decimal-scaled integer path
+    (Afroozeh & Boncz's ALP, VLDB 2023) plus PER-VALUE EXCEPTION PATCHING,
+    so a block where 99% of values are prices and 1% are NaN sentinels or
+    true reals still rides the integer codecs instead of falling all the
+    way back to plain bytes. Exceptions store (int32 position, raw IEEE
+    value) pairs — scattered over the decoded array, so the round trip is
+    bit-identical for EVERY value including NaN payloads, -0.0, and inf.
+    Raises :class:`EncodeValueError` when more than ALP_MAX_EXC of the
+    block would be exceptions — callers treat that as 'use plain/bss',
+    never as data loss."""
+    name = values.dtype.name
+    if name not in FLOAT_DTYPES:
+        raise EncodeValueError("alp_float supports float32/float64 only")
+    v = np.ascontiguousarray(values)
+    probe = _alp_probe(v)
+    if probe is None:
+        raise EncodeValueError(
+            "block exceeds the alp_float exception budget; use plain_float"
+        )
+    k, ints, exc = probe
+    from xml2arrow_spark.codecs.integers import (  # lazy: avoid import cycle
+        encode_dict,
+        encode_delta,
+        encode_for,
+        encode_pdict,
+        encode_plain,
+        encode_rle,
+    )
+    from xml2arrow_spark.plans.selector import choose_int_codec
+
+    inner = choose_int_codec(ints)
+    enc = {
+        "plain": encode_plain, "for": encode_for, "delta": encode_delta,
+        "rle": encode_rle, "dict": encode_dict, "pdict": encode_pdict,
+        "bitpack": encode_for,  # FOR is always safe; bitpack needs >=0
+    }[inner]
+    int_meta, int_blob = enc(ints)
+    pos = np.flatnonzero(exc).astype(np.int32)
+    sections, blob = pack_sections(
+        {
+            "ints": int_blob,
+            "exc_pos": pos.tobytes(),
+            "exc_val": v[exc].tobytes(),
+        }
+    )
+    return {
+        "codec": "alp_float",
+        "dtype": name,
+        "n": int(v.size),
+        "exp": k,
+        "n_exc": int(pos.size),
+        "int_meta": int_meta,
+        "sections": sections,
+    }, blob
+
+
+def decode_alp_float(meta: dict, blob: bytes) -> np.ndarray:
+    from xml2arrow_spark.codecs import decode_values
+
+    parts = split_sections(meta, blob)
+    ints = decode_values(meta["int_meta"], parts["ints"]).astype(np.int64)
+    scale = float(10 ** meta["exp"])
+    out = ints.astype(np.float64) / scale
+    dt = FLOAT_DTYPES[meta["dtype"]]
+    if meta["dtype"] == "float32":
+        out = out.astype(np.float32)  # the exact expression the probe pinned
+    if meta["n_exc"]:
+        pos = np.frombuffer(parts["exc_pos"], dtype=np.int32, count=meta["n_exc"])
+        vals = np.frombuffer(parts["exc_val"], dtype=dt, count=meta["n_exc"])
+        out = out.copy()
+        out[pos] = vals
+    return out
+
+
 def choose_float_codec(values: np.ndarray, cascade: str | None = None) -> str:
     """dec_float when the stream is exactly decimal, else plain_float — or
     bss_float when a ``+zstd``/``+lz4`` cascade follows and the bounded
@@ -208,6 +340,10 @@ def choose_float_codec(values: np.ndarray, cascade: str | None = None) -> str:
         return "dec_float"
     if values.dtype.name == "float32" and _dec_probe32(values) is not None:
         return "dec_float"
+    # almost-decimal: the integer path with a bounded exception patch list
+    # beats raw bytes long before a cascade enters the picture
+    if _alp_probe(np.ascontiguousarray(values)) is not None:
+        return "alp_float"
     if cascade and values.size and _bss_probe_wins(values, cascade):
         return "bss_float"
     return "plain_float"

@@ -65,19 +65,29 @@ def _encode_float_values(codec: str, values: np.ndarray, cascade: str | None = N
     splitting is only worth anything under a cascade (see
     codecs/floats.py::encode_bss_float). Returns (resolved, values_meta,
     values_blob)."""
-    if codec in ("auto", "dec_float"):
-        try:
-            vmeta, vblob = encode_values("dec_float", values)
-            return "dec_float", vmeta, vblob
-        except EncodeValueError:
-            fallback = "plain_float"
-            if codec == "auto" and cascade:
-                from xml2arrow_spark.codecs.floats import _bss_probe_wins
+    if codec in ("auto", "dec_float", "alp_float"):
+        if codec != "alp_float":
+            try:
+                vmeta, vblob = encode_values("dec_float", values)
+                return "dec_float", vmeta, vblob
+            except EncodeValueError:
+                pass
+        if codec in ("auto", "alp_float"):
+            # almost-decimal: integer path + bounded exception patch list
+            # (full ALP); rejects cheaply past the exception budget
+            try:
+                vmeta, vblob = encode_values("alp_float", values)
+                return "alp_float", vmeta, vblob
+            except EncodeValueError:
+                pass
+        fallback = "plain_float"
+        if codec == "auto" and cascade:
+            from xml2arrow_spark.codecs.floats import _bss_probe_wins
 
-                if values.size and _bss_probe_wins(values, cascade):
-                    fallback = "bss_float"
-            vmeta, vblob = encode_values(fallback, values)
-            return fallback, vmeta, vblob
+            if values.size and _bss_probe_wins(values, cascade):
+                fallback = "bss_float"
+        vmeta, vblob = encode_values(fallback, values)
+        return fallback, vmeta, vblob
     vmeta, vblob = encode_values(codec, values)
     return codec, vmeta, vblob
 
