@@ -696,3 +696,66 @@ def test_audit_dataset_reconciles_disk_against_manifest(spark, tmp_path):
         ei.value, BlockCorruptionError
     )
     df.unpersist()
+
+
+def test_lookup_rows_with_family_columns_and_column_stats(spark, tmp_path):
+    """Point reads may project family columns — the family blocks ride the
+    SAME unit+block pruning (shared placement) and uncovered ids read
+    NULL; column_stats reports zone-map extrema per tree without decoding
+    payloads."""
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.checkpoint import (
+        add_columns,
+        column_stats,
+        lookup_rows,
+    )
+
+    path = str(tmp_path / "famlook")
+    df = tokens_dataframe(spark, 1500, variant="low_card", n_partitions=4).cache()
+    encode_dataset(
+        df, path, CodecManifest.auto_for(df.schema, block_rows=128),
+        n_units=4, presort=["doc_id"],
+    )
+    covered = df.orderBy("doc_id").limit(400)
+    add_columns(
+        covered.select(
+            "doc_id", (F.col("n_tok") % F.lit(11)).cast("int").alias("q11")
+        ),
+        path,
+        "quality",
+    )
+
+    some_cov = [r["doc_id"] for r in covered.select("doc_id").limit(3).collect()]
+    some_unc = [
+        r["doc_id"]
+        for r in df.join(covered, "doc_id", "left_anti")
+        .select("doc_id").orderBy("doc_id").limit(2).collect()
+    ]
+    got = lookup_rows(
+        _ids_df(spark, some_cov + some_unc), path,
+        columns=["doc_id", "n_tok", "q11"],
+    )
+    assert got.columns == ["doc_id", "n_tok", "q11"]
+    rows = {r["doc_id"]: r["q11"] for r in got.collect()}
+    assert len(rows) == 5
+    expect = {
+        r["doc_id"]: r["n_tok"] % 11
+        for r in covered.filter(F.col("doc_id").isin(some_cov)).collect()
+    }
+    for d in some_cov:
+        assert rows[d] == expect[d]
+    for d in some_unc:
+        assert rows[d] is None
+
+    stats = column_stats(spark, path)
+    by_key = {(r["tree"], r["column"]): r for r in stats.collect()}
+    assert ("base", "n_tok") in by_key and ("family:quality", "q11") in by_key
+    q = by_key[("family:quality", "q11")]
+    assert q["vmin_i"] == 0 and q["vmax_i"] <= 10
+    n = by_key[("base", "n_tok")]
+    real_min, real_max = df.agg(
+        F.min("n_tok"), F.max("n_tok")
+    ).collect()[0]
+    assert n["vmin_i"] == real_min and n["vmax_i"] == real_max
+    df.unpersist()

@@ -41,6 +41,7 @@ __all__ = [
     "list_families",
     "drop_family",
     "audit_dataset",
+    "column_stats",
 ]
 
 MANIFEST_SIDEVAR = "_manifest.yaml"
@@ -293,6 +294,36 @@ def encode_dataset(
     }
 
 
+def _resolve_columns(path: str, columns, id_col: str):
+    """Shared column resolution for the read paths: requested (or all)
+    columns routed to their owning tree — base or a column family.
+    Returns (columns, base_cols, base_want, fams, fam_want)."""
+    import yaml
+
+    from xml2arrow_spark.operators.encode import split_schema_ddl
+
+    with open(os.path.join(path, MANIFEST_SIDEVAR)) as f:
+        side = yaml.safe_load(f.read())
+    base_cols = split_schema_ddl(side["schema_ddl"])  # decimal(p,0)-safe
+    fams = list_families(path)
+    fam_cols = {c: fam for fam, cols in fams.items() for c in cols
+                if c != id_col}
+    if columns is None:
+        columns = list(base_cols) + list(fam_cols)
+    missing = set(columns) - set(base_cols) - set(fam_cols)
+    if missing:
+        raise ValueError(
+            f"dataset lacks encoded column(s) {sorted(missing)}; "
+            f"it has {sorted(base_cols)} + family columns {sorted(fam_cols)}"
+        )
+    base_want = [c for c in columns if c in base_cols]
+    fam_want: dict[str, list[str]] = {}
+    for c in columns:
+        if c in fam_cols:
+            fam_want.setdefault(fam_cols[c], []).append(c)
+    return columns, base_cols, base_want, fams, fam_want
+
+
 def read_encoded_dataset(
     spark: SparkSession,
     path: str,
@@ -316,32 +347,12 @@ def read_encoded_dataset(
     semantics throughout: superset result, apply the row filter after
     (a family-side prune turns pruned rows' family values into NULLs,
     which the caller's row filter drops the same way)."""
-    import yaml
-
-    from xml2arrow_spark.operators.encode import split_schema_ddl
-
-    with open(os.path.join(path, MANIFEST_SIDEVAR)) as f:
-        side = yaml.safe_load(f.read())
-    base_cols = split_schema_ddl(side["schema_ddl"])  # decimal(p,0)-safe
-    fams = list_families(path)
-    fam_cols = {c: fam for fam, cols in fams.items() for c in cols
-                if c != id_col}
-    if columns is None:
-        columns = list(base_cols) + list(fam_cols)
-    missing = set(columns) - set(base_cols) - set(fam_cols)
-    if missing:
-        raise ValueError(
-            f"dataset lacks encoded column(s) {sorted(missing)}; "
-            f"it has {sorted(base_cols)} + family columns {sorted(fam_cols)}"
-        )
+    columns, base_cols, base_want, fams, fam_want = _resolve_columns(
+        path, columns, id_col
+    )
     zf = zone_filter
     if zf is not None and not isinstance(zf, list):
         zf = [zf]
-    base_want = [c for c in columns if c in base_cols]
-    fam_want: dict[str, list[str]] = {}
-    for c in columns:
-        if c in fam_cols:
-            fam_want.setdefault(fam_cols[c], []).append(c)
 
     def _side_filter(owned) -> list | None:
         picked = [t for t in (zf or []) if t[0] in owned]
@@ -682,7 +693,12 @@ def upsert_rows(rows: DataFrame, path: str, id_col: str = "doc_id") -> dict:
 LOOKUP_PRUNE_MAX_IDS = 4096
 
 
-def lookup_rows(ids: DataFrame, path: str, id_col: str = "doc_id") -> DataFrame:
+def lookup_rows(
+    ids: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    columns: list[str] | None = None,
+) -> DataFrame:
     """Point reads from an encoded dataset, pruned at TWO granularities:
 
     1. unit: only the ``blocks/unit_id=<u>`` directories the ids hash into
@@ -699,13 +715,21 @@ def lookup_rows(ids: DataFrame, path: str, id_col: str = "doc_id") -> DataFrame:
        only when the batch is ≤ LOOKUP_PRUNE_MAX_IDS ids (the values ride a
        literal array evaluated per block row).
 
+    ``columns`` may name COLUMN-FAMILY columns: families share the base's
+    unit placement, so the SAME unit + block pruning applies to their
+    blocks before the per-id values are left-joined on (read_encoded_
+    dataset semantics: uncovered ids read NULL).
+
     Absent ids simply return no row. The final semi-join is broadcast: a
     lookup batch is ids-only and small by construction (bulk retrieval is
     read_encoded_dataset's job)."""
     from xml2arrow_spark.operators.encode import prune_blocks_any
 
     spark = ids.sparkSession
-    _, ddl, n_units, _presort = _load_sidecar(path)
+    _, _ddl, n_units, _presort = _load_sidecar(path)
+    columns, base_cols, base_want, fams, fam_want = _resolve_columns(
+        path, columns, id_col
+    )
     ids = ids.select(id_col).distinct()
     id_rows = ids.limit(LOOKUP_PRUNE_MAX_IDS + 1).collect()
     id_values = (
@@ -720,12 +744,27 @@ def lookup_rows(ids: DataFrame, path: str, id_col: str = "doc_id") -> DataFrame:
         .distinct()
         .collect()  # bounded by n_units — metadata-scale
     )
-    blocks = spark.read.parquet(os.path.join(path, "blocks")).filter(
-        F.col("unit_id").isin(affected)
+
+    def _pruned(blocks_dir: str):
+        b = spark.read.parquet(blocks_dir).filter(
+            F.col("unit_id").isin(affected)
+        )
+        if id_values is not None:
+            b = prune_blocks_any(b, id_col, id_values)
+        return b
+
+    base_sel = ([id_col] if id_col not in base_want else []) + base_want
+    ddl = ", ".join(base_cols[c] for c in base_sel)
+    out = decode_table(_pruned(os.path.join(path, "blocks")), ddl).join(
+        F.broadcast(ids), id_col, "left_semi"
     )
-    if id_values is not None:
-        blocks = prune_blocks_any(blocks, id_col, id_values)
-    return decode_table(blocks, ddl).join(F.broadcast(ids), id_col, "left_semi")
+    for fam, cols in fam_want.items():
+        fddl = ", ".join([fams[fam][id_col]] + [fams[fam][c] for c in cols])
+        fdec = decode_table(
+            _pruned(os.path.join(path, "families", fam, "blocks")), fddl
+        ).join(F.broadcast(ids), id_col, "left_semi")
+        out = out.join(fdec, id_col, "left")
+    return out.select(*columns)
 
 
 def list_families(path: str) -> dict[str, dict[str, str]]:
@@ -938,3 +977,24 @@ def audit_dataset(
         fam_path = os.path.join(path, "families", fam)
         report[f"family:{fam}"] = _audit_tree(fam_path, ", ".join(cols.values()))
     return report
+
+
+def column_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Exact per-column min/max of a row-level encoded dataset from zone
+    maps alone — no payload decode (delegates to
+    :func:`~xml2arrow_spark.operators.dataset.dataset_column_stats`, which
+    reads the same nested block layout), extended across every column
+    family: one row per (tree, column), ``tree`` = 'base' or
+    'family:<name>'. The query-planning surface for 10^12-sequence scans:
+    selectivity estimates and zone-filter bounds without touching payload
+    bytes."""
+    from xml2arrow_spark.operators.dataset import dataset_column_stats
+
+    out = dataset_column_stats(spark, path).withColumn("tree", F.lit("base"))
+    for fam in list_families(path):
+        out = out.unionByName(
+            dataset_column_stats(
+                spark, os.path.join(path, "families", fam)
+            ).withColumn("tree", F.lit(f"family:{fam}"))
+        )
+    return out
