@@ -759,3 +759,49 @@ def test_lookup_rows_with_family_columns_and_column_stats(spark, tmp_path):
     ).collect()[0]
     assert n["vmin_i"] == real_min and n["vmax_i"] == real_max
     df.unpersist()
+
+
+def test_materialize_bucketed_family_join_is_exchange_free(spark, tmp_path):
+    """The executed form of the read path's bucketBy note: after one
+    bucketed materialization, the base-family join plans with ZERO shuffle
+    exchanges, and the result equals the direct (exchange-paying) read."""
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.checkpoint import (
+        add_columns,
+        materialize_bucketed,
+    )
+
+    path = str(tmp_path / "bkt")
+    df = tokens_dataframe(spark, 1000, variant="low_card", n_partitions=2).cache()
+    encode_dataset(df, path, CodecManifest.auto_for(df.schema, block_rows=256), n_units=4)
+    add_columns(
+        df.orderBy("doc_id").limit(300).select(
+            "doc_id", (F.col("n_tok") % F.lit(9)).cast("int").alias("q9")
+        ),
+        path,
+        "quality",
+    )
+
+    # disable broadcast: at toy scale the planner would broadcast the tiny
+    # family table (its own Exchange) instead of using the buckets — the
+    # claim under test is the 100 TB shape, where neither side broadcasts
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = materialize_bucketed(spark, path, "t_bkt", buckets=8)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # the whole point
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    direct = read_encoded_dataset(spark, path)
+    assert joined.count() == 1000
+    assert (
+        joined.alias("a").join(direct.alias("b"), "doc_id")
+        .filter(
+            "a.q9 IS DISTINCT FROM b.q9 OR a.tokens IS DISTINCT FROM b.tokens"
+        ).count() == 0
+    )
+    spark.sql("DROP TABLE IF EXISTS t_bkt_base")
+    spark.sql("DROP TABLE IF EXISTS t_bkt_fam_quality")
+    df.unpersist()

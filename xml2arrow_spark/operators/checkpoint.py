@@ -42,6 +42,7 @@ __all__ = [
     "drop_family",
     "audit_dataset",
     "column_stats",
+    "materialize_bucketed",
 ]
 
 MANIFEST_SIDEVAR = "_manifest.yaml"
@@ -998,3 +999,63 @@ def column_stats(spark: SparkSession, path: str) -> DataFrame:
             ).withColumn("tree", F.lit(f"family:{fam}"))
         )
     return out
+
+
+def materialize_bucketed(
+    spark: SparkSession,
+    path: str,
+    table_prefix: str,
+    buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Make repeated downstream id-joins exchange-free: decode the base and
+    each column family ONCE into bucketed managed tables
+    (``bucketBy(buckets, id)`` + in-bucket sort), then rebuild the family
+    join FROM the bucketed tables — both sides hash the same key into the
+    same bucket count, so Catalyst plans the join with ZERO shuffle
+    exchanges (pinned by test). This is the executed form of the read
+    path's "at 100 TB, bucketBy both sides" note: read_encoded_dataset
+    joins pay one exchange per family per query; a corpus that will be
+    joined many times (training-data assembly, repeated family probes)
+    pays the shuffle once at materialization.
+
+    Tables are named ``<table_prefix>_base`` and
+    ``<table_prefix>_fam_<family>``; existing tables are replaced. Returns
+    the joined DataFrame over the bucketed tables (same columns as
+    ``read_encoded_dataset(spark, path)``)."""
+    columns, base_cols, _bw, fams, fam_want = _resolve_columns(
+        path, None, id_col
+    )
+
+    def _sink(df: DataFrame, table: str) -> DataFrame:
+        import shutil
+        from urllib.parse import urlparse
+
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # a crashed prior materialization can orphan the managed location
+        # (table gone from the catalog, directory still on disk) — the
+        # create then refuses with LOCATION_ALREADY_EXISTS; clear it
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        orphan = os.path.join(wh, table.split(".")[-1].lower())
+        if os.path.exists(orphan):
+            shutil.rmtree(orphan, ignore_errors=True)
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(buckets, id_col)
+            .sortBy(id_col)
+            .saveAsTable(table)
+        )
+        return spark.table(table)
+
+    out = _sink(
+        read_encoded_dataset(spark, path, columns=list(base_cols)),
+        f"{table_prefix}_base",
+    )
+    for fam, cols in fam_want.items():
+        fdf = decode_table(
+            spark.read.parquet(os.path.join(path, "families", fam, "blocks")),
+            ", ".join([fams[fam][id_col]] + [fams[fam][c] for c in cols]),
+        )
+        out = out.join(_sink(fdf, f"{table_prefix}_fam_{fam}"), id_col, "left")
+    return out.select(*columns)
