@@ -504,14 +504,20 @@ def main() -> None:
         probe_ids = [r["doc_id"] for r in tok_docs.select("doc_id").limit(16).collect()]
         probe = spark.createDataFrame([(i,) for i in probe_ids], "doc_id string")
 
-        def run_q18():
-            upsert_rows(batch, ds_path)
-            lookup_rows(probe, ds_path).collect()
-            read_encoded_dataset(
+        # three separately-timed legs (one fused number hid which op moved)
+        best_of("q18a_upsert_batch", lambda: upsert_rows(batch, ds_path))
+        best_of(
+            "q18b_point_lookup",
+            lambda: lookup_rows(
+                probe, ds_path, columns=["doc_id", "n_tok"]
+            ).collect(),
+        )
+        best_of(
+            "q18c_family_read",
+            lambda: read_encoded_dataset(
                 spark, ds_path, columns=["doc_id", "n_tok", "q_score"]
-            ).agg(F.sum(F.coalesce("q_score", F.lit(0)))).collect()
-
-        best_of("q18_dataset_maintenance", run_q18)
+            ).agg(F.sum(F.coalesce("q_score", F.lit(0)))).collect(),
+        )
         tok_docs.unpersist()
         batch.unpersist()
     finally:
