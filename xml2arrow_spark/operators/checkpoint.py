@@ -629,15 +629,23 @@ def upsert_rows(rows: DataFrame, path: str, id_col: str = "doc_id") -> dict:
             f"would break bit-identity"
         )
 
-    # one aggregate over the batch answers "is it empty", "does any id
-    # repeat", and "is any id NULL" without a second scan
-    n_in, n_ids, n_null = (
-        incoming.agg(
+    # ONE batch scan answers everything the mutation needs up front: the
+    # affected units AND the contract checks (empty / duplicate / NULL id).
+    # Per-unit count_distinct sums to the global distinct because an id
+    # maps to exactly one unit (placement is a pure function of the id).
+    per_unit = (
+        plan_units(incoming.select(id_col), n_units, id_col)
+        .groupBy("unit_id")
+        .agg(
             F.count("*").alias("n"),
             F.count_distinct(id_col).alias("d"),
             F.count_if(F.col(id_col).isNull()).alias("z"),
-        ).collect()[0]
+        )
+        .collect()  # bounded by n_units — metadata-scale
     )
+    n_in = sum(r["n"] for r in per_unit)
+    n_ids = sum(r["d"] for r in per_unit)
+    n_null = sum(r["z"] for r in per_unit)
     if n_null:
         # a NULL id has no identity: the superseded-row anti-join could
         # never drop its old version (NULL joins nothing), so replace-by-id
@@ -659,13 +667,7 @@ def upsert_rows(rows: DataFrame, path: str, id_col: str = "doc_id") -> dict:
         )
 
     ids = incoming.select(id_col)
-    affected = sorted(
-        r["unit_id"]
-        for r in plan_units(ids, n_units, id_col)
-        .select("unit_id")
-        .distinct()
-        .collect()  # bounded by n_units — metadata-scale
-    )
+    affected = sorted(r["unit_id"] for r in per_unit)
     blocks_dir = os.path.join(path, "blocks")
     # partition-pruned scan: only the touched unit directories are decoded
     blocks = spark.read.parquet(blocks_dir).filter(
@@ -732,19 +734,23 @@ def lookup_rows(
         path, columns, id_col
     )
     ids = ids.select(id_col).distinct()
-    id_rows = ids.limit(LOOKUP_PRUNE_MAX_IDS + 1).collect()
-    id_values = (
-        [r[id_col] for r in id_rows]
-        if len(id_rows) <= LOOKUP_PRUNE_MAX_IDS
-        else None  # oversized batch: unit pruning only
-    )
-    affected = sorted(
-        r["unit_id"]
-        for r in plan_units(ids, n_units, id_col)
-        .select("unit_id")
-        .distinct()
-        .collect()  # bounded by n_units — metadata-scale
-    )
+    # one job yields BOTH pruning inputs (point reads are latency-bound:
+    # every extra Spark job is a fixed cost the batch can't amortize)
+    id_rows = plan_units(ids, n_units, id_col).limit(
+        LOOKUP_PRUNE_MAX_IDS + 1
+    ).collect()
+    if len(id_rows) <= LOOKUP_PRUNE_MAX_IDS:
+        id_values = [r[id_col] for r in id_rows]
+        affected = sorted({r["unit_id"] for r in id_rows})
+    else:  # oversized batch: unit pruning only, units from their own agg
+        id_values = None
+        affected = sorted(
+            r["unit_id"]
+            for r in plan_units(ids, n_units, id_col)
+            .select("unit_id")
+            .distinct()
+            .collect()  # bounded by n_units — metadata-scale
+        )
 
     def _pruned(blocks_dir: str):
         b = spark.read.parquet(blocks_dir).filter(
