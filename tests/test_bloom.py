@@ -1,0 +1,191 @@
+"""Per-block Bloom index — point-lookup pruning on UNCLUSTERED datasets.
+
+Zone maps can only prune id lookups when the dataset was presorted by id;
+the Bloom index must prune (and never drop) on hash-placed, unsorted data,
+survive mutations via invalidate-then-rebuild, and degrade to a no-op when
+absent. Contract mirror of the reference's round-trip equality discipline
+(/root/reference/tests/integration_tests.rs): every pruned read equals the
+semi-joined truth."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from xml2arrow_spark.manifest import CodecManifest
+from xml2arrow_spark.operators import bloomidx
+from xml2arrow_spark.operators.bloomidx import (
+    bloom_survivors,
+    build_block_bloom,
+    build_bloom_index,
+    _hash_pair,
+    _probe_block,
+)
+from xml2arrow_spark.operators.checkpoint import (
+    encode_dataset,
+    lookup_rows,
+    upsert_rows,
+)
+from xml2arrow_spark.operators.verify import verify_roundtrip
+from xml2arrow_spark.sources import tokens_dataframe
+
+
+def _ids_df(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "doc_id string")
+
+
+def test_block_bloom_no_false_negatives_and_low_fpr():
+    members = [f"doc-{i:05d}" for i in range(1000)]
+    m, bits = build_block_bloom(members, bits_per_row=10, k=7)
+    assert m >= 10 * 1000 and m % 64 == 0
+    # Bloom guarantee: every member probes positive
+    for v in members[::37]:
+        assert _probe_block(bits, m, [_hash_pair(v)], 7)
+    # non-members: <3% false positives at 10 bits/row, k=7 (theory ~0.8%)
+    others = [f"ghost-{i:05d}" for i in range(2000)]
+    fp = sum(_probe_block(bits, m, [_hash_pair(v)], 7) for v in others)
+    assert fp / len(others) < 0.03
+    # null values are skipped, not hashed
+    m2, bits2 = build_block_bloom(["a", None, "b"], bits_per_row=10, k=7)
+    assert _probe_block(bits2, m2, [_hash_pair("a")], 7)
+
+
+def test_bloom_index_prunes_unclustered_lookup(spark, tmp_path):
+    """The headline case: NO presort, so zone maps keep everything — the
+    Bloom index must cut the decoded blocks to ~the probed ids' own blocks
+    while the result stays equal to the semi-joined truth."""
+    path = str(tmp_path / "bl1")
+    df = tokens_dataframe(spark, 3000, variant="low_card", n_partitions=4).cache()
+    man = CodecManifest.auto_for(df.schema, block_rows=128)
+    encode_dataset(df, path, man, n_units=4)  # deliberately unclustered
+
+    blocks = spark.read.parquet(os.path.join(path, "blocks"))
+    n_blocks = blocks.count()
+    res = build_bloom_index(spark, path, "doc_id")
+    assert res["blocks_indexed"] == n_blocks
+    assert "doc_id" in bloomidx.list_indexes(path)
+
+    wanted = [r["doc_id"] for r in df.select("doc_id").limit(6).collect()]
+    units = sorted(
+        r["unit_id"]
+        for r in spark.createDataFrame([(i,) for i in wanted], "doc_id string")
+        .withColumn("unit_id", F.pmod(F.hash("doc_id"), F.lit(4)).cast("int"))
+        .select("unit_id")
+        .distinct()
+        .collect()
+    )
+    unprunable, survivors = bloom_survivors(path, "doc_id", wanted, units)
+    assert not unprunable  # full build: every affected unit is indexed
+    kept = sum(len(v) for v in survivors.values())
+    in_units = blocks.filter(F.col("unit_id").isin(units)).count()
+    assert 0 < kept < in_units  # strictly prunes within the affected units
+
+    got = lookup_rows(_ids_df(spark, wanted), path)
+    expect = df.join(_ids_df(spark, wanted), "doc_id", "left_semi")
+    assert verify_roundtrip(expect, got)["ok"]
+
+    # an id provably absent everywhere: zero surviving blocks, zero rows
+    _, ghost = bloom_survivors(path, "doc_id", ["no-such-doc"], units)
+    assert sum(len(v) for v in ghost.values()) <= 1  # ≤ false positives
+    assert lookup_rows(_ids_df(spark, ["no-such-doc"]), path).count() == 0
+    df.unpersist()
+
+
+def test_bloom_index_mutation_invalidate_then_rebuild(spark, tmp_path):
+    """Upsert must (a) never serve stale filters — a NEW id inserted into a
+    rewritten unit is found immediately — and (b) leave the index rebuilt,
+    still pruning. The crash window (invalidated, not yet rebuilt) is
+    simulated explicitly and must be conservative, not wrong."""
+    path = str(tmp_path / "bl2")
+    df = tokens_dataframe(spark, 2000, variant="low_card", n_partitions=4).cache()
+    man = CodecManifest.auto_for(df.schema, block_rows=128)
+    encode_dataset(df, path, man, n_units=4)
+    build_bloom_index(spark, path, "doc_id")
+
+    new_id = "brand-new-doc-1"
+    batch = (
+        df.limit(1)
+        .withColumn("doc_id", F.lit(new_id))
+        .withColumn("source", F.lit("upsert"))
+    )
+    upsert_rows(batch, path)
+
+    # (a) fresh: the new id is served through the bloom-pruned path
+    got = lookup_rows(_ids_df(spark, [new_id]), path)
+    assert got.count() == 1
+
+    # (b) rebuilt: its unit is indexed again and prunes
+    unit = (
+        spark.createDataFrame([(new_id,)], "doc_id string")
+        .withColumn("u", F.pmod(F.hash("doc_id"), F.lit(4)).cast("int"))
+        .collect()[0]["u"]
+    )
+    unprunable, survivors = bloom_survivors(path, "doc_id", [new_id], [unit])
+    assert not unprunable and sum(len(v) for v in survivors.values()) >= 1
+
+    # (c) crash window: invalidated but not rebuilt -> conservative keep-all
+    bloomidx.invalidate_units(path, [unit])
+    unprunable2, _ = bloom_survivors(path, "doc_id", [new_id], [unit])
+    assert unit in unprunable2
+    assert lookup_rows(_ids_df(spark, [new_id]), path).count() == 1
+    df.unpersist()
+
+
+def test_bloom_absent_index_is_a_noop(spark, tmp_path):
+    path = str(tmp_path / "bl3")
+    df = tokens_dataframe(spark, 500, variant="low_card", n_partitions=2).cache()
+    man = CodecManifest.auto_for(df.schema, block_rows=128)
+    encode_dataset(df, path, man, n_units=2)
+    assert bloomidx.list_indexes(path) == {}
+    assert bloomidx.bloom_filter_expr(path, "doc_id", ["x"], [0, 1]) is None
+    wanted = [r["doc_id"] for r in df.select("doc_id").limit(3).collect()]
+    got = lookup_rows(_ids_df(spark, wanted), path)
+    expect = df.join(_ids_df(spark, wanted), "doc_id", "left_semi")
+    assert verify_roundtrip(expect, got)["ok"]
+    df.unpersist()
+
+
+def test_bloom_index_extends_on_resume(spark, tmp_path):
+    """A dataset indexed while partially encoded must come out FULLY
+    indexed once resumes complete it (encode_dataset refreshes existing
+    indexes for the units it just encoded)."""
+    path = str(tmp_path / "bl5")
+    df = tokens_dataframe(spark, 2000, variant="low_card", n_partitions=4).cache()
+    man = CodecManifest.auto_for(df.schema, block_rows=128)
+    encode_dataset(df, path, man, n_units=4, only_units=[0, 1])
+    build_bloom_index(spark, path, "doc_id")
+    encode_dataset(df, path, man, n_units=4)  # resume: units 2, 3
+    unprunable, survivors = bloom_survivors(
+        path, "doc_id", [r["doc_id"] for r in df.select("doc_id").limit(4).collect()],
+        [0, 1, 2, 3],
+    )
+    assert not unprunable and set(survivors) == {0, 1, 2, 3}
+    blocks_total = spark.read.parquet(os.path.join(path, "blocks")).count()
+    import pyarrow.parquet as pq
+
+    idx_total = pq.read_table(
+        os.path.join(path, "bloomidx", "doc_id", "blocks"), columns=["block_id"]
+    ).num_rows
+    assert idx_total == blocks_total
+    df.unpersist()
+
+
+def test_bloom_partial_refresh_reuses_recorded_geometry(spark, tmp_path):
+    """A units= refresh must reuse the sidecar's bits_per_row/k even when
+    the caller passes different values — mixed geometry across partitions
+    would make driver probes nonsense."""
+    import yaml
+
+    path = str(tmp_path / "bl4")
+    df = tokens_dataframe(spark, 1000, variant="low_card", n_partitions=2).cache()
+    man = CodecManifest.auto_for(df.schema, block_rows=128)
+    encode_dataset(df, path, man, n_units=2)
+    build_bloom_index(spark, path, "doc_id", bits_per_row=12, k=5)
+    build_bloom_index(spark, path, "doc_id", bits_per_row=99, k=1, units=[0])
+    with open(os.path.join(path, "bloomidx", "doc_id", "_bloom.yaml")) as f:
+        side = yaml.safe_load(f.read())
+    assert side["bits_per_row"] == 12 and side["k"] == 5
+    wanted = [r["doc_id"] for r in df.select("doc_id").limit(4).collect()]
+    got = lookup_rows(_ids_df(spark, wanted), path)
+    expect = df.join(_ids_df(spark, wanted), "doc_id", "left_semi")
+    assert verify_roundtrip(expect, got)["ok"]
+    df.unpersist()

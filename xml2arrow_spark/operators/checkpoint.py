@@ -27,6 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from xml2arrow_spark.manifest import CodecManifest
+from xml2arrow_spark.operators import bloomidx
 from xml2arrow_spark.operators.encode import decode_table, encode_table
 
 __all__ = [
@@ -275,6 +276,14 @@ def encode_dataset(
             _manifest_schema(),
             f"manifest-{uuid.uuid4().hex}.parquet",
         )
+    # Bloom-index consistency on resume: units encoded by THIS run are new
+    # to any existing index — refresh just those partitions so an indexed
+    # dataset never quietly degrades to unindexed as resumes complete it.
+    if meta_rows:
+        new_units = sorted(int(r["unit_id"]) for r in meta_rows)
+        for column in bloomidx.list_indexes(path):
+            bloomidx.build_bloom_index(spark, path, column, units=new_units)
+
     # final rollup driver-side for the same reason
     from xml2arrow_spark.operators.metadata import sum_columns
 
@@ -440,6 +449,10 @@ def _rewrite_units(
     import uuid
 
     blocks_dir = os.path.join(path, "blocks")
+    # Bloom-index invalidation FIRST: from here to the post-swap rebuild the
+    # affected units are unindexed (probes keep all their blocks) — a crash
+    # in any window leaves the index degraded, never stale-wrong.
+    bloomidx.invalidate_units(path, affected)
     # two-phase staging (the repo-wide branch-reuse pattern): the new rows
     # are needed TWICE — as the re-encode input and to learn which affected
     # units still have rows at all. Materializing once also means the
@@ -504,6 +517,14 @@ def _rewrite_units(
     os.rename(mdir, mdir + ".old")
     os.rename(mdir + ".new", mdir)
     shutil.rmtree(mdir + ".old")
+
+    # Bloom-index refresh LAST (data + lineage are already consistent):
+    # rebuild only the surviving affected units — O(affected units), the
+    # same order as the rewrite itself. Emptied units stay absent from the
+    # index (nothing to prune — they have no blocks).
+    refresh = sorted(u for u in affected if u in survivors)
+    for column in bloomidx.list_indexes(path):
+        bloomidx.build_bloom_index(spark, path, column, units=refresh)
 
     rows_after = int(sum(r["n_rows"] for r in meta_rows))
     return rows_before, rows_after
@@ -758,6 +779,16 @@ def lookup_rows(
         )
         if id_values is not None:
             b = prune_blocks_any(b, id_col, id_values)
+            # third granularity: per-block Bloom filters (built with
+            # build_bloom_index) prune by exact membership — the only prune
+            # that bites on UNCLUSTERED data. Probed driver-side (the
+            # affected units' filter partitions are metadata-scale);
+            # conservative when the index is absent or mid-invalidation.
+            bexpr = bloomidx.bloom_filter_expr(
+                os.path.dirname(blocks_dir), id_col, id_values, affected
+            )
+            if bexpr is not None:
+                b = b.filter(bexpr)
         return b
 
     base_sel = ([id_col] if id_col not in base_want else []) + base_want
