@@ -1078,6 +1078,8 @@ def q_encode_dataset_resume(spark, sf_dir):
     completed units encodes ONLY the missing half (re-encode-nothing is
     pinned by tests/test_checkpoint.py on manifest row counts). The decoded
     dataset must equal the raw oracle — resume is invisible to results.
+    Further legs below exercise delete, upsert, column families, and
+    Bloom-indexed point lookups over the same dataset.
     Reference analog: parser-reuse/state-isolation round trips
     (/root/reference/tests/integration_tests.rs:176-269)."""
     import os
@@ -1126,9 +1128,30 @@ def q_encode_dataset_resume(spark, sf_dir):
         path,
         "quality",
     )
-    return _token_scalar_projection(
+    # r05 bloom leg: point lookups through the per-block Bloom index built
+    # AFTER the mutations above (its partitions were invalidated+rebuilt by
+    # delete/upsert; this full build also covers the family tree's base).
+    # The lookup batch (ids ending in '5' — untouched by every edit) flows
+    # through unit pruning + zone maps + the bloom block filter; a filter
+    # that wrongly drops a block surfaces here as missing oracle rows.
+    from xml2arrow_spark.operators.bloomidx import build_bloom_index
+    from xml2arrow_spark.operators.checkpoint import lookup_rows
+
+    build_bloom_index(spark, path, "doc_id")
+    looked = lookup_rows(
+        tok.filter("doc_id LIKE '%5'").select("doc_id"), path
+    )
+    full = _token_scalar_projection(
         read_encoded_dataset(spark, path),
         F.coalesce("q_score", F.lit(-1)).alias("q_score"),
+        F.lit("all").alias("leg"),
+    )
+    return full.unionByName(
+        _token_scalar_projection(
+            looked,
+            F.coalesce("q_score", F.lit(-1)).alias("q_score"),
+            F.lit("lookup").alias("leg"),
+        )
     )
 
 

@@ -47,9 +47,11 @@ def encode_dataset_resume_sql() -> str:
     replaces ids ending in '3' with 16-token truncations and inserts ids
     ending in '9' under ``doc_id || '::v2'`` -> ADD_COLUMNS that backfills a
     quality-score column family for ids ending in '1' (uncovered rows read
-    as the -1 sentinel). The oracle states the final row set directly over
-    the raw projection — resume, delete, upsert, and the family join must
-    all be invisible except for exactly these row edits."""
+    as the -1 sentinel) -> Bloom-indexed point LOOKUP of ids ending in '5'
+    (the 'lookup' leg). The oracle states the final row set directly over
+    the raw projection — resume, delete, upsert, the family join, and the
+    Bloom block filter must all be invisible except for exactly these row
+    edits."""
     return f"""
 WITH t AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -68,12 +70,19 @@ final AS (
   SELECT doc_id || '::v2' AS doc_id, tokens, n_tok, source
   FROM t WHERE doc_id LIKE '%9'
 )
+, proj AS (
 SELECT doc_id, n_tok, source,
        {G.afold('tokens', f'(acc * 31 + x) % {FINGERPRINT_MOD}', D)} AS tok_fp,
        coalesce(list_min(tokens), -1) AS tok_min,
        coalesce(list_max(tokens), -1) AS tok_max,
        CASE WHEN doc_id LIKE '%1' THEN n_tok % 31 ELSE -1 END AS q_score
 FROM final
+)
+SELECT *, 'all' AS leg FROM proj
+UNION ALL
+-- bloom leg: the engine serves these rows through Bloom-pruned point
+-- lookups; the truth is simply the same projection restricted to the batch
+SELECT *, 'lookup' AS leg FROM proj WHERE doc_id LIKE '%5'
 """
 
 
