@@ -183,12 +183,22 @@ def q_codec_selection(spark, sf_dir):
 
 
 def q_token_stats(spark, sf_dir):
+    """Per-source table stats, exact + sketched: the r05 ``n_vocab_est``
+    leg is a KMV distinct-count sketch (pipeline/sketches.py) — portable
+    integer arithmetic, so the oracle pins the ESTIMATE bit-for-bit (an
+    HLL estimate would be engine-private)."""
+    from xml2arrow_spark.pipeline.sketches import kmv_token_vocab
+
     tok = tokenize_documents(_docs(spark, sf_dir))
-    return tok.groupBy("source").agg(
+    stats = tok.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),
         F.min(F.array_min("tokens")).alias("min_token"),
         F.max(F.array_max("tokens")).alias("max_token"),
+    )
+    vocab = kmv_token_vocab(tok).withColumnRenamed("n_distinct_est", "n_vocab_est")
+    return stats.join(vocab, "source", "left").withColumn(
+        "n_vocab_est", F.coalesce("n_vocab_est", F.lit(0))
     )
 
 

@@ -87,18 +87,40 @@ SELECT *, 'lookup' AS leg FROM proj WHERE doc_id LIKE '%5'
 
 
 def token_stats_sql() -> str:
+    """Exact per-source stats + the KMV vocabulary-size leg: the sketch
+    rule (hash -> k smallest distinct -> (k-1)*M // h_k) is restated in
+    DuckDB primitives, so the ESTIMATE itself is pinned bit-for-bit."""
+    from xml2arrow_spark.pipeline.sketches import KMV_K
+
     return f"""
 WITH tok AS (
   SELECT source, CAST({_TOKS} AS INTEGER[]) AS tokens,
          {G.asize(G.split_ws('text', D), D)} AS n_tok
   FROM documents
+),
+stats AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         MIN(list_min(tokens)) AS min_token,
+         MAX(list_max(tokens)) AS max_token
+  FROM tok GROUP BY source
+),
+pairs AS (
+  SELECT DISTINCT source, {G.kmv_hash_expr('t', D)} AS h
+  FROM (SELECT source, unnest(tokens) AS t FROM tok)
+),
+ranked AS (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM pairs
+),
+sk AS (
+  SELECT source, count(*) AS n_h, max(h) AS h_k
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY source
 )
-SELECT source,
-       COUNT(*) AS n_docs,
-       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-       MIN(list_min(tokens)) AS min_token,
-       MAX(list_max(tokens)) AS max_token
-FROM tok GROUP BY source
+SELECT stats.*,
+       coalesce({G.kmv_estimate_expr('n_h', 'h_k', KMV_K, D)}, 0) AS n_vocab_est
+FROM stats LEFT JOIN sk USING (source)
 """
 
 

@@ -456,3 +456,49 @@ def simhash_expr(toks: str, dialect: str, bits: int = SIMHASH_BITS) -> str:
     should materialize :func:`rehash_expr` and use
     :func:`simhash_from_hashes_expr`."""
     return simhash_from_hashes_expr(rehash_expr(toks, dialect), dialect, bits)
+
+
+# -- KMV distinct sketch ------------------------------------------------------
+
+# k-minimum-values cardinality estimation (Bar-Yossef et al., RANDOM 2002):
+# hash every distinct value into [0, KMV_MOD); if the k-th smallest distinct
+# hash is h_k, the estimate is (k-1) * KMV_MOD / h_k (and the sketch is EXACT
+# below k). Unlike HLL this is reproducible across engines from pure integer
+# arithmetic, so the oracle pins the estimate bit-for-bit.
+KMV_MOD = 2147483647  # 2^31 - 1, prime
+KMV_MULT = 48271  # MINSTD multiplier
+
+
+def kmv_hash_expr(col: str, dialect: str) -> str:
+    """Portable KMV hash: nonnegative residue mod M (both engines' ``%``
+    truncates toward zero, so the double-% nonneg fold agrees), then TWO
+    quadratic rounds ``x -> (x*x + 48271*x [+ 11]) % M``.
+
+    An affine (MINSTD-style) round is NOT enough here: affine maps send
+    arithmetic progressions to arithmetic progressions, whose lattice
+    structure biases the k-th minimum — measured 27-120% estimate error on
+    id-like inputs (stride-1 and stride-7 ranges). The quadratic rounds
+    break the lattice: ≤5% on every probed input shape (APs of several
+    strides, squares, uniform random) at k=256, inside the 1/sqrt(k)
+    band. Each round is ≤2-to-1 (x pairs with -b-x mod M, a partner ~2^31
+    away — no collisions for realistic id ranges) and every intermediate
+    stays ≤ M^2 + M*48271 < 2^63 (ANSI-safe)."""
+    _check(dialect)
+    r = f"(((CAST({col} AS BIGINT) % {KMV_MOD}) + {KMV_MOD}) % {KMV_MOD})"
+    r1 = f"(({r} * {r} % {KMV_MOD} + {r} * {KMV_MULT} + 11) % {KMV_MOD})"
+    return f"(({r1} * {r1} % {KMV_MOD} + {r1} * {KMV_MULT}) % {KMV_MOD})"
+
+
+def kmv_estimate_expr(n_h: str, h_k: str, k: int, dialect: str) -> str:
+    """Estimate from (observed sketch size, k-th smallest hash): exact when
+    the sketch never filled; else (k-1)*M // h_k — integer division, which
+    truncates toward zero identically in Spark's ``div`` and DuckDB's
+    ``//`` for the positive operands here (h_k >= 1 via greatest: h=0 only
+    occurs for residue 0, and only matters at k=1)."""
+    _check(dialect)
+    idiv = (
+        f"div({int(k) - 1} * CAST({KMV_MOD} AS BIGINT), greatest({h_k}, 1))"
+        if dialect == "spark"
+        else f"(({int(k) - 1} * CAST({KMV_MOD} AS BIGINT)) // greatest({h_k}, 1))"
+    )
+    return f"CAST(CASE WHEN {n_h} < {int(k)} THEN {n_h} ELSE {idiv} END AS BIGINT)"
