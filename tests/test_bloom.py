@@ -169,6 +169,93 @@ def test_bloom_index_extends_on_resume(spark, tmp_path):
     df.unpersist()
 
 
+def test_audit_index_flags_restored_stale_index(spark, tmp_path):
+    """An index restored from before a mutation (the skipped-invalidation /
+    operator-error scenario) must be FLAGGED: here the delete shrinks the
+    units' block counts, so the stale key sets differ and the metadata
+    level catches it; a rebuild restores green. Unindexed units are
+    reported but never fail (missing-is-conservative)."""
+    import shutil
+
+    from xml2arrow_spark.operators.bloomidx import audit_index
+    from xml2arrow_spark.operators.checkpoint import audit_dataset, delete_rows
+
+    path = str(tmp_path / "ba1")
+    df = tokens_dataframe(spark, 2000, variant="low_card", n_partitions=4).cache()
+    man = CodecManifest.auto_for(df.schema, block_rows=128)
+    encode_dataset(df, path, man, n_units=4)
+    build_bloom_index(spark, path, "doc_id")
+    rep = audit_dataset(spark, path)
+    assert rep["base:bloom:doc_id"]["ok"]
+    assert rep["base:bloom:doc_id"]["unindexed_units"] == []
+
+    idxdir = os.path.join(path, "bloomidx", "doc_id", "blocks")
+    snap = str(tmp_path / "idx_snap")
+    shutil.copytree(idxdir, snap)
+    # halve every unit -> fewer blocks per unit
+    delete_rows(
+        df.filter("doc_id LIKE '%0' OR doc_id LIKE '%2' OR doc_id LIKE '%4' "
+                  "OR doc_id LIKE '%6' OR doc_id LIKE '%8'").select("doc_id"),
+        path,
+    )
+    assert audit_index(spark, path, "doc_id")["ok"]  # rebuilt by the mutation
+    shutil.rmtree(idxdir)
+    shutil.copytree(snap, idxdir)
+    spark.catalog.refreshByPath(idxdir)  # restored files: drop cached listing
+    stale = audit_index(spark, path, "doc_id")
+    assert stale["stale_units"] and not stale["ok"]
+    build_bloom_index(spark, path, "doc_id")
+    assert audit_index(spark, path, "doc_id", deep=True)["ok"]
+    df.unpersist()
+
+
+def test_audit_index_deep_catches_same_keys_different_values(spark, tmp_path):
+    """The case metadata CANNOT see: swap one id for a new id in the same
+    unit (row count, block count, and deterministic block ids all
+    unchanged), restore the pre-swap index — key sets match, but the
+    stored bits answer for the WRONG id set. Only the deep recompute
+    flags it."""
+    import shutil
+
+    from xml2arrow_spark.operators.bloomidx import audit_index
+    from xml2arrow_spark.operators.checkpoint import delete_rows, upsert_rows
+
+    path = str(tmp_path / "ba2")
+    df = tokens_dataframe(spark, 2000, variant="low_card", n_partitions=4).cache()
+    man = CodecManifest.auto_for(df.schema, block_rows=128)
+    encode_dataset(df, path, man, n_units=4)
+    build_bloom_index(spark, path, "doc_id")
+    idxdir = os.path.join(path, "bloomidx", "doc_id", "blocks")
+    snap = str(tmp_path / "idx_snap2")
+    shutil.copytree(idxdir, snap)
+
+    some = df.select("doc_id").limit(1).collect()[0]["doc_id"]
+    unit = (
+        spark.createDataFrame([(some,)], "doc_id string")
+        .select(F.pmod(F.hash("doc_id"), F.lit(4)).cast("int").alias("u"))
+        .collect()[0]["u"]
+    )
+    cand = (
+        spark.createDataFrame([(f"repl-{i}",) for i in range(64)], "doc_id string")
+        .withColumn("u", F.pmod(F.hash("doc_id"), F.lit(4)).cast("int"))
+        .filter(F.col("u") == unit)
+        .limit(1)
+        .collect()[0]["doc_id"]
+    )
+    delete_rows(spark.createDataFrame([(some,)], "doc_id string"), path)
+    upsert_rows(df.filter(F.col("doc_id") == some).withColumn("doc_id", F.lit(cand)), path)
+    assert audit_index(spark, path, "doc_id", deep=True)["ok"]  # honest rebuild
+
+    shutil.rmtree(idxdir)
+    shutil.copytree(snap, idxdir)
+    spark.catalog.refreshByPath(idxdir)
+    shallow = audit_index(spark, path, "doc_id", deep=False)
+    assert shallow["stale_units"] == []  # identical keys: metadata is blind
+    deep = audit_index(spark, path, "doc_id", deep=True)
+    assert unit in deep["deep_mismatched_units"] and not deep["ok"]
+    df.unpersist()
+
+
 def test_bloom_partial_refresh_reuses_recorded_geometry(spark, tmp_path):
     """A units= refresh must reuse the sidecar's bits_per_row/k even when
     the caller passes different values — mixed geometry across partitions

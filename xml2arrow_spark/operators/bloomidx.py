@@ -56,6 +56,7 @@ __all__ = [
     "invalidate_units",
     "bloom_survivors",
     "bloom_filter_expr",
+    "audit_index",
     "BLOOM_SIDEVAR",
     "BLOOM_HASH_ID",
 ]
@@ -154,65 +155,19 @@ def invalidate_units(tree: str, units: list[int]) -> None:
             )
 
 
-def build_bloom_index(
-    spark,
-    tree: str,
-    column: str,
-    bits_per_row: int = 10,
-    k: int = 7,
-    units: list[int] | None = None,
-) -> dict:
-    """Build (or refresh) the Bloom index of ``column`` for the encoded
-    blocks tree at ``tree`` (a dataset path, or ``<path>/families/<fam>``).
-
-    One map-only pass: each block row decodes ONLY the indexed column
-    (nested layout: one entry of the ``cols`` struct; wide layout: the
-    parquet scan reads just that column's payload) and emits one filter
-    row. ``units=None`` rebuilds the whole index (the index dir is cleared
-    first so units that no longer exist cannot leave stale partitions);
-    ``units=[...]`` refreshes only those partitions via dynamic overwrite —
-    the O(affected-units) shape mutations need. Geometry is recorded in a
-    sidecar and REUSED by partial refreshes: mixed bits_per_row/k across
-    partitions would make driver probes nonsense."""
-    import shutil
-
+def _computed_filters_df(
+    spark, tree: str, column: str, bits_per_row: int, k: int,
+    units: list[int] | None,
+):
+    """The filter rows as COMPUTED from the blocks on disk — one map-only
+    pass decoding only ``column`` per block (shared by the index build and
+    the deep audit, so 'stored equals recomputed' is checked against the
+    very bytes a rebuild would write)."""
     import pyarrow as pa
-    import yaml
     from pyspark.sql import functions as F
-
-    idx = _index_dir(tree, column)
-    spath = os.path.join(idx, BLOOM_SIDEVAR)
-    if units is not None and os.path.exists(spath):
-        with open(spath) as f:
-            side = yaml.safe_load(f.read()) or {}
-        if side.get("hash") != BLOOM_HASH_ID:
-            raise ValueError(
-                f"bloom index at {idx!r} was built with hash "
-                f"{side.get('hash')!r}; this engine probes {BLOOM_HASH_ID!r}"
-            )
-        bits_per_row = int(side.get("bits_per_row", bits_per_row))
-        k = int(side.get("k", k))
-    if units is None:
-        shutil.rmtree(idx, ignore_errors=True)
-    os.makedirs(idx, exist_ok=True)
-    tmp = spath + ".inprogress"
-    with open(tmp, "w") as f:
-        f.write(
-            yaml.safe_dump(
-                {
-                    "column": column,
-                    "bits_per_row": int(bits_per_row),
-                    "k": int(k),
-                    "hash": BLOOM_HASH_ID,
-                }
-            )
-        )
-    os.replace(tmp, spath)
 
     blocks = spark.read.parquet(os.path.join(tree, "blocks"))
     if units is not None:
-        if not units:
-            return {"blocks_indexed": 0}
         blocks = blocks.filter(F.col("unit_id").isin([int(u) for u in units]))
     wide = "cols" not in blocks.columns
     if wide:
@@ -265,7 +220,65 @@ def build_bloom_index(
                     ),
                 )
 
-    filt = blocks.mapInArrow(build_fn, BLOOM_DDL)
+    return blocks.mapInArrow(build_fn, BLOOM_DDL)
+
+
+def build_bloom_index(
+    spark,
+    tree: str,
+    column: str,
+    bits_per_row: int = 10,
+    k: int = 7,
+    units: list[int] | None = None,
+) -> dict:
+    """Build (or refresh) the Bloom index of ``column`` for the encoded
+    blocks tree at ``tree`` (a dataset path, or ``<path>/families/<fam>``).
+
+    One map-only pass: each block row decodes ONLY the indexed column
+    (nested layout: one entry of the ``cols`` struct; wide layout: the
+    parquet scan reads just that column's payload) and emits one filter
+    row. ``units=None`` rebuilds the whole index (the index dir is cleared
+    first so units that no longer exist cannot leave stale partitions);
+    ``units=[...]`` refreshes only those partitions via dynamic overwrite —
+    the O(affected-units) shape mutations need. Geometry is recorded in a
+    sidecar and REUSED by partial refreshes: mixed bits_per_row/k across
+    partitions would make driver probes nonsense."""
+    import shutil
+
+    import yaml
+
+    idx = _index_dir(tree, column)
+    spath = os.path.join(idx, BLOOM_SIDEVAR)
+    if units is not None and os.path.exists(spath):
+        with open(spath) as f:
+            side = yaml.safe_load(f.read()) or {}
+        if side.get("hash") != BLOOM_HASH_ID:
+            raise ValueError(
+                f"bloom index at {idx!r} was built with hash "
+                f"{side.get('hash')!r}; this engine probes {BLOOM_HASH_ID!r}"
+            )
+        bits_per_row = int(side.get("bits_per_row", bits_per_row))
+        k = int(side.get("k", k))
+    if units is None:
+        shutil.rmtree(idx, ignore_errors=True)
+    os.makedirs(idx, exist_ok=True)
+    tmp = spath + ".inprogress"
+    with open(tmp, "w") as f:
+        f.write(
+            yaml.safe_dump(
+                {
+                    "column": column,
+                    "bits_per_row": int(bits_per_row),
+                    "k": int(k),
+                    "hash": BLOOM_HASH_ID,
+                }
+            )
+        )
+    os.replace(tmp, spath)
+
+    if units is not None and not units:
+        return {"blocks_indexed": 0}
+    filt = _computed_filters_df(spark, tree, column, bits_per_row, k, units)
     filt.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("unit_id").parquet(os.path.join(idx, "blocks"))
@@ -328,6 +341,93 @@ def bloom_survivors(
         ]
         survivors[int(u)] = keep
     return unprunable, survivors
+
+
+def audit_index(spark, tree: str, column: str, deep: bool = False) -> dict:
+    """fsck for one Bloom index: is every stored filter partition still
+    TRUE of the blocks it claims to cover?
+
+    Metadata level: for every unit that HAS a filter partition, the stored
+    (unit_id, block_id) key set must equal the on-disk blocks' key set —
+    a stale partition (a mutation that somehow skipped invalidation, an
+    operator restoring old index files) shows up as extra/missing keys.
+    Units WITHOUT a partition are reported, not failed: missing-is-
+    conservative is the index's contract, the probe keeps all their
+    blocks. ``deep=True`` recomputes every covered block's filter from the
+    decoded column through the SAME pass a rebuild would run and
+    byte-compares against the stored bits — catching the case metadata
+    cannot: identical block ids, different values (e.g. a replaced unit
+    whose rewrite reproduced the same deterministic block ids).
+
+    Returns ``{indexed_units, unindexed_units, stale_units,
+    deep_mismatched_units, ok}``; ``ok`` = no stale (and, deep, no
+    mismatch)."""
+    import yaml
+    from pyspark.sql import functions as F
+
+    idx = _index_dir(tree, column)
+    bdir = os.path.join(idx, "blocks")
+    with open(os.path.join(idx, BLOOM_SIDEVAR)) as f:
+        side = yaml.safe_load(f.read()) or {}
+    indexed = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(bdir)
+        if d.startswith("unit_id=")
+    ) if os.path.isdir(bdir) else []
+    blocks_keys = (
+        spark.read.parquet(os.path.join(tree, "blocks"))
+        .select("unit_id", "block_id")
+    )
+    all_units = sorted(
+        r["unit_id"]
+        for r in blocks_keys.select("unit_id").distinct().collect()
+    )
+    unindexed = sorted(set(all_units) - set(indexed))
+    if not indexed:
+        return {
+            "indexed_units": [], "unindexed_units": unindexed,
+            "stale_units": [], "deep_mismatched_units": [], "ok": True,
+        }
+    stored = spark.read.parquet(bdir)
+    # symmetric key-set difference per indexed unit, fully distributed:
+    # a key present on both sides sums to 3, one-sided keys don't
+    covered = blocks_keys.filter(F.col("unit_id").isin(indexed))
+    tagged = covered.withColumn("src", F.lit(1)).unionByName(
+        stored.select("unit_id", "block_id").withColumn("src", F.lit(2))
+    )
+    stale = sorted(
+        r["unit_id"]
+        for r in tagged.groupBy("unit_id", "block_id")
+        .agg(F.sum("src").alias("s"))
+        .filter(F.col("s") != 3)
+        .select("unit_id")
+        .distinct()
+        .collect()
+    )
+    deep_bad: list[int] = []
+    if deep:
+        recomputed = _computed_filters_df(
+            spark, tree, column, int(side["bits_per_row"]), int(side["k"]),
+            indexed,
+        ).withColumnRenamed("bits", "rebits").withColumnRenamed("m_bits", "rem")
+        deep_bad = sorted(
+            r["unit_id"]
+            for r in stored.join(recomputed, ["unit_id", "block_id"], "inner")
+            .filter(
+                (F.col("m_bits") != F.col("rem"))
+                | (F.col("bits") != F.col("rebits"))
+            )
+            .select("unit_id")
+            .distinct()
+            .collect()
+        )
+    return {
+        "indexed_units": indexed,
+        "unindexed_units": unindexed,
+        "stale_units": stale,
+        "deep_mismatched_units": deep_bad,
+        "ok": not stale and not deep_bad,
+    }
 
 
 def bloom_filter_expr(tree: str, column: str, values: list, units: list[int]):

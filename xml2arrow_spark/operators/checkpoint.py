@@ -958,7 +958,11 @@ def audit_dataset(
             "ok": bool,
         }, ...}
 
-    where ``<tree>`` is ``"base"`` or ``"family:<name>"``.
+    where ``<tree>`` is ``"base"`` or ``"family:<name>"``. Bloom indexes
+    get their own entries under ``"<tree>:bloom:<column>"``
+    (:func:`xml2arrow_spark.operators.bloomidx.audit_index`): metadata
+    checks stored key sets against on-disk blocks; deep recomputes the
+    filter bytes from decoded values.
     """
     def _audit_tree(tree_path: str, ddl: str) -> dict:
         blocks_dir = os.path.join(tree_path, "blocks")
@@ -1014,6 +1018,18 @@ def audit_dataset(
     for fam, cols in list_families(path).items():
         fam_path = os.path.join(path, "families", fam)
         report[f"family:{fam}"] = _audit_tree(fam_path, ", ".join(cols.values()))
+    # Bloom indexes are part of the dataset's read correctness (a stale
+    # filter silently DROPS rows from point lookups) — fsck them too:
+    # metadata = stored key sets equal on-disk block key sets per indexed
+    # unit; deep = stored bits byte-equal a recompute from decoded values.
+    for tname, tree_path in [("base", path)] + [
+        (f"family:{fam}", os.path.join(path, "families", fam))
+        for fam in list_families(path)
+    ]:
+        for col in bloomidx.list_indexes(tree_path):
+            report[f"{tname}:bloom:{col}"] = bloomidx.audit_index(
+                spark, tree_path, col, deep=deep
+            )
     return report
 
 
