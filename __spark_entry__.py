@@ -1117,6 +1117,13 @@ def q_encode_dataset_resume(spark, sf_dir):
     from xml2arrow_spark.operators.checkpoint import delete_rows, upsert_rows
 
     delete_rows(tok.filter("doc_id LIKE '%7'").select("doc_id"), path)
+    # r05 snapshot leg: freeze the post-delete state as a zero-copy
+    # snapshot; the upsert and family backfill below keep mutating the
+    # live tree, and the 'snap' leg at the end must still read EXACTLY
+    # the post-delete rows (time travel for reproducible training reads).
+    from xml2arrow_spark.operators.snapshot import snapshot_dataset, snapshot_path
+
+    snapshot_dataset(path, "post-delete")
     # r05 upsert leg (MERGE semantics, unit-pruned like the delete): docs
     # ending in '3' are REPLACED by 16-token truncations, docs ending in
     # '9' are re-INSERTED under a new id. The oracle states the final row
@@ -1162,13 +1169,20 @@ def q_encode_dataset_resume(spark, sf_dir):
         F.coalesce("q_score", F.lit(-1)).alias("q_score"),
         F.lit("all").alias("leg"),
     )
+    snap = _token_scalar_projection(
+        read_encoded_dataset(spark, snapshot_path(path, "post-delete")),
+        # the family was backfilled AFTER the freeze: a snapshot that
+        # leaked it would be reading the future
+        F.lit(-1).alias("q_score"),
+        F.lit("snap").alias("leg"),
+    )
     return full.unionByName(
         _token_scalar_projection(
             looked,
             F.coalesce("q_score", F.lit(-1)).alias("q_score"),
             F.lit("lookup").alias("leg"),
         )
-    )
+    ).unionByName(snap)
 
 
 def q_streaming_encode(spark, sf_dir):

@@ -83,6 +83,17 @@ UNION ALL
 -- bloom leg: the engine serves these rows through Bloom-pruned point
 -- lookups; the truth is simply the same projection restricted to the batch
 SELECT *, 'lookup' AS leg FROM proj WHERE doc_id LIKE '%5'
+UNION ALL
+-- snapshot leg: the engine freezes the dataset right after the DELETE and
+-- reads the frozen view at the end, after the upsert and family backfill
+-- mutated the live tree — so the truth is the post-delete state of t, with
+-- no upsert edits and the family's q_score sentinel everywhere
+SELECT doc_id, n_tok, source,
+       {G.afold('tokens', f'(acc * 31 + x) % {FINGERPRINT_MOD}', D)} AS tok_fp,
+       coalesce(list_min(tokens), -1) AS tok_min,
+       coalesce(list_max(tokens), -1) AS tok_max,
+       -1 AS q_score, 'snap' AS leg
+FROM t WHERE doc_id NOT LIKE '%7'
 """
 
 
