@@ -485,8 +485,11 @@ def main() -> None:
     try:
         ds_path = os.path.join(maint_dir, "ds")
         tok_docs = tokenize_documents(docs).cache()
+        # block_rows sized for SEVERAL blocks per unit — the 100 TB regime
+        # (one block per unit would show zero block pruning by geometry,
+        # not by defect)
         man_m = resolve_manifest(
-            tok_docs, CodecManifest.auto_for(tok_docs.schema, block_rows=8192)
+            tok_docs, CodecManifest.auto_for(tok_docs.schema, block_rows=1024)
         )
         encode_dataset(tok_docs, ds_path, man_m, n_units=CPUS)
         add_columns(
@@ -496,6 +499,13 @@ def main() -> None:
             ds_path,
             "quality",
         )
+        # Bloom index on the id column (setup, untimed): q18b's lookups then
+        # ride unit + zone + bloom pruning — the unclustered point-read
+        # path — and q18a's upserts carry the index invalidate+rebuild as
+        # part of their honest maintenance cost.
+        from xml2arrow_spark.operators.bloomidx import build_bloom_index
+
+        build_bloom_index(spark, ds_path, "doc_id")
         batch = (
             tok_docs.filter("doc_id LIKE '%77'")
             .withColumn("doc_id", F.concat("doc_id", F.lit("::m")))
