@@ -1,0 +1,64 @@
+"""In-kernel row selection (``decode_table(row_filter=...)``) — exact
+match semantics on both block layouts, block skipping for zero-match
+blocks, and the end-to-end lookup path it serves."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xml2arrow_spark.manifest import CodecManifest
+from xml2arrow_spark.operators.encode import decode_table, encode_table
+from xml2arrow_spark.operators.verify import verify_roundtrip
+from xml2arrow_spark.sources import tokens_dataframe
+
+DDL = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+@pytest.mark.parametrize("layout", ["nested", "wide"])
+def test_row_filter_exact_selection(spark, layout, tmp_path):
+    df = tokens_dataframe(spark, 1200, variant="low_card", n_partitions=4).cache()
+    man = CodecManifest.auto_for(df.schema, block_rows=128)
+    blocks = encode_table(df, man, layout=layout)
+    # persist so the decode input is a stable scan (and, wide, column-pruned)
+    path = str(tmp_path / f"b_{layout}")
+    blocks.write.parquet(path)
+    stored = spark.read.parquet(path)
+
+    wanted = [r["doc_id"] for r in df.select("doc_id").limit(7).collect()]
+    got = decode_table(stored, DDL, row_filter=("doc_id", wanted))
+    expect = df.filter(F.col("doc_id").isin(wanted))
+    assert verify_roundtrip(expect, got)["ok"]
+
+    # no match anywhere -> zero rows (every block skipped)
+    assert decode_table(stored, DDL, row_filter=("doc_id", ["ghost"])).count() == 0
+    # empty value set -> zero rows by definition
+    assert decode_table(stored, DDL, row_filter=("doc_id", [])).count() == 0
+    # filter column must be part of the decoded schema
+    with pytest.raises(ValueError):
+        decode_table(stored, "tokens array<int>", row_filter=("doc_id", wanted))
+    df.unpersist()
+
+
+def test_row_filter_on_int_column(spark):
+    df = tokens_dataframe(spark, 600, variant="low_card", n_partitions=2).cache()
+    man = CodecManifest.auto_for(df.schema, block_rows=128)
+    blocks = encode_table(df, man)
+    lens = [r["n_tok"] for r in df.select("n_tok").distinct().limit(3).collect()]
+    got = decode_table(blocks, DDL, row_filter=("n_tok", lens))
+    expect = df.filter(F.col("n_tok").isin(lens))
+    assert verify_roundtrip(expect, got)["ok"]
+    df.unpersist()
+
+
+def test_row_filter_composes_with_zone_filter(spark):
+    df = tokens_dataframe(spark, 600, variant="low_card", n_partitions=2).cache()
+    man = CodecManifest.auto_for(df.schema, block_rows=128)
+    blocks = encode_table(df, man)
+    wanted = [r["doc_id"] for r in df.select("doc_id").limit(4).collect()]
+    hi = df.agg(F.max("n_tok")).collect()[0][0]
+    got = decode_table(
+        blocks, DDL, zone_filter=("n_tok", 0, int(hi)),
+        row_filter=("doc_id", wanted),
+    )
+    expect = df.filter(F.col("doc_id").isin(wanted))
+    assert verify_roundtrip(expect, got)["ok"]
+    df.unpersist()

@@ -723,7 +723,8 @@ def lookup_rows(
     id_col: str = "doc_id",
     columns: list[str] | None = None,
 ) -> DataFrame:
-    """Point reads from an encoded dataset, pruned at TWO granularities:
+    """Point reads from an encoded dataset, pruned at FOUR granularities
+    (unit partitions, id zone maps, Bloom filters, in-kernel row selection):
 
     1. unit: only the ``blocks/unit_id=<u>`` directories the ids hash into
        are scanned (partition pruning — the read twin of the mutation
@@ -791,15 +792,22 @@ def lookup_rows(
                 b = b.filter(bexpr)
         return b
 
+    # fourth granularity (row-level, inside the kernel): the id column is
+    # decoded first per surviving block; zero-match blocks — zone/Bloom
+    # false positives — skip every other kernel, and matching blocks emit
+    # ONLY the matching rows, so KB cross the Arrow boundary, not blocks
+    rf = (id_col, id_values) if id_values is not None else None
     base_sel = ([id_col] if id_col not in base_want else []) + base_want
     ddl = ", ".join(base_cols[c] for c in base_sel)
-    out = decode_table(_pruned(os.path.join(path, "blocks")), ddl).join(
-        F.broadcast(ids), id_col, "left_semi"
-    )
+    out = decode_table(
+        _pruned(os.path.join(path, "blocks")), ddl, row_filter=rf
+    ).join(F.broadcast(ids), id_col, "left_semi")
     for fam, cols in fam_want.items():
         fddl = ", ".join([fams[fam][id_col]] + [fams[fam][c] for c in cols])
         fdec = decode_table(
-            _pruned(os.path.join(path, "families", fam, "blocks")), fddl
+            _pruned(os.path.join(path, "families", fam, "blocks")),
+            fddl,
+            row_filter=rf,
         ).join(F.broadcast(ids), id_col, "left_semi")
         out = out.join(fdec, id_col, "left")
     return out.select(*columns)

@@ -797,7 +797,7 @@ def prune_blocks_any(blocks_df, column: str, values: list):
     return blocks_df.filter(keep)
 
 
-def decode_table(blocks_df, schema_ddl: str, zone_filter=None):
+def decode_table(blocks_df, schema_ddl: str, zone_filter=None, row_filter=None):
     """Blocks DataFrame -> original columns. Map-only: no shuffle, no join.
 
     ``zone_filter=(column, lo, hi)`` — or a LIST of such tuples, applied as
@@ -806,6 +806,18 @@ def decode_table(blocks_df, schema_ddl: str, zone_filter=None):
     superset of the rows matching the predicate, so apply the row-level
     filter afterwards. Bounds may be int, float, or str (each pruning on
     its own stats pair).
+
+    ``row_filter=(column, values)`` pushes point selection INSIDE the
+    decode kernel — the query-on-compressed-data move (Abadi et al.,
+    "Integrating Compression and Execution in Column-Oriented Database
+    Systems", SIGMOD 2006, at block granularity): the filter column is
+    decoded FIRST; a block with zero matches is skipped before any other
+    column's kernel runs (which also discards zone/Bloom FALSE-POSITIVE
+    blocks), and a block with matches decodes the remaining columns once
+    and gathers only the matching rows. Unlike ``zone_filter`` the result
+    is EXACT on the filter column (rows where ``column IN values``), and
+    only KB of matches cross the Arrow boundary instead of every block's
+    rows. Scalar filter columns only.
 
     ``schema_ddl`` may name a SUBSET of the encoded columns. Nested layout:
     only the named entries are decoded (CPU pruning — the payload bytes of
@@ -820,6 +832,28 @@ def decode_table(blocks_df, schema_ddl: str, zone_filter=None):
         blocks_df = prune_blocks(blocks_df, *zf)
     out_schema = StructType.fromDDL(schema_ddl)
     out_names = [f.name for f in out_schema.fields]
+    if row_filter is not None:
+        rf_col, rf_values = row_filter[0], list(row_filter[1])
+        if rf_col not in out_names:
+            raise ValueError(
+                f"row_filter column {rf_col!r} must be in the decoded "
+                f"schema {out_names}"
+            )
+    else:
+        rf_col, rf_values = None, None
+
+    def _match_mask(arr: pa.Array):
+        """Boolean match mask for the filter column, or None if no row
+        matches (block skip). Null values never match."""
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(
+            arr, value_set=pa.array(rf_values).cast(arr.type)
+        ).fill_null(False)
+        if not pc.any(mask).as_py():
+            return None
+        return mask
+
     is_wide = "cols" not in blocks_df.columns
 
     if is_wide:
@@ -831,13 +865,23 @@ def decode_table(blocks_df, schema_ddl: str, zone_filter=None):
         def decode_wide(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             for b in batches:
                 for row in range(b.num_rows):
-                    arrays = [
-                        decode_column(
+                    def col(n):
+                        return decode_column(
                             b.column(b.schema.get_field_index(f"c_{n}__meta"))[row].as_py(),
                             b.column(b.schema.get_field_index(f"c_{n}__data"))[row].as_py(),
                         )
-                        for n in out_names
-                    ]
+
+                    if rf_col is not None:
+                        first = col(rf_col)
+                        mask = _match_mask(first)
+                        if mask is None:
+                            continue  # zero matches: skip every other kernel
+                        arrays = [
+                            (first if n == rf_col else col(n)).filter(mask)
+                            for n in out_names
+                        ]
+                    else:
+                        arrays = [col(n) for n in out_names]
                     yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
         # the select is what lets the parquet scan prune payload columns
@@ -857,11 +901,7 @@ def decode_table(blocks_df, schema_ddl: str, zone_filter=None):
                 names = entries.field("name").to_pylist()
                 metas = entries.field("meta")
                 datas = entries.field("data")
-                decoded = {}
-                for i, nm in enumerate(names):
-                    if nm in wanted:
-                        decoded[nm] = decode_column(metas[i].as_py(), datas[i].as_py())
-                missing = wanted - set(decoded)
+                missing = wanted - set(names)
                 if missing:
                     # mirror the wide path's explicit missing-column error
                     # (a bare KeyError from an executor is undiagnosable)
@@ -869,6 +909,20 @@ def decode_table(blocks_df, schema_ddl: str, zone_filter=None):
                         f"blocks table lacks encoded column(s) {sorted(missing)}; "
                         f"blocks contain {sorted(names)}"
                     )
+                mask = None
+                if rf_col is not None:
+                    i = names.index(rf_col)
+                    first = decode_column(metas[i].as_py(), datas[i].as_py())
+                    mask = _match_mask(first)
+                    if mask is None:
+                        continue  # zero matches: skip every other kernel
+                    decoded = {rf_col: first.filter(mask)}
+                else:
+                    decoded = {}
+                for i, nm in enumerate(names):
+                    if nm in wanted and nm not in decoded:
+                        arr = decode_column(metas[i].as_py(), datas[i].as_py())
+                        decoded[nm] = arr.filter(mask) if mask is not None else arr
                 arrays = [decoded[n] for n in out_names]
                 yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
