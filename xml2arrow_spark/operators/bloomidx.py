@@ -68,8 +68,6 @@ BLOOM_SIDEVAR = "_bloom.yaml"
 BLOOM_HASH_ID = "blake2b16_doublehash_v1"
 BLOOM_DDL = "unit_id int, block_id long, m_bits int, bits binary"
 
-_U64 = np.uint64(2**64 - 1)  # force uint64 dtype promotion
-
 
 def _hash_pair(value) -> tuple[int, int]:
     """(h1, h2) for the double-hash scheme; h2 forced odd so the probe
