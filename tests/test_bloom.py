@@ -276,3 +276,38 @@ def test_bloom_partial_refresh_reuses_recorded_geometry(spark, tmp_path):
     expect = df.join(_ids_df(spark, wanted), "doc_id", "left_semi")
     assert verify_roundtrip(expect, got)["ok"]
     df.unpersist()
+
+
+# -- pure-kernel property tests (no Spark session) ---------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_values = st.lists(
+    st.one_of(
+        st.text(max_size=40),
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.none(),
+    ),
+    min_size=0,
+    max_size=300,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_values, st.integers(min_value=2, max_value=16), st.integers(min_value=1, max_value=12))
+def test_bloom_property_never_false_negative(vals, bits_per_row, k):
+    """The Bloom guarantee under ANY value mix, geometry, and unicode: every
+    non-null member probes positive; geometry invariants hold."""
+    m, bits = build_block_bloom(vals, bits_per_row, k)
+    assert m % 64 == 0 and len(bits) == m // 8
+    for v in vals:
+        if v is not None:
+            assert _probe_block(bits, m, [_hash_pair(v)], k)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.text(min_size=1, max_size=20), min_size=1, max_size=100, unique=True))
+def test_bloom_property_empty_filter_rejects(vals):
+    """A filter built over an empty block rejects everything (no bits set)."""
+    m, bits = build_block_bloom([], bits_per_row=10, k=7)
+    assert not _probe_block(bits, m, [_hash_pair(v) for v in vals], 7)
