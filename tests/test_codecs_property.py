@@ -45,6 +45,56 @@ def test_pdict_roundtrip(values):
 
 
 @settings(max_examples=100, deadline=None)
+@given(_arrays())
+def test_pfor_roundtrip(values):
+    _roundtrip("pfor", values)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(st.integers(0, 1000), min_size=1, max_size=300),
+    st.lists(st.integers(2**40, 2**62), min_size=0, max_size=20),
+    st.randoms(use_true_random=False),
+)
+def test_pfor_roundtrip_outlier_mixes(base, outliers, rnd):
+    # the distribution pfor exists for: dense base + rare huge sentinels,
+    # scattered at arbitrary positions
+    vals = base + outliers
+    rnd.shuffle(vals)
+    _roundtrip("pfor", np.array(vals, dtype=np.int64))
+
+
+def test_pfor_wins_on_value_outliers():
+    """The selection motivation: one-in-a-hundred sentinel values force
+    FOR's width from 10 bits to 31 while pfor patches them; pdict pays an
+    avoidable dictionary table on the dense uniform base."""
+    from xml2arrow_spark.plans.selector import choose_int_codec
+
+    rng = np.random.default_rng(7)
+    vals = np.where(
+        rng.random(8192) < 0.01,
+        rng.integers(10**9, 2 * 10**9, 8192),
+        rng.integers(0, 1000, 8192),
+    ).astype(np.int64)
+    assert choose_int_codec(vals) == "pfor"
+    _, blob = encode_values("pfor", vals)
+    _, blob_for = encode_values("for", vals)
+    _, blob_pdict = encode_values("pdict", vals)
+    assert len(blob) < len(blob_for) / 2.5
+    assert len(blob) < len(blob_pdict)
+    _roundtrip("pfor", vals)
+
+
+def test_pfor_not_chosen_without_outliers():
+    # clean uniform data: pfor's plan degenerates to FOR's exact layout and
+    # the tie goes to the simpler codec
+    from xml2arrow_spark.plans.selector import choose_int_codec
+
+    rng = np.random.default_rng(8)
+    assert choose_int_codec(rng.integers(0, 1000, 8192).astype(np.int64)) == "for"
+
+
+@settings(max_examples=100, deadline=None)
 @given(
     st.lists(st.integers(0, 2**31 - 1), min_size=0, max_size=300).map(
         lambda xs: np.array(xs, dtype=np.int64)
@@ -65,7 +115,7 @@ def test_bitpack_roundtrip_nonnegative(values):
 def test_sorted_streams_roundtrip_all_codecs(values):
     # sorted streams are the delta-friendly case; every codec must still be
     # exact on them
-    for codec in ("plain", "for", "rle", "dict", "pdict", "delta"):
+    for codec in ("plain", "for", "rle", "dict", "pdict", "pfor", "delta"):
         _roundtrip(codec, values)
 
 

@@ -19,6 +19,7 @@ INT_CODECS = {
     "rle": (integers.encode_rle, integers.decode_rle),
     "dict": (integers.encode_dict, integers.decode_dict),
     "pdict": (integers.encode_pdict, integers.decode_pdict),
+    "pfor": (integers.encode_pfor, integers.decode_pfor),
 }
 
 STR_CODECS = {

@@ -167,6 +167,7 @@ def encode_dec_float(values: np.ndarray) -> tuple[dict, bytes]:
         encode_delta,
         encode_for,
         encode_pdict,
+        encode_pfor,
         encode_plain,
         encode_rle,
     )
@@ -176,6 +177,7 @@ def encode_dec_float(values: np.ndarray) -> tuple[dict, bytes]:
     enc = {
         "plain": encode_plain, "for": encode_for, "delta": encode_delta,
         "rle": encode_rle, "dict": encode_dict, "pdict": encode_pdict,
+        "pfor": encode_pfor,
         "bitpack": encode_for,  # FOR is always safe; bitpack needs >=0
     }[inner]
     int_meta, blob = enc(ints)
@@ -280,6 +282,7 @@ def encode_alp_float(values: np.ndarray) -> tuple[dict, bytes]:
         encode_delta,
         encode_for,
         encode_pdict,
+        encode_pfor,
         encode_plain,
         encode_rle,
     )
@@ -289,6 +292,7 @@ def encode_alp_float(values: np.ndarray) -> tuple[dict, bytes]:
     enc = {
         "plain": encode_plain, "for": encode_for, "delta": encode_delta,
         "rle": encode_rle, "dict": encode_dict, "pdict": encode_pdict,
+        "pfor": encode_pfor,
         "bitpack": encode_for,  # FOR is always safe; bitpack needs >=0
     }[inner]
     int_meta, int_blob = enc(ints)

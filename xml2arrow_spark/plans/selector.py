@@ -104,6 +104,17 @@ def choose_int_codec(values: np.ndarray) -> str:
     est = estimate_int_sizes(stats, itemsize=values.dtype.itemsize)
     n = stats["n"]
     vrange = stats["max"] - stats["min"]
+    if n and vrange > 0:
+        # patched FOR: the plan is the encoder's exact size model (value-
+        # outlier skew — rare huge sentinels — where plain FOR forfeits
+        # the whole block's width); one O(n) frexp pass, rate-based and
+        # therefore scale-invariant
+        from xml2arrow_spark.codecs.integers import pfor_plan
+
+        deltas = (
+            values.astype(np.int64, copy=False) - np.int64(stats["min"])
+        ).view(np.uint64)
+        _, est["pfor"] = pfor_plan(deltas, n, bits_needed(vrange))
     if n and 0 < vrange < PDICT_MAX_RANGE:
         shifted = np.subtract(
             values, stats["min"], dtype=np.int64
