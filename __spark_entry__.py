@@ -507,11 +507,15 @@ def q_dataset_compact_roundtrip(spark, sf_dir):
 
 
 def q_dataset_column_stats(spark, sf_dir):
-    """Zone maps doubling as table statistics: exact per-column min/max of
-    a STORED dataset computed from block zone stats alone — no payload
-    decode, no kernels; the oracle recomputes the extrema from the raw
-    table. Sentinels fill the inapplicable stats pair (int columns have no
-    float pair and vice versa)."""
+    """Zone maps doubling as table statistics AND metadata-only aggregate
+    pushdown (r05): exact per-column min/max, row count, non-null count,
+    and integer SUM of a STORED dataset computed from per-block stats
+    alone — no payload decode, no kernels; the oracle recomputes
+    everything from the raw table, so a wrong or stale block stat
+    hash-mismatches. Sentinels fill the inapplicable stats (int columns
+    have no float pair; float columns push no sum — a metadata roll-up
+    cannot reproduce a sequential float fold, and these stats never
+    approximate)."""
     import os
 
     from xml2arrow_spark.operators.dataset import (
@@ -533,6 +537,9 @@ def q_dataset_column_stats(spark, sf_dir):
         F.coalesce(F.col("vmin_d"), F.lit(-1.0)).alias("vmin_d"),
         F.coalesce(F.col("vmax_d"), F.lit(-1.0)).alias("vmax_d"),
         "n_unstated",
+        "n_rows",
+        "n_nonnull",
+        F.coalesce(F.col("sum_i"), F.lit(-1)).alias("sum_i"),
     )
 
 

@@ -225,3 +225,112 @@ def test_registry_fits_driver_window():
     qs = entry.queries()
     assert len(qs) <= 50
     assert set(entry.oracle_sql()) == set(qs)
+
+
+# ---------------------------------------------------------------------------
+# metadata-only aggregate pushdown (r05 continuation #3)
+
+
+@pytest.mark.parametrize("layout", ["nested", "wide"])
+def test_dataset_stats_aggregate_pushdown_exact(spark, tmp_path, layout):
+    """n_rows / n_nonnull / sum_i rolled up from per-block stats must equal
+    the recomputed truth — including a leading ALL-NULL block (whose sum
+    contribution is the additive identity, not 'unstated') and a
+    list<int> column whose sum is over flattened elements."""
+    from xml2arrow_spark.manifest import CodecManifest
+    from xml2arrow_spark.operators.dataset import (
+        dataset_column_stats,
+        encode_parquet_dataset,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / f"agg_{layout}")
+    rows = [
+        (i, None if i < 64 else i * 3, [i, i + 1, i + 2], float(i) / 7.0)
+        for i in range(256)
+    ]
+    spark.createDataFrame(
+        rows, "a bigint, c bigint, toks array<bigint>, f double"
+    ).orderBy("a").coalesce(2).write.mode("overwrite").parquet(src)
+    man = CodecManifest.auto_for(spark.read.parquet(src).schema, block_rows=64)
+    encode_parquet_dataset(spark, src, out, manifest=man, layout=layout)
+    stats = {r.column: r for r in dataset_column_stats(spark, out).collect()}
+
+    assert stats["a"].n_rows == 256
+    assert stats["a"].n_nonnull == 256
+    assert stats["a"].sum_i == sum(range(256))
+    assert stats["a"].n_sum_unstated == 0
+    # nullable column: COUNT(col) semantics, sum over non-null only
+    assert stats["c"].n_nonnull == 192
+    assert stats["c"].sum_i == sum(i * 3 for i in range(64, 256))
+    # list column: row-level null count, element-level sum
+    assert stats["toks"].n_nonnull == 256
+    assert stats["toks"].sum_i == sum(3 * i + 3 for i in range(256))
+    # float column: no metadata sum, ever (roll-up cannot reproduce a
+    # sequential fold) — but counts still push down
+    assert stats["f"].sum_i is None
+    assert stats["f"].n_sum_unstated == stats["f"].n_blocks
+    assert stats["f"].n_nonnull == 256
+
+
+def test_dataset_stats_sum_refuses_unprovable_overflow(spark, tmp_path):
+    """A block whose sum is not PROVABLY exact in int64 stores no sum; the
+    roll-up then refuses (NULL) rather than risking a wrapped value. One
+    bad block voids the whole column — exactness is all-or-nothing."""
+    from xml2arrow_spark.manifest import CodecManifest
+    from xml2arrow_spark.operators.dataset import (
+        dataset_column_stats,
+        encode_parquet_dataset,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "ovf")
+    big = 2**62
+    rows = [(i, big if i % 2 else -big) for i in range(128)]
+    spark.createDataFrame(rows, "a bigint, huge bigint").orderBy(
+        "a"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    man = CodecManifest.auto_for(spark.read.parquet(src).schema, block_rows=64)
+    encode_parquet_dataset(spark, src, out, manifest=man)
+    stats = {r.column: r for r in dataset_column_stats(spark, out).collect()}
+    assert stats["huge"].sum_i is None
+    assert stats["huge"].n_sum_unstated == stats["huge"].n_blocks
+    assert stats["a"].sum_i == sum(range(128))  # small column unaffected
+
+
+def test_dataset_stats_pre_stats_dataset_reports_unstated(spark, tmp_path):
+    """A dataset written before the aggregate stats existed (simulated by
+    stripping the stat columns) reports NULL aggregates — the guard reads
+    'missing' as 'unstated', never fails and never fabricates."""
+    import shutil
+
+    from xml2arrow_spark.manifest import CodecManifest
+    from xml2arrow_spark.operators.dataset import (
+        dataset_column_stats,
+        encode_parquet_dataset,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "new")
+    old = str(tmp_path / "old")
+    spark.createDataFrame(
+        [(i, i * 2) for i in range(128)], "a bigint, b bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    man = CodecManifest.auto_for(spark.read.parquet(src).schema, block_rows=64)
+    encode_parquet_dataset(spark, src, out, manifest=man, layout="wide")
+    shutil.copytree(out, old)
+    blocks = spark.read.parquet(os.path.join(out, "blocks"))
+    stripped = blocks.drop(
+        *[
+            col
+            for col in blocks.columns
+            if col.endswith("__n_null") or col.endswith("__zsum_i")
+        ]
+    )
+    shutil.rmtree(os.path.join(old, "blocks"))
+    stripped.write.parquet(os.path.join(old, "blocks"))
+    stats = {r.column: r for r in dataset_column_stats(spark, old).collect()}
+    assert stats["a"].n_nonnull is None and stats["a"].sum_i is None
+    assert stats["a"].n_sum_unstated == stats["a"].n_blocks
+    # extrema still served from the zone maps
+    assert (stats["a"].vmin_i, stats["a"].vmax_i) == (0, 127)

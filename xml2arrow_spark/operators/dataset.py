@@ -316,10 +316,23 @@ def dataset_column_stats(spark, out_path: str):
     as lower/upper ESTIMATES rather than exact). String zone bounds are
     truncation-safe bounds, not exact extrema, and are reported as such.
 
+    Also the metadata-only AGGREGATE surface (r05): per column it returns
+    ``n_rows`` (exact row count), ``n_nonnull`` (exact COUNT(col)), and
+    ``sum_i`` (exact SUM for integer/list-of-int columns) rolled up from
+    the per-block ``n_null``/``zsum_i`` stats — so the everyday corpus
+    accounting query (``count(*)``, ``count(col)``, ``sum(n_tok)`` over
+    10^12 sequences) is a KB-per-block metadata scan, zero payload decode.
+    Exactness is all-or-nothing, never approximate: ``n_nonnull``/``sum_i``
+    are NULL unless EVERY block stated the stat (``n_sum_unstated`` counts
+    the holdouts — non-integer columns, pre-stats datasets, blocks whose
+    sum was not provably exact in int64, or ``zone_maps=False``).
+
     Returns a DataFrame (column, vmin_i, vmax_i, vmin_d, vmax_d, vmin_s,
-    vmax_s, n_blocks, n_unstated). This is the query-planning surface the
-    zone maps buy for free — the reader-side twin of parquet column
-    statistics, at block granularity over the ENCODED payload."""
+    vmax_s, n_blocks, n_unstated, n_rows, n_nonnull, sum_i,
+    n_sum_unstated). This is the query-planning surface the zone maps buy
+    for free — the reader-side twin of parquet column statistics plus
+    Spark's stats-based aggregate pushdown, at block granularity over the
+    ENCODED payload."""
     import yaml
 
     from pyspark.sql import functions as F
@@ -331,23 +344,40 @@ def dataset_column_stats(spark, out_path: str):
     names = list(split_schema_ddl(side["schema_ddl"]))
     blocks = spark.read.parquet(os.path.join(out_path, "blocks"))
     stat_fields = ("vmin_i", "vmax_i", "vmin_d", "vmax_d", "vmin_s", "vmax_s")
+    agg_fields = ("n_null", "zsum_i")
     if side.get("layout", "nested") == "wide":
-        # ONE scan: stack() unpivots every column's stat sextuple in a
+        # datasets written before the aggregate stats existed lack the
+        # columns entirely: surface NULL (= unstated) instead of failing
+        has_agg = f"c_{names[0]}__n_null" in blocks.columns
+        # ONE scan: stack() unpivots every column's stat tuple in a
         # single projection (k separate selects would re-list and re-scan
         # the blocks files k times)
         args = []
         for n in names:
             args.append(f"'{n}'")
             args += [f"c_{n}__{s}" for s in stat_fields]
+            args += (
+                [f"c_{n}__{s}" for s in agg_fields]
+                if has_agg
+                else ["CAST(NULL AS LONG)"] * 2
+            )
         per_col = blocks.selectExpr(
+            "n_rows AS block_rows",
             f"stack({len(names)}, {', '.join(args)}) AS "
-            f"(column, {', '.join(stat_fields)})"
+            f"(column, {', '.join(stat_fields + agg_fields)})",
         )
     else:
+        entry_fields = blocks.schema["cols"].dataType.elementType.fieldNames()
+        has_agg = "n_null" in entry_fields
         c = F.explode("cols").alias("c")
-        per_col = blocks.select(c).select(
+        per_col = blocks.select(F.col("n_rows").alias("block_rows"), c).select(
+            "block_rows",
             F.col("c.name").alias("column"),
             *[F.col(f"c.{s}").alias(s) for s in stat_fields],
+            *[
+                (F.col(f"c.{s}") if has_agg else F.lit(None).cast("long")).alias(s)
+                for s in agg_fields
+            ],
         )
     # a block counts as unstated when it contributes no bounds at all, OR
     # when its string upper bound was withheld (un-incrementable truncated
@@ -372,6 +402,17 @@ def dataset_column_stats(spark, out_path: str):
         F.max("vmax_s").alias("vmax_s"),
         F.count("*").alias("n_blocks"),
         F.sum(unstated).alias("n_unstated"),
+        F.sum("block_rows").alias("n_rows"),
+        # exact or refused: any block that withheld the stat voids the
+        # roll-up (NULL), it never degrades to an estimate
+        F.when(
+            F.count("n_null") == F.count(F.lit(1)),
+            F.sum(F.col("block_rows") - F.col("n_null")),
+        ).alias("n_nonnull"),
+        F.when(
+            F.count("zsum_i") == F.count(F.lit(1)), F.sum("zsum_i")
+        ).alias("sum_i"),
+        F.sum(F.col("zsum_i").isNull().cast("long")).alias("n_sum_unstated"),
     )
 
 

@@ -44,7 +44,7 @@ BLOCKS_SCHEMA_DDL = (
     "cols array<struct<name: string, codec: string, meta: string, data: binary, "
     "in_bytes: long, out_bytes: long, "
     "vmin_i: long, vmax_i: long, vmin_d: double, vmax_d: double, "
-    "vmin_s: string, vmax_s: string>>"
+    "vmin_s: string, vmax_s: string, n_null: long, zsum_i: long>>"
 )
 
 _BLOCKS_PA_SCHEMA = pa.schema(
@@ -77,6 +77,10 @@ _BLOCKS_PA_SCHEMA = pa.schema(
                         pa.field("vmax_d", pa.float64()),
                         pa.field("vmin_s", pa.string()),
                         pa.field("vmax_s", pa.string()),
+                        # aggregate stats (r05): row-level null count and
+                        # provably-exact int64 value sum (None = unavailable)
+                        pa.field("n_null", pa.int64()),
+                        pa.field("zsum_i", pa.int64()),
                     ]
                 )
             ),
@@ -159,43 +163,68 @@ def _zone_str_bounds(lo: str, hi: str):
 
 
 def _zone_stats(arr: pa.Array):
-    """Per-block zone map (min, max) for pruning: int64 pair for
-    integer/list-of-int columns, double pair for floats, string pair
-    (truncation-safe bounds) for strings, all-None when unknowable (empty,
-    all-null, NaN present) — None always means "never prune this block",
-    so stats can only skip work, not results. Returns a 6-tuple
-    (vmin_i, vmax_i, vmin_d, vmax_d, vmin_s, vmax_s)."""
+    """Per-block column statistics: zone-map (min, max) for pruning — int64
+    pair for integer/list-of-int columns, double pair for floats, string
+    pair (truncation-safe bounds) for strings — plus two AGGREGATE stats
+    (r05 metadata-only aggregation): ``n_null`` (row-level null count, any
+    type) and ``zsum_i`` (exact int64 sum over the block's non-null values,
+    flattened elements for list-of-int columns). Bound-None always means
+    "never prune this block"; a None ``zsum_i`` means "sum not available
+    from metadata" (non-integer column, or a sum not PROVABLY exact in
+    int64 — the bound below). Stats can only skip work, never change
+    results. Returns an 8-tuple
+    (vmin_i, vmax_i, vmin_d, vmax_d, vmin_s, vmax_s, n_null, zsum_i)."""
     import math
 
     import pyarrow.compute as pc
 
+    from xml2arrow_spark.codecs.bitpack import bits_needed
+
     t = arr.type
     target = arr.flatten() if (pa.types.is_list(t) or pa.types.is_large_list(t)) else arr
+    n_null = int(arr.null_count)
     none6 = (None, None, None, None, None, None)
     if len(target) == 0 or target.null_count == len(target):
-        return none6
+        # no bounds to state; an integer block with zero non-null values
+        # still has a KNOWN sum (the additive identity), so roll-ups over
+        # blocks stay exact
+        zsum = 0 if pa.types.is_integer(target.type) else None
+        return none6 + (n_null, zsum)
     if pa.types.is_integer(target.type):
         mm = pc.min_max(target)
-        return mm["min"].as_py(), mm["max"].as_py(), None, None, None, None
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        # provable exactness: |sum| <= nv * max(|lo|,|hi|) < 2^63 whenever
+        # bits(magnitude) + bits(count) fits — Arrow's int64 accumulator
+        # cannot overflow on ANY intermediate, so the stored sum is exact,
+        # never a wrapped value. Out of bounds -> None (unavailable), the
+        # aggregate surface then refuses rather than misreports.
+        nv = len(target) - target.null_count
+        m = max(abs(lo), abs(hi), 1)
+        zsum = None
+        if bits_needed(m) + bits_needed(nv) <= 62:
+            zsum = int(pc.sum(target).as_py())
+        return lo, hi, None, None, None, None, n_null, zsum
     if pa.types.is_floating(target.type):
         # min_max skips NaN — safe for RANGE pruning because NaN can never
-        # satisfy lo <= v <= hi; all-NaN blocks yield None/None (kept)
+        # satisfy lo <= v <= hi; all-NaN blocks yield None/None (kept).
+        # No float sum: a metadata roll-up cannot reproduce a sequential
+        # fold's rounding, and these stats never approximate.
         mm = pc.min_max(target)
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
         # all-NaN blocks degenerate to (inf, -inf) — withhold stats (kept)
         if lo is None or hi is None or math.isnan(lo) or math.isnan(hi) or lo > hi:
-            return none6
-        return None, None, float(lo), float(hi), None, None
+            return none6 + (n_null, None)
+        return None, None, float(lo), float(hi), None, None, n_null, None
     if pa.types.is_string(target.type) or pa.types.is_large_string(target.type):
         # Arrow min_max orders strings by bytes = codepoint order in UTF-8,
         # the same ordering Spark/DuckDB string comparisons use
         mm = pc.min_max(target)
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
         if lo is None or hi is None:
-            return none6
+            return none6 + (n_null, None)
         lo_t, hi_t = _zone_str_bounds(lo, hi)
-        return None, None, None, None, lo_t, hi_t
-    return none6
+        return None, None, None, None, lo_t, hi_t, n_null, None
+    return none6 + (n_null, None)
 
 
 def _encode_block(
@@ -246,8 +275,8 @@ def _encode_block(
             n_values += meta["n"]
         in_bytes += col_in
         out_bytes += col_out
-        zmin_i, zmax_i, zmin_d, zmax_d, zmin_s, zmax_s = (
-            _zone_stats(arr) if zone_maps else (None,) * 6
+        zmin_i, zmax_i, zmin_d, zmax_d, zmin_s, zmax_s, z_nnull, z_sum = (
+            _zone_stats(arr) if zone_maps else (None,) * 8
         )
         out_cols.append(
             {
@@ -263,6 +292,8 @@ def _encode_block(
                 "vmax_d": zmax_d,
                 "vmin_s": zmin_s,
                 "vmax_s": zmax_s,
+                "n_null": z_nnull,
+                "zsum_i": z_sum,
             }
         )
     return pa.RecordBatch.from_pydict(
@@ -291,7 +322,8 @@ def wide_blocks_ddl(cols: list[str]) -> str:
         f"c_{name}__codec string, c_{name}__meta string, c_{name}__data binary, "
         f"c_{name}__vmin_i long, c_{name}__vmax_i long, "
         f"c_{name}__vmin_d double, c_{name}__vmax_d double, "
-        f"c_{name}__vmin_s string, c_{name}__vmax_s string"
+        f"c_{name}__vmin_s string, c_{name}__vmax_s string, "
+        f"c_{name}__n_null long, c_{name}__zsum_i long"
         for name in cols
     )
     return (
@@ -315,6 +347,8 @@ def wide_pa_schema(cols: list[str]) -> pa.Schema:
             pa.field(f"c_{name}__vmax_d", pa.float64()),
             pa.field(f"c_{name}__vmin_s", pa.string()),
             pa.field(f"c_{name}__vmax_s", pa.string()),
+            pa.field(f"c_{name}__n_null", pa.int64()),
+            pa.field(f"c_{name}__zsum_i", pa.int64()),
         ]
     return pa.schema(fields)
 
@@ -337,12 +371,15 @@ def _widen_block(row_batch: pa.RecordBatch, cols: list[str]) -> pa.RecordBatch:
             pa.array([e["vmax_d"]], type=pa.float64()),
             pa.array([e["vmin_s"]], type=pa.string()),
             pa.array([e["vmax_s"]], type=pa.string()),
+            pa.array([e["n_null"]], type=pa.int64()),
+            pa.array([e["zsum_i"]], type=pa.int64()),
         ]
         names += [
             f"c_{name}__codec", f"c_{name}__meta", f"c_{name}__data",
             f"c_{name}__vmin_i", f"c_{name}__vmax_i",
             f"c_{name}__vmin_d", f"c_{name}__vmax_d",
             f"c_{name}__vmin_s", f"c_{name}__vmax_s",
+            f"c_{name}__n_null", f"c_{name}__zsum_i",
         ]
     return pa.RecordBatch.from_arrays(arrays, names=names)
 

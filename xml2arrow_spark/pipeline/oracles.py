@@ -1040,18 +1040,30 @@ SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
 
 
 def dataset_column_stats_sql() -> str:
-    # zone-map extrema must equal the raw table's exact min/max
+    # zone-map extrema must equal the raw table's exact min/max; the r05
+    # aggregate-pushdown legs (n_rows / n_nonnull / sum_i) must equal the
+    # raw table's count(*) / count(col) / sum(col) — float columns push no
+    # sum (sentinel -1 on both sides)
     def row(col, is_int):
+        agg = (
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count({col}) AS BIGINT) AS n_nonnull, "
+            + (
+                f"CAST(sum({col}) AS BIGINT) AS sum_i"
+                if is_int
+                else "CAST(-1 AS BIGINT) AS sum_i"
+            )
+        )
         if is_int:
             return (
                 f"SELECT '{col}' AS column, CAST(min({col}) AS BIGINT) AS vmin_i, "
                 f"CAST(max({col}) AS BIGINT) AS vmax_i, -1.0 AS vmin_d, "
-                f"-1.0 AS vmax_d, CAST(0 AS BIGINT) AS n_unstated FROM lineitem"
+                f"-1.0 AS vmax_d, CAST(0 AS BIGINT) AS n_unstated, {agg} FROM lineitem"
             )
         return (
             f"SELECT '{col}' AS column, CAST(-1 AS BIGINT) AS vmin_i, "
             f"CAST(-1 AS BIGINT) AS vmax_i, min({col}) AS vmin_d, "
-            f"max({col}) AS vmax_d, CAST(0 AS BIGINT) AS n_unstated FROM lineitem"
+            f"max({col}) AS vmax_d, CAST(0 AS BIGINT) AS n_unstated, {agg} FROM lineitem"
         )
 
     return "\nUNION ALL\n".join(
