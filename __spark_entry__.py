@@ -515,10 +515,19 @@ def q_dataset_column_stats(spark, sf_dir):
     hash-mismatches. Sentinels fill the inapplicable stats (int columns
     have no float pair; float columns push no sum — a metadata roll-up
     cannot reproduce a sequential float fold, and these stats never
-    approximate)."""
+    approximate).
+
+    The ``where:`` legs gate :func:`count_where` — the metadata-
+    accelerated predicate count: the source is range-clustered on
+    l_orderkey, so the int leg exercises all three block classes
+    (pruned / interior-from-metadata / boundary-decode), and the
+    conjunction leg exercises the string + float decode path. The oracle
+    recounts from the raw table, so a wrong interior claim, a stale null
+    count, or an unsound truncated string bound all hash-mismatch."""
     import os
 
     from xml2arrow_spark.operators.dataset import (
+        count_where,
         dataset_column_stats,
         encode_parquet_dataset,
     )
@@ -527,10 +536,12 @@ def q_dataset_column_stats(spark, sf_dir):
     src = os.path.join(base, "src")
     out = os.path.join(base, "ds")
     _lineitem(spark, sf_dir).select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
-    ).repartition(4).write.mode("overwrite").parquet(src)
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag"
+    ).repartitionByRange(4, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).write.mode("overwrite").parquet(src)
     encode_parquet_dataset(spark, src, out)
-    return dataset_column_stats(spark, out).select(
+    stats = dataset_column_stats(spark, out).select(
         "column",
         F.coalesce(F.col("vmin_i"), F.lit(-1)).alias("vmin_i"),
         F.coalesce(F.col("vmax_i"), F.lit(-1)).alias("vmax_i"),
@@ -540,6 +551,28 @@ def q_dataset_column_stats(spark, sf_dir):
         "n_rows",
         "n_nonnull",
         F.coalesce(F.col("sum_i"), F.lit(-1)).alias("sum_i"),
+    )
+
+    def leg(label, predicate):
+        return count_where(spark, out, predicate).select(
+            F.lit(label).alias("column"),
+            F.lit(-1).cast("long").alias("vmin_i"),
+            F.lit(-1).cast("long").alias("vmax_i"),
+            F.lit(-1.0).alias("vmin_d"),
+            F.lit(-1.0).alias("vmax_d"),
+            F.lit(0).cast("long").alias("n_unstated"),
+            F.col("n_match").alias("n_rows"),
+            F.lit(-1).cast("long").alias("n_nonnull"),
+            F.lit(-1).cast("long").alias("sum_i"),
+        )
+
+    return stats.unionByName(
+        leg("where:okey", ("l_orderkey", 1000, 30000))
+    ).unionByName(
+        leg(
+            "where:flag_qty",
+            [("l_returnflag", "A", "N"), ("l_quantity", 5.0, 30.0)],
+        )
     )
 
 

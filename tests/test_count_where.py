@@ -1,0 +1,206 @@
+"""Metadata-accelerated predicate count (count_where): interior blocks are
+counted from zone stats + null counts alone, boundary blocks decode ONLY the
+filter column, outside blocks prune — and the count is always EXACT, equal to
+a raw-table filter count (the small-materialized-aggregates contract:
+metadata can only skip work, never change results).
+
+The no-decode claim is pinned the hard way: flipping a payload byte inside an
+interior block (invisible to metadata, fatal to any decode via the block CRC)
+must leave count_where's answer untouched while decode_dataset refuses.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql.pandas.types import from_arrow_schema
+
+from xml2arrow_spark.manifest import CodecManifest
+from xml2arrow_spark.operators.dataset import (
+    count_where,
+    decode_dataset,
+    encode_parquet_dataset,
+)
+
+N = 900  # 3 files x 3 blocks x 100 rows, id-clustered
+
+
+def _table(lo: int, hi: int) -> pa.Table:
+    ids = np.arange(lo, hi, dtype=np.int64)
+    qty = [None if i % 10 == 0 else int(i % 7) for i in ids]
+    val = [
+        None if i % 31 == 0 else (float("nan") if i % 50 == 0 else i * 0.5)
+        for i in ids
+    ]
+    tag = ["aaa" if i < 450 else "zzz" for i in ids]
+    longtag = ["p" * 70 + f"{i:010d}" for i in ids]
+    toks = pa.array([[int(i), int(i + 1)] for i in ids], type=pa.list_(pa.int32()))
+    return pa.table(
+        {
+            "id": pa.array(ids),
+            "qty": pa.array(qty, type=pa.int64()),
+            "val": pa.array(val, type=pa.float64()),
+            "tag": pa.array(tag),
+            "longtag": pa.array(longtag),
+            "tokens": toks,
+        }
+    )
+
+
+@pytest.fixture(scope="module", params=["nested", "wide"])
+def ds(request, spark, tmp_path_factory):
+    layout = request.param
+    base = str(tmp_path_factory.mktemp(f"cw_{layout}"))
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "ds")
+    os.makedirs(src)
+    for i in range(3):
+        pq.write_table(_table(300 * i, 300 * (i + 1)), os.path.join(src, f"part-{i}.parquet"))
+    manifest = CodecManifest.auto_for(
+        from_arrow_schema(pq.read_schema(os.path.join(src, "part-0.parquet"))),
+        block_rows=100,
+    )
+    encode_parquet_dataset(spark, src, out, manifest=manifest, layout=layout)
+    return out
+
+
+def _one(df) -> dict:
+    return df.collect()[0].asDict()
+
+
+def test_int_interior_boundary_pruned(spark, ds):
+    r = _one(count_where(spark, ds, ("id", 150, 749)))
+    assert r["n_match"] == 600
+    assert r["n_blocks"] == 9
+    assert r["n_interior"] == 5  # [200..699] fully inside
+    assert r["n_boundary"] == 2  # [100-199], [700-799]
+    assert r["n_pruned"] == 2  # [0-99], [800-899]
+
+
+def test_interior_subtracts_nulls(spark, ds):
+    # qty spans [0,6] everywhere -> every block interior; nulls (every 10th
+    # row) must come off the metadata count
+    r = _one(count_where(spark, ds, ("qty", 0, 6)))
+    assert r["n_interior"] == 9 and r["n_boundary"] == 0
+    assert r["n_match"] == N - N // 10
+
+
+def test_float_never_interior_and_excludes_nan_null(spark, ds):
+    r = _one(count_where(spark, ds, ("val", 0.0, 1e9)))
+    assert r["n_interior"] == 0  # floats always decode (NaN invisibility)
+    expected = sum(
+        1
+        for i in range(N)
+        if i % 31 != 0 and i % 50 != 0  # null and NaN rows fail BETWEEN
+    )
+    assert r["n_match"] == expected
+
+
+def test_string_interior_and_pruned(spark, ds):
+    # tag flips at 450 (a block boundary): bounds ['a','b'] keep the first
+    # 4.5 blocks' worth interior? no -- block [400-499] mixes -> boundary
+    r = _one(count_where(spark, ds, ("tag", "a", "b")))
+    assert r["n_match"] == 450
+    assert r["n_pruned"] == 4  # blocks entirely 'zzz'
+    assert r["n_interior"] == 4  # blocks entirely 'aaa'
+    assert r["n_boundary"] == 1  # the mixed [400-499] block
+
+
+def test_truncated_string_bounds_stay_sound(spark, ds):
+    # >64-char values: stored vmax is a bumped prefix -> interior fires only
+    # when the bumped bound still sits under hi, boundary decode stays exact
+    interior = _one(count_where(spark, ds, ("longtag", "a", "q")))
+    assert interior["n_match"] == N and interior["n_interior"] == 9
+    boundary = _one(count_where(spark, ds, ("longtag", "p", "p" * 80)))
+    assert boundary["n_match"] == N and boundary["n_interior"] == 0
+
+
+def test_multi_conjunct(spark, ds):
+    r = _one(count_where(spark, ds, [("id", 150, 749), ("qty", 2, 5)]))
+    expected = sum(
+        1 for i in range(150, 750) if i % 10 != 0 and 2 <= i % 7 <= 5
+    )
+    assert r["n_match"] == expected
+    # id-interior blocks are NOT interior overall: qty has nulls there, and
+    # per-column null counts cannot reconstruct the union of null rows
+    assert r["n_interior"] == 0
+    assert r["n_pruned"] == 2
+
+
+def test_matches_raw_filter_count(spark, ds):
+    raw = spark.read.parquet(os.path.dirname(ds) + "/src")
+    for pred, cond in [
+        (("id", 123, 456), "id BETWEEN 123 AND 456"),
+        (("qty", 1, 3), "qty BETWEEN 1 AND 3"),
+        (("tag", "b", "zzz"), "tag BETWEEN 'b' AND 'zzz'"),
+    ]:
+        got = _one(count_where(spark, ds, pred))["n_match"]
+        assert got == raw.filter(cond).count(), pred
+
+
+def test_validation_errors(spark, ds):
+    with pytest.raises(ValueError, match="lacks encoded column"):
+        count_where(spark, ds, ("nope", 0, 1))
+    with pytest.raises(ValueError, match="scalar column"):
+        count_where(spark, ds, ("tokens", 0, 1))
+    with pytest.raises(ValueError, match="must be int"):
+        count_where(spark, ds, ("id", 0.5, 2.5))
+    with pytest.raises(ValueError, match="must be str"):
+        count_where(spark, ds, ("tag", 1, 2))
+    with pytest.raises(ValueError, match="NaN"):
+        count_where(spark, ds, ("val", float("nan"), 1.0))
+    with pytest.raises(ValueError, match="at least one"):
+        count_where(spark, ds, None)
+
+
+def test_interior_count_never_decodes(spark, tmp_path):
+    """Flip a payload byte inside an interior block: the CRC makes ANY
+    decode refuse, so a still-correct count proves the metadata path never
+    touched the payload."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "ds")
+    os.makedirs(src)
+    for i in range(3):
+        pq.write_table(_table(300 * i, 300 * (i + 1)), os.path.join(src, f"part-{i}.parquet"))
+    manifest = CodecManifest.auto_for(
+        from_arrow_schema(pq.read_schema(os.path.join(src, "part-0.parquet"))),
+        block_rows=100,
+    )
+    encode_parquet_dataset(spark, src, out, manifest=manifest, layout="nested")
+
+    # every longtag block shares the truncated bounds ('p'*64, 'p'*63+'q'),
+    # so bounds ('a', 'q') make ALL blocks interior; tamper one block's
+    # longtag payload (sequential ids compress into metadata -- strings
+    # keep real payload bytes)
+    bdir = os.path.join(out, "blocks")
+    fpath = os.path.join(bdir, "blocks-u000001.parquet")
+    t0 = pq.read_table(fpath)
+    rows = t0.to_pylist()
+    ci = [c["name"] for c in rows[0]["cols"]].index("longtag")
+    payload = bytearray(rows[0]["cols"][ci]["data"])
+    assert len(payload) > 0
+    payload[len(payload) // 2] ^= 0x01
+    rows[0]["cols"][ci]["data"] = bytes(payload)
+    pq.write_table(pa.Table.from_pylist(rows, schema=t0.schema), fpath)
+    # in-place rewrite: drop the Hadoop .crc sidecar + cached file status
+    crc = os.path.join(bdir, "." + os.path.basename(fpath) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    spark.catalog.refreshByPath(bdir)
+
+    r = _one(count_where(spark, out, ("longtag", "a", "q")))
+    assert r["n_match"] == N
+    assert r["n_boundary"] == 0 and r["n_interior"] == 9
+
+    with pytest.raises(Exception):
+        decode_dataset(spark, out).collect()
+
+    # bounds that defeat the bumped upper bound force every block through
+    # the decode path -- the tampered block must refuse loudly (CRC) rather
+    # than return a wrong count
+    with pytest.raises(Exception):
+        count_where(spark, out, ("longtag", "p", "p" * 80)).collect()

@@ -46,6 +46,7 @@ __all__ = [
     "compact_dataset",
     "dataset_metrics",
     "dataset_column_stats",
+    "count_where",
     "METADATA_DDL",
 ]
 
@@ -413,6 +414,282 @@ def dataset_column_stats(spark, out_path: str):
             F.count("zsum_i") == F.count(F.lit(1)), F.sum("zsum_i")
         ).alias("sum_i"),
         F.sum(F.col("zsum_i").isNull().cast("long")).alias("n_sum_unstated"),
+    )
+
+
+_CW_INT_TYPES = ("tinyint", "smallint", "int", "integer", "bigint", "long")
+
+
+def count_where(spark, out_path: str, predicate, n_tasks: int | None = None):
+    """Exact ``COUNT(*) WHERE col BETWEEN lo AND hi [AND ...]`` over a
+    STORED dataset, metadata-accelerated per block — the small-materialized-
+    aggregates move (Moerkotte, VLDB 1998) applied to the predicate count:
+
+    - **pruned**: a block whose zone bounds provably miss any conjunct
+      contributes 0 without being read past its stats;
+    - **interior**: a block whose bounds sit provably INSIDE every conjunct
+      is counted from metadata alone (``n_rows - n_null``) — no payload
+      bytes decoded, no kernels run;
+    - **boundary**: only blocks straddling a bound decode, and ONLY the
+      filter column(s) — matches are counted vectorized (pyarrow compute)
+      and the payload of every other column is never touched (wide layout:
+      never read off disk).
+
+    At 10^12 rows the everyday accounting query ("how many sequences have
+    n_tok between a and b") becomes a metadata scan plus a decode of the
+    boundary slice — on range-clustered data (``presort``) that is two
+    blocks per unit, not the corpus.
+
+    Soundness notes: float conjuncts never claim interior (zone stats skip
+    NaN, which is non-null yet fails BETWEEN — interior would overcount;
+    floats still prune, because NaN cannot satisfy a finite range either
+    way). String bounds are truncation-safe (vmin ≤ true min, vmax ≥ true
+    max), so both the outside and the interior test stay sound; a withheld
+    string upper bound disables both. A multi-conjunct interior claim needs
+    every filter column's ``n_null == 0`` (per-column null counts cannot
+    reconstruct the union of null rows). NULL and NaN rows never match,
+    matching SQL WHERE semantics.
+
+    ``predicate`` is one ``(column, lo, hi)`` tuple or a list (conjunction);
+    bounds are inclusive. Columns must be scalar int/float/string/decimal;
+    bound types must match the column category. Returns a ONE-ROW DataFrame
+    ``(n_match, n_blocks, n_pruned, n_interior, n_boundary)`` — n_match is
+    exact, the rest are the classification telemetry that makes the skip
+    rates observable (the no-silent-caps rule).
+    """
+    import math
+
+    import yaml
+
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.encode import (
+        normalize_zone_filters,
+        split_schema_ddl,
+    )
+    from xml2arrow_spark.sources.files import plan_parquet_tasks
+
+    preds = normalize_zone_filters(predicate)
+    if not preds:
+        raise ValueError("count_where needs at least one (column, lo, hi) predicate")
+    with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
+        side = yaml.safe_load(f.read())
+    by_name = split_schema_ddl(side["schema_ddl"])
+    wide = side.get("layout", "nested") == "wide"
+
+    # driver-side validation: resolve each conjunct's category so the
+    # executor-side classifier and counter are branch-free on types
+    conj: list[tuple[str, object, object, str]] = []
+    for col, lo, hi in preds:
+        if col not in by_name:
+            raise ValueError(
+                f"dataset lacks encoded column {col!r}; it has {sorted(by_name)}"
+            )
+        typ = by_name[col].split(None, 1)[1].strip().lower()
+        if typ.startswith(("array", "map", "struct")):
+            raise ValueError(
+                f"count_where needs a scalar column; {col!r} is {typ}"
+            )
+        if lo is None or hi is None:
+            raise ValueError(f"bounds for {col!r} must be non-NULL")
+        if typ in _CW_INT_TYPES or typ.startswith("decimal"):
+            if not (isinstance(lo, int) and isinstance(hi, int)) or isinstance(
+                lo, bool
+            ) or isinstance(hi, bool):
+                raise ValueError(f"{col!r} is {typ}: bounds must be int")
+            cat = "i"
+        elif typ in ("float", "double", "real"):
+            lo, hi = float(lo), float(hi)
+            if math.isnan(lo) or math.isnan(hi):
+                raise ValueError(f"NaN bound for {col!r} can never match")
+            cat = "d"
+        elif typ == "string":
+            if not (isinstance(lo, str) and isinstance(hi, str)):
+                raise ValueError(f"{col!r} is string: bounds must be str")
+            cat = "s"
+        else:
+            raise ValueError(f"count_where does not support {col!r} of type {typ}")
+        conj.append((col, lo, hi, cat))
+    suffixes = {"i": ("vmin_i", "vmax_i"), "d": ("vmin_d", "vmax_d"),
+                "s": ("vmin_s", "vmax_s")}
+    single = len(conj) == 1
+
+    def _classify(stats) -> tuple[str, int]:
+        """stats: per-conjunct (vmin, vmax, n_null, block_rows) -> (kind,
+        metadata count). Conservative: anything unknown degrades to
+        boundary (decode), never to a wrong count."""
+        interior = True
+        nulls: list[int] = []
+        rows = 0
+        for (col, lo, hi, cat), (vmin, vmax, n_null, block_rows) in zip(conj, stats):
+            rows = block_rows
+            # one-sided outside tests are sound even for truncation-safe
+            # string bounds (vmin understates, vmax overstates)
+            if (vmax is not None and vmax < lo) or (vmin is not None and hi < vmin):
+                return "pruned", 0
+            if (
+                cat == "d"
+                or vmin is None
+                or vmax is None
+                or n_null is None
+                or not (lo <= vmin and vmax <= hi)
+            ):
+                interior = False
+            else:
+                nulls.append(n_null)
+        if interior and (single or all(n == 0 for n in nulls)):
+            return "interior", rows - (nulls[0] if single else 0)
+        return "boundary", 0
+
+    def _count_decoded(arrays: list[pa.Array]) -> int:
+        """Vectorized conjunction count over the decoded filter columns;
+        NULL/NaN rows fail, matching SQL WHERE."""
+        import pyarrow.compute as pc
+
+        mask = None
+        for (col, lo, hi, cat), arr in zip(conj, arrays):
+            if cat == "d":
+                arr = pc.cast(arr, pa.float64())  # exact widening; bound
+                # stays the double the oracle compares against
+            m = pc.and_kleene(
+                pc.greater_equal(arr, pa.scalar(lo)),
+                pc.less_equal(arr, pa.scalar(hi)),
+            )
+            mask = m if mask is None else pc.and_kleene(mask, m)
+        s = pc.sum(mask)
+        return int(s.as_py() or 0)
+
+    out_ddl = "n_match long, n_blocks long, n_pruned long, n_interior long, n_boundary long"
+
+    def count_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        from xml2arrow_spark.env import limit_arrow_threads
+
+        limit_arrow_threads(1)
+        n_match = n_blocks = n_pruned = n_interior = n_boundary = 0
+        for b in batches:
+            path_lists = b.column(b.schema.get_field_index("path")).to_pylist()
+            for fpath in (p for paths in path_lists for p in paths):
+                if wide:
+                    avail = set(pq.read_schema(fpath).names)
+                    want = {"n_rows"}
+                    for col, _lo, _hi, cat in conj:
+                        zmin, zmax = suffixes[cat]
+                        want |= {f"c_{col}__{zmin}", f"c_{col}__{zmax}",
+                                 f"c_{col}__n_null"}
+                    stat_tbl = pq.read_table(fpath, columns=sorted(want & avail))
+
+                    def _field(name, i, tbl=None, av=None):
+                        t = stat_tbl if tbl is None else tbl
+                        a = avail if av is None else av
+                        return t.column(name)[i].as_py() if name in a else None
+
+                    rows_col = stat_tbl.column("n_rows")
+                    kinds = []
+                    for i in range(stat_tbl.num_rows):
+                        br = rows_col[i].as_py()
+                        stats = []
+                        for col, _lo, _hi, cat in conj:
+                            zmin, zmax = suffixes[cat]
+                            stats.append((
+                                _field(f"c_{col}__{zmin}", i),
+                                _field(f"c_{col}__{zmax}", i),
+                                _field(f"c_{col}__n_null", i),
+                                br,
+                            ))
+                        kinds.append(_classify(stats))
+                    n_blocks += len(kinds)
+                    boundary_idx = [i for i, (k, _c) in enumerate(kinds)
+                                    if k == "boundary"]
+                    for k, c in kinds:
+                        if k == "interior":
+                            n_interior += 1
+                            n_match += c
+                        elif k == "pruned":
+                            n_pruned += 1
+                    n_boundary += len(boundary_idx)
+                    if boundary_idx:
+                        # only now touch payload, and only the filter cols
+                        need = [x for col, _l, _h, _c in conj
+                                for x in (f"c_{col}__meta", f"c_{col}__data")]
+                        pay = pq.read_table(fpath, columns=need)
+                        for i in boundary_idx:
+                            arrays = [
+                                decode_column(
+                                    pay.column(f"c_{col}__meta")[i].as_py(),
+                                    pay.column(f"c_{col}__data")[i].as_py(),
+                                )
+                                for col, _l, _h, _c in conj
+                            ]
+                            n_match += _count_decoded(arrays)
+                    continue
+                tbl = pq.read_table(fpath, columns=["n_rows", "cols"])
+                cols_col = tbl.column("cols").combine_chunks()
+                rows_col = tbl.column("n_rows")
+                entry_fields = {
+                    f.name for f in tbl.schema.field("cols").type.value_type
+                }
+                has_agg = "n_null" in entry_fields
+                for row in range(len(cols_col)):
+                    entries = cols_col[row].values
+                    names = entries.field("name").to_pylist()
+                    br = rows_col[row].as_py()
+                    stats = []
+                    idxs = []
+                    for col, _lo, _hi, cat in conj:
+                        zmin, zmax = suffixes[cat]
+                        try:
+                            zi = names.index(col)
+                        except ValueError:
+                            zi = None
+                        idxs.append(zi)
+                        if zi is None:
+                            stats.append((None, None, None, br))
+                        else:
+                            stats.append((
+                                entries.field(zmin)[zi].as_py(),
+                                entries.field(zmax)[zi].as_py(),
+                                entries.field("n_null")[zi].as_py()
+                                if has_agg else None,
+                                br,
+                            ))
+                    kind, c = _classify(stats)
+                    n_blocks += 1
+                    if kind == "pruned":
+                        n_pruned += 1
+                    elif kind == "interior":
+                        n_interior += 1
+                        n_match += c
+                    else:
+                        n_boundary += 1
+                        if any(zi is None for zi in idxs):
+                            raise ValueError(
+                                "block is missing an entry for a filter "
+                                "column; the sidecar schema and the blocks "
+                                "files disagree"
+                            )
+                        metas = entries.field("meta")
+                        datas = entries.field("data")
+                        arrays = [
+                            decode_column(metas[zi].as_py(), datas[zi].as_py())
+                            for zi in idxs
+                        ]
+                        n_match += _count_decoded(arrays)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([v], type=pa.int64())
+             for v in (n_match, n_blocks, n_pruned, n_interior, n_boundary)],
+            names=["n_match", "n_blocks", "n_pruned", "n_interior", "n_boundary"],
+        )
+
+    tasks = plan_parquet_tasks(spark, os.path.join(out_path, "blocks"), n_tasks)
+    per_task = tasks.mapInArrow(count_files, out_ddl)
+    return per_task.agg(
+        F.sum("n_match").alias("n_match"),
+        F.sum("n_blocks").alias("n_blocks"),
+        F.sum("n_pruned").alias("n_pruned"),
+        F.sum("n_interior").alias("n_interior"),
+        F.sum("n_boundary").alias("n_boundary"),
     )
 
 

@@ -1066,12 +1066,42 @@ def dataset_column_stats_sql() -> str:
             f"max({col}) AS vmax_d, CAST(0 AS BIGINT) AS n_unstated, {agg} FROM lineitem"
         )
 
+    def str_row(col):
+        # string columns: no numeric extrema, no sum; counts still exact
+        return (
+            f"SELECT '{col}' AS column, CAST(-1 AS BIGINT) AS vmin_i, "
+            f"CAST(-1 AS BIGINT) AS vmax_i, -1.0 AS vmin_d, -1.0 AS vmax_d, "
+            f"CAST(0 AS BIGINT) AS n_unstated, "
+            f"CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count({col}) AS BIGINT) AS n_nonnull, "
+            f"CAST(-1 AS BIGINT) AS sum_i FROM lineitem"
+        )
+
+    def where_row(label, cond):
+        # the count_where legs: the oracle recounts the predicate from the
+        # raw table -- a wrong interior claim or stale null count mismatches
+        return (
+            f"SELECT '{label}' AS column, CAST(-1 AS BIGINT) AS vmin_i, "
+            f"CAST(-1 AS BIGINT) AS vmax_i, -1.0 AS vmin_d, -1.0 AS vmax_d, "
+            f"CAST(0 AS BIGINT) AS n_unstated, "
+            f"CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(-1 AS BIGINT) AS n_nonnull, "
+            f"CAST(-1 AS BIGINT) AS sum_i FROM lineitem WHERE {cond}"
+        )
+
     return "\nUNION ALL\n".join(
         [
             row("l_orderkey", True),
             row("l_linenumber", True),
             row("l_quantity", False),
             row("l_discount", False),
+            str_row("l_returnflag"),
+            where_row("where:okey", "l_orderkey BETWEEN 1000 AND 30000"),
+            where_row(
+                "where:flag_qty",
+                "l_returnflag BETWEEN 'A' AND 'N' "
+                "AND l_quantity BETWEEN 5.0 AND 30.0",
+            ),
         ]
     )
 
