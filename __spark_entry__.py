@@ -553,8 +553,9 @@ def q_dataset_column_stats(spark, sf_dir):
         F.coalesce(F.col("sum_i"), F.lit(-1)).alias("sum_i"),
     )
 
-    def leg(label, predicate):
-        return count_where(spark, out, predicate).select(
+    def leg(label, predicate, sum_col=None):
+        df = count_where(spark, out, predicate, sum_col=sum_col)
+        return df.select(
             F.lit(label).alias("column"),
             F.lit(-1).cast("long").alias("vmin_i"),
             F.lit(-1).cast("long").alias("vmax_i"),
@@ -563,11 +564,18 @@ def q_dataset_column_stats(spark, sf_dir):
             F.lit(0).cast("long").alias("n_unstated"),
             F.col("n_match").alias("n_rows"),
             F.lit(-1).cast("long").alias("n_nonnull"),
-            F.lit(-1).cast("long").alias("sum_i"),
+            (
+                F.coalesce(F.col("n_sum"), F.lit(-1)).cast("long")
+                if sum_col is not None
+                else F.lit(-1).cast("long")
+            ).alias("sum_i"),
         )
 
     return stats.unionByName(
-        leg("where:okey", ("l_orderkey", 1000, 30000))
+        # null-free int predicate + SUM pushdown: interior blocks answer
+        # from zone metadata (count AND sum), boundary blocks decode only
+        # the two touched columns
+        leg("where:okey", ("l_orderkey", 1000, 30000), sum_col="l_linenumber")
     ).unionByName(
         leg(
             "where:flag_qty",

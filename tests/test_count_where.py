@@ -142,6 +142,57 @@ def test_matches_raw_filter_count(spark, ds):
         assert got == raw.filter(cond).count(), pred
 
 
+def test_sum_same_column_uses_metadata_despite_nulls(spark, ds):
+    # single predicate ON the sum column: its nulls leave both the match
+    # set and the stored zsum, so interior blocks stay metadata-only
+    r = _one(count_where(spark, ds, ("qty", 0, 6), sum_col="qty"))
+    assert r["n_interior"] == 9 and r["n_boundary"] == 0
+    assert r["n_sum"] == sum(i % 7 for i in range(N) if i % 10 != 0)
+
+
+def test_sum_other_column_needs_null_free_predicate(spark, ds):
+    # qty has nulls in every block -> summing id from metadata would
+    # wrongly include null-qty rows' ids; every block must decode
+    r = _one(count_where(spark, ds, ("qty", 0, 6), sum_col="id"))
+    assert r["n_interior"] == 0
+    assert r["n_sum"] == sum(i for i in range(N) if i % 10 != 0)
+
+
+def test_sum_null_free_predicate_metadata_fast_path(spark, ds):
+    r = _one(count_where(spark, ds, ("id", 150, 749), sum_col="qty"))
+    assert r["n_interior"] == 5  # id is null-free: interior stays provable
+    assert r["n_sum"] == sum(i % 7 for i in range(150, 750) if i % 10 != 0)
+
+
+def test_sum_empty_match_is_null(spark, ds):
+    r = _one(count_where(spark, ds, ("id", 10**9, 2 * 10**9), sum_col="qty"))
+    assert r["n_match"] == 0 and r["n_sum"] is None
+
+
+def test_sum_all_null_values_is_null_not_zero(spark, tmp_path):
+    # matched rows whose sum column is ENTIRELY null: SQL SUM is NULL; a
+    # naive zsum roll-up (stored 0 for an all-null block) would say 0
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "ds")
+    os.makedirs(src)
+    ids = pa.array(np.arange(100, dtype=np.int64))
+    t = pa.table({"id": ids, "qty": pa.array([None] * 100, type=pa.int64())})
+    pq.write_table(t, os.path.join(src, "part-0.parquet"))
+    encode_parquet_dataset(spark, src, out)
+    r = _one(count_where(spark, out, ("id", 0, 99), sum_col="qty"))
+    assert r["n_match"] == 100 and r["n_interior"] == 1
+    assert r["n_sum"] is None
+
+
+def test_sum_validation(spark, ds):
+    with pytest.raises(ValueError, match="integer column"):
+        count_where(spark, ds, ("id", 0, 1), sum_col="val")
+    with pytest.raises(ValueError, match="integer column"):
+        count_where(spark, ds, ("id", 0, 1), sum_col="tokens")
+    with pytest.raises(ValueError, match="lacks encoded column"):
+        count_where(spark, ds, ("id", 0, 1), sum_col="nope")
+
+
 def test_validation_errors(spark, ds):
     with pytest.raises(ValueError, match="lacks encoded column"):
         count_where(spark, ds, ("nope", 0, 1))

@@ -420,7 +420,13 @@ def dataset_column_stats(spark, out_path: str):
 _CW_INT_TYPES = ("tinyint", "smallint", "int", "integer", "bigint", "long")
 
 
-def count_where(spark, out_path: str, predicate, n_tasks: int | None = None):
+def count_where(
+    spark,
+    out_path: str,
+    predicate,
+    sum_col: str | None = None,
+    n_tasks: int | None = None,
+):
     """Exact ``COUNT(*) WHERE col BETWEEN lo AND hi [AND ...]`` over a
     STORED dataset, metadata-accelerated per block — the small-materialized-
     aggregates move (Moerkotte, VLDB 1998) applied to the predicate count:
@@ -450,12 +456,25 @@ def count_where(spark, out_path: str, predicate, n_tasks: int | None = None):
     reconstruct the union of null rows). NULL and NaN rows never match,
     matching SQL WHERE semantics.
 
+    ``sum_col`` additionally returns ``SUM(sum_col)`` over the matching
+    rows (``n_sum``; SQL semantics — nulls skipped, NULL when no non-null
+    value matched). Integer columns only: an interior block contributes its
+    stored exact ``zsum_i`` when metadata can PROVE it equals the matched
+    sum — every filter column null-free (so all rows match), or the single
+    filter column IS the sum column (its nulls leave both the match set and
+    the stored sum) — and its ``n_null`` is stated (distinguishing "sum of
+    non-nulls is 0" from "no non-null values", which must surface as NULL,
+    not 0). Anything unprovable downgrades the block to boundary-decode;
+    the result is exact either way. Floats are refused: a metadata roll-up
+    cannot reproduce a sequential float fold, and these stats never
+    approximate.
+
     ``predicate`` is one ``(column, lo, hi)`` tuple or a list (conjunction);
     bounds are inclusive. Columns must be scalar int/float/string/decimal;
     bound types must match the column category. Returns a ONE-ROW DataFrame
-    ``(n_match, n_blocks, n_pruned, n_interior, n_boundary)`` — n_match is
-    exact, the rest are the classification telemetry that makes the skip
-    rates observable (the no-silent-caps rule).
+    ``(n_match, n_blocks, n_pruned, n_interior, n_boundary[, n_sum])`` —
+    n_match/n_sum are exact, the rest are the classification telemetry that
+    makes the skip rates observable (the no-silent-caps rule).
     """
     import math
 
@@ -510,14 +529,26 @@ def count_where(spark, out_path: str, predicate, n_tasks: int | None = None):
         else:
             raise ValueError(f"count_where does not support {col!r} of type {typ}")
         conj.append((col, lo, hi, cat))
+    if sum_col is not None:
+        if sum_col not in by_name:
+            raise ValueError(
+                f"dataset lacks encoded column {sum_col!r}; "
+                f"it has {sorted(by_name)}"
+            )
+        styp = by_name[sum_col].split(None, 1)[1].strip().lower()
+        if styp not in _CW_INT_TYPES:
+            raise ValueError(
+                f"sum_col must be an integer column; {sum_col!r} is {styp}"
+            )
     suffixes = {"i": ("vmin_i", "vmax_i"), "d": ("vmin_d", "vmax_d"),
                 "s": ("vmin_s", "vmax_s")}
     single = len(conj) == 1
 
-    def _classify(stats) -> tuple[str, int]:
-        """stats: per-conjunct (vmin, vmax, n_null, block_rows) -> (kind,
-        metadata count). Conservative: anything unknown degrades to
-        boundary (decode), never to a wrong count."""
+    def _classify(stats, zsum, s_nnull) -> tuple[str, int, int | None, bool]:
+        """stats: per-conjunct (vmin, vmax, n_null, block_rows) ->
+        (kind, metadata count, metadata sum, sum-presence). Conservative:
+        anything unknown degrades to boundary (decode), never to a wrong
+        answer."""
         interior = True
         nulls: list[int] = []
         rows = 0
@@ -526,7 +557,7 @@ def count_where(spark, out_path: str, predicate, n_tasks: int | None = None):
             # one-sided outside tests are sound even for truncation-safe
             # string bounds (vmin understates, vmax overstates)
             if (vmax is not None and vmax < lo) or (vmin is not None and hi < vmin):
-                return "pruned", 0
+                return "pruned", 0, None, False
             if (
                 cat == "d"
                 or vmin is None
@@ -538,12 +569,24 @@ def count_where(spark, out_path: str, predicate, n_tasks: int | None = None):
             else:
                 nulls.append(n_null)
         if interior and (single or all(n == 0 for n in nulls)):
-            return "interior", rows - (nulls[0] if single else 0)
-        return "boundary", 0
+            cnt = rows - (nulls[0] if single else 0)
+            if sum_col is None:
+                return "interior", cnt, None, False
+            # metadata sum is provable only when the matched set's sum IS
+            # the stored whole-block sum (see docstring); presence needs
+            # the sum column's own null count
+            provable = zsum is not None and s_nnull is not None and (
+                all(n == 0 for n in nulls)
+                or (single and conj[0][0] == sum_col)
+            )
+            if provable:
+                return "interior", cnt, zsum, (rows - s_nnull) > 0
+            return "boundary", 0, None, False
+        return "boundary", 0, None, False
 
-    def _count_decoded(arrays: list[pa.Array]) -> int:
-        """Vectorized conjunction count over the decoded filter columns;
-        NULL/NaN rows fail, matching SQL WHERE."""
+    def _count_decoded(arrays: list[pa.Array], sum_arr) -> tuple[int, int | None]:
+        """Vectorized conjunction count (+ masked sum) over the decoded
+        filter columns; NULL/NaN rows fail, matching SQL WHERE."""
         import pyarrow.compute as pc
 
         mask = None
@@ -557,9 +600,16 @@ def count_where(spark, out_path: str, predicate, n_tasks: int | None = None):
             )
             mask = m if mask is None else pc.and_kleene(mask, m)
         s = pc.sum(mask)
-        return int(s.as_py() or 0)
+        cnt = int(s.as_py() or 0)
+        if sum_arr is None:
+            return cnt, None
+        v = pc.sum(sum_arr.filter(pc.fill_null(mask, False)))
+        return cnt, (None if v.as_py() is None else int(v.as_py()))
 
-    out_ddl = "n_match long, n_blocks long, n_pruned long, n_interior long, n_boundary long"
+    out_ddl = (
+        "n_match long, n_blocks long, n_pruned long, n_interior long, "
+        "n_boundary long, n_sum long"
+    )
 
     def count_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
@@ -568,6 +618,7 @@ def count_where(spark, out_path: str, predicate, n_tasks: int | None = None):
 
         limit_arrow_threads(1)
         n_match = n_blocks = n_pruned = n_interior = n_boundary = 0
+        sum_total, sum_present = 0, False
         for b in batches:
             path_lists = b.column(b.schema.get_field_index("path")).to_pylist()
             for fpath in (p for paths in path_lists for p in paths):
@@ -578,6 +629,8 @@ def count_where(spark, out_path: str, predicate, n_tasks: int | None = None):
                         zmin, zmax = suffixes[cat]
                         want |= {f"c_{col}__{zmin}", f"c_{col}__{zmax}",
                                  f"c_{col}__n_null"}
+                    if sum_col is not None:
+                        want |= {f"c_{sum_col}__zsum_i", f"c_{sum_col}__n_null"}
                     stat_tbl = pq.read_table(fpath, columns=sorted(want & avail))
 
                     def _field(name, i, tbl=None, av=None):
@@ -598,31 +651,52 @@ def count_where(spark, out_path: str, predicate, n_tasks: int | None = None):
                                 _field(f"c_{col}__n_null", i),
                                 br,
                             ))
-                        kinds.append(_classify(stats))
+                        kinds.append(_classify(
+                            stats,
+                            _field(f"c_{sum_col}__zsum_i", i)
+                            if sum_col is not None else None,
+                            _field(f"c_{sum_col}__n_null", i)
+                            if sum_col is not None else None,
+                        ))
                     n_blocks += len(kinds)
-                    boundary_idx = [i for i, (k, _c) in enumerate(kinds)
-                                    if k == "boundary"]
-                    for k, c in kinds:
+                    boundary_idx = [i for i, k in enumerate(kinds)
+                                    if k[0] == "boundary"]
+                    for k, c, ms, present in kinds:
                         if k == "interior":
                             n_interior += 1
                             n_match += c
+                            if present:
+                                sum_total += ms
+                                sum_present = True
                         elif k == "pruned":
                             n_pruned += 1
                     n_boundary += len(boundary_idx)
                     if boundary_idx:
                         # only now touch payload, and only the filter cols
-                        need = [x for col, _l, _h, _c in conj
+                        # (+ the sum column)
+                        pay_cols = [c for c, _l, _h, _c2 in conj]
+                        if sum_col is not None and sum_col not in pay_cols:
+                            pay_cols.append(sum_col)
+                        need = [x for col in pay_cols
                                 for x in (f"c_{col}__meta", f"c_{col}__data")]
                         pay = pq.read_table(fpath, columns=need)
+
+                        def _dec(col, i):
+                            return decode_column(
+                                pay.column(f"c_{col}__meta")[i].as_py(),
+                                pay.column(f"c_{col}__data")[i].as_py(),
+                            )
+
                         for i in boundary_idx:
-                            arrays = [
-                                decode_column(
-                                    pay.column(f"c_{col}__meta")[i].as_py(),
-                                    pay.column(f"c_{col}__data")[i].as_py(),
-                                )
-                                for col, _l, _h, _c in conj
-                            ]
-                            n_match += _count_decoded(arrays)
+                            decoded = {c: _dec(c, i) for c in pay_cols}
+                            cnt, psum = _count_decoded(
+                                [decoded[c] for c, _l, _h, _c2 in conj],
+                                decoded[sum_col] if sum_col is not None else None,
+                            )
+                            n_match += cnt
+                            if psum is not None:
+                                sum_total += psum
+                                sum_present = True
                     continue
                 tbl = pq.read_table(fpath, columns=["n_rows", "cols"])
                 cols_col = tbl.column("cols").combine_chunks()
@@ -654,20 +728,35 @@ def count_where(spark, out_path: str, predicate, n_tasks: int | None = None):
                                 if has_agg else None,
                                 br,
                             ))
-                    kind, c = _classify(stats)
+                    zsum = s_nnull = None
+                    si = None
+                    if sum_col is not None:
+                        try:
+                            si = names.index(sum_col)
+                        except ValueError:
+                            si = None
+                        if si is not None and "zsum_i" in entry_fields:
+                            zsum = entries.field("zsum_i")[si].as_py()
+                            s_nnull = entries.field("n_null")[si].as_py()
+                    kind, c, ms, present = _classify(stats, zsum, s_nnull)
                     n_blocks += 1
                     if kind == "pruned":
                         n_pruned += 1
                     elif kind == "interior":
                         n_interior += 1
                         n_match += c
+                        if present:
+                            sum_total += ms
+                            sum_present = True
                     else:
                         n_boundary += 1
-                        if any(zi is None for zi in idxs):
+                        if any(zi is None for zi in idxs) or (
+                            sum_col is not None and si is None
+                        ):
                             raise ValueError(
                                 "block is missing an entry for a filter "
-                                "column; the sidecar schema and the blocks "
-                                "files disagree"
+                                "or sum column; the sidecar schema and the "
+                                "blocks files disagree"
                             )
                         metas = entries.field("meta")
                         datas = entries.field("data")
@@ -675,22 +764,40 @@ def count_where(spark, out_path: str, predicate, n_tasks: int | None = None):
                             decode_column(metas[zi].as_py(), datas[zi].as_py())
                             for zi in idxs
                         ]
-                        n_match += _count_decoded(arrays)
+                        sum_arr = None
+                        if sum_col is not None:
+                            if si in idxs:
+                                sum_arr = arrays[idxs.index(si)]
+                            else:
+                                sum_arr = decode_column(
+                                    metas[si].as_py(), datas[si].as_py()
+                                )
+                        cnt, psum = _count_decoded(arrays, sum_arr)
+                        n_match += cnt
+                        if psum is not None:
+                            sum_total += psum
+                            sum_present = True
         yield pa.RecordBatch.from_arrays(
             [pa.array([v], type=pa.int64())
-             for v in (n_match, n_blocks, n_pruned, n_interior, n_boundary)],
-            names=["n_match", "n_blocks", "n_pruned", "n_interior", "n_boundary"],
+             for v in (n_match, n_blocks, n_pruned, n_interior, n_boundary,
+                       sum_total if sum_present else None)],
+            names=["n_match", "n_blocks", "n_pruned", "n_interior",
+                   "n_boundary", "n_sum"],
         )
 
     tasks = plan_parquet_tasks(spark, os.path.join(out_path, "blocks"), n_tasks)
     per_task = tasks.mapInArrow(count_files, out_ddl)
-    return per_task.agg(
+    agg = per_task.agg(
         F.sum("n_match").alias("n_match"),
         F.sum("n_blocks").alias("n_blocks"),
         F.sum("n_pruned").alias("n_pruned"),
         F.sum("n_interior").alias("n_interior"),
         F.sum("n_boundary").alias("n_boundary"),
+        # SQL SUM: tasks with no non-null contribution yield NULL, and
+        # F.sum skips them; all-NULL -> NULL, exactly SUM's empty result
+        F.sum("n_sum").alias("n_sum"),
     )
+    return agg if sum_col is not None else agg.drop("n_sum")
 
 
 def compact_dataset(

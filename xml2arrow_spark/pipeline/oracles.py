@@ -1077,16 +1077,22 @@ def dataset_column_stats_sql() -> str:
             f"CAST(-1 AS BIGINT) AS sum_i FROM lineitem"
         )
 
-    def where_row(label, cond):
-        # the count_where legs: the oracle recounts the predicate from the
-        # raw table -- a wrong interior claim or stale null count mismatches
+    def where_row(label, cond, sum_expr=None):
+        # the count_where legs: the oracle recounts (and re-sums) the
+        # predicate from the raw table -- a wrong interior claim, a stale
+        # null count, or a bad stored zsum all mismatch
+        s = (
+            f"COALESCE(CAST(sum({sum_expr}) AS BIGINT), -1)"
+            if sum_expr
+            else "CAST(-1 AS BIGINT)"
+        )
         return (
             f"SELECT '{label}' AS column, CAST(-1 AS BIGINT) AS vmin_i, "
             f"CAST(-1 AS BIGINT) AS vmax_i, -1.0 AS vmin_d, -1.0 AS vmax_d, "
             f"CAST(0 AS BIGINT) AS n_unstated, "
             f"CAST(count(*) AS BIGINT) AS n_rows, "
             f"CAST(-1 AS BIGINT) AS n_nonnull, "
-            f"CAST(-1 AS BIGINT) AS sum_i FROM lineitem WHERE {cond}"
+            f"{s} AS sum_i FROM lineitem WHERE {cond}"
         )
 
     return "\nUNION ALL\n".join(
@@ -1096,7 +1102,11 @@ def dataset_column_stats_sql() -> str:
             row("l_quantity", False),
             row("l_discount", False),
             str_row("l_returnflag"),
-            where_row("where:okey", "l_orderkey BETWEEN 1000 AND 30000"),
+            where_row(
+                "where:okey",
+                "l_orderkey BETWEEN 1000 AND 30000",
+                sum_expr="l_linenumber",
+            ),
             where_row(
                 "where:flag_qty",
                 "l_returnflag BETWEEN 'A' AND 'N' "
