@@ -533,6 +533,67 @@ def main() -> None:
     finally:
         shutil.rmtree(maint_dir, ignore_errors=True)
 
+    # q19: metadata-accelerated predicate aggregation (count_where) vs the
+    # naive decode-everything path for the SAME answer. Setup (untimed):
+    # range-clustered lineitem encoded with several blocks per file, so
+    # interior/pruned classes exist by geometry (the 100 TB regime).
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    import pyarrow.parquet as pq_mod
+
+    from xml2arrow_spark.operators.dataset import (
+        count_where,
+        decode_dataset,
+        encode_parquet_dataset,
+    )
+
+    cw_dir = tempfile.mkdtemp(prefix="bench_cw_")
+    try:
+        cw_src = os.path.join(cw_dir, "src")
+        cw_ds = os.path.join(cw_dir, "ds")
+        li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+        )
+        li.repartitionByRange(8, "l_orderkey").sortWithinPartitions(
+            "l_orderkey"
+        ).write.mode("overwrite").parquet(cw_src)
+        first = sorted(
+            os.path.join(cw_src, f)
+            for f in os.listdir(cw_src)
+            if f.endswith(".parquet")
+        )[0]
+        man_cw = CodecManifest.auto_for(
+            from_arrow_schema(pq_mod.read_schema(first)), block_rows=8192
+        )
+        encode_parquet_dataset(spark, cw_src, cw_ds, manifest=man_cw)
+        okey_hi = li.agg(F.max("l_orderkey")).collect()[0][0] // 3
+        pred = ("l_orderkey", 1000, int(okey_hi))
+
+        best_of(
+            "q19a_count_where_meta",
+            lambda: count_where(
+                spark, cw_ds, pred, sum_col="l_linenumber"
+            ).collect(),
+        )
+        best_of(
+            "q19b_agg_via_decode",
+            # the FAIR baseline: column-pruned decode (what a careful user
+            # without aggregate pushdown would run), not a full-table read
+            lambda: decode_dataset(
+                spark, cw_ds, columns=["l_orderkey", "l_linenumber"]
+            )
+            .filter(
+                (F.col("l_orderkey") >= pred[1]) & (F.col("l_orderkey") <= pred[2])
+            )
+            .agg(F.count("*"), F.sum("l_linenumber"))
+            .collect(),
+        )
+        extra["count_where_speedup"] = round(
+            queries["q19b_agg_via_decode"] / queries["q19a_count_where_meta"], 2
+        )
+    finally:
+        shutil.rmtree(cw_dir, ignore_errors=True)
+
     total = round(sum(queries.values()), 3)
     # cross-round comparability: the r01-r04 headline covered q1-q10; the
     # r05 additions (q11-q17, incl. the machinery-dominated streaming
@@ -543,7 +604,7 @@ def main() -> None:
             v
             for k, v in queries.items()
             if not k.startswith(
-                ("q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18")
+                ("q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19")
             )
         ),
         3,

@@ -193,6 +193,19 @@ def test_sum_validation(spark, ds):
         count_where(spark, ds, ("id", 0, 1), sum_col="nope")
 
 
+def test_distributed_path_matches_driver_path(spark, ds):
+    # local_bytes=0 forces the mapInArrow fan-out; both paths run the same
+    # per-file routine, so every tally must agree exactly
+    for pred, sc in [
+        (("id", 150, 749), "qty"),
+        ([("tag", "a", "b"), ("qty", 0, 3)], None),
+        (("val", 0.0, 100.0), None),
+    ]:
+        a = _one(count_where(spark, ds, pred, sum_col=sc))
+        b = _one(count_where(spark, ds, pred, sum_col=sc, local_bytes=0))
+        assert a == b, (pred, a, b)
+
+
 def test_validation_errors(spark, ds):
     with pytest.raises(ValueError, match="lacks encoded column"):
         count_where(spark, ds, ("nope", 0, 1))

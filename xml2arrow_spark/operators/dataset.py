@@ -426,6 +426,7 @@ def count_where(
     predicate,
     sum_col: str | None = None,
     n_tasks: int | None = None,
+    local_bytes: int = 128 << 20,
 ):
     """Exact ``COUNT(*) WHERE col BETWEEN lo AND hi [AND ...]`` over a
     STORED dataset, metadata-accelerated per block — the small-materialized-
@@ -468,6 +469,14 @@ def count_where(
     the result is exact either way. Floats are refused: a metadata roll-up
     cannot reproduce a sequential float fold, and these stats never
     approximate.
+
+    Execution is scale-adaptive: when the blocks tree totals at most
+    ``local_bytes`` (default 128 MiB) the whole query runs DRIVER-SIDE with
+    pyarrow — launching a cluster job to scan kilobytes of block stats
+    costs more than the scan itself (the same rule that keeps manifest
+    writes off Spark jobs). Above the threshold the identical per-file
+    routine fans out over executors via mapInArrow. ``local_bytes=0``
+    forces the distributed path.
 
     ``predicate`` is one ``(column, lo, hi)`` tuple or a list (conjunction);
     bounds are inclusive. Columns must be scalar int/float/string/decimal;
@@ -611,176 +620,219 @@ def count_where(
         "n_boundary long, n_sum long"
     )
 
+    def _process_file(fpath: str, pq) -> tuple:
+        """Per-file tallies (n_match, n_blocks, n_pruned, n_interior,
+        n_boundary, sum_total, sum_present). Runs identically on an
+        executor (distributed mode) or on the driver (metadata-scale
+        mode)."""
+        n_match = n_blocks = n_pruned = n_interior = n_boundary = 0
+        sum_total, sum_present = 0, False
+        if wide:
+            avail = set(pq.read_schema(fpath).names)
+            want = {"n_rows"}
+            for col, _lo, _hi, cat in conj:
+                zmin, zmax = suffixes[cat]
+                want |= {f"c_{col}__{zmin}", f"c_{col}__{zmax}",
+                         f"c_{col}__n_null"}
+            if sum_col is not None:
+                want |= {f"c_{sum_col}__zsum_i", f"c_{sum_col}__n_null"}
+            stat_tbl = pq.read_table(fpath, columns=sorted(want & avail))
+
+            def _field(name, i, tbl=None, av=None):
+                t = stat_tbl if tbl is None else tbl
+                a = avail if av is None else av
+                return t.column(name)[i].as_py() if name in a else None
+
+            rows_col = stat_tbl.column("n_rows")
+            kinds = []
+            for i in range(stat_tbl.num_rows):
+                br = rows_col[i].as_py()
+                stats = []
+                for col, _lo, _hi, cat in conj:
+                    zmin, zmax = suffixes[cat]
+                    stats.append((
+                        _field(f"c_{col}__{zmin}", i),
+                        _field(f"c_{col}__{zmax}", i),
+                        _field(f"c_{col}__n_null", i),
+                        br,
+                    ))
+                kinds.append(_classify(
+                    stats,
+                    _field(f"c_{sum_col}__zsum_i", i)
+                    if sum_col is not None else None,
+                    _field(f"c_{sum_col}__n_null", i)
+                    if sum_col is not None else None,
+                ))
+            n_blocks += len(kinds)
+            boundary_idx = [i for i, k in enumerate(kinds)
+                            if k[0] == "boundary"]
+            for k, c, ms, present in kinds:
+                if k == "interior":
+                    n_interior += 1
+                    n_match += c
+                    if present:
+                        sum_total += ms
+                        sum_present = True
+                elif k == "pruned":
+                    n_pruned += 1
+            n_boundary += len(boundary_idx)
+            if boundary_idx:
+                # only now touch payload, and only the filter cols
+                # (+ the sum column)
+                pay_cols = [c for c, _l, _h, _c2 in conj]
+                if sum_col is not None and sum_col not in pay_cols:
+                    pay_cols.append(sum_col)
+                need = [x for col in pay_cols
+                        for x in (f"c_{col}__meta", f"c_{col}__data")]
+                pay = pq.read_table(fpath, columns=need)
+
+                def _dec(col, i):
+                    return decode_column(
+                        pay.column(f"c_{col}__meta")[i].as_py(),
+                        pay.column(f"c_{col}__data")[i].as_py(),
+                    )
+
+                for i in boundary_idx:
+                    decoded = {c: _dec(c, i) for c in pay_cols}
+                    cnt, psum = _count_decoded(
+                        [decoded[c] for c, _l, _h, _c2 in conj],
+                        decoded[sum_col] if sum_col is not None else None,
+                    )
+                    n_match += cnt
+                    if psum is not None:
+                        sum_total += psum
+                        sum_present = True
+            return (n_match, n_blocks, n_pruned, n_interior, n_boundary,
+                    sum_total, sum_present)
+        tbl = pq.read_table(fpath, columns=["n_rows", "cols"])
+        cols_col = tbl.column("cols").combine_chunks()
+        rows_col = tbl.column("n_rows")
+        entry_fields = {
+            f.name for f in tbl.schema.field("cols").type.value_type
+        }
+        has_agg = "n_null" in entry_fields
+        for row in range(len(cols_col)):
+            entries = cols_col[row].values
+            names = entries.field("name").to_pylist()
+            br = rows_col[row].as_py()
+            stats = []
+            idxs = []
+            for col, _lo, _hi, cat in conj:
+                zmin, zmax = suffixes[cat]
+                try:
+                    zi = names.index(col)
+                except ValueError:
+                    zi = None
+                idxs.append(zi)
+                if zi is None:
+                    stats.append((None, None, None, br))
+                else:
+                    stats.append((
+                        entries.field(zmin)[zi].as_py(),
+                        entries.field(zmax)[zi].as_py(),
+                        entries.field("n_null")[zi].as_py()
+                        if has_agg else None,
+                        br,
+                    ))
+            zsum = s_nnull = None
+            si = None
+            if sum_col is not None:
+                try:
+                    si = names.index(sum_col)
+                except ValueError:
+                    si = None
+                if si is not None and "zsum_i" in entry_fields:
+                    zsum = entries.field("zsum_i")[si].as_py()
+                    s_nnull = entries.field("n_null")[si].as_py()
+            kind, c, ms, present = _classify(stats, zsum, s_nnull)
+            n_blocks += 1
+            if kind == "pruned":
+                n_pruned += 1
+            elif kind == "interior":
+                n_interior += 1
+                n_match += c
+                if present:
+                    sum_total += ms
+                    sum_present = True
+            else:
+                n_boundary += 1
+                if any(zi is None for zi in idxs) or (
+                    sum_col is not None and si is None
+                ):
+                    raise ValueError(
+                        "block is missing an entry for a filter "
+                        "or sum column; the sidecar schema and the "
+                        "blocks files disagree"
+                    )
+                metas = entries.field("meta")
+                datas = entries.field("data")
+                arrays = [
+                    decode_column(metas[zi].as_py(), datas[zi].as_py())
+                    for zi in idxs
+                ]
+                sum_arr = None
+                if sum_col is not None:
+                    if si in idxs:
+                        sum_arr = arrays[idxs.index(si)]
+                    else:
+                        sum_arr = decode_column(
+                            metas[si].as_py(), datas[si].as_py()
+                        )
+                cnt, psum = _count_decoded(arrays, sum_arr)
+                n_match += cnt
+                if psum is not None:
+                    sum_total += psum
+                    sum_present = True
+        return (n_match, n_blocks, n_pruned, n_interior, n_boundary,
+                sum_total, sum_present)
+
+    def _fold(acc, t):
+        return (acc[0] + t[0], acc[1] + t[1], acc[2] + t[2], acc[3] + t[3],
+                acc[4] + t[4], acc[5] + t[5], acc[6] or t[6])
+
+    # Metadata-scale datasets answer DRIVER-SIDE with pyarrow: launching a
+    # cluster job to scan kilobytes of block stats costs more than the job
+    # setup (the repo's KB-metadata ground rule). Above the threshold the
+    # same per-file routine fans out over executors. local_bytes compares
+    # against the blocks files' TOTAL size -- a conservative stand-in for
+    # what the stat read could touch.
+    from xml2arrow_spark.sources.files import parquet_file_infos
+
+    infos = parquet_file_infos(os.path.join(out_path, "blocks"))
+    total_bytes = sum(s for _p, s in infos)
+    if total_bytes <= local_bytes:
+        import pyarrow.parquet as pq_local
+
+        acc = (0, 0, 0, 0, 0, 0, False)
+        for fp, _s in infos:
+            acc = _fold(acc, _process_file(fp, pq_local))
+        vals = (acc[0], acc[1], acc[2], acc[3], acc[4],
+                acc[5] if acc[6] else None)
+        names = ["n_match", "n_blocks", "n_pruned", "n_interior",
+                 "n_boundary", "n_sum"]
+        # literal projection over range(1), NOT createDataFrame: a python
+        # LocalRelation re-converts on every action (~0.3 s measured); lit
+        # columns collect in milliseconds
+        df = spark.range(1).select(
+            *[F.lit(v).cast("long").alias(n) for v, n in zip(vals, names)]
+        )
+        return df if sum_col is not None else df.drop("n_sum")
+
     def count_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
 
         from xml2arrow_spark.env import limit_arrow_threads
 
         limit_arrow_threads(1)
-        n_match = n_blocks = n_pruned = n_interior = n_boundary = 0
-        sum_total, sum_present = 0, False
+        acc = (0, 0, 0, 0, 0, 0, False)
         for b in batches:
             path_lists = b.column(b.schema.get_field_index("path")).to_pylist()
             for fpath in (p for paths in path_lists for p in paths):
-                if wide:
-                    avail = set(pq.read_schema(fpath).names)
-                    want = {"n_rows"}
-                    for col, _lo, _hi, cat in conj:
-                        zmin, zmax = suffixes[cat]
-                        want |= {f"c_{col}__{zmin}", f"c_{col}__{zmax}",
-                                 f"c_{col}__n_null"}
-                    if sum_col is not None:
-                        want |= {f"c_{sum_col}__zsum_i", f"c_{sum_col}__n_null"}
-                    stat_tbl = pq.read_table(fpath, columns=sorted(want & avail))
-
-                    def _field(name, i, tbl=None, av=None):
-                        t = stat_tbl if tbl is None else tbl
-                        a = avail if av is None else av
-                        return t.column(name)[i].as_py() if name in a else None
-
-                    rows_col = stat_tbl.column("n_rows")
-                    kinds = []
-                    for i in range(stat_tbl.num_rows):
-                        br = rows_col[i].as_py()
-                        stats = []
-                        for col, _lo, _hi, cat in conj:
-                            zmin, zmax = suffixes[cat]
-                            stats.append((
-                                _field(f"c_{col}__{zmin}", i),
-                                _field(f"c_{col}__{zmax}", i),
-                                _field(f"c_{col}__n_null", i),
-                                br,
-                            ))
-                        kinds.append(_classify(
-                            stats,
-                            _field(f"c_{sum_col}__zsum_i", i)
-                            if sum_col is not None else None,
-                            _field(f"c_{sum_col}__n_null", i)
-                            if sum_col is not None else None,
-                        ))
-                    n_blocks += len(kinds)
-                    boundary_idx = [i for i, k in enumerate(kinds)
-                                    if k[0] == "boundary"]
-                    for k, c, ms, present in kinds:
-                        if k == "interior":
-                            n_interior += 1
-                            n_match += c
-                            if present:
-                                sum_total += ms
-                                sum_present = True
-                        elif k == "pruned":
-                            n_pruned += 1
-                    n_boundary += len(boundary_idx)
-                    if boundary_idx:
-                        # only now touch payload, and only the filter cols
-                        # (+ the sum column)
-                        pay_cols = [c for c, _l, _h, _c2 in conj]
-                        if sum_col is not None and sum_col not in pay_cols:
-                            pay_cols.append(sum_col)
-                        need = [x for col in pay_cols
-                                for x in (f"c_{col}__meta", f"c_{col}__data")]
-                        pay = pq.read_table(fpath, columns=need)
-
-                        def _dec(col, i):
-                            return decode_column(
-                                pay.column(f"c_{col}__meta")[i].as_py(),
-                                pay.column(f"c_{col}__data")[i].as_py(),
-                            )
-
-                        for i in boundary_idx:
-                            decoded = {c: _dec(c, i) for c in pay_cols}
-                            cnt, psum = _count_decoded(
-                                [decoded[c] for c, _l, _h, _c2 in conj],
-                                decoded[sum_col] if sum_col is not None else None,
-                            )
-                            n_match += cnt
-                            if psum is not None:
-                                sum_total += psum
-                                sum_present = True
-                    continue
-                tbl = pq.read_table(fpath, columns=["n_rows", "cols"])
-                cols_col = tbl.column("cols").combine_chunks()
-                rows_col = tbl.column("n_rows")
-                entry_fields = {
-                    f.name for f in tbl.schema.field("cols").type.value_type
-                }
-                has_agg = "n_null" in entry_fields
-                for row in range(len(cols_col)):
-                    entries = cols_col[row].values
-                    names = entries.field("name").to_pylist()
-                    br = rows_col[row].as_py()
-                    stats = []
-                    idxs = []
-                    for col, _lo, _hi, cat in conj:
-                        zmin, zmax = suffixes[cat]
-                        try:
-                            zi = names.index(col)
-                        except ValueError:
-                            zi = None
-                        idxs.append(zi)
-                        if zi is None:
-                            stats.append((None, None, None, br))
-                        else:
-                            stats.append((
-                                entries.field(zmin)[zi].as_py(),
-                                entries.field(zmax)[zi].as_py(),
-                                entries.field("n_null")[zi].as_py()
-                                if has_agg else None,
-                                br,
-                            ))
-                    zsum = s_nnull = None
-                    si = None
-                    if sum_col is not None:
-                        try:
-                            si = names.index(sum_col)
-                        except ValueError:
-                            si = None
-                        if si is not None and "zsum_i" in entry_fields:
-                            zsum = entries.field("zsum_i")[si].as_py()
-                            s_nnull = entries.field("n_null")[si].as_py()
-                    kind, c, ms, present = _classify(stats, zsum, s_nnull)
-                    n_blocks += 1
-                    if kind == "pruned":
-                        n_pruned += 1
-                    elif kind == "interior":
-                        n_interior += 1
-                        n_match += c
-                        if present:
-                            sum_total += ms
-                            sum_present = True
-                    else:
-                        n_boundary += 1
-                        if any(zi is None for zi in idxs) or (
-                            sum_col is not None and si is None
-                        ):
-                            raise ValueError(
-                                "block is missing an entry for a filter "
-                                "or sum column; the sidecar schema and the "
-                                "blocks files disagree"
-                            )
-                        metas = entries.field("meta")
-                        datas = entries.field("data")
-                        arrays = [
-                            decode_column(metas[zi].as_py(), datas[zi].as_py())
-                            for zi in idxs
-                        ]
-                        sum_arr = None
-                        if sum_col is not None:
-                            if si in idxs:
-                                sum_arr = arrays[idxs.index(si)]
-                            else:
-                                sum_arr = decode_column(
-                                    metas[si].as_py(), datas[si].as_py()
-                                )
-                        cnt, psum = _count_decoded(arrays, sum_arr)
-                        n_match += cnt
-                        if psum is not None:
-                            sum_total += psum
-                            sum_present = True
+                acc = _fold(acc, _process_file(fpath, pq))
         yield pa.RecordBatch.from_arrays(
             [pa.array([v], type=pa.int64())
-             for v in (n_match, n_blocks, n_pruned, n_interior, n_boundary,
-                       sum_total if sum_present else None)],
+             for v in (acc[0], acc[1], acc[2], acc[3], acc[4],
+                       acc[5] if acc[6] else None)],
             names=["n_match", "n_blocks", "n_pruned", "n_interior",
                    "n_boundary", "n_sum"],
         )
