@@ -553,12 +553,22 @@ def q_dataset_column_stats(spark, sf_dir):
         F.coalesce(F.col("sum_i"), F.lit(-1)).alias("sum_i"),
     )
 
-    def leg(label, predicate, sum_col=None):
-        df = count_where(spark, out, predicate, sum_col=sum_col)
+    def leg(label, predicate, agg_col=None):
+        df = count_where(spark, out, predicate, agg_col=agg_col)
         return df.select(
             F.lit(label).alias("column"),
-            F.lit(-1).cast("long").alias("vmin_i"),
-            F.lit(-1).cast("long").alias("vmax_i"),
+            # the predicate-MIN/MAX ride the extrema columns when an agg
+            # column is requested (the oracle recomputes them with WHERE)
+            (
+                F.coalesce(F.col("n_min"), F.lit(-1)).cast("long")
+                if agg_col is not None
+                else F.lit(-1).cast("long")
+            ).alias("vmin_i"),
+            (
+                F.coalesce(F.col("n_max"), F.lit(-1)).cast("long")
+                if agg_col is not None
+                else F.lit(-1).cast("long")
+            ).alias("vmax_i"),
             F.lit(-1.0).alias("vmin_d"),
             F.lit(-1.0).alias("vmax_d"),
             F.lit(0).cast("long").alias("n_unstated"),
@@ -566,7 +576,7 @@ def q_dataset_column_stats(spark, sf_dir):
             F.lit(-1).cast("long").alias("n_nonnull"),
             (
                 F.coalesce(F.col("n_sum"), F.lit(-1)).cast("long")
-                if sum_col is not None
+                if agg_col is not None
                 else F.lit(-1).cast("long")
             ).alias("sum_i"),
         )
@@ -575,7 +585,7 @@ def q_dataset_column_stats(spark, sf_dir):
         # null-free int predicate + SUM pushdown: interior blocks answer
         # from zone metadata (count AND sum), boundary blocks decode only
         # the two touched columns
-        leg("where:okey", ("l_orderkey", 1000, 30000), sum_col="l_linenumber")
+        leg("where:okey", ("l_orderkey", 1000, 30000), agg_col="l_linenumber")
     ).unionByName(
         leg(
             "where:flag_qty",

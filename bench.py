@@ -572,7 +572,7 @@ def main() -> None:
         best_of(
             "q19a_count_where_meta",
             lambda: count_where(
-                spark, cw_ds, pred, sum_col="l_linenumber"
+                spark, cw_ds, pred, agg_col="l_linenumber"
             ).collect(),
         )
         best_of(

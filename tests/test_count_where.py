@@ -145,28 +145,41 @@ def test_matches_raw_filter_count(spark, ds):
 def test_sum_same_column_uses_metadata_despite_nulls(spark, ds):
     # single predicate ON the sum column: its nulls leave both the match
     # set and the stored zsum, so interior blocks stay metadata-only
-    r = _one(count_where(spark, ds, ("qty", 0, 6), sum_col="qty"))
+    r = _one(count_where(spark, ds, ("qty", 0, 6), agg_col="qty"))
     assert r["n_interior"] == 9 and r["n_boundary"] == 0
     assert r["n_sum"] == sum(i % 7 for i in range(N) if i % 10 != 0)
+    assert r["n_min"] == 0 and r["n_max"] == 6  # zone extrema, no decode
 
 
 def test_sum_other_column_needs_null_free_predicate(spark, ds):
     # qty has nulls in every block -> summing id from metadata would
     # wrongly include null-qty rows' ids; every block must decode
-    r = _one(count_where(spark, ds, ("qty", 0, 6), sum_col="id"))
+    r = _one(count_where(spark, ds, ("qty", 0, 6), agg_col="id"))
     assert r["n_interior"] == 0
     assert r["n_sum"] == sum(i for i in range(N) if i % 10 != 0)
+    assert r["n_min"] == 1 and r["n_max"] == 899
 
 
 def test_sum_null_free_predicate_metadata_fast_path(spark, ds):
-    r = _one(count_where(spark, ds, ("id", 150, 749), sum_col="qty"))
+    r = _one(count_where(spark, ds, ("id", 150, 749), agg_col="qty"))
     assert r["n_interior"] == 5  # id is null-free: interior stays provable
     assert r["n_sum"] == sum(i % 7 for i in range(150, 750) if i % 10 != 0)
+    assert r["n_min"] == 0 and r["n_max"] == 6
+
+
+def test_minmax_mixes_zone_extrema_and_boundary_decode(spark, ds):
+    # interior blocks contribute their zone extrema, boundary blocks their
+    # decoded masked extrema -- the fold must take the true min/max
+    r = _one(count_where(spark, ds, ("id", 150, 749), agg_col="id"))
+    assert r["n_interior"] == 5 and r["n_boundary"] == 2
+    assert r["n_min"] == 150 and r["n_max"] == 749
+    assert r["n_sum"] == sum(range(150, 750))
 
 
 def test_sum_empty_match_is_null(spark, ds):
-    r = _one(count_where(spark, ds, ("id", 10**9, 2 * 10**9), sum_col="qty"))
+    r = _one(count_where(spark, ds, ("id", 10**9, 2 * 10**9), agg_col="qty"))
     assert r["n_match"] == 0 and r["n_sum"] is None
+    assert r["n_min"] is None and r["n_max"] is None
 
 
 def test_sum_all_null_values_is_null_not_zero(spark, tmp_path):
@@ -179,18 +192,19 @@ def test_sum_all_null_values_is_null_not_zero(spark, tmp_path):
     t = pa.table({"id": ids, "qty": pa.array([None] * 100, type=pa.int64())})
     pq.write_table(t, os.path.join(src, "part-0.parquet"))
     encode_parquet_dataset(spark, src, out)
-    r = _one(count_where(spark, out, ("id", 0, 99), sum_col="qty"))
+    r = _one(count_where(spark, out, ("id", 0, 99), agg_col="qty"))
     assert r["n_match"] == 100 and r["n_interior"] == 1
     assert r["n_sum"] is None
+    assert r["n_min"] is None and r["n_max"] is None
 
 
 def test_sum_validation(spark, ds):
     with pytest.raises(ValueError, match="integer column"):
-        count_where(spark, ds, ("id", 0, 1), sum_col="val")
+        count_where(spark, ds, ("id", 0, 1), agg_col="val")
     with pytest.raises(ValueError, match="integer column"):
-        count_where(spark, ds, ("id", 0, 1), sum_col="tokens")
+        count_where(spark, ds, ("id", 0, 1), agg_col="tokens")
     with pytest.raises(ValueError, match="lacks encoded column"):
-        count_where(spark, ds, ("id", 0, 1), sum_col="nope")
+        count_where(spark, ds, ("id", 0, 1), agg_col="nope")
 
 
 def test_distributed_path_matches_driver_path(spark, ds):
@@ -201,8 +215,8 @@ def test_distributed_path_matches_driver_path(spark, ds):
         ([("tag", "a", "b"), ("qty", 0, 3)], None),
         (("val", 0.0, 100.0), None),
     ]:
-        a = _one(count_where(spark, ds, pred, sum_col=sc))
-        b = _one(count_where(spark, ds, pred, sum_col=sc, local_bytes=0))
+        a = _one(count_where(spark, ds, pred, agg_col=sc))
+        b = _one(count_where(spark, ds, pred, agg_col=sc, local_bytes=0))
         assert a == b, (pred, a, b)
 
 

@@ -424,7 +424,7 @@ def count_where(
     spark,
     out_path: str,
     predicate,
-    sum_col: str | None = None,
+    agg_col: str | None = None,
     n_tasks: int | None = None,
     local_bytes: int = 128 << 20,
 ):
@@ -457,18 +457,20 @@ def count_where(
     reconstruct the union of null rows). NULL and NaN rows never match,
     matching SQL WHERE semantics.
 
-    ``sum_col`` additionally returns ``SUM(sum_col)`` over the matching
-    rows (``n_sum``; SQL semantics — nulls skipped, NULL when no non-null
-    value matched). Integer columns only: an interior block contributes its
-    stored exact ``zsum_i`` when metadata can PROVE it equals the matched
-    sum — every filter column null-free (so all rows match), or the single
-    filter column IS the sum column (its nulls leave both the match set and
-    the stored sum) — and its ``n_null`` is stated (distinguishing "sum of
+    ``agg_col`` additionally returns ``SUM/MIN/MAX(agg_col)`` over the
+    matching rows (``n_sum``/``n_min``/``n_max``; SQL semantics — nulls
+    skipped, NULL when no non-null value matched). Integer columns only: an
+    interior block contributes its stored exact ``zsum_i`` (and its exact
+    zone extrema as the min/max) when metadata can PROVE the matched set's
+    aggregates ARE the whole-block stats — every filter column null-free
+    (so all rows match), or the single filter column IS the agg column
+    (its nulls leave the match set, the stored sum, and the zone bounds
+    alike) — and its ``n_null`` is stated (distinguishing "sum of
     non-nulls is 0" from "no non-null values", which must surface as NULL,
     not 0). Anything unprovable downgrades the block to boundary-decode;
     the result is exact either way. Floats are refused: a metadata roll-up
-    cannot reproduce a sequential float fold, and these stats never
-    approximate.
+    cannot reproduce a sequential float fold, NaN ordering is
+    engine-defined, and these stats never approximate.
 
     Execution is scale-adaptive: when the blocks tree totals at most
     ``local_bytes`` (default 128 MiB) the whole query runs DRIVER-SIDE with
@@ -481,9 +483,10 @@ def count_where(
     ``predicate`` is one ``(column, lo, hi)`` tuple or a list (conjunction);
     bounds are inclusive. Columns must be scalar int/float/string/decimal;
     bound types must match the column category. Returns a ONE-ROW DataFrame
-    ``(n_match, n_blocks, n_pruned, n_interior, n_boundary[, n_sum])`` —
-    n_match/n_sum are exact, the rest are the classification telemetry that
-    makes the skip rates observable (the no-silent-caps rule).
+    ``(n_match, n_blocks, n_pruned, n_interior, n_boundary[, n_sum, n_min,
+    n_max])`` — n_match and the aggregates are exact, the rest are the
+    classification telemetry that makes the skip rates observable (the
+    no-silent-caps rule).
     """
     import math
 
@@ -538,24 +541,24 @@ def count_where(
         else:
             raise ValueError(f"count_where does not support {col!r} of type {typ}")
         conj.append((col, lo, hi, cat))
-    if sum_col is not None:
-        if sum_col not in by_name:
+    if agg_col is not None:
+        if agg_col not in by_name:
             raise ValueError(
-                f"dataset lacks encoded column {sum_col!r}; "
+                f"dataset lacks encoded column {agg_col!r}; "
                 f"it has {sorted(by_name)}"
             )
-        styp = by_name[sum_col].split(None, 1)[1].strip().lower()
+        styp = by_name[agg_col].split(None, 1)[1].strip().lower()
         if styp not in _CW_INT_TYPES:
             raise ValueError(
-                f"sum_col must be an integer column; {sum_col!r} is {styp}"
+                f"agg_col must be an integer column; {agg_col!r} is {styp}"
             )
     suffixes = {"i": ("vmin_i", "vmax_i"), "d": ("vmin_d", "vmax_d"),
                 "s": ("vmin_s", "vmax_s")}
     single = len(conj) == 1
 
-    def _classify(stats, zsum, s_nnull) -> tuple[str, int, int | None, bool]:
+    def _classify(stats, zsum, s_nnull, avmin, avmax):
         """stats: per-conjunct (vmin, vmax, n_null, block_rows) ->
-        (kind, metadata count, metadata sum, sum-presence). Conservative:
+        (kind, metadata count, (sum, min, max) or None). Conservative:
         anything unknown degrades to boundary (decode), never to a wrong
         answer."""
         interior = True
@@ -566,7 +569,7 @@ def count_where(
             # one-sided outside tests are sound even for truncation-safe
             # string bounds (vmin understates, vmax overstates)
             if (vmax is not None and vmax < lo) or (vmin is not None and hi < vmin):
-                return "pruned", 0, None, False
+                return "pruned", 0, None
             if (
                 cat == "d"
                 or vmin is None
@@ -579,23 +582,27 @@ def count_where(
                 nulls.append(n_null)
         if interior and (single or all(n == 0 for n in nulls)):
             cnt = rows - (nulls[0] if single else 0)
-            if sum_col is None:
-                return "interior", cnt, None, False
-            # metadata sum is provable only when the matched set's sum IS
-            # the stored whole-block sum (see docstring); presence needs
-            # the sum column's own null count
+            if agg_col is None:
+                return "interior", cnt, None
+            # metadata aggregates are provable only when the matched set's
+            # stats ARE the stored whole-block stats (see docstring);
+            # presence needs the agg column's own null count
             provable = zsum is not None and s_nnull is not None and (
                 all(n == 0 for n in nulls)
-                or (single and conj[0][0] == sum_col)
+                or (single and conj[0][0] == agg_col)
             )
             if provable:
-                return "interior", cnt, zsum, (rows - s_nnull) > 0
-            return "boundary", 0, None, False
-        return "boundary", 0, None, False
+                if rows - s_nnull == 0:  # no non-null value matched
+                    return "interior", cnt, None
+                # non-null values exist, so the int zone extrema are stated
+                return "interior", cnt, (zsum, avmin, avmax)
+            return "boundary", 0, None
+        return "boundary", 0, None
 
-    def _count_decoded(arrays: list[pa.Array], sum_arr) -> tuple[int, int | None]:
-        """Vectorized conjunction count (+ masked sum) over the decoded
-        filter columns; NULL/NaN rows fail, matching SQL WHERE."""
+    def _count_decoded(arrays: list[pa.Array], agg_arr):
+        """Vectorized conjunction count (+ masked sum/min/max) over the
+        decoded filter columns; NULL/NaN rows fail, matching SQL WHERE.
+        Returns (count, (sum, min, max) or None)."""
         import pyarrow.compute as pc
 
         mask = None
@@ -610,23 +617,38 @@ def count_where(
             mask = m if mask is None else pc.and_kleene(mask, m)
         s = pc.sum(mask)
         cnt = int(s.as_py() or 0)
-        if sum_arr is None:
+        if agg_arr is None:
             return cnt, None
-        v = pc.sum(sum_arr.filter(pc.fill_null(mask, False)))
-        return cnt, (None if v.as_py() is None else int(v.as_py()))
+        vals = agg_arr.filter(pc.fill_null(mask, False))
+        v = pc.sum(vals)
+        if v.as_py() is None:
+            return cnt, None
+        mm = pc.min_max(vals)
+        return cnt, (int(v.as_py()), mm["min"].as_py(), mm["max"].as_py())
 
     out_ddl = (
         "n_match long, n_blocks long, n_pruned long, n_interior long, "
-        "n_boundary long, n_sum long"
+        "n_boundary long, n_sum long, n_min long, n_max long"
     )
+
+    def _merge_trip(acc, trip):
+        """Fold one block's (sum, min, max) contribution into the running
+        [sum, min, max, present] accumulator (None trip = no contribution)."""
+        if trip is None:
+            return
+        s, mn, mx = trip
+        acc[0] += s
+        acc[1] = mn if acc[1] is None else min(acc[1], mn)
+        acc[2] = mx if acc[2] is None else max(acc[2], mx)
+        acc[3] = True
 
     def _process_file(fpath: str, pq) -> tuple:
         """Per-file tallies (n_match, n_blocks, n_pruned, n_interior,
-        n_boundary, sum_total, sum_present). Runs identically on an
+        n_boundary, sum, min, max, present). Runs identically on an
         executor (distributed mode) or on the driver (metadata-scale
         mode)."""
         n_match = n_blocks = n_pruned = n_interior = n_boundary = 0
-        sum_total, sum_present = 0, False
+        agg_acc = [0, None, None, False]
         if wide:
             avail = set(pq.read_schema(fpath).names)
             want = {"n_rows"}
@@ -634,8 +656,9 @@ def count_where(
                 zmin, zmax = suffixes[cat]
                 want |= {f"c_{col}__{zmin}", f"c_{col}__{zmax}",
                          f"c_{col}__n_null"}
-            if sum_col is not None:
-                want |= {f"c_{sum_col}__zsum_i", f"c_{sum_col}__n_null"}
+            if agg_col is not None:
+                want |= {f"c_{agg_col}__zsum_i", f"c_{agg_col}__n_null",
+                         f"c_{agg_col}__vmin_i", f"c_{agg_col}__vmax_i"}
             stat_tbl = pq.read_table(fpath, columns=sorted(want & avail))
 
             def _field(name, i, tbl=None, av=None):
@@ -656,23 +679,24 @@ def count_where(
                         _field(f"c_{col}__n_null", i),
                         br,
                     ))
-                kinds.append(_classify(
-                    stats,
-                    _field(f"c_{sum_col}__zsum_i", i)
-                    if sum_col is not None else None,
-                    _field(f"c_{sum_col}__n_null", i)
-                    if sum_col is not None else None,
-                ))
+                if agg_col is None:
+                    kinds.append(_classify(stats, None, None, None, None))
+                else:
+                    kinds.append(_classify(
+                        stats,
+                        _field(f"c_{agg_col}__zsum_i", i),
+                        _field(f"c_{agg_col}__n_null", i),
+                        _field(f"c_{agg_col}__vmin_i", i),
+                        _field(f"c_{agg_col}__vmax_i", i),
+                    ))
             n_blocks += len(kinds)
             boundary_idx = [i for i, k in enumerate(kinds)
                             if k[0] == "boundary"]
-            for k, c, ms, present in kinds:
+            for k, c, trip in kinds:
                 if k == "interior":
                     n_interior += 1
                     n_match += c
-                    if present:
-                        sum_total += ms
-                        sum_present = True
+                    _merge_trip(agg_acc, trip)
                 elif k == "pruned":
                     n_pruned += 1
             n_boundary += len(boundary_idx)
@@ -680,8 +704,8 @@ def count_where(
                 # only now touch payload, and only the filter cols
                 # (+ the sum column)
                 pay_cols = [c for c, _l, _h, _c2 in conj]
-                if sum_col is not None and sum_col not in pay_cols:
-                    pay_cols.append(sum_col)
+                if agg_col is not None and agg_col not in pay_cols:
+                    pay_cols.append(agg_col)
                 need = [x for col in pay_cols
                         for x in (f"c_{col}__meta", f"c_{col}__data")]
                 pay = pq.read_table(fpath, columns=need)
@@ -694,16 +718,14 @@ def count_where(
 
                 for i in boundary_idx:
                     decoded = {c: _dec(c, i) for c in pay_cols}
-                    cnt, psum = _count_decoded(
+                    cnt, trip = _count_decoded(
                         [decoded[c] for c, _l, _h, _c2 in conj],
-                        decoded[sum_col] if sum_col is not None else None,
+                        decoded[agg_col] if agg_col is not None else None,
                     )
                     n_match += cnt
-                    if psum is not None:
-                        sum_total += psum
-                        sum_present = True
+                    _merge_trip(agg_acc, trip)
             return (n_match, n_blocks, n_pruned, n_interior, n_boundary,
-                    sum_total, sum_present)
+                    agg_acc[0], agg_acc[1], agg_acc[2], agg_acc[3])
         tbl = pq.read_table(fpath, columns=["n_rows", "cols"])
         cols_col = tbl.column("cols").combine_chunks()
         rows_col = tbl.column("n_rows")
@@ -734,30 +756,30 @@ def count_where(
                         if has_agg else None,
                         br,
                     ))
-            zsum = s_nnull = None
+            zsum = s_nnull = avmin = avmax = None
             si = None
-            if sum_col is not None:
+            if agg_col is not None:
                 try:
-                    si = names.index(sum_col)
+                    si = names.index(agg_col)
                 except ValueError:
                     si = None
                 if si is not None and "zsum_i" in entry_fields:
                     zsum = entries.field("zsum_i")[si].as_py()
                     s_nnull = entries.field("n_null")[si].as_py()
-            kind, c, ms, present = _classify(stats, zsum, s_nnull)
+                    avmin = entries.field("vmin_i")[si].as_py()
+                    avmax = entries.field("vmax_i")[si].as_py()
+            kind, c, trip = _classify(stats, zsum, s_nnull, avmin, avmax)
             n_blocks += 1
             if kind == "pruned":
                 n_pruned += 1
             elif kind == "interior":
                 n_interior += 1
                 n_match += c
-                if present:
-                    sum_total += ms
-                    sum_present = True
+                _merge_trip(agg_acc, trip)
             else:
                 n_boundary += 1
                 if any(zi is None for zi in idxs) or (
-                    sum_col is not None and si is None
+                    agg_col is not None and si is None
                 ):
                     raise ValueError(
                         "block is missing an entry for a filter "
@@ -770,25 +792,29 @@ def count_where(
                     decode_column(metas[zi].as_py(), datas[zi].as_py())
                     for zi in idxs
                 ]
-                sum_arr = None
-                if sum_col is not None:
+                agg_arr = None
+                if agg_col is not None:
                     if si in idxs:
-                        sum_arr = arrays[idxs.index(si)]
+                        agg_arr = arrays[idxs.index(si)]
                     else:
-                        sum_arr = decode_column(
+                        agg_arr = decode_column(
                             metas[si].as_py(), datas[si].as_py()
                         )
-                cnt, psum = _count_decoded(arrays, sum_arr)
+                cnt, trip = _count_decoded(arrays, agg_arr)
                 n_match += cnt
-                if psum is not None:
-                    sum_total += psum
-                    sum_present = True
+                _merge_trip(agg_acc, trip)
         return (n_match, n_blocks, n_pruned, n_interior, n_boundary,
-                sum_total, sum_present)
+                agg_acc[0], agg_acc[1], agg_acc[2], agg_acc[3])
 
     def _fold(acc, t):
-        return (acc[0] + t[0], acc[1] + t[1], acc[2] + t[2], acc[3] + t[3],
-                acc[4] + t[4], acc[5] + t[5], acc[6] or t[6])
+        a = list(acc)
+        a[0], a[1], a[2] = a[0] + t[0], a[1] + t[1], a[2] + t[2]
+        a[3], a[4], a[5] = a[3] + t[3], a[4] + t[4], a[5] + t[5]
+        if t[8]:  # t carries a (sum, min, max) contribution
+            a[6] = t[6] if a[6] is None else min(a[6], t[6])
+            a[7] = t[7] if a[7] is None else max(a[7], t[7])
+            a[8] = True
+        return tuple(a)
 
     # Metadata-scale datasets answer DRIVER-SIDE with pyarrow: launching a
     # cluster job to scan kilobytes of block stats costs more than the job
@@ -800,23 +826,30 @@ def count_where(
 
     infos = parquet_file_infos(os.path.join(out_path, "blocks"))
     total_bytes = sum(s for _p, s in infos)
+    names = ["n_match", "n_blocks", "n_pruned", "n_interior",
+             "n_boundary", "n_sum", "n_min", "n_max"]
+    zero = (0, 0, 0, 0, 0, 0, None, None, False)
+
+    def _finish(acc):
+        # SQL aggregate semantics: no non-null contribution -> NULL
+        if acc[8]:
+            return acc[:8]
+        return acc[:5] + (None, None, None)
+
     if total_bytes <= local_bytes:
         import pyarrow.parquet as pq_local
 
-        acc = (0, 0, 0, 0, 0, 0, False)
+        acc = zero
         for fp, _s in infos:
             acc = _fold(acc, _process_file(fp, pq_local))
-        vals = (acc[0], acc[1], acc[2], acc[3], acc[4],
-                acc[5] if acc[6] else None)
-        names = ["n_match", "n_blocks", "n_pruned", "n_interior",
-                 "n_boundary", "n_sum"]
         # literal projection over range(1), NOT createDataFrame: a python
         # LocalRelation re-converts on every action (~0.3 s measured); lit
         # columns collect in milliseconds
         df = spark.range(1).select(
-            *[F.lit(v).cast("long").alias(n) for v, n in zip(vals, names)]
+            *[F.lit(v).cast("long").alias(n)
+              for v, n in zip(_finish(acc), names)]
         )
-        return df if sum_col is not None else df.drop("n_sum")
+        return df if agg_col is not None else df.drop("n_sum", "n_min", "n_max")
 
     def count_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
@@ -824,17 +857,14 @@ def count_where(
         from xml2arrow_spark.env import limit_arrow_threads
 
         limit_arrow_threads(1)
-        acc = (0, 0, 0, 0, 0, 0, False)
+        acc = zero
         for b in batches:
             path_lists = b.column(b.schema.get_field_index("path")).to_pylist()
             for fpath in (p for paths in path_lists for p in paths):
                 acc = _fold(acc, _process_file(fpath, pq))
         yield pa.RecordBatch.from_arrays(
-            [pa.array([v], type=pa.int64())
-             for v in (acc[0], acc[1], acc[2], acc[3], acc[4],
-                       acc[5] if acc[6] else None)],
-            names=["n_match", "n_blocks", "n_pruned", "n_interior",
-                   "n_boundary", "n_sum"],
+            [pa.array([v], type=pa.int64()) for v in _finish(acc)],
+            names=names,
         )
 
     tasks = plan_parquet_tasks(spark, os.path.join(out_path, "blocks"), n_tasks)
@@ -845,11 +875,13 @@ def count_where(
         F.sum("n_pruned").alias("n_pruned"),
         F.sum("n_interior").alias("n_interior"),
         F.sum("n_boundary").alias("n_boundary"),
-        # SQL SUM: tasks with no non-null contribution yield NULL, and
-        # F.sum skips them; all-NULL -> NULL, exactly SUM's empty result
+        # SQL aggregates: tasks with no non-null contribution yield NULL,
+        # and sum/min/max skip them; all-NULL -> NULL, the empty result
         F.sum("n_sum").alias("n_sum"),
+        F.min("n_min").alias("n_min"),
+        F.max("n_max").alias("n_max"),
     )
-    return agg if sum_col is not None else agg.drop("n_sum")
+    return agg if agg_col is not None else agg.drop("n_sum", "n_min", "n_max")
 
 
 def compact_dataset(

@@ -1077,18 +1077,20 @@ def dataset_column_stats_sql() -> str:
             f"CAST(-1 AS BIGINT) AS sum_i FROM lineitem"
         )
 
-    def where_row(label, cond, sum_expr=None):
-        # the count_where legs: the oracle recounts (and re-sums) the
+    def where_row(label, cond, agg_expr=None):
+        # the count_where legs: the oracle recounts (and re-aggregates) the
         # predicate from the raw table -- a wrong interior claim, a stale
-        # null count, or a bad stored zsum all mismatch
-        s = (
-            f"COALESCE(CAST(sum({sum_expr}) AS BIGINT), -1)"
-            if sum_expr
-            else "CAST(-1 AS BIGINT)"
-        )
+        # null count, a bad stored zsum, or an unsound zone extremum all
+        # mismatch. MIN/MAX ride the vmin_i/vmax_i columns.
+        if agg_expr:
+            s = f"COALESCE(CAST(sum({agg_expr}) AS BIGINT), -1)"
+            mn = f"COALESCE(CAST(min({agg_expr}) AS BIGINT), -1)"
+            mx = f"COALESCE(CAST(max({agg_expr}) AS BIGINT), -1)"
+        else:
+            s = mn = mx = "CAST(-1 AS BIGINT)"
         return (
-            f"SELECT '{label}' AS column, CAST(-1 AS BIGINT) AS vmin_i, "
-            f"CAST(-1 AS BIGINT) AS vmax_i, -1.0 AS vmin_d, -1.0 AS vmax_d, "
+            f"SELECT '{label}' AS column, {mn} AS vmin_i, "
+            f"{mx} AS vmax_i, -1.0 AS vmin_d, -1.0 AS vmax_d, "
             f"CAST(0 AS BIGINT) AS n_unstated, "
             f"CAST(count(*) AS BIGINT) AS n_rows, "
             f"CAST(-1 AS BIGINT) AS n_nonnull, "
@@ -1105,7 +1107,7 @@ def dataset_column_stats_sql() -> str:
             where_row(
                 "where:okey",
                 "l_orderkey BETWEEN 1000 AND 30000",
-                sum_expr="l_linenumber",
+                agg_expr="l_linenumber",
             ),
             where_row(
                 "where:flag_qty",
