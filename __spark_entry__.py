@@ -591,6 +591,9 @@ def q_dataset_column_stats(spark, sf_dir):
             "where:flag_qty",
             [("l_returnflag", "A", "N"), ("l_quantity", 5.0, 30.0)],
         )
+    ).unionByName(
+        # one-sided range: pruning/interior test only the bounded side
+        leg("where:open", ("l_orderkey", 9000, None), agg_col="l_orderkey")
     )
 
 

@@ -207,6 +207,31 @@ def test_sum_validation(spark, ds):
         count_where(spark, ds, ("id", 0, 1), agg_col="nope")
 
 
+def test_open_ended_bounds(spark, ds):
+    # (col, lo, None) = col >= lo; (col, None, hi) = col <= hi -- interior
+    # and pruning only need the side that is actually bounded
+    r = _one(count_where(spark, ds, ("id", 700, None)))
+    assert r["n_match"] == 200
+    assert r["n_interior"] == 2 and r["n_pruned"] == 7 and r["n_boundary"] == 0
+    r2 = _one(count_where(spark, ds, ("id", None, 149)))
+    assert r2["n_match"] == 150
+    assert r2["n_interior"] == 1 and r2["n_boundary"] == 1 and r2["n_pruned"] == 7
+    # open bound + aggregate + nulls in the agg column
+    r3 = _one(count_where(spark, ds, ("qty", None, 3), agg_col="qty"))
+    assert r3["n_match"] == sum(1 for i in range(N) if i % 10 != 0 and i % 7 <= 3)
+    assert r3["n_sum"] == sum(i % 7 for i in range(N) if i % 10 != 0 and i % 7 <= 3)
+    assert r3["n_min"] == 0 and r3["n_max"] == 3
+    # floats and strings take open bounds through the decode path
+    r4 = _one(count_where(spark, ds, ("val", 100.0, None)))
+    assert r4["n_match"] == sum(
+        1 for i in range(N) if i % 31 != 0 and i % 50 != 0 and i * 0.5 >= 100.0
+    )
+    r5 = _one(count_where(spark, ds, ("tag", None, "b")))
+    assert r5["n_match"] == 450
+    with pytest.raises(ValueError, match="at least one bound"):
+        count_where(spark, ds, ("id", None, None))
+
+
 def test_distributed_path_matches_driver_path(spark, ds):
     # local_bytes=0 forces the mapInArrow fan-out; both paths run the same
     # per-file routine, so every tally must agree exactly

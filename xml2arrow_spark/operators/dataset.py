@@ -481,8 +481,10 @@ def count_where(
     forces the distributed path.
 
     ``predicate`` is one ``(column, lo, hi)`` tuple or a list (conjunction);
-    bounds are inclusive. Columns must be scalar int/float/string/decimal;
-    bound types must match the column category. Returns a ONE-ROW DataFrame
+    bounds are inclusive, and either side may be ``None`` for a one-sided
+    range (``col >= lo`` / ``col <= hi``) — pruning and interior claims
+    then test only the bounded side. Columns must be scalar
+    int/float/string/decimal; bound types must match the column category. Returns a ONE-ROW DataFrame
     ``(n_match, n_blocks, n_pruned, n_interior, n_boundary[, n_sum, n_min,
     n_max])`` — n_match and the aggregates are exact, the rest are the
     classification telemetry that makes the skip rates observable (the
@@ -521,21 +523,26 @@ def count_where(
             raise ValueError(
                 f"count_where needs a scalar column; {col!r} is {typ}"
             )
-        if lo is None or hi is None:
-            raise ValueError(f"bounds for {col!r} must be non-NULL")
+        if lo is None and hi is None:
+            raise ValueError(
+                f"predicate on {col!r} needs at least one bound "
+                "(lo, hi, or both); None means unbounded on that side"
+            )
+        present = [b for b in (lo, hi) if b is not None]
         if typ in _CW_INT_TYPES or typ.startswith("decimal"):
-            if not (isinstance(lo, int) and isinstance(hi, int)) or isinstance(
-                lo, bool
-            ) or isinstance(hi, bool):
+            if not all(
+                isinstance(b, int) and not isinstance(b, bool) for b in present
+            ):
                 raise ValueError(f"{col!r} is {typ}: bounds must be int")
             cat = "i"
         elif typ in ("float", "double", "real"):
-            lo, hi = float(lo), float(hi)
-            if math.isnan(lo) or math.isnan(hi):
+            lo = None if lo is None else float(lo)
+            hi = None if hi is None else float(hi)
+            if any(math.isnan(b) for b in (lo, hi) if b is not None):
                 raise ValueError(f"NaN bound for {col!r} can never match")
             cat = "d"
         elif typ == "string":
-            if not (isinstance(lo, str) and isinstance(hi, str)):
+            if not all(isinstance(b, str) for b in present):
                 raise ValueError(f"{col!r} is string: bounds must be str")
             cat = "s"
         else:
@@ -567,15 +574,18 @@ def count_where(
         for (col, lo, hi, cat), (vmin, vmax, n_null, block_rows) in zip(conj, stats):
             rows = block_rows
             # one-sided outside tests are sound even for truncation-safe
-            # string bounds (vmin understates, vmax overstates)
-            if (vmax is not None and vmax < lo) or (vmin is not None and hi < vmin):
+            # string bounds (vmin understates, vmax overstates); a None
+            # bound is unbounded on that side
+            if (lo is not None and vmax is not None and vmax < lo) or (
+                hi is not None and vmin is not None and hi < vmin
+            ):
                 return "pruned", 0, None
+            # interior needs only the zone stat on each BOUNDED side
             if (
                 cat == "d"
-                or vmin is None
-                or vmax is None
                 or n_null is None
-                or not (lo <= vmin and vmax <= hi)
+                or not (lo is None or (vmin is not None and lo <= vmin))
+                or not (hi is None or (vmax is not None and vmax <= hi))
             ):
                 interior = False
             else:
@@ -610,10 +620,12 @@ def count_where(
             if cat == "d":
                 arr = pc.cast(arr, pa.float64())  # exact widening; bound
                 # stays the double the oracle compares against
-            m = pc.and_kleene(
-                pc.greater_equal(arr, pa.scalar(lo)),
-                pc.less_equal(arr, pa.scalar(hi)),
-            )
+            m = None
+            if lo is not None:
+                m = pc.greater_equal(arr, pa.scalar(lo))
+            if hi is not None:
+                mh = pc.less_equal(arr, pa.scalar(hi))
+                m = mh if m is None else pc.and_kleene(m, mh)
             mask = m if mask is None else pc.and_kleene(mask, m)
         s = pc.sum(mask)
         cnt = int(s.as_py() or 0)

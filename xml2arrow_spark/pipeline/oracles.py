@@ -1114,6 +1114,11 @@ def dataset_column_stats_sql() -> str:
                 "l_returnflag BETWEEN 'A' AND 'N' "
                 "AND l_quantity BETWEEN 5.0 AND 30.0",
             ),
+            where_row(
+                "where:open",
+                "l_orderkey >= 9000",
+                agg_expr="l_orderkey",
+            ),
         ]
     )
 
