@@ -260,6 +260,47 @@ def test_validation_errors(spark, ds):
         count_where(spark, ds, None)
 
 
+def test_count_where_on_checkpoint_dataset_survives_mutations(spark, tmp_path):
+    """count_where runs unchanged on the row-level (unit_id-partitioned)
+    checkpoint dataset -- the mutation-capable corpus shape -- and stays
+    exact through upsert and delete (the rewrites refresh block stats)."""
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.checkpoint import (
+        delete_rows,
+        encode_dataset,
+        read_encoded_dataset,
+        upsert_rows,
+    )
+    from xml2arrow_spark.sources import tokens_dataframe
+
+    path = str(tmp_path / "enc")
+    df = tokens_dataframe(spark, 2000, variant="uniform_vocab", n_partitions=4)
+    man = CodecManifest.auto_for(df.schema, block_rows=256)
+    encode_dataset(df, path, man, n_units=8)
+
+    def check():
+        live = read_encoded_dataset(spark, path)
+        exp = live.filter("n_tok BETWEEN 100 AND 400").agg(
+            F.count("*").alias("c"), F.sum("n_tok").alias("s")
+        ).collect()[0]
+        r = _one(count_where(spark, path, ("n_tok", 100, 400), agg_col="n_tok"))
+        assert (r["n_match"], r["n_sum"]) == (exp["c"], exp["s"]), (r, exp)
+        return r
+
+    r0 = check()
+    assert r0["n_match"] > 0
+
+    # upsert: replace some rows with out-of-range n_tok + insert new ones
+    batch = df.filter("doc_id LIKE '%3'").withColumn("n_tok", F.lit(999))
+    upsert_rows(batch, path)
+    check()
+
+    # delete a slice; stats of the rewritten units must stay truthful
+    delete_rows(df.select("doc_id").limit(50), path)
+    check()
+
+
 def test_interior_count_never_decodes(spark, tmp_path):
     """Flip a payload byte inside an interior block: the CRC makes ANY
     decode refuse, so a still-correct count proves the metadata path never
