@@ -198,6 +198,26 @@ def test_sum_all_null_values_is_null_not_zero(spark, tmp_path):
     assert r["n_min"] is None and r["n_max"] is None
 
 
+def test_sum_overflow_refuses_not_wraps(spark, tmp_path):
+    # Arrow's int64 sum kernel wraps on overflow; the engine must refuse
+    # (ANSI-style) on BOTH dispatch paths rather than misreport
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "ds")
+    os.makedirs(src)
+    ids = pa.array(np.arange(8, dtype=np.int64))
+    big = pa.array([2**62] * 8, type=pa.int64())
+    pq.write_table(pa.table({"id": ids, "big": big}),
+                   os.path.join(src, "part-0.parquet"))
+    encode_parquet_dataset(spark, src, out)
+    for lb in (128 << 20, 0):
+        with pytest.raises(Exception, match="int64"):
+            count_where(spark, out, ("id", 0, 7), agg_col="big",
+                        local_bytes=lb).collect()
+    # boundary-decode path too (predicate straddles)
+    with pytest.raises(Exception, match="int64"):
+        count_where(spark, out, ("id", 1, 7), agg_col="big").collect()
+
+
 def test_sum_validation(spark, ds):
     with pytest.raises(ValueError, match="integer column"):
         count_where(spark, ds, ("id", 0, 1), agg_col="val")
@@ -299,6 +319,94 @@ def test_count_where_on_checkpoint_dataset_survives_mutations(spark, tmp_path):
     # delete a slice; stats of the rewritten units must stay truthful
     delete_rows(df.select("doc_id").limit(50), path)
     check()
+
+
+def test_randomized_against_python_truth(spark, tmp_path):
+    """Seeded adversarial sweep: random value mixes (negatives, int64
+    extremes, NaN/inf, nulls, >64-char strings), random block sizes and
+    sort orders, random predicates (one-sided, inverted, multi-conjunct,
+    bounds at extremes) -- every tally the engine can prove from metadata
+    must equal the pure-python recount."""
+    rng = np.random.default_rng(20260818)
+    base = str(tmp_path / "rand")
+    for trial in range(10):
+        n = int(rng.integers(50, 400))
+        ints = rng.choice(
+            [int(rng.integers(-10**6, 10**6)) for _ in range(8)]
+            + [0, -1, 2**62, -(2**62)],
+            size=n,
+        ).astype(np.int64)
+        i_null = rng.random(n) < 0.15
+        f_raw = rng.choice([-1e300, -2.5, 0.0, 3.75, 1e300, float("inf"),
+                            float("-inf"), float("nan")], size=n)
+        f_null = rng.random(n) < 0.1
+        words = ["", "a", "zz", "m" * 80, "q" * 63 + "!", "neg", "päö"]
+        strs = rng.choice(words, size=n)
+        s_null = rng.random(n) < 0.1
+        tbl = pa.table({
+            "k": pa.array([None if i_null[j] else int(ints[j]) for j in range(n)],
+                          type=pa.int64()),
+            "f": pa.array([None if f_null[j] else float(f_raw[j]) for j in range(n)],
+                          type=pa.float64()),
+            "s": pa.array([None if s_null[j] else str(strs[j]) for j in range(n)]),
+        })
+        rows = tbl.to_pylist()
+        if rng.random() < 0.5:  # clustered vs unclustered blocks
+            rows.sort(key=lambda r: (r["k"] is None, r["k"]))
+            tbl = pa.Table.from_pylist(rows, schema=tbl.schema)
+        src = os.path.join(base, f"src{trial}")
+        out = os.path.join(base, f"ds{trial}")
+        os.makedirs(src)
+        pq.write_table(tbl, os.path.join(src, "part-0.parquet"))
+        manifest = CodecManifest.auto_for(
+            from_arrow_schema(tbl.schema), block_rows=int(rng.integers(16, 120))
+        )
+        encode_parquet_dataset(spark, src, out, manifest=manifest)
+
+        def truth(preds, agg):
+            def ok(r):
+                for col, lo, hi in preds:
+                    v = r[col]
+                    if v is None:
+                        return False
+                    if isinstance(v, float) and v != v:  # NaN
+                        return False
+                    if lo is not None and not (v >= lo):
+                        return False
+                    if hi is not None and not (v <= hi):
+                        return False
+                return True
+            m = [r for r in rows if ok(r)]
+            vals = [r[agg] for r in m if r[agg] is not None] if agg else []
+            return (len(m), sum(vals) if vals else None,
+                    min(vals) if vals else None, max(vals) if vals else None)
+
+        int_bounds = [-(2**63), -10**6, -1, 0, 1, 10**5, 2**62, 2**63 - 1, None]
+        str_bounds = ["", "a", "m", "m" * 64, "q" * 64, "z", None]
+        flt_bounds = [-1e300, -2.5, 0.0, 3.75, 1e300, None]
+        for _ in range(6):
+            preds = [("k", rng.choice(int_bounds), rng.choice(int_bounds))]
+            if rng.random() < 0.4:
+                preds.append(("s", rng.choice(str_bounds), rng.choice(str_bounds)))
+            if rng.random() < 0.4:
+                preds.append(("f", rng.choice(flt_bounds), rng.choice(flt_bounds)))
+            preds = [
+                (c, None if lo is None else (float(lo) if c == "f" else lo),
+                 None if hi is None else (float(hi) if c == "f" else hi))
+                for c, lo, hi in preds
+            ]
+            preds = [p for p in preds if not (p[1] is None and p[2] is None)]
+            if not preds:
+                continue
+            exp = truth(preds, "k")
+            if exp[1] is not None and not (-(2**63) <= exp[1] < 2**63):
+                # out-of-int64 totals must REFUSE, never wrap
+                with pytest.raises(Exception, match="outside\\s+int64|int64"):
+                    _one(count_where(spark, out, preds, agg_col="k"))
+                continue
+            r = _one(count_where(spark, out, preds, agg_col="k"))
+            got = (r["n_match"], r["n_sum"], r["n_min"], r["n_max"])
+            assert got == exp, (trial, preds, got, exp, r)
 
 
 def test_interior_count_never_decodes(spark, tmp_path):

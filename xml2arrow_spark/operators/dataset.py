@@ -631,12 +631,15 @@ def count_where(
         cnt = int(s.as_py() or 0)
         if agg_arr is None:
             return cnt, None
-        vals = agg_arr.filter(pc.fill_null(mask, False))
-        v = pc.sum(vals)
-        if v.as_py() is None:
+        vals = agg_arr.filter(pc.fill_null(mask, False)).drop_null()
+        if len(vals) == 0:
             return cnt, None
+        # unbounded python-int sum: Arrow's int64 sum kernel WRAPS on
+        # overflow -- a silently wrong aggregate; the engine refuses
+        # instead (the int64 range check happens at the fold's end)
+        v = sum(vals.to_pylist())
         mm = pc.min_max(vals)
-        return cnt, (int(v.as_py()), mm["min"].as_py(), mm["max"].as_py())
+        return cnt, (v, mm["min"].as_py(), mm["max"].as_py())
 
     out_ddl = (
         "n_match long, n_blocks long, n_pruned long, n_interior long, "
@@ -844,9 +847,16 @@ def count_where(
 
     def _finish(acc):
         # SQL aggregate semantics: no non-null contribution -> NULL
-        if acc[8]:
-            return acc[:8]
-        return acc[:5] + (None, None, None)
+        if not acc[8]:
+            return acc[:5] + (None, None, None)
+        # per-block sums are exact python ints; refuse (ANSI-style) rather
+        # than wrap when the TOTAL leaves int64 -- never a silent misreport
+        if not (-(2**63) <= acc[5] < 2**63):
+            raise ArithmeticError(
+                f"SUM({agg_col}) over the matched rows is {acc[5]}, outside "
+                "int64; refusing rather than returning a wrapped value"
+            )
+        return acc[:8]
 
     if total_bytes <= local_bytes:
         import pyarrow.parquet as pq_local
