@@ -1001,23 +1001,22 @@ def q_encode_wide_subset(spark, sf_dir):
 
 
 def q_encode_zonemap_scan(spark, sf_dir):
-    """Zone-map-pruned decode: encode a lineitem projection, decode with a
-    block-range predicate on l_orderkey (whole blocks skipped before any
-    kernel runs), then apply the exact row filter. The oracle is the plain
-    filtered projection — pruning must be invisible to results."""
+    """Selective scan, both pushdown levels: zone maps skip whole blocks
+    before any kernel runs, then the IN-KERNEL range row-filter (the
+    3-tuple form) gathers exactly the matching rows — no Spark-side
+    post-filter remains, so a single wrongly-selected or dropped row
+    hash-mismatches the oracle's plain filtered projection."""
     from xml2arrow_spark.operators.encode import encode_table as _enc
 
     cols = ["l_orderkey", "l_linenumber", "l_quantity"]
     df = _lineitem(spark, sf_dir).select(*cols)
     manifest = CodecManifest.auto_for(df.schema, block_rows=4096)
     blocks = _enc(df, manifest)
-    decoded = decode_table(
+    return decode_table(
         blocks,
         "l_orderkey bigint, l_linenumber int, l_quantity double",
         zone_filter=("l_orderkey", 10000, 30000),
-    )
-    return decoded.filter(
-        (F.col("l_orderkey") >= 10000) & (F.col("l_orderkey") <= 30000)
+        row_filter=("l_orderkey", 10000, 30000),
     )
 
 

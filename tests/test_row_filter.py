@@ -62,3 +62,41 @@ def test_row_filter_composes_with_zone_filter(spark):
     expect = df.filter(F.col("doc_id").isin(wanted))
     assert verify_roundtrip(expect, got)["ok"]
     df.unpersist()
+
+
+@pytest.mark.parametrize("layout", ["nested", "wide"])
+def test_range_row_filter_exact_selection(spark, layout, tmp_path):
+    """3-tuple row_filter = in-kernel RANGE selection: exact rows out of
+    the kernel, open sides supported, composes with the zone prune."""
+    df = tokens_dataframe(spark, 1200, variant="low_card", n_partitions=4).cache()
+    man = CodecManifest.auto_for(df.schema, block_rows=128)
+    blocks = encode_table(df, man, layout=layout)
+    path = str(tmp_path / f"rb_{layout}")
+    blocks.write.parquet(path)
+    stored = spark.read.parquet(path)
+
+    lo, hi = 50, 300
+    got = decode_table(
+        stored, DDL,
+        zone_filter=("n_tok", lo, hi),   # block prune first...
+        row_filter=("n_tok", lo, hi),    # ...then exact in-kernel select
+    )
+    expect = df.filter((F.col("n_tok") >= lo) & (F.col("n_tok") <= hi))
+    assert verify_roundtrip(expect, got)["ok"]
+
+    # one-sided ranges
+    got_lo = decode_table(stored, DDL, row_filter=("n_tok", 400, None))
+    assert verify_roundtrip(df.filter(F.col("n_tok") >= 400), got_lo)["ok"]
+    got_hi = decode_table(stored, DDL, row_filter=("n_tok", None, 30))
+    assert verify_roundtrip(df.filter(F.col("n_tok") <= 30), got_hi)["ok"]
+
+    # string ranges ride the same mask
+    got_s = decode_table(stored, DDL, row_filter=("source", "src0", "src1"))
+    expect_s = df.filter((F.col("source") >= "src0") & (F.col("source") <= "src1"))
+    assert verify_roundtrip(expect_s, got_s)["ok"]
+
+    # empty range -> zero rows, every block skipped
+    assert decode_table(stored, DDL, row_filter=("n_tok", 10**9, 2 * 10**9)).count() == 0
+    with pytest.raises(ValueError, match="at least one bound"):
+        decode_table(stored, DDL, row_filter=("n_tok", None, None))
+    df.unpersist()

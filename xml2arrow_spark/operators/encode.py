@@ -856,6 +856,15 @@ def decode_table(blocks_df, schema_ddl: str, zone_filter=None, row_filter=None):
     only KB of matches cross the Arrow boundary instead of every block's
     rows. Scalar filter columns only.
 
+    ``row_filter=(column, lo, hi)`` (3-tuple) is the RANGE form of the
+    same move: rows where ``lo <= column <= hi`` (inclusive; either side
+    may be ``None`` for a one-sided range). NULL never matches; NaN never
+    matches a finite range (IEEE comparisons). Pair it with the matching
+    ``zone_filter`` so non-overlapping blocks skip before the filter
+    column's kernel runs at all — the selective-scan shape: zone prune →
+    in-kernel range select → only the matching rows' payload crosses the
+    Arrow boundary.
+
     ``schema_ddl`` may name a SUBSET of the encoded columns. Nested layout:
     only the named entries are decoded (CPU pruning — the payload bytes of
     the others still ride in the ``cols`` struct). Wide layout (see
@@ -869,24 +878,41 @@ def decode_table(blocks_df, schema_ddl: str, zone_filter=None, row_filter=None):
         blocks_df = prune_blocks(blocks_df, *zf)
     out_schema = StructType.fromDDL(schema_ddl)
     out_names = [f.name for f in out_schema.fields]
+    rf_col = rf_values = rf_lo = rf_hi = None
     if row_filter is not None:
-        rf_col, rf_values = row_filter[0], list(row_filter[1])
+        rf_col = row_filter[0]
+        if len(row_filter) == 3:  # range form
+            rf_lo, rf_hi = row_filter[1], row_filter[2]
+            if rf_lo is None and rf_hi is None:
+                raise ValueError(
+                    "range row_filter needs at least one bound (lo, hi)"
+                )
+        else:
+            rf_values = list(row_filter[1])
         if rf_col not in out_names:
             raise ValueError(
                 f"row_filter column {rf_col!r} must be in the decoded "
                 f"schema {out_names}"
             )
-    else:
-        rf_col, rf_values = None, None
 
     def _match_mask(arr: pa.Array):
         """Boolean match mask for the filter column, or None if no row
-        matches (block skip). Null values never match."""
+        matches (block skip). Null values never match; NaN never matches
+        a finite range."""
         import pyarrow.compute as pc
 
-        mask = pc.is_in(
-            arr, value_set=pa.array(rf_values).cast(arr.type)
-        ).fill_null(False)
+        if rf_values is not None:
+            mask = pc.is_in(
+                arr, value_set=pa.array(rf_values).cast(arr.type)
+            ).fill_null(False)
+        else:
+            mask = None
+            if rf_lo is not None:
+                mask = pc.greater_equal(arr, pa.scalar(rf_lo))
+            if rf_hi is not None:
+                mh = pc.less_equal(arr, pa.scalar(rf_hi))
+                mask = mh if mask is None else pc.and_kleene(mask, mh)
+            mask = pc.fill_null(mask, False)
         if not pc.any(mask).as_py():
             return None
         return mask
