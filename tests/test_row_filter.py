@@ -100,3 +100,58 @@ def test_range_row_filter_exact_selection(spark, layout, tmp_path):
     with pytest.raises(ValueError, match="at least one bound"):
         decode_table(stored, DDL, row_filter=("n_tok", None, None))
     df.unpersist()
+
+
+@pytest.mark.parametrize("layout", ["nested", "wide"])
+def test_decode_dataset_row_filter(spark, layout, tmp_path):
+    """The STORED-dataset decode path takes the same in-kernel selection:
+    zone prune skips non-overlapping blocks, the kernel gathers exactly
+    the matching rows, point and range forms alike."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from xml2arrow_spark.operators.dataset import (
+        decode_dataset,
+        encode_parquet_dataset,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "ds")
+    df = tokens_dataframe(spark, 1500, variant="low_card", n_partitions=3)
+    df.write.parquet(src)
+    first = sorted(
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+    )[0]
+    man = CodecManifest.auto_for(
+        from_arrow_schema(pq.read_schema(first)), block_rows=128
+    )
+    encode_parquet_dataset(spark, src, out, manifest=man, layout=layout)
+    raw = spark.read.parquet(src)
+
+    # range form + matching zone filter
+    got = decode_dataset(
+        spark, out,
+        zone_filter=("n_tok", 50, 300),
+        row_filter=("n_tok", 50, 300),
+    )
+    expect = raw.filter((F.col("n_tok") >= 50) & (F.col("n_tok") <= 300))
+    assert verify_roundtrip(expect, got)["ok"]
+
+    # point form, with column projection
+    ids = [r["doc_id"] for r in raw.select("doc_id").limit(5).collect()]
+    got_p = decode_dataset(
+        spark, out, columns=["doc_id", "n_tok"], row_filter=("doc_id", ids)
+    )
+    expect_p = raw.select("doc_id", "n_tok").filter(F.col("doc_id").isin(ids))
+    assert verify_roundtrip(expect_p, got_p)["ok"]
+
+    # one-sided range, no zone filter
+    got_o = decode_dataset(spark, out, row_filter=("n_tok", None, 40))
+    assert verify_roundtrip(raw.filter(F.col("n_tok") <= 40), got_o)["ok"]
+
+    # empty result + validation
+    assert decode_dataset(spark, out, row_filter=("n_tok", 10**9, None)).count() == 0
+    with pytest.raises(ValueError, match="must be in the decoded"):
+        decode_dataset(spark, out, columns=["doc_id"], row_filter=("n_tok", 1, 2))

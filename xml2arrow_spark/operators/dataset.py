@@ -1118,6 +1118,7 @@ def decode_dataset(
     n_tasks: int | None = None,
     columns: list[str] | None = None,
     zone_filter: tuple | None = None,
+    row_filter: tuple | None = None,
 ):
     """Fused decode: pyarrow-scan the blocks files and run the inverse
     kernels in the same task — the decode twin of the fused encode. Returns
@@ -1138,12 +1139,25 @@ def decode_dataset(
     int, float, or str. On the wide layout the filter is a pyarrow
     expression over the top-level zone columns, so parquet ROW-GROUP
     statistics prune IO too; on the nested layout blocks are skipped after
-    the struct read."""
+    the struct read.
+
+    ``row_filter`` pushes row selection INSIDE the decode kernel, with
+    :func:`~xml2arrow_spark.operators.encode.decode_table` semantics:
+    2-tuple ``(column, values)`` = point set, 3-tuple ``(column, lo, hi)``
+    = inclusive range (either side may be ``None``). The filter column is
+    decoded FIRST per block; zero-match blocks skip every other kernel
+    (discarding the zone filter's false positives), matching blocks
+    gather only the matching rows — the result is EXACT on the filter
+    column, and only the matches cross the Arrow boundary. Pair with the
+    corresponding ``zone_filter`` so non-overlapping blocks never reach
+    the kernel at all."""
     import yaml
 
     from xml2arrow_spark.operators.encode import (
         _zone_suffixes,
+        normalize_row_filter,
         normalize_zone_filters,
+        row_match_mask,
         split_schema_ddl,
     )
     from xml2arrow_spark.sources.files import plan_parquet_tasks
@@ -1168,6 +1182,8 @@ def decode_dataset(
         (c, lo, hi, *_zone_suffixes(lo, hi))
         for (c, lo, hi) in normalize_zone_filters(zone_filter)
     ]
+
+    rf_col, rf_values, rf_lo, rf_hi = normalize_row_filter(row_filter, out_names)
 
     def _zone_keep(vmin, vmax, lo, hi) -> bool:
         # prune_blocks semantics: missing stats always keep
@@ -1207,7 +1223,26 @@ def decode_dataset(
                     tbl = pq.read_table(fpath, columns=need, **kwargs)  # pruned IO
                     metas = [tbl.column(f"c_{n}__meta").combine_chunks() for n in out_names]
                     datas = [tbl.column(f"c_{n}__data").combine_chunks() for n in out_names]
+                    rf_i = out_names.index(rf_col) if rf_col is not None else None
                     for row in range(tbl.num_rows):
+                        if rf_i is not None:
+                            first = decode_column(
+                                metas[rf_i][row].as_py(), datas[rf_i][row].as_py()
+                            )
+                            mask = row_match_mask(first, rf_values, rf_lo, rf_hi)
+                            if mask is None:
+                                continue  # zero matches: skip other kernels
+                            yield pa.RecordBatch.from_arrays(
+                                [
+                                    (first if i == rf_i else decode_column(
+                                        metas[i][row].as_py(),
+                                        datas[i][row].as_py(),
+                                    )).filter(mask)
+                                    for i in range(len(out_names))
+                                ],
+                                names=out_names,
+                            )
+                            continue
                         yield pa.RecordBatch.from_arrays(
                             [
                                 decode_column(metas[i][row].as_py(), datas[i][row].as_py())
@@ -1239,11 +1274,19 @@ def decode_dataset(
                         continue  # whole block pruned before any kernel
                     metas = entries.field("meta")
                     datas = entries.field("data")
-                    decoded = {
-                        nm: decode_column(metas[i].as_py(), datas[i].as_py())
-                        for i, nm in enumerate(names)
-                        if nm in wanted
-                    }
+                    mask = None
+                    decoded = {}
+                    if rf_col is not None:
+                        fi = names.index(rf_col)
+                        first = decode_column(metas[fi].as_py(), datas[fi].as_py())
+                        mask = row_match_mask(first, rf_values, rf_lo, rf_hi)
+                        if mask is None:
+                            continue  # zero matches: skip other kernels
+                        decoded[rf_col] = first.filter(mask)
+                    for i, nm in enumerate(names):
+                        if nm in wanted and nm not in decoded:
+                            arr = decode_column(metas[i].as_py(), datas[i].as_py())
+                            decoded[nm] = arr.filter(mask) if mask is not None else arr
                     yield pa.RecordBatch.from_arrays(
                         [decoded[n] for n in out_names], names=out_names
                     )

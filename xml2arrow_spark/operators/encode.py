@@ -834,6 +834,51 @@ def prune_blocks_any(blocks_df, column: str, values: list):
     return blocks_df.filter(keep)
 
 
+def normalize_row_filter(row_filter, out_names):
+    """Validate and split a row_filter spec: 2-tuple ``(col, values)`` =
+    point-set selection, 3-tuple ``(col, lo, hi)`` = inclusive range with
+    optional open sides. Returns (col, values|None, lo, hi)."""
+    if row_filter is None:
+        return None, None, None, None
+    rf_col = row_filter[0]
+    rf_values = rf_lo = rf_hi = None
+    if len(row_filter) == 3:
+        rf_lo, rf_hi = row_filter[1], row_filter[2]
+        if rf_lo is None and rf_hi is None:
+            raise ValueError("range row_filter needs at least one bound (lo, hi)")
+    else:
+        rf_values = list(row_filter[1])
+    if rf_col not in out_names:
+        raise ValueError(
+            f"row_filter column {rf_col!r} must be in the decoded "
+            f"schema {list(out_names)}"
+        )
+    return rf_col, rf_values, rf_lo, rf_hi
+
+
+def row_match_mask(arr: pa.Array, values, lo, hi):
+    """Boolean match mask for the filter column, or None if no row matches
+    (block skip). Null values never match; NaN never matches a finite
+    range (IEEE comparisons)."""
+    import pyarrow.compute as pc
+
+    if values is not None:
+        mask = pc.is_in(arr, value_set=pa.array(values).cast(arr.type)).fill_null(
+            False
+        )
+    else:
+        mask = None
+        if lo is not None:
+            mask = pc.greater_equal(arr, pa.scalar(lo))
+        if hi is not None:
+            mh = pc.less_equal(arr, pa.scalar(hi))
+            mask = mh if mask is None else pc.and_kleene(mask, mh)
+        mask = pc.fill_null(mask, False)
+    if not pc.any(mask).as_py():
+        return None
+    return mask
+
+
 def decode_table(blocks_df, schema_ddl: str, zone_filter=None, row_filter=None):
     """Blocks DataFrame -> original columns. Map-only: no shuffle, no join.
 
@@ -878,44 +923,10 @@ def decode_table(blocks_df, schema_ddl: str, zone_filter=None, row_filter=None):
         blocks_df = prune_blocks(blocks_df, *zf)
     out_schema = StructType.fromDDL(schema_ddl)
     out_names = [f.name for f in out_schema.fields]
-    rf_col = rf_values = rf_lo = rf_hi = None
-    if row_filter is not None:
-        rf_col = row_filter[0]
-        if len(row_filter) == 3:  # range form
-            rf_lo, rf_hi = row_filter[1], row_filter[2]
-            if rf_lo is None and rf_hi is None:
-                raise ValueError(
-                    "range row_filter needs at least one bound (lo, hi)"
-                )
-        else:
-            rf_values = list(row_filter[1])
-        if rf_col not in out_names:
-            raise ValueError(
-                f"row_filter column {rf_col!r} must be in the decoded "
-                f"schema {out_names}"
-            )
+    rf_col, rf_values, rf_lo, rf_hi = normalize_row_filter(row_filter, out_names)
 
     def _match_mask(arr: pa.Array):
-        """Boolean match mask for the filter column, or None if no row
-        matches (block skip). Null values never match; NaN never matches
-        a finite range."""
-        import pyarrow.compute as pc
-
-        if rf_values is not None:
-            mask = pc.is_in(
-                arr, value_set=pa.array(rf_values).cast(arr.type)
-            ).fill_null(False)
-        else:
-            mask = None
-            if rf_lo is not None:
-                mask = pc.greater_equal(arr, pa.scalar(rf_lo))
-            if rf_hi is not None:
-                mh = pc.less_equal(arr, pa.scalar(rf_hi))
-                mask = mh if mask is None else pc.and_kleene(mask, mh)
-            mask = pc.fill_null(mask, False)
-        if not pc.any(mask).as_py():
-            return None
-        return mask
+        return row_match_mask(arr, rf_values, rf_lo, rf_hi)
 
     is_wide = "cols" not in blocks_df.columns
 
