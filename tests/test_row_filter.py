@@ -155,3 +155,45 @@ def test_decode_dataset_row_filter(spark, layout, tmp_path):
     assert decode_dataset(spark, out, row_filter=("n_tok", 10**9, None)).count() == 0
     with pytest.raises(ValueError, match="must be in the decoded"):
         decode_dataset(spark, out, columns=["doc_id"], row_filter=("n_tok", 1, 2))
+
+
+def test_read_encoded_dataset_row_filter_with_family(spark, tmp_path):
+    """Base-column kernel selection on the curated-corpus read: the family
+    join runs over the reduced row set; family columns are refused as
+    filter keys (NULL-before-join semantics)."""
+    from xml2arrow_spark.operators.checkpoint import (
+        add_columns,
+        encode_dataset,
+        read_encoded_dataset,
+    )
+
+    path = str(tmp_path / "enc")
+    df = tokens_dataframe(spark, 800, variant="low_card", n_partitions=2)
+    man = CodecManifest.auto_for(df.schema, block_rows=128)
+    encode_dataset(df, path, man, n_units=4)
+    add_columns(
+        df.filter("n_tok % 2 = 0").select(
+            "doc_id", (F.col("n_tok") * 2).cast("int").alias("dbl")
+        ),
+        path,
+        "extras",
+    )
+
+    got = read_encoded_dataset(
+        spark, path, columns=["doc_id", "n_tok", "dbl"],
+        row_filter=("n_tok", 100, 400),
+    )
+    expect = (
+        df.filter((F.col("n_tok") >= 100) & (F.col("n_tok") <= 400))
+        .withColumn(
+            "dbl",
+            F.when(F.col("n_tok") % 2 == 0, (F.col("n_tok") * 2).cast("int")),
+        )
+        .select("doc_id", "n_tok", "dbl")
+    )
+    assert verify_roundtrip(expect, got)["ok"]
+
+    with pytest.raises(ValueError, match="not a BASE column"):
+        read_encoded_dataset(
+            spark, path, columns=["doc_id", "dbl"], row_filter=("dbl", 0, 10)
+        )

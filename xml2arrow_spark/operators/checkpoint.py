@@ -339,6 +339,7 @@ def read_encoded_dataset(
     path: str,
     columns: list[str] | None = None,
     zone_filter=None,
+    row_filter=None,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Decode an encoded dataset directory back to its original columns.
@@ -356,7 +357,15 @@ def read_encoded_dataset(
     to the side (base or family) that stores its column. decode_table
     semantics throughout: superset result, apply the row filter after
     (a family-side prune turns pruned rows' family values into NULLs,
-    which the caller's row filter drops the same way)."""
+    which the caller's row filter drops the same way).
+
+    ``row_filter`` — 2-tuple ``(column, values)`` point set or 3-tuple
+    ``(column, lo, hi)`` range (open sides allowed) — pushes EXACT row
+    selection inside the base decode kernel (decode_table semantics):
+    only the matching rows leave the kernel, and the family join then
+    runs over that reduced row set. BASE columns only: a family column
+    is NULL for uncovered rows before the join, so a kernel-side filter
+    on it could not reproduce SQL semantics — refused explicitly."""
     columns, base_cols, base_want, fams, fam_want = _resolve_columns(
         path, columns, id_col
     )
@@ -368,11 +377,20 @@ def read_encoded_dataset(
         picked = [t for t in (zf or []) if t[0] in owned]
         return picked or None
 
+    if row_filter is not None and row_filter[0] not in base_cols:
+        raise ValueError(
+            f"row_filter column {row_filter[0]!r} is not a BASE column; "
+            "family columns are NULL for uncovered rows before the join, "
+            "so kernel-side selection on them cannot reproduce SQL "
+            "semantics — filter after the read instead"
+        )
     need_id = bool(fam_want)
     base_sel = ([id_col] if need_id and id_col not in base_want else []) + base_want
     ddl = ", ".join(base_cols[c] for c in base_sel)
     blocks = spark.read.parquet(os.path.join(path, "blocks"))
-    out = decode_table(blocks, ddl, zone_filter=_side_filter(base_cols))
+    out = decode_table(
+        blocks, ddl, zone_filter=_side_filter(base_cols), row_filter=row_filter
+    )
     for fam, cols in fam_want.items():
         fddl = ", ".join([fams[fam][id_col]] + [fams[fam][c] for c in cols])
         fblocks = spark.read.parquet(
