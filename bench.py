@@ -591,6 +591,32 @@ def main() -> None:
         extra["count_where_speedup"] = round(
             queries["q19b_agg_via_decode"] / queries["q19a_count_where_meta"], 2
         )
+
+        # q19c/q19d: selective ROW retrieval of the same slice — the
+        # in-kernel range selection (zone prune + filter-column-first
+        # gather) vs the decode-everything-then-filter baseline. Both
+        # return identical rows; the delta is payload that never decodes.
+        best_of(
+            "q19c_selective_scan_kernel",
+            lambda: decode_dataset(
+                spark, cw_ds,
+                zone_filter=("l_orderkey", pred[1], pred[2]),
+                row_filter=("l_orderkey", pred[1], pred[2]),
+            ).count(),
+        )
+        best_of(
+            "q19d_selective_scan_postfilter",
+            lambda: decode_dataset(spark, cw_ds)
+            .filter(
+                (F.col("l_orderkey") >= pred[1]) & (F.col("l_orderkey") <= pred[2])
+            )
+            .count(),
+        )
+        extra["selective_scan_speedup"] = round(
+            queries["q19d_selective_scan_postfilter"]
+            / queries["q19c_selective_scan_kernel"],
+            2,
+        )
     finally:
         shutil.rmtree(cw_dir, ignore_errors=True)
 
