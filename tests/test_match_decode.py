@@ -1,0 +1,195 @@
+"""Kernel-level equivalence pins for match_decode_column (codec-aware
+predicate evaluation): for EVERY codec, null mix, and predicate shape,
+``match_decode_column(meta, data, ...)`` must equal
+``row_match_mask(decode_column(meta, data), ...)`` + ``filter`` — the
+dict/rle/pdict/dict_str fast paths share the pyarrow predicate kernels with
+the row path, and these tests pin that the code-stream mapping cannot
+drift from the materialized evaluation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from xml2arrow_spark.operators import blocks
+from xml2arrow_spark.operators.blocks import (
+    decode_column,
+    encode_column,
+    match_decode_column,
+    row_match_mask,
+)
+
+INT_PREDS = [
+    ([5], None, None),
+    ([5, -3], None, None),
+    ([999999], None, None),          # no match
+    ([5, 999999], None, None),       # partial
+    (None, -3, 5),
+    (None, 6, 999),
+    (None, None, 4),                 # one-sided hi
+    (None, 1000, None),              # one-sided lo
+    (None, 10**7, 10**8),            # empty range
+]
+
+INT_ARRAYS = {
+    "runny": pa.array(np.repeat([5, -3, 5, 1000], [50, 30, 20, 7]).astype(np.int64)),
+    "low_card_nulls": pa.array(
+        [5, None, -3, 5, None, 1000, 5, -3] * 10, type=pa.int64()
+    ),
+    "zipfish": pa.array((np.arange(500) % 37 // 6).astype(np.int32)),
+    "monotonic": pa.array(np.arange(-50, 150, dtype=np.int64)),
+    "single": pa.array([5], type=pa.int64()),
+    "all_null": pa.array([None] * 20, type=pa.int64()),
+    "empty": pa.array([], type=pa.int64()),
+}
+
+INT_CODECS = ["plain", "for", "delta", "rle", "dict", "pdict", "pfor",
+              "rle+zstd", "dict+lz4", "pdict+zstd"]
+
+
+def _assert_equiv(meta, data, values, lo, hi):
+    arr = decode_column(meta, data)
+    rmask = row_match_mask(arr, values, lo, hi)
+    got = match_decode_column(meta, data, values, lo, hi)
+    if rmask is None:
+        assert got is None
+        return
+    assert got is not None
+    gmask, gsel = got
+    assert gmask.to_pylist() == rmask.to_pylist()
+    rsel = arr.filter(rmask)
+    assert gsel.to_pylist() == rsel.to_pylist()
+    assert gsel.type == rsel.type
+
+
+@pytest.mark.parametrize("codec", INT_CODECS)
+@pytest.mark.parametrize("name", sorted(INT_ARRAYS))
+def test_int_codecs_match_equivalence(codec, name):
+    arr = INT_ARRAYS[name]
+    if codec.startswith("pdict") and arr.type != pa.int64():
+        arr = arr.cast(pa.int64())
+    try:
+        _, meta, data = encode_column(arr, codec)
+    except Exception:
+        pytest.skip(f"{codec} rejects {name}")
+    for values, lo, hi in INT_PREDS:
+        _assert_equiv(meta, data, values, lo, hi)
+
+
+STR_PREDS = [
+    (["aa"], None, None),
+    (["aa", "ccc"], None, None),
+    (["zzz"], None, None),           # no match
+    ([""], None, None),              # empty string is a VALUE (not null)
+    (None, "a", "b"),
+    (None, "b", None),
+    (None, None, "aa"),
+    (None, "x", "z"),                # no match
+    (["éclair"], None, None),   # unicode
+]
+
+STR_VALUES = ["aa", "b", None, "ccc", "", "aa", "éclair", "b"] * 8
+
+
+@pytest.mark.parametrize("codec", ["plain_str", "dict_str", "fsst",
+                                   "dict_str+zstd", "fsst+lz4"])
+@pytest.mark.parametrize("large", [False, True])
+def test_str_codecs_match_equivalence(codec, large):
+    typ = pa.large_string() if large else pa.string()
+    arr = pa.array(STR_VALUES, type=typ)
+    _, meta, data = encode_column(arr, codec)
+    for values, lo, hi in STR_PREDS:
+        _assert_equiv(meta, data, values, lo, hi)
+
+
+def test_seq_str_fallback_equivalence():
+    arr = pa.array([f"doc_{i:06d}" for i in range(200)])
+    _, meta, data = encode_column(arr, "seq_str")
+    for pred in ([ ["doc_000007"], None, None], [None, "doc_000100", None]):
+        _assert_equiv(meta, data, *pred)
+
+
+def test_zero_match_block_skips_without_decoding(monkeypatch):
+    """A no-match dict/dict_str/rle block must return None WITHOUT calling
+    decode_column — the whole point of evaluating on the code stream."""
+    calls = []
+    orig = blocks.decode_column
+    monkeypatch.setattr(
+        blocks, "decode_column", lambda m, d: calls.append(1) or orig(m, d)
+    )
+    for arr, codec in [
+        (pa.array([5, -3, 5, None] * 25, type=pa.int64()), "dict"),
+        (pa.array(np.repeat([7, 9], [40, 60]).astype(np.int64)), "rle"),
+        (pa.array(["aa", "b", None] * 30), "dict_str"),
+        (pa.array(["aa", "b", None] * 30), "dict_str+zstd"),
+    ]:
+        _, meta, data = encode_column(arr, codec)
+        out = (
+            match_decode_column(meta, data, [999999], None, None)
+            if arr.type != pa.string()
+            else match_decode_column(meta, data, ["zzz"], None, None)
+        )
+        assert out is None
+        assert calls == [], codec
+
+
+def test_matching_dict_str_block_materializes_only_selected(monkeypatch):
+    """A matching dict_str block gathers selected rows from the dictionary —
+    decode_column is never called for the filter column."""
+    calls = []
+    orig = blocks.decode_column
+    monkeypatch.setattr(
+        blocks, "decode_column", lambda m, d: calls.append(1) or orig(m, d)
+    )
+    arr = pa.array(["aa", "b", None, "ccc"] * 30)
+    _, meta, data = encode_column(arr, "dict_str")
+    got = match_decode_column(meta, data, ["aa", "ccc"], None, None)
+    assert got is not None and calls == []
+    mask, sel = got
+    assert sel.to_pylist() == ["aa", "ccc"] * 30
+    monkeypatch.undo()
+    ref = decode_column(meta, data)
+    assert mask.to_pylist() == row_match_mask(ref, ["aa", "ccc"], None, None).to_pylist()
+
+
+def test_uint_style_extremes_pdict():
+    # full-range magnitudes: pdict's wide-domain path (mod-2^64 ref wrap)
+    vals = [np.iinfo(np.int64).min, np.iinfo(np.int64).max, 0, 5] * 30
+    arr = pa.array(vals, type=pa.int64())
+    _, meta, data = encode_column(arr, "pdict")
+    for pred in [([np.iinfo(np.int64).max], None, None), (None, 0, 10),
+                 (None, None, np.iinfo(np.int64).min)]:
+        _assert_equiv(meta, data, *pred)
+
+
+def test_hypothesis_int_equivalence():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    codecs = ["rle", "dict", "pdict", "for", "delta", "pfor", "rle+zstd"]
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        vals=st.lists(
+            st.one_of(st.none(), st.integers(-(2**40), 2**40)), max_size=80
+        ),
+        codec=st.sampled_from(codecs),
+        lo=st.one_of(st.none(), st.integers(-(2**41), 2**41)),
+        hi=st.one_of(st.none(), st.integers(-(2**41), 2**41)),
+        pts=st.one_of(
+            st.none(), st.lists(st.integers(-(2**41), 2**41), min_size=1, max_size=5)
+        ),
+    )
+    def run(vals, codec, lo, hi, pts):
+        arr = pa.array(vals, type=pa.int64())
+        try:
+            _, meta, data = encode_column(arr, codec)
+        except Exception:
+            return
+        if pts is not None:
+            _assert_equiv(meta, data, pts, None, None)
+        elif lo is not None or hi is not None:
+            _assert_equiv(meta, data, None, lo, hi)
+
+    run()

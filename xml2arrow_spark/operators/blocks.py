@@ -338,9 +338,8 @@ _PA_INT = {
 }
 
 
-def decode_column(meta_json: str, payload: bytes) -> pa.Array:
-    """Exact inverse of :func:`encode_column`."""
-    meta = json.loads(meta_json)
+def _verify_block_header(meta: dict, payload: bytes) -> None:
+    """Format + storage-integrity gate shared by every block reader."""
     if meta.get("fmt", 1) != BLOCK_FORMAT_VERSION:
         raise BlockCorruptionError(
             f"block format {meta.get('fmt', 1)} != engine format "
@@ -354,6 +353,12 @@ def decode_column(meta_json: str, payload: bytes) -> pa.Array:
             f"{len(payload)} bytes): stored bytes are corrupt; refusing to "
             f"decode silently wrong values"
         )
+
+
+def decode_column(meta_json: str, payload: bytes) -> pa.Array:
+    """Exact inverse of :func:`encode_column`."""
+    meta = json.loads(meta_json)
+    _verify_block_header(meta, payload)
     kind = meta["kind"]
     if kind == "general":
         raw = pa.Codec(meta["g"]).decompress(
@@ -439,6 +444,221 @@ def decode_column(meta_json: str, payload: bytes) -> pa.Array:
         )
 
     raise BlockCorruptionError(f"unknown column kind {kind!r}")
+
+
+def row_match_mask(arr: pa.Array, values, lo, hi):
+    """Boolean match mask for the filter column, or None if no row matches
+    (block skip). Null values never match; NaN never matches a finite
+    range (IEEE comparisons)."""
+    import pyarrow.compute as pc
+
+    if values is not None:
+        mask = pc.is_in(arr, value_set=pa.array(values).cast(arr.type)).fill_null(
+            False
+        )
+    else:
+        mask = None
+        if lo is not None:
+            mask = pc.greater_equal(arr, pa.scalar(lo))
+        if hi is not None:
+            mh = pc.less_equal(arr, pa.scalar(hi))
+            mask = mh if mask is None else pc.and_kleene(mask, mh)
+        mask = pc.fill_null(mask, False)
+    if not pc.any(mask).as_py():
+        return None
+    return mask
+
+
+def _gather_strdata(sd: StrData, idx: np.ndarray) -> StrData:
+    """Gather rows ``idx`` out of a StrData stream (row order preserved by
+    the caller). Same flattened repeat+cumsum byte gather as dict_str
+    decode, over the selected rows only."""
+    lengths = sd.lengths()
+    out_lengths = lengths[idx]
+    offsets = np.zeros(idx.size + 1, dtype=np.int64)
+    np.cumsum(out_lengths, out=offsets[1:])
+    total = int(offsets[-1])
+    if total:
+        data_arr = np.frombuffer(sd.data, dtype=np.uint8)
+        starts = sd.offsets[idx]
+        row_of = np.repeat(np.arange(idx.size), out_lengths)
+        j = np.arange(total, dtype=np.int64)
+        src = starts[row_of] + (j - offsets[row_of])
+        data = data_arr[src].tobytes()
+    else:
+        data = b""
+    return StrData(offsets=offsets, data=data)
+
+
+def match_decode_column(meta_json: str, payload: bytes, values, lo, hi):
+    """Fused ``row_match_mask(decode_column(...))`` + selected
+    materialization: returns ``None`` when NO row of the block matches the
+    predicate (block skip), else ``(mask, selected)`` where ``mask`` is a
+    pyarrow boolean array over the block's rows and ``selected`` equals
+    ``decode_column(meta_json, payload).filter(mask)`` value-for-value
+    (pinned by tests/test_match_decode.py).
+
+    For dictionary- and run-compressed codecs the predicate is evaluated
+    once per DISTINCT VALUE (``dict``/``pdict``/``dict_str``) or per RUN
+    (``rle``) — through the SAME pyarrow kernels the row path uses, so the
+    semantics (type casts, null handling, string collation) cannot drift —
+    and mapped onto rows through the integer code stream: a zero-match
+    block skips without materializing a single value, and a matching
+    ``dict``/``rle``/``dict_str`` block gathers ONLY the selected rows
+    (operating on compressed data, Abadi et al., "Integrating Compression
+    and Execution in Column-Oriented Database Systems", SIGMOD 2006; the
+    reference's analog is its refusal to build columns a query never
+    reads, /root/reference/src/xml_parser.rs:1061-1110). Every other
+    codec falls back to decode + mask — identical result, no shortcut.
+    """
+    meta = json.loads(meta_json)
+    _verify_block_header(meta, payload)
+    if meta["kind"] == "general":
+        raw = pa.Codec(meta["g"]).decompress(
+            payload, decompressed_size=meta["raw_len"], asbytes=True
+        )
+        return match_decode_column(meta["inner"], raw, values, lo, hi)
+
+    dense = None  # match over the dense (non-null) value stream
+    selected = None  # pre-gathered selected rows (fast paths that can)
+    vmask = None
+    kind = meta["kind"]
+
+    if kind in ("int", "str"):
+        from xml2arrow_spark.codecs import bitpack
+        from xml2arrow_spark.codecs.base import INT_DTYPES, split_sections
+
+        vmask, vpayload = _unpack_validity(meta, payload)
+
+        if kind == "int":
+            vm = meta["values_meta"]
+            pa_type = _PA_INT[meta["dtype"]]
+            if vm["codec"] == "dict":
+                from xml2arrow_spark.codecs.integers import _for_unpack
+
+                np_dtype = INT_DTYPES[vm["dtype"]]
+                parts = split_sections(vm, vpayload)
+                uniq = _for_unpack(parts["dict"], vm["card"], vm["uref"], vm["uwidth"])
+                dmask = row_match_mask(
+                    pa.array(uniq.astype(np_dtype), type=pa_type), values, lo, hi
+                )
+                if dmask is None:
+                    return None
+                dmatch = dmask.to_numpy(zero_copy_only=False)
+                idx = bitpack.unpack_uint(
+                    parts["indices"], vm["n"], vm["iwidth"]
+                ).astype(np.int64)
+                dense = dmatch[idx]
+                if not dense.any():
+                    return None
+                selected = pa.array(uniq[idx[dense]].astype(np_dtype), type=pa_type)
+            elif vm["codec"] == "rle":
+                from xml2arrow_spark.codecs.integers import _for_unpack
+
+                np_dtype = INT_DTYPES[vm["dtype"]]
+                parts = split_sections(vm, vpayload)
+                k = vm["n_runs"]
+                run_values = _for_unpack(
+                    parts["run_values"], k, vm["vref"], vm["vwidth"]
+                )
+                rmask = row_match_mask(
+                    pa.array(run_values.astype(np_dtype), type=pa_type), values, lo, hi
+                )
+                if rmask is None:
+                    return None
+                rmatch = rmask.to_numpy(zero_copy_only=False)
+                run_lengths = _for_unpack(
+                    parts["run_lengths"], k, vm["lref"], vm["lwidth"]
+                )
+                dense = np.repeat(rmatch, run_lengths)
+                if not dense.any():
+                    return None
+                # matching rows in row order == matching runs in run order
+                selected = pa.array(
+                    np.repeat(run_values[rmatch], run_lengths[rmatch]).astype(
+                        np_dtype
+                    ),
+                    type=pa_type,
+                )
+            elif vm["codec"] == "pdict" and vm["n"]:
+                np_dtype = INT_DTYPES[vm["dtype"]]
+                parts = split_sections(vm, vpayload)
+                top = bitpack.unpack_uint(
+                    parts["dict"], vm["n_dict"], vm["w_exc"]
+                ).astype(np.int64)
+                # same wrap-then-cast arithmetic as decode_pdict
+                dict_vals = (top + vm["ref"]).astype(np_dtype)
+                dmask = row_match_mask(
+                    pa.array(dict_vals, type=pa_type), values, lo, hi
+                )
+                emask = None
+                if vm["n_exc"]:
+                    exc = bitpack.unpack_uint(
+                        parts["exceptions"], vm["n_exc"], vm["w_exc"]
+                    ).astype(np.int64)
+                    exc_vals = (exc + vm["ref"]).astype(np_dtype)
+                    emask = row_match_mask(
+                        pa.array(exc_vals, type=pa_type), values, lo, hi
+                    )
+                if dmask is None and emask is None:
+                    # neither the dictionary nor the exception stream holds
+                    # a match: skip before the code stream is even unpacked
+                    return None
+                codes = bitpack.unpack_uint(parts["codes"], vm["n"], vm["w"]).astype(
+                    np.int64
+                )
+                escape = (1 << vm["w"]) - 1
+                dense = np.zeros(vm["n"], dtype=bool)
+                nonesc = codes != escape
+                if dmask is not None:
+                    dmatch = dmask.to_numpy(zero_copy_only=False)
+                    dense[nonesc] = dmatch[codes[nonesc]]
+                if emask is not None:
+                    dense[~nonesc] = emask.to_numpy(zero_copy_only=False)
+                if not dense.any():
+                    return None
+                # selected rows materialize via the decode fallback below
+        elif kind == "str":
+            sm = meta["str_meta"]
+            if sm["codec"] == "dict_str":
+                from xml2arrow_spark.codecs.strings import decode_plain_str
+
+                parts = split_sections(sm, vpayload)
+                dict_sd = decode_plain_str(sm["dict_meta"], parts["dict"])
+                large = meta.get("large", False)
+                dmask = row_match_mask(
+                    strdata_to_arrow(dict_sd, large=large), values, lo, hi
+                )
+                if dmask is None:
+                    return None
+                dmatch = dmask.to_numpy(zero_copy_only=False)
+                idx = bitpack.unpack_uint(
+                    parts["indices"], sm["n"], sm["iwidth"]
+                ).astype(np.int64)
+                dense = dmatch[idx]
+                if not dense.any():
+                    return None
+                selected = strdata_to_arrow(
+                    _gather_strdata(dict_sd, idx[dense]), large=large
+                )
+
+    if dense is None:
+        # no codec shortcut: decode + mask (the original path)
+        arr = decode_column(meta_json, payload)
+        mask = row_match_mask(arr, values, lo, hi)
+        if mask is None:
+            return None
+        return mask, arr.filter(mask)
+
+    if vmask is None:
+        full = dense
+    else:
+        full = np.zeros(meta["n"], dtype=bool)
+        full[vmask] = dense
+    mask = pa.array(full)
+    if selected is None:
+        selected = decode_column(meta_json, payload).filter(mask)
+    return mask, selected
 
 
 def _validity_buffer(mask: np.ndarray | None):

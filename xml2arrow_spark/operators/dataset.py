@@ -1157,7 +1157,7 @@ def decode_dataset(
         _zone_suffixes,
         normalize_row_filter,
         normalize_zone_filters,
-        row_match_mask,
+        match_decode_column,
         split_schema_ddl,
     )
     from xml2arrow_spark.sources.files import plan_parquet_tasks
@@ -1226,18 +1226,20 @@ def decode_dataset(
                     rf_i = out_names.index(rf_col) if rf_col is not None else None
                     for row in range(tbl.num_rows):
                         if rf_i is not None:
-                            first = decode_column(
-                                metas[rf_i][row].as_py(), datas[rf_i][row].as_py()
+                            md = match_decode_column(
+                                metas[rf_i][row].as_py(),
+                                datas[rf_i][row].as_py(),
+                                rf_values, rf_lo, rf_hi,
                             )
-                            mask = row_match_mask(first, rf_values, rf_lo, rf_hi)
-                            if mask is None:
+                            if md is None:
                                 continue  # zero matches: skip other kernels
+                            mask, first_sel = md
                             yield pa.RecordBatch.from_arrays(
                                 [
-                                    (first if i == rf_i else decode_column(
+                                    first_sel if i == rf_i else decode_column(
                                         metas[i][row].as_py(),
                                         datas[i][row].as_py(),
-                                    )).filter(mask)
+                                    ).filter(mask)
                                     for i in range(len(out_names))
                                 ],
                                 names=out_names,
@@ -1278,11 +1280,14 @@ def decode_dataset(
                     decoded = {}
                     if rf_col is not None:
                         fi = names.index(rf_col)
-                        first = decode_column(metas[fi].as_py(), datas[fi].as_py())
-                        mask = row_match_mask(first, rf_values, rf_lo, rf_hi)
-                        if mask is None:
+                        md = match_decode_column(
+                            metas[fi].as_py(), datas[fi].as_py(),
+                            rf_values, rf_lo, rf_hi,
+                        )
+                        if md is None:
                             continue  # zero matches: skip other kernels
-                        decoded[rf_col] = first.filter(mask)
+                        mask, first_sel = md
+                        decoded[rf_col] = first_sel
                     for i, nm in enumerate(names):
                         if nm in wanted and nm not in decoded:
                             arr = decode_column(metas[i].as_py(), datas[i].as_py())

@@ -22,7 +22,16 @@ from typing import Iterator
 import pyarrow as pa
 
 from xml2arrow_spark.manifest import CodecManifest
-from xml2arrow_spark.operators.blocks import decode_column, encode_column
+# row-level predicate kernels (row_match_mask, match_decode_column) live
+# next to the codec internals so the codec-aware fast paths and the row
+# path share one implementation; re-exported here because decode callers
+# (dataset.py, tests) import them from this module
+from xml2arrow_spark.operators.blocks import (
+    decode_column,
+    encode_column,
+    match_decode_column,
+    row_match_mask,
+)
 
 __all__ = [
     "encode_table",
@@ -856,27 +865,6 @@ def normalize_row_filter(row_filter, out_names):
     return rf_col, rf_values, rf_lo, rf_hi
 
 
-def row_match_mask(arr: pa.Array, values, lo, hi):
-    """Boolean match mask for the filter column, or None if no row matches
-    (block skip). Null values never match; NaN never matches a finite
-    range (IEEE comparisons)."""
-    import pyarrow.compute as pc
-
-    if values is not None:
-        mask = pc.is_in(arr, value_set=pa.array(values).cast(arr.type)).fill_null(
-            False
-        )
-    else:
-        mask = None
-        if lo is not None:
-            mask = pc.greater_equal(arr, pa.scalar(lo))
-        if hi is not None:
-            mh = pc.less_equal(arr, pa.scalar(hi))
-            mask = mh if mask is None else pc.and_kleene(mask, mh)
-        mask = pc.fill_null(mask, False)
-    if not pc.any(mask).as_py():
-        return None
-    return mask
 
 
 def decode_table(blocks_df, schema_ddl: str, zone_filter=None, row_filter=None):
@@ -924,10 +912,6 @@ def decode_table(blocks_df, schema_ddl: str, zone_filter=None, row_filter=None):
     out_schema = StructType.fromDDL(schema_ddl)
     out_names = [f.name for f in out_schema.fields]
     rf_col, rf_values, rf_lo, rf_hi = normalize_row_filter(row_filter, out_names)
-
-    def _match_mask(arr: pa.Array):
-        return row_match_mask(arr, rf_values, rf_lo, rf_hi)
-
     is_wide = "cols" not in blocks_df.columns
 
     if is_wide:
@@ -939,19 +923,25 @@ def decode_table(blocks_df, schema_ddl: str, zone_filter=None, row_filter=None):
         def decode_wide(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             for b in batches:
                 for row in range(b.num_rows):
-                    def col(n):
-                        return decode_column(
+                    def pair(n):
+                        return (
                             b.column(b.schema.get_field_index(f"c_{n}__meta"))[row].as_py(),
                             b.column(b.schema.get_field_index(f"c_{n}__data"))[row].as_py(),
                         )
 
+                    def col(n):
+                        return decode_column(*pair(n))
+
                     if rf_col is not None:
-                        first = col(rf_col)
-                        mask = _match_mask(first)
-                        if mask is None:
+                        # codec-aware: the predicate evaluates on the code
+                        # stream where the codec allows, so a zero-match
+                        # block skips without materializing a value
+                        md = match_decode_column(*pair(rf_col), rf_values, rf_lo, rf_hi)
+                        if md is None:
                             continue  # zero matches: skip every other kernel
+                        mask, first_sel = md
                         arrays = [
-                            (first if n == rf_col else col(n)).filter(mask)
+                            first_sel if n == rf_col else col(n).filter(mask)
                             for n in out_names
                         ]
                     else:
@@ -986,11 +976,13 @@ def decode_table(blocks_df, schema_ddl: str, zone_filter=None, row_filter=None):
                 mask = None
                 if rf_col is not None:
                     i = names.index(rf_col)
-                    first = decode_column(metas[i].as_py(), datas[i].as_py())
-                    mask = _match_mask(first)
-                    if mask is None:
+                    md = match_decode_column(
+                        metas[i].as_py(), datas[i].as_py(), rf_values, rf_lo, rf_hi
+                    )
+                    if md is None:
                         continue  # zero matches: skip every other kernel
-                    decoded = {rf_col: first.filter(mask)}
+                    mask, first_sel = md
+                    decoded = {rf_col: first_sel}
                 else:
                     decoded = {}
                 for i, nm in enumerate(names):
