@@ -511,13 +511,30 @@ def match_decode_column(meta_json: str, payload: bytes, values, lo, hi):
     reads, /root/reference/src/xml_parser.rs:1061-1110). Every other
     codec falls back to decode + mask — identical result, no shortcut.
     """
+    out = _match_column_impl(meta_json, payload, values, lo, hi, True)
+    return out
+
+
+def match_mask_column(meta_json: str, payload: bytes, values, lo, hi):
+    """Mask-only variant of :func:`match_decode_column` — same codec-aware
+    evaluation and identical mask semantics, but never materializes the
+    selected rows (the count/aggregate-pushdown shape: the caller needs
+    how MANY or WHICH rows match, not their values). Returns ``None`` when
+    no row matches, else a pyarrow boolean array over the block's rows."""
+    out = _match_column_impl(meta_json, payload, values, lo, hi, False)
+    return out if out is None else out[0]
+
+
+def _match_column_impl(meta_json: str, payload: bytes, values, lo, hi,
+                       want_selected: bool):
     meta = json.loads(meta_json)
     _verify_block_header(meta, payload)
     if meta["kind"] == "general":
         raw = pa.Codec(meta["g"]).decompress(
             payload, decompressed_size=meta["raw_len"], asbytes=True
         )
-        return match_decode_column(meta["inner"], raw, values, lo, hi)
+        return _match_column_impl(meta["inner"], raw, values, lo, hi,
+                                  want_selected)
 
     dense = None  # match over the dense (non-null) value stream
     selected = None  # pre-gathered selected rows (fast paths that can)
@@ -551,7 +568,10 @@ def match_decode_column(meta_json: str, payload: bytes, values, lo, hi):
                 dense = dmatch[idx]
                 if not dense.any():
                     return None
-                selected = pa.array(uniq[idx[dense]].astype(np_dtype), type=pa_type)
+                if want_selected:
+                    selected = pa.array(
+                        uniq[idx[dense]].astype(np_dtype), type=pa_type
+                    )
             elif vm["codec"] == "rle":
                 from xml2arrow_spark.codecs.integers import _for_unpack
 
@@ -573,13 +593,14 @@ def match_decode_column(meta_json: str, payload: bytes, values, lo, hi):
                 dense = np.repeat(rmatch, run_lengths)
                 if not dense.any():
                     return None
-                # matching rows in row order == matching runs in run order
-                selected = pa.array(
-                    np.repeat(run_values[rmatch], run_lengths[rmatch]).astype(
-                        np_dtype
-                    ),
-                    type=pa_type,
-                )
+                if want_selected:
+                    # matching rows in row order == matching runs in run order
+                    selected = pa.array(
+                        np.repeat(run_values[rmatch], run_lengths[rmatch]).astype(
+                            np_dtype
+                        ),
+                        type=pa_type,
+                    )
             elif vm["codec"] == "pdict" and vm["n"]:
                 np_dtype = INT_DTYPES[vm["dtype"]]
                 parts = split_sections(vm, vpayload)
@@ -638,9 +659,10 @@ def match_decode_column(meta_json: str, payload: bytes, values, lo, hi):
                 dense = dmatch[idx]
                 if not dense.any():
                     return None
-                selected = strdata_to_arrow(
-                    _gather_strdata(dict_sd, idx[dense]), large=large
-                )
+                if want_selected:
+                    selected = strdata_to_arrow(
+                        _gather_strdata(dict_sd, idx[dense]), large=large
+                    )
 
     if dense is None:
         # no codec shortcut: decode + mask (the original path)
@@ -648,7 +670,7 @@ def match_decode_column(meta_json: str, payload: bytes, values, lo, hi):
         mask = row_match_mask(arr, values, lo, hi)
         if mask is None:
             return None
-        return mask, arr.filter(mask)
+        return mask, (arr.filter(mask) if want_selected else None)
 
     if vmask is None:
         full = dense
@@ -656,7 +678,7 @@ def match_decode_column(meta_json: str, payload: bytes, values, lo, hi):
         full = np.zeros(meta["n"], dtype=bool)
         full[vmask] = dense
     mask = pa.array(full)
-    if selected is None:
+    if want_selected and selected is None:
         selected = decode_column(meta_json, payload).filter(mask)
     return mask, selected
 

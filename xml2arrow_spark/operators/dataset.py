@@ -497,6 +497,7 @@ def count_where(
     from pyspark.sql import functions as F
 
     from xml2arrow_spark.operators.encode import (
+        match_mask_column,
         normalize_zone_filters,
         split_schema_ddl,
     )
@@ -609,28 +610,38 @@ def count_where(
             return "boundary", 0, None
         return "boundary", 0, None
 
-    def _count_decoded(arrays: list[pa.Array], agg_arr):
-        """Vectorized conjunction count (+ masked sum/min/max) over the
-        decoded filter columns; NULL/NaN rows fail, matching SQL WHERE.
-        Returns (count, (sum, min, max) or None)."""
+    def _count_boundary(pair_of):
+        """Vectorized conjunction count (+ masked sum/min/max) over a
+        boundary block; NULL/NaN rows fail, matching SQL WHERE.
+        ``pair_of(col)`` yields the column's (meta_json, payload). Integer
+        and string conjuncts evaluate codec-aware (match_mask_column: on
+        the dictionary/run stream where the codec allows, never
+        materializing the values); float conjuncts decode and compare as
+        float64 (exact widening; the bound stays the double the oracle
+        compares against). The agg column decodes only when a row
+        actually matched. Returns (count, (sum, min, max) or None)."""
         import pyarrow.compute as pc
 
         mask = None
-        for (col, lo, hi, cat), arr in zip(conj, arrays):
+        for col, lo, hi, cat in conj:
             if cat == "d":
-                arr = pc.cast(arr, pa.float64())  # exact widening; bound
-                # stays the double the oracle compares against
-            m = None
-            if lo is not None:
-                m = pc.greater_equal(arr, pa.scalar(lo))
-            if hi is not None:
-                mh = pc.less_equal(arr, pa.scalar(hi))
-                m = mh if m is None else pc.and_kleene(m, mh)
+                arr = pc.cast(decode_column(*pair_of(col)), pa.float64())
+                m = None
+                if lo is not None:
+                    m = pc.greater_equal(arr, pa.scalar(lo))
+                if hi is not None:
+                    mh = pc.less_equal(arr, pa.scalar(hi))
+                    m = mh if m is None else pc.and_kleene(m, mh)
+            else:
+                m = match_mask_column(*pair_of(col), None, lo, hi)
+                if m is None:
+                    return 0, None  # a conjunct matched zero rows
             mask = m if mask is None else pc.and_kleene(mask, m)
         s = pc.sum(mask)
         cnt = int(s.as_py() or 0)
-        if agg_arr is None:
+        if agg_col is None or cnt == 0:
             return cnt, None
+        agg_arr = decode_column(*pair_of(agg_col))
         vals = agg_arr.filter(pc.fill_null(mask, False)).drop_null()
         if len(vals) == 0:
             return cnt, None
@@ -725,18 +736,14 @@ def count_where(
                         for x in (f"c_{col}__meta", f"c_{col}__data")]
                 pay = pq.read_table(fpath, columns=need)
 
-                def _dec(col, i):
-                    return decode_column(
-                        pay.column(f"c_{col}__meta")[i].as_py(),
-                        pay.column(f"c_{col}__data")[i].as_py(),
-                    )
-
                 for i in boundary_idx:
-                    decoded = {c: _dec(c, i) for c in pay_cols}
-                    cnt, trip = _count_decoded(
-                        [decoded[c] for c, _l, _h, _c2 in conj],
-                        decoded[agg_col] if agg_col is not None else None,
-                    )
+                    def _pair(col, i=i):
+                        return (
+                            pay.column(f"c_{col}__meta")[i].as_py(),
+                            pay.column(f"c_{col}__data")[i].as_py(),
+                        )
+
+                    cnt, trip = _count_boundary(_pair)
                     n_match += cnt
                     _merge_trip(agg_acc, trip)
             return (n_match, n_blocks, n_pruned, n_interior, n_boundary,
@@ -803,19 +810,15 @@ def count_where(
                     )
                 metas = entries.field("meta")
                 datas = entries.field("data")
-                arrays = [
-                    decode_column(metas[zi].as_py(), datas[zi].as_py())
-                    for zi in idxs
-                ]
-                agg_arr = None
+                by_col = {c[0]: zi for c, zi in zip(conj, idxs)}
                 if agg_col is not None:
-                    if si in idxs:
-                        agg_arr = arrays[idxs.index(si)]
-                    else:
-                        agg_arr = decode_column(
-                            metas[si].as_py(), datas[si].as_py()
-                        )
-                cnt, trip = _count_decoded(arrays, agg_arr)
+                    by_col[agg_col] = si
+
+                def _pair(col, metas=metas, datas=datas, by_col=by_col):
+                    zi = by_col[col]
+                    return metas[zi].as_py(), datas[zi].as_py()
+
+                cnt, trip = _count_boundary(_pair)
                 n_match += cnt
                 _merge_trip(agg_acc, trip)
         return (n_match, n_blocks, n_pruned, n_interior, n_boundary,
