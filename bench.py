@@ -617,6 +617,26 @@ def main() -> None:
             / queries["q19c_selective_scan_kernel"],
             2,
         )
+
+        # q19e/q19f: string-predicate count over a column the clustering
+        # does NOT cover (l_returnflag; zone maps keep every block, so
+        # every block is boundary) — the codec-aware mask path evaluates
+        # the predicate on each block's dict_str DICTIONARY and code
+        # stream without materializing a single string, vs the fair
+        # column-pruned decode-then-filter baseline for the same answer.
+        best_of(
+            "q19e_count_where_str",
+            lambda: count_where(spark, cw_ds, ("l_returnflag", "R", "R")),
+        )
+        best_of(
+            "q19f_count_str_via_decode",
+            lambda: decode_dataset(spark, cw_ds, columns=["l_returnflag"])
+            .filter(F.col("l_returnflag") == "R")
+            .count(),
+        )
+        extra["string_count_speedup"] = round(
+            queries["q19f_count_str_via_decode"] / queries["q19e_count_where_str"], 2
+        )
     finally:
         shutil.rmtree(cw_dir, ignore_errors=True)
 
