@@ -523,13 +523,20 @@ def q_dataset_column_stats(spark, sf_dir):
     (pruned / interior-from-metadata / boundary-decode), and the
     conjunction leg exercises the string + float decode path. The oracle
     recounts from the raw table, so a wrong interior claim, a stale null
-    count, or an unsound truncated string bound all hash-mismatch."""
+    count, or an unsound truncated string bound all hash-mismatch.
+
+    The ``group:`` legs gate :func:`group_count` (r05) — exact GROUP BY
+    counts tallied on the codec streams (dict_str code-stream bincount for
+    the string key, int code streams for l_linenumber) through the
+    DISTRIBUTED mapInArrow path; the oracle re-groups the raw table, so a
+    miscounted dictionary slot or a lost NULL group hash-mismatches."""
     import os
 
     from xml2arrow_spark.operators.dataset import (
         count_where,
         dataset_column_stats,
         encode_parquet_dataset,
+        group_count,
     )
 
     base = _scratch("stats_")
@@ -581,6 +588,23 @@ def q_dataset_column_stats(spark, sf_dir):
             ).alias("sum_i"),
         )
 
+    def group_leg(prefix, column):
+        gc = group_count(spark, out, column, local_bytes=0)
+        return gc.select(
+            F.concat(
+                F.lit(prefix),
+                F.coalesce(F.col(column).cast("string"), F.lit("<null>")),
+            ).alias("column"),
+            F.lit(-1).cast("long").alias("vmin_i"),
+            F.lit(-1).cast("long").alias("vmax_i"),
+            F.lit(-1.0).alias("vmin_d"),
+            F.lit(-1.0).alias("vmax_d"),
+            F.lit(0).cast("long").alias("n_unstated"),
+            F.col("cnt").cast("long").alias("n_rows"),
+            F.lit(-1).cast("long").alias("n_nonnull"),
+            F.lit(-1).cast("long").alias("sum_i"),
+        )
+
     return stats.unionByName(
         # null-free int predicate + SUM pushdown: interior blocks answer
         # from zone metadata (count AND sum), boundary blocks decode only
@@ -594,6 +618,12 @@ def q_dataset_column_stats(spark, sf_dir):
     ).unionByName(
         # one-sided range: pruning/interior test only the bounded side
         leg("where:open", ("l_orderkey", 9000, None), agg_col="l_orderkey")
+    ).unionByName(
+        # codec-stream GROUP BY counts: dict_str bincount (string key)
+        group_leg("group:flag=", "l_returnflag")
+    ).unionByName(
+        # ...and the int code-stream path (dict/rle/pdict per block)
+        group_leg("group:line=", "l_linenumber")
     )
 
 

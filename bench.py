@@ -637,6 +637,29 @@ def main() -> None:
         extra["string_count_speedup"] = round(
             queries["q19f_count_str_via_decode"] / queries["q19e_count_where_str"], 2
         )
+
+        # q19g/q19h: exact GROUP BY counts on the codec streams
+        # (dict_str code-stream bincount per block, KB-scale partial-tally
+        # shuffle) vs the fair column-pruned decode + Spark groupBy for
+        # the same answer.
+        from xml2arrow_spark.operators.dataset import group_count
+
+        best_of(
+            "q19g_group_count_codec",
+            lambda: group_count(spark, cw_ds, "l_returnflag").collect(),
+        )
+        best_of(
+            "q19h_group_count_via_decode",
+            lambda: decode_dataset(spark, cw_ds, columns=["l_returnflag"])
+            .groupBy("l_returnflag")
+            .count()
+            .collect(),
+        )
+        extra["group_count_speedup"] = round(
+            queries["q19h_group_count_via_decode"]
+            / queries["q19g_group_count_codec"],
+            2,
+        )
     finally:
         shutil.rmtree(cw_dir, ignore_errors=True)
 

@@ -456,3 +456,62 @@ def test_interior_count_never_decodes(spark, tmp_path):
     # than return a wrong count
     with pytest.raises(Exception):
         count_where(spark, out, ("longtag", "p", "p" * 80)).collect()
+
+
+# ---- group_count: exact GROUP BY counts on the codec streams ---------------
+
+
+def test_group_count_string_matches_truth(spark, ds):
+    from xml2arrow_spark.operators.dataset import group_count
+
+    for lb in (128 << 20, 0):  # driver-local and distributed dispatch
+        got = {
+            (r["tag"], r["cnt"])
+            for r in group_count(spark, ds, "tag", local_bytes=lb).collect()
+        }
+        assert got == {("aaa", 450), ("zzz", 450)}
+
+
+def test_group_count_null_group_and_ints(spark, ds):
+    from xml2arrow_spark.operators.dataset import group_count
+
+    got = {
+        (r["qty"], r["cnt"])
+        for r in group_count(spark, ds, "qty", local_bytes=0).collect()
+    }
+    # truth recomputed independently of the engine
+    truth: dict = {}
+    for i in range(N):
+        k = None if i % 10 == 0 else i % 7
+        truth[k] = truth.get(k, 0) + 1
+    assert got == set(truth.items())
+
+
+def test_group_count_refusals(spark, ds):
+    from xml2arrow_spark.operators.dataset import group_count
+
+    with pytest.raises(ValueError, match="not portable"):
+        group_count(spark, ds, "val")  # float key
+    with pytest.raises(ValueError, match="not portable"):
+        group_count(spark, ds, "tokens")  # list key
+    with pytest.raises(ValueError, match="lacks encoded column"):
+        group_count(spark, ds, "nope")
+
+
+def test_group_count_equals_decode_groupby(spark, ds):
+    """The codec-stream tallies must equal a full decode + SQL GROUP BY —
+    the operator can only skip materialization, never change results."""
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.dataset import group_count
+
+    truth = {
+        (r["longtag"], r["count"])
+        for r in decode_dataset(spark, ds, columns=["longtag"])
+        .groupBy("longtag").count().collect()
+    }
+    got = {
+        (r["longtag"], r["cnt"])
+        for r in group_count(spark, ds, "longtag", local_bytes=0).collect()
+    }
+    assert got == truth

@@ -193,3 +193,82 @@ def test_hypothesis_int_equivalence():
             _assert_equiv(meta, data, None, lo, hi)
 
     run()
+
+
+# ---- value_counts_column (codec-aware GROUP BY counts) ---------------------
+
+from xml2arrow_spark.operators.blocks import value_counts_column  # noqa: E402
+
+
+def _assert_counts_equiv(meta, data):
+    import pyarrow.compute as pc
+
+    arr = decode_column(meta, data)
+    vals, counts, n_null = value_counts_column(meta, data)
+    assert n_null == arr.null_count
+    got = dict(zip(vals.to_pylist(), counts.tolist()))
+    vc = pc.value_counts(arr.drop_null())
+    ref = dict(zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()))
+    # fast paths may emit a dictionary entry only once; zero-count entries
+    # must not exist (every dictionary entry occurs by construction)
+    assert got == ref
+    assert vals.type == arr.type or arr.null_count == len(arr)
+
+
+@pytest.mark.parametrize("codec", INT_CODECS)
+@pytest.mark.parametrize("name", sorted(INT_ARRAYS))
+def test_int_value_counts_equivalence(codec, name):
+    arr = INT_ARRAYS[name]
+    if codec.startswith("pdict") and arr.type != pa.int64():
+        arr = arr.cast(pa.int64())
+    try:
+        _, meta, data = encode_column(arr, codec)
+    except Exception:
+        pytest.skip(f"{codec} rejects {name}")
+    _assert_counts_equiv(meta, data)
+
+
+@pytest.mark.parametrize("codec", ["plain_str", "dict_str", "fsst",
+                                   "dict_str+zstd"])
+@pytest.mark.parametrize("large", [False, True])
+def test_str_value_counts_equivalence(codec, large):
+    typ = pa.large_string() if large else pa.string()
+    arr = pa.array(STR_VALUES, type=typ)
+    _, meta, data = encode_column(arr, codec)
+    _assert_counts_equiv(meta, data)
+
+
+def test_value_counts_refuses_floats_and_lists():
+    from xml2arrow_spark.errors import EncodeTypeError
+
+    _, meta, data = encode_column(pa.array([1.5, 2.5], type=pa.float64()), "auto")
+    with pytest.raises(EncodeTypeError, match="NaN"):
+        value_counts_column(meta, data)
+    _, meta, data = encode_column(
+        pa.array([[1, 2], [3]], type=pa.list_(pa.int32())), "auto"
+    )
+    with pytest.raises(EncodeTypeError, match="scalar"):
+        value_counts_column(meta, data)
+
+
+def test_value_counts_never_decodes_dict_codecs(monkeypatch):
+    calls = []
+    orig = blocks.decode_column
+    monkeypatch.setattr(
+        blocks, "decode_column", lambda m, d: calls.append(1) or orig(m, d)
+    )
+    for arr, codec in [
+        (pa.array([5, -3, 5, None] * 25, type=pa.int64()), "dict"),
+        (pa.array(np.repeat([7, 9], [40, 60]).astype(np.int64)), "rle"),
+        (pa.array(["aa", "b", None] * 30), "dict_str+zstd"),
+    ]:
+        _, meta, data = encode_column(arr, codec)
+        value_counts_column(meta, data)
+    assert calls == []
+
+
+def test_value_counts_pdict_extremes():
+    vals = [np.iinfo(np.int64).min, np.iinfo(np.int64).max, 0, 5] * 30 + [None]
+    arr = pa.array(vals, type=pa.int64())
+    _, meta, data = encode_column(arr, "pdict")
+    _assert_counts_equiv(meta, data)

@@ -490,6 +490,144 @@ def _gather_strdata(sd: StrData, idx: np.ndarray) -> StrData:
     return StrData(offsets=offsets, data=data)
 
 
+def value_counts_column(meta_json: str, payload: bytes):
+    """Exact per-block GROUP BY counts for one encoded column: returns
+    ``(values, counts, n_null)`` where ``values`` is a pyarrow array of
+    distinct NON-NULL values from this block, ``counts`` an int64 numpy
+    array aligned with it, and ``n_null`` the block's null count.
+
+    Codec-aware: ``dict``/``dict_str`` bincount the code stream against
+    the dictionary, ``rle`` folds run lengths per run value, ``pdict``
+    bincounts the code stream over the top table and uniques the (small)
+    exception stream — none of them materialize the value stream
+    (operating on compressed data, Abadi et al., SIGMOD 2006). Every
+    other integer/string/bool/decimal codec decodes and counts. Float
+    kinds are REFUSED: NaN != NaN under IEEE but SQL GROUP BY groups
+    NaNs together, so a float group-by cannot be reproduced portably —
+    the caller gets an error, never engine-defined groups.
+
+    Exactness pinned against decode + pyarrow value_counts in
+    tests/test_match_decode.py for every codec and null mix.
+    """
+    import pyarrow.compute as pc
+
+    meta = json.loads(meta_json)
+    _verify_block_header(meta, payload)
+    if meta["kind"] == "general":
+        raw = pa.Codec(meta["g"]).decompress(
+            payload, decompressed_size=meta["raw_len"], asbytes=True
+        )
+        return value_counts_column(meta["inner"], raw)
+    kind = meta["kind"]
+    if kind in ("float", "list_float"):
+        raise EncodeTypeError(
+            "group-by counts over float columns are refused: SQL groups "
+            "NaNs together but IEEE equality does not, so the result "
+            "would be engine-defined; group on an integer/string column"
+        )
+    if kind == "list_int":
+        raise EncodeTypeError(
+            "group-by counts need a scalar key column, got a list column"
+        )
+
+    if kind in ("int", "str"):
+        from xml2arrow_spark.codecs import bitpack
+        from xml2arrow_spark.codecs.base import INT_DTYPES, split_sections
+
+        vmask, vpayload = _unpack_validity(meta, payload)
+        n_null = 0 if vmask is None else int(meta["n"] - vmask.sum())
+
+        if kind == "int":
+            vm = meta["values_meta"]
+            pa_type = _PA_INT[meta["dtype"]]
+            if vm["codec"] == "dict":
+                from xml2arrow_spark.codecs.integers import _for_unpack
+
+                np_dtype = INT_DTYPES[vm["dtype"]]
+                parts = split_sections(vm, vpayload)
+                uniq = _for_unpack(parts["dict"], vm["card"], vm["uref"], vm["uwidth"])
+                idx = bitpack.unpack_uint(
+                    parts["indices"], vm["n"], vm["iwidth"]
+                ).astype(np.int64)
+                counts = np.bincount(idx, minlength=vm["card"]).astype(np.int64)
+                return (
+                    pa.array(uniq.astype(np_dtype), type=pa_type),
+                    counts,
+                    n_null,
+                )
+            if vm["codec"] == "rle":
+                from xml2arrow_spark.codecs.integers import _for_unpack
+
+                np_dtype = INT_DTYPES[vm["dtype"]]
+                parts = split_sections(vm, vpayload)
+                k = vm["n_runs"]
+                run_values = _for_unpack(
+                    parts["run_values"], k, vm["vref"], vm["vwidth"]
+                )
+                run_lengths = _for_unpack(
+                    parts["run_lengths"], k, vm["lref"], vm["lwidth"]
+                )
+                uniq, inverse = np.unique(run_values, return_inverse=True)
+                counts = np.zeros(uniq.size, dtype=np.int64)
+                np.add.at(counts, inverse, run_lengths)
+                return (
+                    pa.array(uniq.astype(np_dtype), type=pa_type),
+                    counts,
+                    n_null,
+                )
+            if vm["codec"] == "pdict" and vm["n"]:
+                np_dtype = INT_DTYPES[vm["dtype"]]
+                parts = split_sections(vm, vpayload)
+                top = bitpack.unpack_uint(
+                    parts["dict"], vm["n_dict"], vm["w_exc"]
+                ).astype(np.int64)
+                codes = bitpack.unpack_uint(parts["codes"], vm["n"], vm["w"]).astype(
+                    np.int64
+                )
+                escape = (1 << vm["w"]) - 1
+                # top codes are 0..n_dict-1; the escape slot's tally is the
+                # exception-row count, not a dictionary value's
+                cc = np.bincount(codes, minlength=escape + 1).astype(np.int64)
+                vals = [(top + vm["ref"]).astype(np_dtype)]
+                cnts = [cc[: vm["n_dict"]]]
+                if vm["n_exc"]:
+                    exc = bitpack.unpack_uint(
+                        parts["exceptions"], vm["n_exc"], vm["w_exc"]
+                    ).astype(np.int64)
+                    euniq, ecnt = np.unique(
+                        (exc + vm["ref"]).astype(np_dtype), return_counts=True
+                    )
+                    vals.append(euniq)
+                    cnts.append(ecnt.astype(np.int64))
+                return (
+                    pa.array(np.concatenate(vals), type=pa_type),
+                    np.concatenate(cnts),
+                    n_null,
+                )
+        elif kind == "str":
+            sm = meta["str_meta"]
+            if sm["codec"] == "dict_str":
+                from xml2arrow_spark.codecs.strings import decode_plain_str
+
+                parts = split_sections(sm, vpayload)
+                dict_sd = decode_plain_str(sm["dict_meta"], parts["dict"])
+                idx = bitpack.unpack_uint(
+                    parts["indices"], sm["n"], sm["iwidth"]
+                ).astype(np.int64)
+                counts = np.bincount(idx, minlength=dict_sd.n).astype(np.int64)
+                return (
+                    strdata_to_arrow(dict_sd, large=meta.get("large", False)),
+                    counts,
+                    n_null,
+                )
+
+    # no codec shortcut: decode and count (same kernels, same result)
+    arr = decode_column(meta_json, payload)
+    n_null = arr.null_count
+    vc = pc.value_counts(arr.drop_null())
+    return vc.field("values"), vc.field("counts").to_numpy().astype(np.int64), n_null
+
+
 def match_decode_column(meta_json: str, payload: bytes, values, lo, hi):
     """Fused ``row_match_mask(decode_column(...))`` + selected
     materialization: returns ``None`` when NO row of the block matches the

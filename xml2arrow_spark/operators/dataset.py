@@ -37,6 +37,7 @@ from xml2arrow_spark.operators.encode import (
     _widen_block,
     decode_column,
     resolve_manifest_parquet,
+    value_counts_column,
     wide_pa_schema,
 )
 
@@ -907,6 +908,151 @@ def count_where(
         F.max("n_max").alias("n_max"),
     )
     return agg if agg_col is not None else agg.drop("n_sum", "n_min", "n_max")
+
+
+def group_count(
+    spark,
+    out_path: str,
+    column: str,
+    n_tasks: int | None = None,
+    local_bytes: int = 128 << 20,
+):
+    """Exact ``SELECT column, COUNT(*) GROUP BY column`` over a STORED
+    dataset, computed on the codec streams: per block,
+    :func:`~xml2arrow_spark.operators.blocks.value_counts_column` bincounts
+    the dict/pdict/dict_str code stream against its dictionary or folds RLE
+    run lengths — the group column's values are never materialized for
+    those codecs (other codecs decode and count; exactness is identical
+    either way and pinned per codec). Per-file partial tallies then
+    aggregate through one KB-scale shuffle keyed on the group value.
+
+    This is the everyday corpus-composition query ("rows per source /
+    language / shard") at 10^12 rows: the payload cost is one column's
+    code streams, the shuffle carries (distinct value, count) pairs per
+    file — not rows. Intended for group keys of low/moderate cardinality;
+    for planning-scale cardinality ESTIMATES use the KMV sketch
+    (pipeline/sketches.py), which never shuffles values at all.
+
+    SQL semantics: NULL is its own group (emitted with a NULL key). Float
+    group keys are refused up front — SQL groups NaNs together, IEEE
+    equality does not, so a float group-by cannot be reproduced portably.
+
+    Scale-adaptive like :func:`count_where`: a blocks tree at most
+    ``local_bytes`` answers driver-side with pyarrow (a cluster job costs
+    more than the scan); larger trees fan the identical per-file routine
+    out via mapInArrow. ``local_bytes=0`` forces the distributed path.
+    Both paths pinned equal in tests/test_dataset.py.
+
+    Returns a DataFrame ``(column, cnt)`` with the column's original type.
+    """
+    import yaml
+
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.encode import split_schema_ddl
+    from xml2arrow_spark.sources.files import parquet_file_infos, plan_parquet_tasks
+
+    with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
+        side = yaml.safe_load(f.read())
+    by_name = split_schema_ddl(side["schema_ddl"])
+    if column not in by_name:
+        raise ValueError(
+            f"dataset lacks encoded column {column!r}; it has {sorted(by_name)}"
+        )
+    col_type = by_name[column].split(None, 1)[1].lower()
+    if "float" in col_type or "double" in col_type or "array" in col_type:
+        raise ValueError(
+            f"group_count needs a scalar int/string/bool/decimal key, got "
+            f"{column} {col_type} (SQL groups NaNs together, IEEE equality "
+            f"does not — a float group-by is not portable)"
+        )
+    wide = side.get("layout", "nested") == "wide"
+    out_ddl = f"{by_name[column]}, cnt bigint"
+
+    def _file_counts(fpath, pq_mod):
+        """One file's (value -> count) dict; None key = the NULL group."""
+        tally: dict = {}
+        if wide:
+            tbl = pq_mod.read_table(
+                fpath, columns=[f"c_{column}__meta", f"c_{column}__data"]
+            )
+            metas = tbl.column(f"c_{column}__meta").combine_chunks()
+            datas = tbl.column(f"c_{column}__data").combine_chunks()
+            pairs = (
+                (metas[i].as_py(), datas[i].as_py()) for i in range(tbl.num_rows)
+            )
+        else:
+            tbl = pq_mod.read_table(fpath, columns=["cols"])
+            cols_col = tbl.column("cols").combine_chunks()
+
+            def _iter_nested():
+                for row in range(len(cols_col)):
+                    entries = cols_col[row].values
+                    names = entries.field("name").to_pylist()
+                    try:
+                        zi = names.index(column)
+                    except ValueError:
+                        raise ValueError(
+                            f"block lacks an entry for {column!r}; the "
+                            f"sidecar schema and the blocks files disagree"
+                        ) from None
+                    yield (
+                        entries.field("meta")[zi].as_py(),
+                        entries.field("data")[zi].as_py(),
+                    )
+
+            pairs = _iter_nested()
+        for meta_json, data in pairs:
+            vals, counts, n_null = value_counts_column(meta_json, data)
+            if n_null:
+                tally[None] = tally.get(None, 0) + n_null
+            for v, c in zip(vals.to_pylist(), counts.tolist()):
+                tally[v] = tally.get(v, 0) + c
+        return tally
+
+    infos = parquet_file_infos(os.path.join(out_path, "blocks"))
+    if sum(s for _p, s in infos) <= local_bytes:
+        import pyarrow.parquet as pq_local
+
+        total: dict = {}
+        for fp, _s in infos:
+            for v, c in _file_counts(fp, pq_local).items():
+                total[v] = total.get(v, 0) + c
+        return spark.createDataFrame(
+            [(v, c) for v, c in total.items()], schema=out_ddl
+        )
+
+    # resolved DRIVER-side: DDL parsing needs an active SparkContext,
+    # which executor-side Python workers do not have; pa.Schema pickles
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    out_schema = to_arrow_schema(StructType.fromDDL(out_ddl))
+
+    def count_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        from xml2arrow_spark.env import limit_arrow_threads
+
+        limit_arrow_threads(1)
+        for b in batches:
+            path_lists = b.column(b.schema.get_field_index("path")).to_pylist()
+            for fpath in (p for paths in path_lists for p in paths):
+                tally = _file_counts(fpath, pq)
+                if not tally:
+                    continue
+                items = list(tally.items())
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([v for v, _c in items], type=out_schema.field(0).type),
+                        pa.array([c for _v, c in items], type=pa.int64()),
+                    ],
+                    names=[column, "cnt"],
+                )
+
+    tasks = plan_parquet_tasks(spark, os.path.join(out_path, "blocks"), n_tasks)
+    per_file = tasks.mapInArrow(count_files, out_ddl)
+    return per_file.groupBy(column).agg(F.sum("cnt").alias("cnt"))
 
 
 def compact_dataset(

@@ -32,6 +32,7 @@ from xml2arrow_spark.operators.blocks import (
     match_decode_column,
     match_mask_column,
     row_match_mask,
+    value_counts_column,
 )
 
 __all__ = [

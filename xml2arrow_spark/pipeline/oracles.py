@@ -1097,6 +1097,20 @@ def dataset_column_stats_sql() -> str:
             f"{s} AS sum_i FROM lineitem WHERE {cond}"
         )
 
+    def group_row(prefix, col):
+        # the group_count legs: the oracle re-groups the raw table; a
+        # miscounted dictionary slot, a dropped RLE run, or a lost NULL
+        # group all hash-mismatch
+        return (
+            f"SELECT '{prefix}' || COALESCE(CAST({col} AS VARCHAR), '<null>') "
+            f"AS column, CAST(-1 AS BIGINT) AS vmin_i, "
+            f"CAST(-1 AS BIGINT) AS vmax_i, -1.0 AS vmin_d, -1.0 AS vmax_d, "
+            f"CAST(0 AS BIGINT) AS n_unstated, "
+            f"CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(-1 AS BIGINT) AS n_nonnull, "
+            f"CAST(-1 AS BIGINT) AS sum_i FROM lineitem GROUP BY {col}"
+        )
+
     return "\nUNION ALL\n".join(
         [
             row("l_orderkey", True),
@@ -1119,6 +1133,8 @@ def dataset_column_stats_sql() -> str:
                 "l_orderkey >= 9000",
                 agg_expr="l_orderkey",
             ),
+            group_row("group:flag=", "l_returnflag"),
+            group_row("group:line=", "l_linenumber"),
         ]
     )
 
