@@ -529,7 +529,14 @@ def q_dataset_column_stats(spark, sf_dir):
     counts tallied on the codec streams (dict_str code-stream bincount for
     the string key, int code streams for l_linenumber) through the
     DISTRIBUTED mapInArrow path; the oracle re-groups the raw table, so a
-    miscounted dictionary slot or a lost NULL group hash-mismatches."""
+    miscounted dictionary slot or a lost NULL group hash-mismatches.
+
+    The ``gsum:`` legs gate :func:`group_sum` (r05) — grouped COUNT +
+    exact SUM pushdown where key codes come from the codec streams and the
+    agg column (l_orderkey) decodes once per block into a hi/lo-split
+    python-int fold; the oracle re-aggregates the raw table, so a wrong
+    per-group sum, a dropped NULL-agg row, or a miscounted group all
+    hash-mismatch."""
     import os
 
     from xml2arrow_spark.operators.dataset import (
@@ -537,6 +544,7 @@ def q_dataset_column_stats(spark, sf_dir):
         dataset_column_stats,
         encode_parquet_dataset,
         group_count,
+        group_sum,
     )
 
     base = _scratch("stats_")
@@ -588,6 +596,23 @@ def q_dataset_column_stats(spark, sf_dir):
             ).alias("sum_i"),
         )
 
+    def gsum_leg(prefix, key, agg):
+        gs = group_sum(spark, out, key, agg, local_bytes=0)
+        return gs.select(
+            F.concat(
+                F.lit(prefix),
+                F.coalesce(F.col(key).cast("string"), F.lit("<null>")),
+            ).alias("column"),
+            F.lit(-1).cast("long").alias("vmin_i"),
+            F.lit(-1).cast("long").alias("vmax_i"),
+            F.lit(-1.0).alias("vmin_d"),
+            F.lit(-1.0).alias("vmax_d"),
+            F.lit(0).cast("long").alias("n_unstated"),
+            F.col("cnt").cast("long").alias("n_rows"),
+            F.col("n_nonnull").cast("long").alias("n_nonnull"),
+            F.coalesce(F.col("sum_a"), F.lit(-1)).cast("long").alias("sum_i"),
+        )
+
     def group_leg(prefix, column):
         gc = group_count(spark, out, column, local_bytes=0)
         return gc.select(
@@ -624,6 +649,13 @@ def q_dataset_column_stats(spark, sf_dir):
     ).unionByName(
         # ...and the int code-stream path (dict/rle/pdict per block)
         group_leg("group:line=", "l_linenumber")
+    ).unionByName(
+        # grouped SUM pushdown (r05): key codes from the dict_str stream,
+        # l_orderkey decodes once per block, exact hi/lo-split fold
+        gsum_leg("gsum:flag=", "l_returnflag", "l_orderkey")
+    ).unionByName(
+        # ...and per-row int key codes (dict/rle per block)
+        gsum_leg("gsum:line=", "l_linenumber", "l_orderkey")
     )
 
 

@@ -660,6 +660,36 @@ def main() -> None:
             / queries["q19g_group_count_codec"],
             2,
         )
+
+        # q19i/q19j: grouped SUM pushdown (key codes from the codec
+        # streams, agg column decoded once per block, exact hi/lo fold)
+        # vs the fair column-pruned decode + Spark groupBy.agg baseline.
+        from xml2arrow_spark.operators.dataset import group_sum
+
+        best_of(
+            "q19i_group_sum_codec",
+            lambda: group_sum(
+                spark, cw_ds, "l_returnflag", "l_orderkey"
+            ).collect(),
+        )
+        best_of(
+            "q19j_group_sum_via_decode",
+            lambda: decode_dataset(
+                spark, cw_ds, columns=["l_returnflag", "l_orderkey"]
+            )
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.count("l_orderkey").alias("n_nonnull"),
+                F.sum("l_orderkey").alias("sum_a"),
+            )
+            .collect(),
+        )
+        extra["group_sum_speedup"] = round(
+            queries["q19j_group_sum_via_decode"]
+            / queries["q19i_group_sum_codec"],
+            2,
+        )
     finally:
         shutil.rmtree(cw_dir, ignore_errors=True)
 

@@ -515,3 +515,69 @@ def test_group_count_equals_decode_groupby(spark, ds):
         for r in group_count(spark, ds, "longtag", local_bytes=0).collect()
     }
     assert got == truth
+
+
+# ---- group_sum: exact grouped COUNT + SUM on the codec streams -------------
+
+
+def test_group_sum_matches_decode_groupby(spark, ds):
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.dataset import group_sum
+
+    truth = {
+        (r["tag"], r["cnt"], r["nn"], r["s"])
+        for r in decode_dataset(spark, ds, columns=["tag", "qty"])
+        .groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count("qty").alias("nn"),
+            F.sum("qty").alias("s"),
+        )
+        .collect()
+    }
+    for lb in (128 << 20, 0):  # driver-local and distributed dispatch
+        got = {
+            (r["tag"], r["cnt"], r["n_nonnull"], r["sum_a"])
+            for r in group_sum(spark, ds, "tag", "qty", local_bytes=lb).collect()
+        }
+        assert got == truth
+
+
+def test_group_sum_null_key_group(spark, ds):
+    """qty is NULL every 10th row: the NULL group must carry SQL COUNT(*)
+    semantics, summing id over those rows."""
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.dataset import group_sum
+
+    truth = {
+        (r["qty"], r["cnt"], r["nn"], r["s"])
+        for r in decode_dataset(spark, ds, columns=["qty", "id"])
+        .groupBy("qty")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count("id").alias("nn"),
+            F.sum("id").alias("s"),
+        )
+        .collect()
+    }
+    got = {
+        (r["qty"], r["cnt"], r["n_nonnull"], r["sum_a"])
+        for r in group_sum(spark, ds, "qty", "id", local_bytes=0).collect()
+    }
+    assert got == truth
+    assert any(k is None for k, *_ in got)
+
+
+def test_group_sum_refusals(spark, ds):
+    from xml2arrow_spark.operators.dataset import group_sum
+
+    with pytest.raises(ValueError, match="not portable"):
+        group_sum(spark, ds, "val", "id")  # float key
+    with pytest.raises(ValueError, match="integer agg"):
+        group_sum(spark, ds, "tag", "val")  # float agg
+    with pytest.raises(ValueError, match="integer agg"):
+        group_sum(spark, ds, "tag", "longtag")  # string agg
+    with pytest.raises(ValueError, match="lacks encoded column"):
+        group_sum(spark, ds, "nope", "id")

@@ -272,3 +272,114 @@ def test_value_counts_pdict_extremes():
     arr = pa.array(vals, type=pa.int64())
     _, meta, data = encode_column(arr, "pdict")
     _assert_counts_equiv(meta, data)
+
+
+# ---- group_sum_column (codec-aware grouped COUNT + SUM) ---------------------
+
+from xml2arrow_spark.operators.blocks import group_sum_column  # noqa: E402
+
+
+def _assert_group_sum_equiv(key_meta, key_data, agg_meta, agg_data):
+    """group_sum_column must equal a decode + python groupby — the kernel
+    can only skip materialization, never change results."""
+    karr = decode_column(key_meta, key_data)
+    aarr = decode_column(agg_meta, agg_data)
+    truth: dict = {}
+    for k, a in zip(karr.to_pylist(), aarr.to_pylist()):
+        c, nn, s = truth.get(k, (0, 0, 0))
+        truth[k] = (c + 1, nn + (a is not None), s + (a or 0))
+    got = {k: tuple(t) for k, t in group_sum_column(
+        key_meta, key_data, agg_meta, agg_data).items()}
+    assert got == truth
+
+
+AGG_ARRAYS = {
+    "dense": pa.array(np.arange(100, dtype=np.int64) * 3 - 50),
+    "nullish": pa.array(
+        [None if i % 5 == 0 else i * 7 - 200 for i in range(100)],
+        type=pa.int64(),
+    ),
+    "extremes": pa.array(
+        [np.iinfo(np.int64).min // 100, np.iinfo(np.int64).max // 100, 0, -1]
+        * 25,
+        type=pa.int64(),
+    ),
+    "all_null": pa.array([None] * 100, type=pa.int64()),
+    "narrow": pa.array((np.arange(100) % 17).astype(np.int16)),
+}
+
+
+@pytest.mark.parametrize("kcodec", ["plain", "dict", "rle", "pdict",
+                                    "dict+zstd", "delta"])
+@pytest.mark.parametrize("agg_name", sorted(AGG_ARRAYS))
+def test_group_sum_int_key_equivalence(kcodec, agg_name):
+    keys = pa.array(
+        [None if i % 11 == 0 else (i % 4) * 10 for i in range(100)],
+        type=pa.int64(),
+    )
+    if kcodec in ("rle", "delta"):  # runnier / monotonic-friendly key
+        keys = pa.array(
+            np.repeat([3, -8, 3], [40, 35, 25]).astype(np.int64)
+        )
+    try:
+        _, km, kd = encode_column(keys, kcodec)
+    except Exception:
+        pytest.skip(f"{kcodec} rejects this key shape")
+    _, am, ad = encode_column(AGG_ARRAYS[agg_name], "auto")
+    _assert_group_sum_equiv(km, kd, am, ad)
+
+
+@pytest.mark.parametrize("kcodec", ["plain_str", "dict_str", "fsst",
+                                    "dict_str+zstd"])
+def test_group_sum_str_key_equivalence(kcodec):
+    keys = pa.array((["src_a", "src_b", None, "", "src_a"] * 20)[:100])
+    _, km, kd = encode_column(keys, kcodec)
+    for agg_name in sorted(AGG_ARRAYS):
+        _, am, ad = encode_column(AGG_ARRAYS[agg_name], "auto")
+        _assert_group_sum_equiv(km, kd, am, ad)
+
+
+def test_group_sum_refusals():
+    from xml2arrow_spark.errors import EncodeTypeError
+
+    _, km, kd = encode_column(pa.array([1, 2] * 50, type=pa.int64()), "auto")
+    _, fm, fd = encode_column(pa.array([1.5] * 100, type=pa.float64()), "auto")
+    with pytest.raises(EncodeTypeError, match="integer agg"):
+        group_sum_column(km, kd, fm, fd)
+    with pytest.raises(EncodeTypeError, match="NaN|float"):
+        group_sum_column(fm, fd, km, kd)  # float key refused
+    _, lm, ld = encode_column(
+        pa.array([[1]] * 100, type=pa.list_(pa.int32())), "auto"
+    )
+    with pytest.raises(EncodeTypeError, match="scalar"):
+        group_sum_column(lm, ld, km, kd)
+
+
+def test_group_sum_row_count_mismatch_refused():
+    from xml2arrow_spark.errors import BlockCorruptionError
+
+    _, km, kd = encode_column(pa.array([1, 2] * 50, type=pa.int64()), "auto")
+    _, am, ad = encode_column(pa.array([7] * 99, type=pa.int64()), "auto")
+    with pytest.raises(BlockCorruptionError, match="row count"):
+        group_sum_column(km, kd, am, ad)
+
+
+def test_group_sum_key_never_decodes_dict_rle(monkeypatch):
+    """dict/rle/dict_str KEY streams must group without decode_column ever
+    running on the key block (the agg block decodes exactly once each)."""
+    agg = pa.array(np.arange(100, dtype=np.int64))
+    _, am, ad = encode_column(agg, "plain")
+    decoded_metas = []
+    orig = blocks.decode_column
+    monkeypatch.setattr(
+        blocks, "decode_column",
+        lambda m, d: decoded_metas.append(m) or orig(m, d),
+    )
+    for keys, codec in [
+        (pa.array([5, -3, 5, None] * 25, type=pa.int64()), "dict"),
+        (pa.array(np.repeat([7, 9], [40, 60]).astype(np.int64)), "rle"),
+        (pa.array((["x", "yy", None, "x"] * 25)[:100]), "dict_str+zstd"),
+    ]:
+        _, km, kd = encode_column(keys, codec)
+        group_sum_column(km, kd, am, ad)
+    assert decoded_metas == [am] * 3

@@ -628,6 +628,186 @@ def value_counts_column(meta_json: str, payload: bytes):
     return vc.field("values"), vc.field("counts").to_numpy().astype(np.int64), n_null
 
 
+def group_codes_column(meta_json: str, payload: bytes):
+    """Per-row GROUP codes for one encoded column: returns ``(dictionary,
+    codes)`` where ``dictionary`` is a pyarrow array of candidate key
+    values (it MAY contain duplicates — RLE run values are not uniqued;
+    callers fold tallies by value) and ``codes`` an int64 numpy array of
+    length n_rows mapping EVERY row to a dictionary slot, with
+    ``len(dictionary)`` as the dedicated NULL-group slot.
+
+    Codec-aware: ``dict``/``dict_str`` lift the code stream directly and
+    ``rle`` repeats run indices — the key values never materialize per row
+    (operating on compressed data, Abadi et al., SIGMOD 2006); every other
+    codec decodes and dictionary-encodes, which yields the identical
+    grouping. Float and list kinds are refused with the same portability
+    rule as :func:`value_counts_column` (SQL groups NaNs together, IEEE
+    equality does not).
+    """
+    import pyarrow.compute as pc
+
+    meta = json.loads(meta_json)
+    _verify_block_header(meta, payload)
+    if meta["kind"] == "general":
+        raw = pa.Codec(meta["g"]).decompress(
+            payload, decompressed_size=meta["raw_len"], asbytes=True
+        )
+        return group_codes_column(meta["inner"], raw)
+    kind = meta["kind"]
+    if kind in ("float", "list_float"):
+        raise EncodeTypeError(
+            "group-by over float columns is refused: SQL groups NaNs "
+            "together but IEEE equality does not, so the result would be "
+            "engine-defined; group on an integer/string column"
+        )
+    if kind == "list_int":
+        raise EncodeTypeError(
+            "group-by needs a scalar key column, got a list column"
+        )
+
+    def _expand(dictionary, nonnull_codes, vmask, n):
+        if vmask is None:
+            return dictionary, nonnull_codes
+        codes = np.full(n, len(dictionary), dtype=np.int64)
+        codes[vmask] = nonnull_codes
+        return dictionary, codes
+
+    if kind in ("int", "str"):
+        from xml2arrow_spark.codecs import bitpack
+        from xml2arrow_spark.codecs.base import INT_DTYPES, split_sections
+
+        vmask, vpayload = _unpack_validity(meta, payload)
+        if kind == "int":
+            vm = meta["values_meta"]
+            pa_type = _PA_INT[meta["dtype"]]
+            if vm["codec"] == "dict":
+                from xml2arrow_spark.codecs.integers import _for_unpack
+
+                np_dtype = INT_DTYPES[vm["dtype"]]
+                parts = split_sections(vm, vpayload)
+                uniq = _for_unpack(parts["dict"], vm["card"], vm["uref"], vm["uwidth"])
+                idx = bitpack.unpack_uint(
+                    parts["indices"], vm["n"], vm["iwidth"]
+                ).astype(np.int64)
+                return _expand(
+                    pa.array(uniq.astype(np_dtype), type=pa_type),
+                    idx, vmask, meta["n"],
+                )
+            if vm["codec"] == "rle":
+                from xml2arrow_spark.codecs.integers import _for_unpack
+
+                np_dtype = INT_DTYPES[vm["dtype"]]
+                parts = split_sections(vm, vpayload)
+                k = vm["n_runs"]
+                run_values = _for_unpack(
+                    parts["run_values"], k, vm["vref"], vm["vwidth"]
+                )
+                run_lengths = _for_unpack(
+                    parts["run_lengths"], k, vm["lref"], vm["lwidth"]
+                )
+                idx = np.repeat(np.arange(k, dtype=np.int64), run_lengths)
+                return _expand(
+                    pa.array(run_values.astype(np_dtype), type=pa_type),
+                    idx, vmask, meta["n"],
+                )
+        elif kind == "str":
+            sm = meta["str_meta"]
+            if sm["codec"] == "dict_str":
+                from xml2arrow_spark.codecs.strings import decode_plain_str
+
+                parts = split_sections(sm, vpayload)
+                dict_sd = decode_plain_str(sm["dict_meta"], parts["dict"])
+                idx = bitpack.unpack_uint(
+                    parts["indices"], sm["n"], sm["iwidth"]
+                ).astype(np.int64)
+                return _expand(
+                    strdata_to_arrow(dict_sd, large=meta.get("large", False)),
+                    idx, vmask, meta["n"],
+                )
+
+    # no codec shortcut: decode and dictionary-encode (same grouping)
+    arr = decode_column(meta_json, payload)
+    darr = pc.dictionary_encode(arr)
+    dictionary = darr.dictionary
+    codes = (
+        darr.indices.fill_null(len(dictionary))
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    return dictionary, codes
+
+
+def group_sum_column(key_meta: str, key_data: bytes, agg_meta: str, agg_data: bytes):
+    """Exact per-block grouped COUNT + SUM for one (key, agg) column pair:
+    returns ``{key_value_or_None: [cnt, n_nonnull, sum]}`` over the block's
+    rows, where ``cnt`` counts every row of the group (SQL ``COUNT(*)``),
+    ``n_nonnull`` the rows whose agg value is non-NULL, and ``sum`` the
+    exact python-int sum of those values (0 when n_nonnull is 0; the
+    CALLER maps that to SQL's NULL — python ints so a block of int64
+    extremes can never silently wrap). ``None`` keys are the NULL group.
+
+    The key side rides :func:`group_codes_column` (dict/rle/dict_str code
+    streams, no key materialization); the agg side decodes ONCE and folds
+    per group through an exact hi/lo 32-bit split: both int64 accumulators
+    stay within ±2^48·n_rows — provably unwrappable for any block — and
+    the halves recombine as python ints. Integer agg columns only; float
+    sums are order-dependent (never exact, matching count_where's rule)
+    and refused.
+    """
+    dictionary, codes = group_codes_column(key_meta, key_data)
+    arr = decode_column(agg_meta, agg_data)
+    if not pa.types.is_integer(arr.type):
+        raise EncodeTypeError(
+            f"SUM pushdown needs an integer agg column, got {arr.type}: "
+            "float folds are order-dependent and a metadata/kernel sum "
+            "never approximates (same rule as count_where)"
+        )
+    if len(arr) != codes.size:
+        raise BlockCorruptionError(
+            f"key and agg blocks disagree on row count "
+            f"({codes.size} vs {len(arr)})"
+        )
+    K = len(dictionary)
+    cnt = np.bincount(codes, minlength=K + 1).astype(np.int64)
+    if arr.null_count:
+        valid = np.asarray(arr.is_valid())
+        v = arr.fill_null(0).to_numpy()[valid]
+        gcodes = codes[valid]
+    else:
+        v = arr.to_numpy()
+        gcodes = codes
+    nn = np.bincount(gcodes, minlength=K + 1).astype(np.int64)
+    # exact signed/unsigned split: v == (v >> 32) * 2^32 + (v & 0xFFFFFFFF)
+    # in two's complement; each half's per-group fold fits int64 for any
+    # block size (|hi| <= 2^32, lo < 2^32)
+    if v.dtype == np.uint64:
+        hi = (v >> np.uint64(32)).astype(np.int64)
+        lo = (v & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    else:
+        v64 = v.astype(np.int64)
+        hi = v64 >> 32
+        lo = v64 & 0xFFFFFFFF
+    hi_acc = np.zeros(K + 1, dtype=np.int64)
+    lo_acc = np.zeros(K + 1, dtype=np.int64)
+    np.add.at(hi_acc, gcodes, hi)
+    np.add.at(lo_acc, gcodes, lo)
+    out: dict = {}
+    keys = dictionary.to_pylist() + [None]
+    for g, k in enumerate(keys):
+        c = int(cnt[g])
+        if not c:
+            continue  # unoccupied slot (the null slot of a null-free block)
+        s = (int(hi_acc[g]) << 32) + int(lo_acc[g])
+        prev = out.get(k)
+        if prev is None:
+            out[k] = [c, int(nn[g]), s]
+        else:  # duplicate dictionary slots (RLE run values) fold by value
+            prev[0] += c
+            prev[1] += int(nn[g])
+            prev[2] += s
+    return out
+
+
 def match_decode_column(meta_json: str, payload: bytes, values, lo, hi):
     """Fused ``row_match_mask(decode_column(...))`` + selected
     materialization: returns ``None`` when NO row of the block matches the

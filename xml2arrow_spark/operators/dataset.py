@@ -48,6 +48,8 @@ __all__ = [
     "dataset_metrics",
     "dataset_column_stats",
     "count_where",
+    "group_count",
+    "group_sum",
     "METADATA_DDL",
 ]
 
@@ -1053,6 +1055,206 @@ def group_count(
     tasks = plan_parquet_tasks(spark, os.path.join(out_path, "blocks"), n_tasks)
     per_file = tasks.mapInArrow(count_files, out_ddl)
     return per_file.groupBy(column).agg(F.sum("cnt").alias("cnt"))
+
+
+def group_sum(
+    spark,
+    out_path: str,
+    key: str,
+    agg_col: str,
+    n_tasks: int | None = None,
+    local_bytes: int = 128 << 20,
+):
+    """Exact ``SELECT key, COUNT(*), COUNT(agg), SUM(agg) GROUP BY key``
+    over a STORED dataset, computed per block on the codec streams: the
+    key side rides :func:`~xml2arrow_spark.operators.blocks.group_codes_column`
+    (dict/rle/dict_str code streams — key values never materialize for
+    those codecs), the agg column decodes ONCE per block and folds per
+    group through an exact hi/lo 32-bit split (python-int recombination,
+    so a corpus of int64 extremes can never silently wrap — the same
+    no-silent-misreport contract as count_where's sum). Per-file partial
+    rows then aggregate through one KB-scale shuffle keyed on the group
+    value.
+
+    This is the corpus-accounting workhorse at 10^12 rows — "token total
+    per source / language / shard" — priced at two columns' payload
+    streams (one of which stays compressed for dict/rle keys) plus a
+    (distinct value, partials) shuffle, never a row shuffle.
+
+    SQL semantics throughout: NULL key is its own group; NULL agg values
+    are skipped by SUM and ``sum_a`` is NULL when a group has no non-null
+    agg value (``n_nonnull`` distinguishes the two zero cases). Float and
+    list keys are refused (NaN grouping is not portable — see
+    :func:`group_count`); float agg columns are refused (a float fold is
+    order-dependent, this engine's aggregates never approximate). A total
+    outside int64 REFUSES per task with ArithmeticError (ANSI-style;
+    Spark's ANSI sum covers the cross-task roll-up).
+
+    Scale-adaptive dispatch like :func:`count_where` / :func:`group_count`:
+    a blocks tree at most ``local_bytes`` answers driver-side with pyarrow;
+    ``local_bytes=0`` forces the distributed mapInArrow path. Both paths
+    pinned equal in tests/test_count_where.py.
+
+    Returns a DataFrame ``(key, cnt, n_nonnull, sum_a)`` with the key's
+    original type.
+    """
+    import yaml
+
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.encode import split_schema_ddl
+    from xml2arrow_spark.sources.files import parquet_file_infos, plan_parquet_tasks
+
+    with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
+        side = yaml.safe_load(f.read())
+    by_name = split_schema_ddl(side["schema_ddl"])
+    for col in (key, agg_col):
+        if col not in by_name:
+            raise ValueError(
+                f"dataset lacks encoded column {col!r}; it has {sorted(by_name)}"
+            )
+    key_type = by_name[key].split(None, 1)[1].lower()
+    if "float" in key_type or "double" in key_type or "array" in key_type:
+        raise ValueError(
+            f"group_sum needs a scalar int/string/bool/decimal key, got "
+            f"{key} {key_type} (SQL groups NaNs together, IEEE equality "
+            f"does not — a float group-by is not portable)"
+        )
+    agg_type = by_name[agg_col].split(None, 1)[1].strip().lower()
+    if agg_type not in _CW_INT_TYPES:
+        raise ValueError(
+            f"group_sum needs an integer agg column, got {agg_col} "
+            f"{agg_type}: float folds are order-dependent and these "
+            f"aggregates never approximate (count_where's rule)"
+        )
+    wide = side.get("layout", "nested") == "wide"
+    out_ddl = f"{by_name[key]}, cnt bigint, nn bigint, s bigint"
+
+    def _file_sums(fpath, pq_mod):
+        """One file's {value_or_None: [cnt, n_nonnull, sum_pyint]}."""
+        from xml2arrow_spark.operators.blocks import group_sum_column
+
+        tally: dict = {}
+        if wide:
+            cols = [
+                f"c_{key}__meta", f"c_{key}__data",
+                f"c_{agg_col}__meta", f"c_{agg_col}__data",
+            ]
+            tbl = pq_mod.read_table(fpath, columns=cols)
+            arrays = [tbl.column(c).combine_chunks() for c in cols]
+            quads = (
+                tuple(a[i].as_py() for a in arrays) for i in range(tbl.num_rows)
+            )
+        else:
+            tbl = pq_mod.read_table(fpath, columns=["cols"])
+            cols_col = tbl.column("cols").combine_chunks()
+
+            def _iter_nested():
+                for row in range(len(cols_col)):
+                    entries = cols_col[row].values
+                    names = entries.field("name").to_pylist()
+                    try:
+                        ki = names.index(key)
+                        ai = names.index(agg_col)
+                    except ValueError:
+                        raise ValueError(
+                            f"block lacks an entry for {key!r}/{agg_col!r}; "
+                            f"the sidecar schema and the blocks files disagree"
+                        ) from None
+                    yield (
+                        entries.field("meta")[ki].as_py(),
+                        entries.field("data")[ki].as_py(),
+                        entries.field("meta")[ai].as_py(),
+                        entries.field("data")[ai].as_py(),
+                    )
+
+            quads = _iter_nested()
+        for km, kd, am, ad in quads:
+            for v, (c, nng, s) in group_sum_column(km, kd, am, ad).items():
+                prev = tally.get(v)
+                if prev is None:
+                    tally[v] = [c, nng, s]
+                else:
+                    prev[0] += c
+                    prev[1] += nng
+                    prev[2] += s
+        for v, (_c, _nn, s) in tally.items():
+            if not (-(1 << 63) <= s < (1 << 63)):
+                raise ArithmeticError(
+                    f"group_sum total for key {v!r} is outside int64 "
+                    f"({s}); refusing rather than wrapping (ANSI contract)"
+                )
+        return tally
+
+    infos = parquet_file_infos(os.path.join(out_path, "blocks"))
+    if sum(s for _p, s in infos) <= local_bytes:
+        import pyarrow.parquet as pq_local
+
+        total: dict = {}
+        for fp, _s in infos:
+            for v, (c, nng, s) in _file_sums(fp, pq_local).items():
+                prev = total.get(v)
+                if prev is None:
+                    total[v] = [c, nng, s]
+                else:
+                    prev[0] += c
+                    prev[1] += nng
+                    prev[2] += s
+        rows = []
+        for v, (c, nng, s) in total.items():
+            if not (-(1 << 63) <= s < (1 << 63)):
+                raise ArithmeticError(
+                    f"group_sum total for key {v!r} is outside int64 "
+                    f"({s}); refusing rather than wrapping (ANSI contract)"
+                )
+            rows.append((v, c, nng, s if nng else None))
+        return spark.createDataFrame(
+            rows, schema=f"{by_name[key]}, cnt bigint, n_nonnull bigint, "
+            f"sum_a bigint"
+        )
+
+    # resolved DRIVER-side: DDL parsing needs an active SparkContext,
+    # which executor-side Python workers do not have; pa.Schema pickles
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    out_schema = to_arrow_schema(StructType.fromDDL(out_ddl))
+
+    def sum_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        from xml2arrow_spark.env import limit_arrow_threads
+
+        limit_arrow_threads(1)
+        for b in batches:
+            path_lists = b.column(b.schema.get_field_index("path")).to_pylist()
+            for fpath in (p for paths in path_lists for p in paths):
+                tally = _file_sums(fpath, pq)
+                if not tally:
+                    continue
+                items = list(tally.items())
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(
+                            [v for v, _t in items], type=out_schema.field(0).type
+                        ),
+                        pa.array([t[0] for _v, t in items], type=pa.int64()),
+                        pa.array([t[1] for _v, t in items], type=pa.int64()),
+                        # nn==0 partials carry sum 0 (never NULL) so the
+                        # roll-up's F.sum stays total-order deterministic;
+                        # the final when() restores SQL's NULL
+                        pa.array([t[2] for _v, t in items], type=pa.int64()),
+                    ],
+                    names=[key, "cnt", "nn", "s"],
+                )
+
+    tasks = plan_parquet_tasks(spark, os.path.join(out_path, "blocks"), n_tasks)
+    per_file = tasks.mapInArrow(sum_files, out_ddl)
+    return per_file.groupBy(key).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("nn").alias("n_nonnull"),
+        F.when(F.sum("nn") > 0, F.sum("s")).otherwise(F.lit(None)).alias("sum_a"),
+    )
 
 
 def compact_dataset(

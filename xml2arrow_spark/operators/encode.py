@@ -29,6 +29,7 @@ from xml2arrow_spark.manifest import CodecManifest
 from xml2arrow_spark.operators.blocks import (
     decode_column,
     encode_column,
+    group_sum_column,
     match_decode_column,
     match_mask_column,
     row_match_mask,

@@ -1111,6 +1111,22 @@ def dataset_column_stats_sql() -> str:
             f"CAST(-1 AS BIGINT) AS sum_i FROM lineitem GROUP BY {col}"
         )
 
+    def gsum_row(prefix, key, agg):
+        # the group_sum legs: grouped COUNT + exact SUM re-aggregated from
+        # the raw table (DuckDB SUM(BIGINT) is HUGEINT — cast back; the
+        # testdata totals fit int64, and the engine REFUSES when they
+        # don't, so a cast overflow here would itself flag the mismatch)
+        return (
+            f"SELECT '{prefix}' || COALESCE(CAST({key} AS VARCHAR), '<null>') "
+            f"AS column, CAST(-1 AS BIGINT) AS vmin_i, "
+            f"CAST(-1 AS BIGINT) AS vmax_i, -1.0 AS vmin_d, -1.0 AS vmax_d, "
+            f"CAST(0 AS BIGINT) AS n_unstated, "
+            f"CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count({agg}) AS BIGINT) AS n_nonnull, "
+            f"CAST(COALESCE(SUM({agg}), -1) AS BIGINT) AS sum_i "
+            f"FROM lineitem GROUP BY {key}"
+        )
+
     return "\nUNION ALL\n".join(
         [
             row("l_orderkey", True),
@@ -1135,6 +1151,8 @@ def dataset_column_stats_sql() -> str:
             ),
             group_row("group:flag=", "l_returnflag"),
             group_row("group:line=", "l_linenumber"),
+            gsum_row("gsum:flag=", "l_returnflag", "l_orderkey"),
+            gsum_row("gsum:line=", "l_linenumber", "l_orderkey"),
         ]
     )
 
