@@ -581,3 +581,72 @@ def test_group_sum_refusals(spark, ds):
         group_sum(spark, ds, "tag", "longtag")  # string agg
     with pytest.raises(ValueError, match="lacks encoded column"):
         group_sum(spark, ds, "nope", "id")
+
+
+@pytest.mark.parametrize("layout", ["nested", "wide"])
+def test_group_sum_metadata_path_never_decodes(spark, tmp_path, layout):
+    """Key-clustered dataset: every block is single-valued in the key, so
+    group_sum answers from zone metadata (n_rows, zsum_i) alone. Tampering
+    BOTH columns' payloads in one block (fatal to any decode via the block
+    CRC) must leave the answer exact while decode_dataset refuses."""
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.dataset import group_sum
+
+    src = str(tmp_path / f"src_{layout}")
+    out = str(tmp_path / f"ds_{layout}")
+    os.makedirs(src)
+    n = 900
+    srcs = ["web", "code", "books"]
+    tbl = pa.table(
+        {
+            "src": pa.array([srcs[i // 300] for i in range(n)]),
+            "tok": pa.array(
+                [None if i % 50 == 7 else (i * 13) % 1000 for i in range(n)],
+                type=pa.int64(),
+            ),
+        }
+    )
+    for i in range(3):
+        pq.write_table(tbl.slice(300 * i, 300), os.path.join(src, f"part-{i}.parquet"))
+    manifest = CodecManifest.auto_for(
+        from_arrow_schema(tbl.schema), block_rows=100
+    )
+    encode_parquet_dataset(spark, src, out, manifest=manifest, layout=layout)
+
+    truth = {}
+    for s, t in zip(tbl.column("src").to_pylist(), tbl.column("tok").to_pylist()):
+        c, nn, sm = truth.get(s, (0, 0, 0))
+        truth[s] = (c + 1, nn + (t is not None), sm + (t or 0))
+
+    # tamper one block's BOTH payloads in file u000001
+    bdir = os.path.join(out, "blocks")
+    fpath = os.path.join(bdir, "blocks-u000001.parquet")
+    t0 = pq.read_table(fpath)
+    rows = t0.to_pylist()
+    if layout == "nested":
+        for ci in range(len(rows[0]["cols"])):
+            payload = bytearray(rows[0]["cols"][ci]["data"])
+            if payload:
+                payload[len(payload) // 2] ^= 0x01
+                rows[0]["cols"][ci]["data"] = bytes(payload)
+    else:
+        for col in ("c_src__data", "c_tok__data"):
+            payload = bytearray(rows[0][col])
+            if payload:
+                payload[len(payload) // 2] ^= 0x01
+                rows[0][col] = bytes(payload)
+    pq.write_table(pa.Table.from_pylist(rows, schema=t0.schema), fpath)
+    crc = os.path.join(bdir, "." + os.path.basename(fpath) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    spark.catalog.refreshByPath(bdir)
+
+    for lb in (128 << 20, 0):  # both dispatch paths ride the claims
+        got = {
+            r["src"]: (r["cnt"], r["n_nonnull"], r["sum_a"])
+            for r in group_sum(spark, out, "src", "tok", local_bytes=lb).collect()
+        }
+        assert got == truth
+    with pytest.raises(Exception):
+        decode_dataset(spark, out).agg(F.count(F.lit(1))).collect()

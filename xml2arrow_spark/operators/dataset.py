@@ -1081,6 +1081,16 @@ def group_sum(
     streams (one of which stays compressed for dict/rle keys) plus a
     (distinct value, partials) shuffle, never a row shuffle.
 
+    On KEY-CLUSTERED data (``presort`` by the key) it degenerates further,
+    to a metadata scan: a block whose zone bounds PROVE the key
+    single-valued (null-free key, vmin == vmax — truncation-safe for
+    strings, see ``_claim``) and whose agg column carries its exact block
+    sum (``zsum_i``) plus a stated null count contributes
+    ``(key, n_rows, zsum)`` without touching payload bytes at all (wide
+    layout: without reading them off disk unless some block of the file
+    needs the kernel). Pinned the hard way in tests/test_count_where.py:
+    tampered payload + still-correct answer.
+
     SQL semantics throughout: NULL key is its own group; NULL agg values
     are skipped by SUM and ``sum_a`` is NULL when a group has no non-null
     agg value (``n_nonnull`` distinguishes the two zero cases). Float and
@@ -1129,55 +1139,144 @@ def group_sum(
         )
     wide = side.get("layout", "nested") == "wide"
     out_ddl = f"{by_name[key]}, cnt bigint, nn bigint, s bigint"
+    # key category for the metadata fast path: which zone-bound fields can
+    # prove the block single-valued (bool/decimal keys never claim — they
+    # carry no usable zone pair — and fall through to the kernel path)
+    key_cat = (
+        "i" if key_type in _CW_INT_TYPES
+        else "s" if key_type == "string"
+        else None
+    )
+    kz = ("vmin_i", "vmax_i") if key_cat == "i" else ("vmin_s", "vmax_s")
+
+    def _claim(kmin, kmax, k_nnull, zsum, a_nnull, br):
+        """One block's (key, cnt, n_nonnull, sum) from zone metadata
+        ALONE, or None when metadata cannot prove it — on key-clustered
+        data (presort) GROUP BY degenerates to a metadata scan.
+
+        Soundness: the claim needs the key provably SINGLE-VALUED over
+        every row — a stated key null count of 0 plus vmin == vmax. For
+        strings that equality is truncation-safe by construction: a
+        truncated lower bound is a strict prefix (< the true min ≤ max ≤
+        stored upper) and a truncated upper bound is bumped strictly
+        above the true max, so the two stored bounds can only be EQUAL
+        when neither was truncated and the true min equals the true max.
+        The agg side needs its exact block sum (zsum_i, None whenever
+        int64-exactness was not provable at encode) and a stated null
+        count (nn = rows - nulls; an all-null block claims sum 0 with
+        nn 0, which the caller maps to SQL's NULL)."""
+        if (
+            key_cat is None
+            or k_nnull != 0
+            or kmin is None
+            or kmax is None
+            or kmin != kmax
+            or zsum is None
+            or a_nnull is None
+        ):
+            return None
+        return (kmin, br, br - a_nnull, zsum)
+
+    def _merge(tally, v, c, nng, s):
+        prev = tally.get(v)
+        if prev is None:
+            tally[v] = [c, nng, s]
+        else:
+            prev[0] += c
+            prev[1] += nng
+            prev[2] += s
 
     def _file_sums(fpath, pq_mod):
-        """One file's {value_or_None: [cnt, n_nonnull, sum_pyint]}."""
+        """One file's {value_or_None: [cnt, n_nonnull, sum_pyint]}.
+        Metadata-claimable blocks never touch payload bytes (wide layout:
+        their payload columns are read only when SOME block of the file
+        needs the kernel); the rest run group_sum_column."""
         from xml2arrow_spark.operators.blocks import group_sum_column
 
         tally: dict = {}
         if wide:
-            cols = [
-                f"c_{key}__meta", f"c_{key}__data",
-                f"c_{agg_col}__meta", f"c_{agg_col}__data",
+            avail = set(pq_mod.read_schema(fpath).names)
+            want = [
+                "n_rows",
+                f"c_{key}__{kz[0]}", f"c_{key}__{kz[1]}",
+                f"c_{key}__n_null",
+                f"c_{agg_col}__zsum_i", f"c_{agg_col}__n_null",
             ]
-            tbl = pq_mod.read_table(fpath, columns=cols)
-            arrays = [tbl.column(c).combine_chunks() for c in cols]
-            quads = (
-                tuple(a[i].as_py() for a in arrays) for i in range(tbl.num_rows)
-            )
+            kernel_idx: list[int] = []
+            if set(want) <= avail:
+                st = pq_mod.read_table(fpath, columns=want)
+                rows_col = st.column("n_rows")
+                for i in range(st.num_rows):
+                    br = rows_col[i].as_py()
+                    if not br:
+                        continue
+                    claim = _claim(
+                        st.column(f"c_{key}__{kz[0]}")[i].as_py(),
+                        st.column(f"c_{key}__{kz[1]}")[i].as_py(),
+                        st.column(f"c_{key}__n_null")[i].as_py(),
+                        st.column(f"c_{agg_col}__zsum_i")[i].as_py(),
+                        st.column(f"c_{agg_col}__n_null")[i].as_py(),
+                        br,
+                    )
+                    if claim is not None:
+                        _merge(tally, *claim)
+                    else:
+                        kernel_idx.append(i)
+            else:  # stats columns absent (older blocks): all kernel
+                kernel_idx = list(range(pq_mod.read_metadata(fpath).num_rows))
+            if kernel_idx:
+                cols = [
+                    f"c_{key}__meta", f"c_{key}__data",
+                    f"c_{agg_col}__meta", f"c_{agg_col}__data",
+                ]
+                pay = pq_mod.read_table(fpath, columns=cols)
+                arrays = [pay.column(c).combine_chunks() for c in cols]
+                for i in kernel_idx:
+                    km, kd, am, ad = (a[i].as_py() for a in arrays)
+                    for v, t in group_sum_column(km, kd, am, ad).items():
+                        _merge(tally, v, *t)
         else:
-            tbl = pq_mod.read_table(fpath, columns=["cols"])
+            tbl = pq_mod.read_table(fpath, columns=["n_rows", "cols"])
             cols_col = tbl.column("cols").combine_chunks()
-
-            def _iter_nested():
-                for row in range(len(cols_col)):
-                    entries = cols_col[row].values
-                    names = entries.field("name").to_pylist()
-                    try:
-                        ki = names.index(key)
-                        ai = names.index(agg_col)
-                    except ValueError:
-                        raise ValueError(
-                            f"block lacks an entry for {key!r}/{agg_col!r}; "
-                            f"the sidecar schema and the blocks files disagree"
-                        ) from None
-                    yield (
+            rows_col = tbl.column("n_rows")
+            entry_fields = {
+                f.name for f in tbl.schema.field("cols").type.value_type
+            }
+            has_stats = {"n_null", "zsum_i", kz[0], kz[1]} <= entry_fields
+            for row in range(len(cols_col)):
+                entries = cols_col[row].values
+                names = entries.field("name").to_pylist()
+                try:
+                    ki = names.index(key)
+                    ai = names.index(agg_col)
+                except ValueError:
+                    raise ValueError(
+                        f"block lacks an entry for {key!r}/{agg_col!r}; "
+                        f"the sidecar schema and the blocks files disagree"
+                    ) from None
+                br = rows_col[row].as_py()
+                if not br:
+                    continue
+                claim = None
+                if has_stats:
+                    claim = _claim(
+                        entries.field(kz[0])[ki].as_py(),
+                        entries.field(kz[1])[ki].as_py(),
+                        entries.field("n_null")[ki].as_py(),
+                        entries.field("zsum_i")[ai].as_py(),
+                        entries.field("n_null")[ai].as_py(),
+                        br,
+                    )
+                if claim is not None:
+                    _merge(tally, *claim)
+                else:
+                    for v, t in group_sum_column(
                         entries.field("meta")[ki].as_py(),
                         entries.field("data")[ki].as_py(),
                         entries.field("meta")[ai].as_py(),
                         entries.field("data")[ai].as_py(),
-                    )
-
-            quads = _iter_nested()
-        for km, kd, am, ad in quads:
-            for v, (c, nng, s) in group_sum_column(km, kd, am, ad).items():
-                prev = tally.get(v)
-                if prev is None:
-                    tally[v] = [c, nng, s]
-                else:
-                    prev[0] += c
-                    prev[1] += nng
-                    prev[2] += s
+                    ).items():
+                        _merge(tally, v, *t)
         for v, (_c, _nn, s) in tally.items():
             if not (-(1 << 63) <= s < (1 << 63)):
                 raise ArithmeticError(
