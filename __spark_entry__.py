@@ -603,8 +603,9 @@ def q_dataset_column_stats(spark, sf_dir):
                 F.lit(prefix),
                 F.coalesce(F.col(key).cast("string"), F.lit("<null>")),
             ).alias("column"),
-            F.lit(-1).cast("long").alias("vmin_i"),
-            F.lit(-1).cast("long").alias("vmax_i"),
+            # per-group MIN/MAX pushdown rides the stats columns
+            F.coalesce(F.col("min_a"), F.lit(-1)).cast("long").alias("vmin_i"),
+            F.coalesce(F.col("max_a"), F.lit(-1)).cast("long").alias("vmax_i"),
             F.lit(-1.0).alias("vmin_d"),
             F.lit(-1.0).alias("vmax_d"),
             F.lit(0).cast("long").alias("n_unstated"),

@@ -526,19 +526,22 @@ def test_group_sum_matches_decode_groupby(spark, ds):
     from xml2arrow_spark.operators.dataset import group_sum
 
     truth = {
-        (r["tag"], r["cnt"], r["nn"], r["s"])
+        (r["tag"], r["cnt"], r["nn"], r["s"], r["mn"], r["mx"])
         for r in decode_dataset(spark, ds, columns=["tag", "qty"])
         .groupBy("tag")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.count("qty").alias("nn"),
             F.sum("qty").alias("s"),
+            F.min("qty").alias("mn"),
+            F.max("qty").alias("mx"),
         )
         .collect()
     }
     for lb in (128 << 20, 0):  # driver-local and distributed dispatch
         got = {
-            (r["tag"], r["cnt"], r["n_nonnull"], r["sum_a"])
+            (r["tag"], r["cnt"], r["n_nonnull"], r["sum_a"], r["min_a"],
+             r["max_a"])
             for r in group_sum(spark, ds, "tag", "qty", local_bytes=lb).collect()
         }
         assert got == truth
@@ -552,18 +555,21 @@ def test_group_sum_null_key_group(spark, ds):
     from xml2arrow_spark.operators.dataset import group_sum
 
     truth = {
-        (r["qty"], r["cnt"], r["nn"], r["s"])
+        (r["qty"], r["cnt"], r["nn"], r["s"], r["mn"], r["mx"])
         for r in decode_dataset(spark, ds, columns=["qty", "id"])
         .groupBy("qty")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.count("id").alias("nn"),
             F.sum("id").alias("s"),
+            F.min("id").alias("mn"),
+            F.max("id").alias("mx"),
         )
         .collect()
     }
     got = {
-        (r["qty"], r["cnt"], r["n_nonnull"], r["sum_a"])
+        (r["qty"], r["cnt"], r["n_nonnull"], r["sum_a"], r["min_a"],
+         r["max_a"])
         for r in group_sum(spark, ds, "qty", "id", local_bytes=0).collect()
     }
     assert got == truth
@@ -616,8 +622,11 @@ def test_group_sum_metadata_path_never_decodes(spark, tmp_path, layout):
 
     truth = {}
     for s, t in zip(tbl.column("src").to_pylist(), tbl.column("tok").to_pylist()):
-        c, nn, sm = truth.get(s, (0, 0, 0))
-        truth[s] = (c + 1, nn + (t is not None), sm + (t or 0))
+        c, nn, sm, mn, mx = truth.get(s, (0, 0, 0, None, None))
+        if t is not None:
+            mn = t if mn is None else min(mn, t)
+            mx = t if mx is None else max(mx, t)
+        truth[s] = (c + 1, nn + (t is not None), sm + (t or 0), mn, mx)
 
     # tamper one block's BOTH payloads in file u000001
     bdir = os.path.join(out, "blocks")
@@ -644,7 +653,8 @@ def test_group_sum_metadata_path_never_decodes(spark, tmp_path, layout):
 
     for lb in (128 << 20, 0):  # both dispatch paths ride the claims
         got = {
-            r["src"]: (r["cnt"], r["n_nonnull"], r["sum_a"])
+            r["src"]: (r["cnt"], r["n_nonnull"], r["sum_a"], r["min_a"],
+                       r["max_a"])
             for r in group_sum(spark, out, "src", "tok", local_bytes=lb).collect()
         }
         assert got == truth

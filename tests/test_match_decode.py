@@ -286,8 +286,11 @@ def _assert_group_sum_equiv(key_meta, key_data, agg_meta, agg_data):
     aarr = decode_column(agg_meta, agg_data)
     truth: dict = {}
     for k, a in zip(karr.to_pylist(), aarr.to_pylist()):
-        c, nn, s = truth.get(k, (0, 0, 0))
-        truth[k] = (c + 1, nn + (a is not None), s + (a or 0))
+        c, nn, s, mn, mx = truth.get(k, (0, 0, 0, None, None))
+        if a is not None:
+            mn = a if mn is None else min(mn, a)
+            mx = a if mx is None else max(mx, a)
+        truth[k] = (c + 1, nn + (a is not None), s + (a or 0), mn, mx)
     got = {k: tuple(t) for k, t in group_sum_column(
         key_meta, key_data, agg_meta, agg_data).items()}
     assert got == truth

@@ -738,13 +738,15 @@ def group_codes_column(meta_json: str, payload: bytes):
 
 
 def group_sum_column(key_meta: str, key_data: bytes, agg_meta: str, agg_data: bytes):
-    """Exact per-block grouped COUNT + SUM for one (key, agg) column pair:
-    returns ``{key_value_or_None: [cnt, n_nonnull, sum]}`` over the block's
-    rows, where ``cnt`` counts every row of the group (SQL ``COUNT(*)``),
-    ``n_nonnull`` the rows whose agg value is non-NULL, and ``sum`` the
-    exact python-int sum of those values (0 when n_nonnull is 0; the
-    CALLER maps that to SQL's NULL — python ints so a block of int64
-    extremes can never silently wrap). ``None`` keys are the NULL group.
+    """Exact per-block grouped COUNT/SUM/MIN/MAX for one (key, agg) column
+    pair: returns ``{key_value_or_None: [cnt, n_nonnull, sum, min, max]}``
+    over the block's rows, where ``cnt`` counts every row of the group
+    (SQL ``COUNT(*)``), ``n_nonnull`` the rows whose agg value is
+    non-NULL, ``sum`` the exact python-int sum of those values (0 when
+    n_nonnull is 0; the CALLER maps that to SQL's NULL — python ints so a
+    block of int64 extremes can never silently wrap), and ``min``/``max``
+    the group's extrema (None when n_nonnull is 0). ``None`` keys are the
+    NULL group.
 
     The key side rides :func:`group_codes_column` (dict/rle/dict_str code
     streams, no key materialization); the agg side decodes ONCE and folds
@@ -791,20 +793,33 @@ def group_sum_column(key_meta: str, key_data: bytes, agg_meta: str, agg_data: by
     lo_acc = np.zeros(K + 1, dtype=np.int64)
     np.add.at(hi_acc, gcodes, hi)
     np.add.at(lo_acc, gcodes, lo)
+    # extrema in the value's native dtype (no overflow possible); sentinel
+    # slots are masked off by nn==0 below
+    info = np.iinfo(v.dtype)
+    mn_acc = np.full(K + 1, info.max, dtype=v.dtype)
+    mx_acc = np.full(K + 1, info.min, dtype=v.dtype)
+    np.minimum.at(mn_acc, gcodes, v)
+    np.maximum.at(mx_acc, gcodes, v)
     out: dict = {}
     keys = dictionary.to_pylist() + [None]
     for g, k in enumerate(keys):
         c = int(cnt[g])
         if not c:
             continue  # unoccupied slot (the null slot of a null-free block)
+        nng = int(nn[g])
         s = (int(hi_acc[g]) << 32) + int(lo_acc[g])
+        mn = int(mn_acc[g]) if nng else None
+        mx = int(mx_acc[g]) if nng else None
         prev = out.get(k)
         if prev is None:
-            out[k] = [c, int(nn[g]), s]
+            out[k] = [c, nng, s, mn, mx]
         else:  # duplicate dictionary slots (RLE run values) fold by value
             prev[0] += c
-            prev[1] += int(nn[g])
+            prev[1] += nng
             prev[2] += s
+            if mn is not None:
+                prev[3] = mn if prev[3] is None else min(prev[3], mn)
+                prev[4] = mx if prev[4] is None else max(prev[4], mx)
     return out
 
 

@@ -1065,8 +1065,8 @@ def group_sum(
     n_tasks: int | None = None,
     local_bytes: int = 128 << 20,
 ):
-    """Exact ``SELECT key, COUNT(*), COUNT(agg), SUM(agg) GROUP BY key``
-    over a STORED dataset, computed per block on the codec streams: the
+    """Exact ``SELECT key, COUNT(*), COUNT(agg), SUM(agg), MIN(agg),
+    MAX(agg) GROUP BY key`` over a STORED dataset, computed per block on the codec streams: the
     key side rides :func:`~xml2arrow_spark.operators.blocks.group_codes_column`
     (dict/rle/dict_str code streams — key values never materialize for
     those codecs), the agg column decodes ONCE per block and folds per
@@ -1105,8 +1105,9 @@ def group_sum(
     ``local_bytes=0`` forces the distributed mapInArrow path. Both paths
     pinned equal in tests/test_count_where.py.
 
-    Returns a DataFrame ``(key, cnt, n_nonnull, sum_a)`` with the key's
-    original type.
+    Returns a DataFrame ``(key, cnt, n_nonnull, sum_a, min_a, max_a)``
+    with the key's original type; the three aggregates are NULL for a
+    group with no non-null agg value.
     """
     import yaml
 
@@ -1138,7 +1139,7 @@ def group_sum(
             f"aggregates never approximate (count_where's rule)"
         )
     wide = side.get("layout", "nested") == "wide"
-    out_ddl = f"{by_name[key]}, cnt bigint, nn bigint, s bigint"
+    out_ddl = f"{by_name[key]}, cnt bigint, nn bigint, s bigint, mn bigint, mx bigint"
     # key category for the metadata fast path: which zone-bound fields can
     # prove the block single-valued (bool/decimal keys never claim — they
     # carry no usable zone pair — and fall through to the kernel path)
@@ -1149,7 +1150,7 @@ def group_sum(
     )
     kz = ("vmin_i", "vmax_i") if key_cat == "i" else ("vmin_s", "vmax_s")
 
-    def _claim(kmin, kmax, k_nnull, zsum, a_nnull, br):
+    def _claim(kmin, kmax, k_nnull, zsum, a_nnull, amin, amax, br):
         """One block's (key, cnt, n_nonnull, sum) from zone metadata
         ALONE, or None when metadata cannot prove it — on key-clustered
         data (presort) GROUP BY degenerates to a metadata scan.
@@ -1164,7 +1165,9 @@ def group_sum(
         The agg side needs its exact block sum (zsum_i, None whenever
         int64-exactness was not provable at encode) and a stated null
         count (nn = rows - nulls; an all-null block claims sum 0 with
-        nn 0, which the caller maps to SQL's NULL)."""
+        nn 0, which the caller maps to SQL's NULL); its zone extrema ARE
+        the group's min/max, because with a single-valued null-free key
+        every non-null agg row belongs to the one group."""
         if (
             key_cat is None
             or k_nnull != 0
@@ -1175,16 +1178,22 @@ def group_sum(
             or a_nnull is None
         ):
             return None
-        return (kmin, br, br - a_nnull, zsum)
+        nng = br - a_nnull
+        if nng and (amin is None or amax is None):
+            return None  # extrema unstated: downgrade to the kernel
+        return (kmin, br, nng, zsum, amin if nng else None, amax if nng else None)
 
-    def _merge(tally, v, c, nng, s):
+    def _merge(tally, v, c, nng, s, mn, mx):
         prev = tally.get(v)
         if prev is None:
-            tally[v] = [c, nng, s]
+            tally[v] = [c, nng, s, mn, mx]
         else:
             prev[0] += c
             prev[1] += nng
             prev[2] += s
+            if mn is not None:
+                prev[3] = mn if prev[3] is None else min(prev[3], mn)
+                prev[4] = mx if prev[4] is None else max(prev[4], mx)
 
     def _file_sums(fpath, pq_mod):
         """One file's {value_or_None: [cnt, n_nonnull, sum_pyint]}.
@@ -1201,6 +1210,7 @@ def group_sum(
                 f"c_{key}__{kz[0]}", f"c_{key}__{kz[1]}",
                 f"c_{key}__n_null",
                 f"c_{agg_col}__zsum_i", f"c_{agg_col}__n_null",
+                f"c_{agg_col}__vmin_i", f"c_{agg_col}__vmax_i",
             ]
             kernel_idx: list[int] = []
             if set(want) <= avail:
@@ -1216,6 +1226,8 @@ def group_sum(
                         st.column(f"c_{key}__n_null")[i].as_py(),
                         st.column(f"c_{agg_col}__zsum_i")[i].as_py(),
                         st.column(f"c_{agg_col}__n_null")[i].as_py(),
+                        st.column(f"c_{agg_col}__vmin_i")[i].as_py(),
+                        st.column(f"c_{agg_col}__vmax_i")[i].as_py(),
                         br,
                     )
                     if claim is not None:
@@ -1242,7 +1254,9 @@ def group_sum(
             entry_fields = {
                 f.name for f in tbl.schema.field("cols").type.value_type
             }
-            has_stats = {"n_null", "zsum_i", kz[0], kz[1]} <= entry_fields
+            has_stats = {
+                "n_null", "zsum_i", "vmin_i", "vmax_i", kz[0], kz[1]
+            } <= entry_fields
             for row in range(len(cols_col)):
                 entries = cols_col[row].values
                 names = entries.field("name").to_pylist()
@@ -1265,6 +1279,8 @@ def group_sum(
                         entries.field("n_null")[ki].as_py(),
                         entries.field("zsum_i")[ai].as_py(),
                         entries.field("n_null")[ai].as_py(),
+                        entries.field("vmin_i")[ai].as_py(),
+                        entries.field("vmax_i")[ai].as_py(),
                         br,
                     )
                 if claim is not None:
@@ -1277,7 +1293,7 @@ def group_sum(
                         entries.field("data")[ai].as_py(),
                     ).items():
                         _merge(tally, v, *t)
-        for v, (_c, _nn, s) in tally.items():
+        for v, (_c, _nn, s, _mn, _mx) in tally.items():
             if not (-(1 << 63) <= s < (1 << 63)):
                 raise ArithmeticError(
                     f"group_sum total for key {v!r} is outside int64 "
@@ -1291,25 +1307,19 @@ def group_sum(
 
         total: dict = {}
         for fp, _s in infos:
-            for v, (c, nng, s) in _file_sums(fp, pq_local).items():
-                prev = total.get(v)
-                if prev is None:
-                    total[v] = [c, nng, s]
-                else:
-                    prev[0] += c
-                    prev[1] += nng
-                    prev[2] += s
+            for v, t in _file_sums(fp, pq_local).items():
+                _merge(total, v, *t)
         rows = []
-        for v, (c, nng, s) in total.items():
+        for v, (c, nng, s, mn, mx) in total.items():
             if not (-(1 << 63) <= s < (1 << 63)):
                 raise ArithmeticError(
                     f"group_sum total for key {v!r} is outside int64 "
                     f"({s}); refusing rather than wrapping (ANSI contract)"
                 )
-            rows.append((v, c, nng, s if nng else None))
+            rows.append((v, c, nng, s if nng else None, mn, mx))
         return spark.createDataFrame(
             rows, schema=f"{by_name[key]}, cnt bigint, n_nonnull bigint, "
-            f"sum_a bigint"
+            f"sum_a bigint, min_a bigint, max_a bigint"
         )
 
     # resolved DRIVER-side: DDL parsing needs an active SparkContext,
@@ -1341,10 +1351,13 @@ def group_sum(
                         pa.array([t[1] for _v, t in items], type=pa.int64()),
                         # nn==0 partials carry sum 0 (never NULL) so the
                         # roll-up's F.sum stays total-order deterministic;
-                        # the final when() restores SQL's NULL
+                        # the final when() restores SQL's NULL (min/max
+                        # partials carry NULL — F.min/F.max skip them)
                         pa.array([t[2] for _v, t in items], type=pa.int64()),
+                        pa.array([t[3] for _v, t in items], type=pa.int64()),
+                        pa.array([t[4] for _v, t in items], type=pa.int64()),
                     ],
-                    names=[key, "cnt", "nn", "s"],
+                    names=[key, "cnt", "nn", "s", "mn", "mx"],
                 )
 
     tasks = plan_parquet_tasks(spark, os.path.join(out_path, "blocks"), n_tasks)
@@ -1353,6 +1366,8 @@ def group_sum(
         F.sum("cnt").alias("cnt"),
         F.sum("nn").alias("n_nonnull"),
         F.when(F.sum("nn") > 0, F.sum("s")).otherwise(F.lit(None)).alias("sum_a"),
+        F.min("mn").alias("min_a"),
+        F.max("mx").alias("max_a"),
     )
 
 

@@ -1118,8 +1118,10 @@ def dataset_column_stats_sql() -> str:
         # don't, so a cast overflow here would itself flag the mismatch)
         return (
             f"SELECT '{prefix}' || COALESCE(CAST({key} AS VARCHAR), '<null>') "
-            f"AS column, CAST(-1 AS BIGINT) AS vmin_i, "
-            f"CAST(-1 AS BIGINT) AS vmax_i, -1.0 AS vmin_d, -1.0 AS vmax_d, "
+            f"AS column, "
+            f"CAST(COALESCE(MIN({agg}), -1) AS BIGINT) AS vmin_i, "
+            f"CAST(COALESCE(MAX({agg}), -1) AS BIGINT) AS vmax_i, "
+            f"-1.0 AS vmin_d, -1.0 AS vmax_d, "
             f"CAST(0 AS BIGINT) AS n_unstated, "
             f"CAST(count(*) AS BIGINT) AS n_rows, "
             f"CAST(count({agg}) AS BIGINT) AS n_nonnull, "
