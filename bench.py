@@ -690,6 +690,29 @@ def main() -> None:
             / queries["q19i_group_sum_codec"],
             2,
         )
+
+        # q19k: the same grouped aggregate over a KEY-CLUSTERED encode —
+        # every block is single-valued in l_returnflag, so group_sum
+        # answers from zone metadata (n_rows/zsum_i/extrema) without
+        # touching payload bytes (setup untimed; compare to q19i for the
+        # clustered-vs-unclustered gap and to q19j for the full decode).
+        cw_src2 = os.path.join(cw_dir, "src_presort")
+        cw_ds2 = os.path.join(cw_dir, "ds_presort")
+        li.repartitionByRange(8, "l_returnflag", "l_orderkey").sortWithinPartitions(
+            "l_returnflag", "l_orderkey"
+        ).write.mode("overwrite").parquet(cw_src2)
+        encode_parquet_dataset(spark, cw_src2, cw_ds2, manifest=man_cw)
+        best_of(
+            "q19k_group_sum_meta",
+            lambda: group_sum(
+                spark, cw_ds2, "l_returnflag", "l_orderkey"
+            ).collect(),
+        )
+        extra["group_sum_meta_speedup"] = round(
+            queries["q19j_group_sum_via_decode"]
+            / queries["q19k_group_sum_meta"],
+            2,
+        )
     finally:
         shutil.rmtree(cw_dir, ignore_errors=True)
 

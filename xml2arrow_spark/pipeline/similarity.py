@@ -500,8 +500,19 @@ def ivf_ann_topk_clustered(
     cand = emb_df.filter(F.col("cell").isin(probe_cells))  # partition-pruned
     if query_id is not None:
         cand = cand.filter(F.col(id_col) != query_id)
+    import pyarrow as pa
+
     qtype = "array<float>" if f32 else "array<double>"
-    q_df = spark.createDataFrame([(list(query_vec),)], f"qemb {qtype}")
+    # arrow-backed one-row LocalRelation: a python-list createDataFrame is
+    # RDD-backed and each action replays a ~0.3 s 1-task job on the
+    # broadcast side (see dataset.py's local finishes)
+    q_df = spark.createDataFrame(
+        pa.table({"qemb": pa.array(
+            [list(map(float, query_vec))],
+            type=pa.list_(pa.float32() if f32 else pa.float64()),
+        )}),
+        schema=f"qemb {qtype}",
+    )
     scored = cand.crossJoin(F.broadcast(q_df)).withColumn(
         "cosine", F.expr(G.cosine_expr(emb_col, "qemb", SPARK))
     )
