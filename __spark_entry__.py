@@ -536,6 +536,15 @@ def q_dataset_column_stats(spark, sf_dir):
     agg column (l_orderkey) decodes once per block into a hi/lo-split
     python-int fold; the oracle re-aggregates the raw table, so a wrong
     per-group sum, a dropped NULL-agg row, or a miscounted group all
+    hash-mismatch.
+
+    The ``gwhere:`` legs gate :func:`group_sum` ``where=`` (r05) — the
+    filtered grouped aggregation composing zone pruning, interior claims,
+    and codec-aware boundary masks before the group kernel: the int leg
+    rides the range-clustered l_orderkey (all three block classes), the
+    conjunction leg drives the string + float masked path on every block;
+    the oracle re-runs WHERE + GROUP BY on the raw table, so an unsound
+    prune, a wrong interior claim, or a mask/kernel misalignment all
     hash-mismatch."""
     import os
 
@@ -596,8 +605,8 @@ def q_dataset_column_stats(spark, sf_dir):
             ).alias("sum_i"),
         )
 
-    def gsum_leg(prefix, key, agg):
-        gs = group_sum(spark, out, key, agg, local_bytes=0)
+    def gsum_leg(prefix, key, agg, where=None):
+        gs = group_sum(spark, out, key, agg, local_bytes=0, where=where)
         return gs.select(
             F.concat(
                 F.lit(prefix),
@@ -657,6 +666,23 @@ def q_dataset_column_stats(spark, sf_dir):
     ).unionByName(
         # ...and per-row int key codes (dict/rle per block)
         gsum_leg("gsum:line=", "l_linenumber", "l_orderkey")
+    ).unionByName(
+        # filtered grouped aggregation (r05 continuation): zone pruning +
+        # interior claims + codec-aware boundary masks compose under a
+        # GROUP BY — the source is range-clustered on l_orderkey, so the
+        # predicate exercises all three block classes before the group
+        # kernel ever runs
+        gsum_leg(
+            "gwhere:flag=", "l_returnflag", "l_linenumber",
+            where=("l_orderkey", 1000, 30000),
+        )
+    ).unionByName(
+        # ...and the string + float conjunction: every block straddles
+        # (floats never claim interior), driving the masked group kernel
+        gsum_leg(
+            "gwhere:line=", "l_linenumber", "l_orderkey",
+            where=[("l_returnflag", "A", "N"), ("l_quantity", 5.0, 30.0)],
+        )
     )
 
 

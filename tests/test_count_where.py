@@ -660,3 +660,198 @@ def test_group_sum_metadata_path_never_decodes(spark, tmp_path, layout):
         assert got == truth
     with pytest.raises(Exception):
         decode_dataset(spark, out).agg(F.count(F.lit(1))).collect()
+
+# ---- group_sum(where=): filtered grouped aggregation on codec streams -------
+
+
+def _gsum_where_truth(spark, ds, key, agg, cond, cols):
+    from pyspark.sql import functions as F
+
+    return {
+        (r[key], r["cnt"], r["nn"], r["s"], r["mn"], r["mx"])
+        for r in decode_dataset(spark, ds, columns=cols)
+        .where(cond)
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count(agg).alias("nn"),
+            F.sum(agg).alias("s"),
+            F.min(agg).alias("mn"),
+            F.max(agg).alias("mx"),
+        )
+        .collect()
+    }
+
+
+def _gsum_where_got(spark, ds, key, agg, where, lb):
+    from xml2arrow_spark.operators.dataset import group_sum
+
+    return {
+        (r[key], r["cnt"], r["n_nonnull"], r["sum_a"], r["min_a"], r["max_a"])
+        for r in group_sum(
+            spark, ds, key, agg, local_bytes=lb, where=where
+        ).collect()
+    }
+
+
+def test_group_sum_where_int_predicate(spark, ds):
+    """id is range-clustered: the predicate exercises pruned, interior, and
+    boundary blocks; the result must equal decode + WHERE + GROUP BY."""
+    from pyspark.sql import functions as F
+
+    truth = _gsum_where_truth(
+        spark, ds, "tag", "qty", F.col("id").between(150, 749),
+        ["tag", "qty", "id"],
+    )
+    for lb in (128 << 20, 0):
+        assert _gsum_where_got(
+            spark, ds, "tag", "qty", ("id", 150, 749), lb
+        ) == truth
+
+
+def test_group_sum_where_conjunction_float_string(spark, ds):
+    """String conjunct rides the codec-aware mask, float conjunct decodes
+    and compares as float64; NULL and NaN filter rows fail (SQL WHERE).
+    qty as the key carries a NULL group through the filter."""
+    from pyspark.sql import functions as F
+
+    cond = F.col("tag").between("a", "b") & F.col("val").between(0.0, 200.0)
+    truth = _gsum_where_truth(
+        spark, ds, "qty", "id", cond, ["qty", "id", "tag", "val"]
+    )
+    for lb in (128 << 20, 0):
+        got = _gsum_where_got(
+            spark, ds, "qty", "id",
+            [("tag", "a", "b"), ("val", 0.0, 200.0)], lb,
+        )
+        assert got == truth
+    assert any(k is None for k, *_ in got)  # the NULL key group survives
+
+
+def test_group_sum_where_one_sided_and_empty(spark, ds):
+    from pyspark.sql import functions as F
+
+    truth = _gsum_where_truth(
+        spark, ds, "tag", "id", F.col("id") >= 500, ["tag", "id"]
+    )
+    for lb in (128 << 20, 0):
+        assert _gsum_where_got(
+            spark, ds, "tag", "id", ("id", 500, None), lb
+        ) == truth
+        # a predicate matching nothing yields an EMPTY result, not zeros
+        assert _gsum_where_got(
+            spark, ds, "tag", "id", ("id", 5000, 6000), lb
+        ) == set()
+
+
+def test_group_sum_where_validation(spark, ds):
+    from xml2arrow_spark.operators.dataset import group_sum
+
+    with pytest.raises(ValueError, match="lacks encoded column"):
+        group_sum(spark, ds, "tag", "id", where=("nope", 0, 1))
+    with pytest.raises(ValueError, match="scalar column"):
+        group_sum(spark, ds, "tag", "id", where=("tokens", 0, 1))
+    with pytest.raises(ValueError, match="must be int"):
+        group_sum(spark, ds, "tag", "id", where=("id", 0.5, 2.5))
+    with pytest.raises(ValueError, match="at least one bound"):
+        group_sum(spark, ds, "tag", "id", where=("id", None, None))
+
+
+@pytest.mark.parametrize("layout", ["nested", "wide"])
+def test_group_sum_where_skips_never_decode(spark, tmp_path, layout):
+    """The two metadata skips under WHERE, pinned the hard way: tampering
+    payloads inside (a) an INTERIOR block whose key is single-valued (the
+    zone claim answers it) and (b) a PRUNED block (outside the predicate)
+    must leave the filtered answer exact — those payloads are never
+    decoded — while decode_dataset refuses via the block CRC."""
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.dataset import group_sum
+
+    src = str(tmp_path / f"src_{layout}")
+    out = str(tmp_path / f"ds_{layout}")
+    os.makedirs(src)
+    n = 900
+    srcs = ["web", "code", "books"]
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "src": pa.array([srcs[i // 300] for i in range(n)]),
+            "tok": pa.array(
+                [None if i % 50 == 7 else (i * 13) % 1000 for i in range(n)],
+                type=pa.int64(),
+            ),
+        }
+    )
+    for i in range(3):
+        pq.write_table(tbl.slice(300 * i, 300), os.path.join(src, f"part-{i}.parquet"))
+    manifest = CodecManifest.auto_for(
+        from_arrow_schema(tbl.schema), block_rows=100
+    )
+    encode_parquet_dataset(spark, src, out, manifest=manifest, layout=layout)
+
+    truth = {}
+    for i in range(600):  # id BETWEEN 0 AND 599
+        s, t = srcs[i // 300], (None if i % 50 == 7 else (i * 13) % 1000)
+        c, nn, sm, mn, mx = truth.get(s, (0, 0, 0, None, None))
+        if t is not None:
+            mn = t if mn is None else min(mn, t)
+            mx = t if mx is None else max(mx, t)
+        truth[s] = (c + 1, nn + (t is not None), sm + (t or 0), mn, mx)
+
+    def _tamper(unit, block_row):
+        bdir = os.path.join(out, "blocks")
+        fpath = os.path.join(bdir, f"blocks-u{unit:06d}.parquet")
+        t0 = pq.read_table(fpath)
+        rows = t0.to_pylist()
+        if layout == "nested":
+            for ci in range(len(rows[block_row]["cols"])):
+                payload = bytearray(rows[block_row]["cols"][ci]["data"])
+                if payload:
+                    payload[len(payload) // 2] ^= 0x01
+                    rows[block_row]["cols"][ci]["data"] = bytes(payload)
+        else:
+            for col in ("c_id__data", "c_src__data", "c_tok__data"):
+                payload = bytearray(rows[block_row][col])
+                if payload:
+                    payload[len(payload) // 2] ^= 0x01
+                    rows[block_row][col] = bytes(payload)
+        pq.write_table(pa.Table.from_pylist(rows, schema=t0.schema), fpath)
+        crc = os.path.join(bdir, "." + os.path.basename(fpath) + ".crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        spark.catalog.refreshByPath(bdir)
+
+    _tamper(0, 0)  # rows 0-99: interior under the predicate, key-claimable
+    _tamper(2, 1)  # rows 700-799: pruned under the predicate
+
+    for lb in (128 << 20, 0):
+        got = {
+            r["src"]: (r["cnt"], r["n_nonnull"], r["sum_a"], r["min_a"],
+                       r["max_a"])
+            for r in group_sum(
+                spark, out, "src", "tok", local_bytes=lb,
+                where=("id", 0, 599),
+            ).collect()
+        }
+        assert got == truth
+    # the same skip on the KERNEL path: tok as key is never single-valued,
+    # so in-range blocks decode — pruning alone must skip the tampered
+    # out-of-range block, and the interior-tampered block must also prune
+    full = {}
+    for i in range(100, 600):
+        t = None if i % 50 == 7 else (i * 13) % 1000
+        c, nn, sm, mn, mx = full.get(t, (0, 0, 0, None, None))
+        full[t] = (c + 1, nn + 1, sm + i, i if mn is None else mn, i)
+    for lb in (128 << 20, 0):
+        got = {
+            r["tok"]: (r["cnt"], r["n_nonnull"], r["sum_a"], r["min_a"],
+                       r["max_a"])
+            for r in group_sum(
+                spark, out, "tok", "id", local_bytes=lb,
+                where=("id", 100, 599),
+            ).collect()
+        }
+        assert got == full
+    with pytest.raises(Exception):
+        decode_dataset(spark, out).agg(F.count(F.lit(1))).collect()

@@ -737,7 +737,8 @@ def group_codes_column(meta_json: str, payload: bytes):
     return dictionary, codes
 
 
-def group_sum_column(key_meta: str, key_data: bytes, agg_meta: str, agg_data: bytes):
+def group_sum_column(key_meta: str, key_data: bytes, agg_meta: str, agg_data: bytes,
+                     mask=None):
     """Exact per-block grouped COUNT/SUM/MIN/MAX for one (key, agg) column
     pair: returns ``{key_value_or_None: [cnt, n_nonnull, sum, min, max]}``
     over the block's rows, where ``cnt`` counts every row of the group
@@ -747,6 +748,12 @@ def group_sum_column(key_meta: str, key_data: bytes, agg_meta: str, agg_data: by
     block of int64 extremes can never silently wrap), and ``min``/``max``
     the group's extrema (None when n_nonnull is 0). ``None`` keys are the
     NULL group.
+
+    ``mask`` (optional numpy/pyarrow boolean array over the block's rows,
+    no nulls) restricts the tally to the selected rows — the filtered
+    GROUP BY shape: rows where the mask is False contribute to NO group,
+    and a group with zero selected rows is absent from the result, exactly
+    as SQL's ``WHERE`` runs before ``GROUP BY``.
 
     The key side rides :func:`group_codes_column` (dict/rle/dict_str code
     streams, no key materialization); the agg side decodes ONCE and folds
@@ -769,12 +776,25 @@ def group_sum_column(key_meta: str, key_data: bytes, agg_meta: str, agg_data: by
             f"key and agg blocks disagree on row count "
             f"({codes.size} vs {len(arr)})"
         )
+    if mask is not None:
+        mask = np.asarray(mask, dtype=bool)
+        if mask.size != codes.size:
+            raise BlockCorruptionError(
+                f"row mask and key block disagree on row count "
+                f"({mask.size} vs {codes.size})"
+            )
     K = len(dictionary)
-    cnt = np.bincount(codes, minlength=K + 1).astype(np.int64)
+    cnt = np.bincount(codes if mask is None else codes[mask],
+                      minlength=K + 1).astype(np.int64)
     if arr.null_count:
         valid = np.asarray(arr.is_valid())
+        if mask is not None:
+            valid = valid & mask
         v = arr.fill_null(0).to_numpy()[valid]
         gcodes = codes[valid]
+    elif mask is not None:
+        v = arr.to_numpy()[mask]
+        gcodes = codes[mask]
     else:
         v = arr.to_numpy()
         gcodes = codes

@@ -421,6 +421,62 @@ def dataset_column_stats(spark, out_path: str):
 
 
 _CW_INT_TYPES = ("tinyint", "smallint", "int", "integer", "bigint", "long")
+_ZONE_SUFFIXES = {"i": ("vmin_i", "vmax_i"), "d": ("vmin_d", "vmax_d"),
+                  "s": ("vmin_s", "vmax_s")}
+
+
+def _resolve_conjuncts(by_name: dict, predicate, caller: str):
+    """Driver-side predicate validation shared by the metadata-accelerated
+    aggregates (:func:`count_where`, :func:`group_sum` ``where=``): resolve
+    each conjunct's value category up front so the executor-side block
+    classifier and mask kernels are branch-free on types. ``predicate`` is
+    one ``(column, lo, hi)`` tuple or a list (conjunction); either bound
+    may be None for a one-sided range. Returns ``[(col, lo, hi, cat)]``
+    with ``cat`` in ``{'i','d','s'}``."""
+    import math
+
+    from xml2arrow_spark.operators.encode import normalize_zone_filters
+
+    preds = normalize_zone_filters(predicate)
+    if not preds:
+        raise ValueError(f"{caller} needs at least one (column, lo, hi) predicate")
+    conj: list[tuple[str, object, object, str]] = []
+    for col, lo, hi in preds:
+        if col not in by_name:
+            raise ValueError(
+                f"dataset lacks encoded column {col!r}; it has {sorted(by_name)}"
+            )
+        typ = by_name[col].split(None, 1)[1].strip().lower()
+        if typ.startswith(("array", "map", "struct")):
+            raise ValueError(
+                f"{caller} needs a scalar column; {col!r} is {typ}"
+            )
+        if lo is None and hi is None:
+            raise ValueError(
+                f"predicate on {col!r} needs at least one bound "
+                "(lo, hi, or both); None means unbounded on that side"
+            )
+        present = [b for b in (lo, hi) if b is not None]
+        if typ in _CW_INT_TYPES or typ.startswith("decimal"):
+            if not all(
+                isinstance(b, int) and not isinstance(b, bool) for b in present
+            ):
+                raise ValueError(f"{col!r} is {typ}: bounds must be int")
+            cat = "i"
+        elif typ in ("float", "double", "real"):
+            lo = None if lo is None else float(lo)
+            hi = None if hi is None else float(hi)
+            if any(math.isnan(b) for b in (lo, hi) if b is not None):
+                raise ValueError(f"NaN bound for {col!r} can never match")
+            cat = "d"
+        elif typ == "string":
+            if not all(isinstance(b, str) for b in present):
+                raise ValueError(f"{col!r} is string: bounds must be str")
+            cat = "s"
+        else:
+            raise ValueError(f"{caller} does not support {col!r} of type {typ}")
+        conj.append((col, lo, hi, cat))
+    return conj
 
 
 def count_where(
@@ -493,65 +549,22 @@ def count_where(
     classification telemetry that makes the skip rates observable (the
     no-silent-caps rule).
     """
-    import math
-
     import yaml
 
     from pyspark.sql import functions as F
 
     from xml2arrow_spark.operators.encode import (
         match_mask_column,
-        normalize_zone_filters,
         split_schema_ddl,
     )
     from xml2arrow_spark.sources.files import plan_parquet_tasks
 
-    preds = normalize_zone_filters(predicate)
-    if not preds:
-        raise ValueError("count_where needs at least one (column, lo, hi) predicate")
     with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
         side = yaml.safe_load(f.read())
     by_name = split_schema_ddl(side["schema_ddl"])
     wide = side.get("layout", "nested") == "wide"
 
-    # driver-side validation: resolve each conjunct's category so the
-    # executor-side classifier and counter are branch-free on types
-    conj: list[tuple[str, object, object, str]] = []
-    for col, lo, hi in preds:
-        if col not in by_name:
-            raise ValueError(
-                f"dataset lacks encoded column {col!r}; it has {sorted(by_name)}"
-            )
-        typ = by_name[col].split(None, 1)[1].strip().lower()
-        if typ.startswith(("array", "map", "struct")):
-            raise ValueError(
-                f"count_where needs a scalar column; {col!r} is {typ}"
-            )
-        if lo is None and hi is None:
-            raise ValueError(
-                f"predicate on {col!r} needs at least one bound "
-                "(lo, hi, or both); None means unbounded on that side"
-            )
-        present = [b for b in (lo, hi) if b is not None]
-        if typ in _CW_INT_TYPES or typ.startswith("decimal"):
-            if not all(
-                isinstance(b, int) and not isinstance(b, bool) for b in present
-            ):
-                raise ValueError(f"{col!r} is {typ}: bounds must be int")
-            cat = "i"
-        elif typ in ("float", "double", "real"):
-            lo = None if lo is None else float(lo)
-            hi = None if hi is None else float(hi)
-            if any(math.isnan(b) for b in (lo, hi) if b is not None):
-                raise ValueError(f"NaN bound for {col!r} can never match")
-            cat = "d"
-        elif typ == "string":
-            if not all(isinstance(b, str) for b in present):
-                raise ValueError(f"{col!r} is string: bounds must be str")
-            cat = "s"
-        else:
-            raise ValueError(f"count_where does not support {col!r} of type {typ}")
-        conj.append((col, lo, hi, cat))
+    conj = _resolve_conjuncts(by_name, predicate, "count_where")
     if agg_col is not None:
         if agg_col not in by_name:
             raise ValueError(
@@ -563,8 +576,7 @@ def count_where(
             raise ValueError(
                 f"agg_col must be an integer column; {agg_col!r} is {styp}"
             )
-    suffixes = {"i": ("vmin_i", "vmax_i"), "d": ("vmin_d", "vmax_d"),
-                "s": ("vmin_s", "vmax_s")}
+    suffixes = _ZONE_SUFFIXES
     single = len(conj) == 1
 
     def _classify(stats, zsum, s_nnull, avmin, avmax):
@@ -1079,9 +1091,10 @@ def group_sum(
     agg_col: str,
     n_tasks: int | None = None,
     local_bytes: int = 128 << 20,
+    where=None,
 ):
     """Exact ``SELECT key, COUNT(*), COUNT(agg), SUM(agg), MIN(agg),
-    MAX(agg) GROUP BY key`` over a STORED dataset, computed per block on the codec streams: the
+    MAX(agg) [WHERE ...] GROUP BY key`` over a STORED dataset, computed per block on the codec streams: the
     key side rides :func:`~xml2arrow_spark.operators.blocks.group_codes_column`
     (dict/rle/dict_str code streams — key values never materialize for
     those codecs), the agg column decodes ONCE per block and folds per
@@ -1114,6 +1127,24 @@ def group_sum(
     order-dependent, this engine's aggregates never approximate). A total
     outside int64 REFUSES per task with ArithmeticError (ANSI-style;
     Spark's ANSI sum covers the cross-task roll-up).
+
+    ``where`` (one ``(column, lo, hi)`` tuple or a list — a conjunction;
+    either bound may be None for a one-sided range, same contract as
+    :func:`count_where`) restricts the aggregation to the matching rows,
+    composing the two metadata accelerations: a block whose zone bounds
+    provably MISS a conjunct contributes nothing without being read past
+    its stats (on filter-clustered data most of the corpus prunes here); a
+    block provably INSIDE every conjunct with null-free filter columns
+    aggregates exactly as the unfiltered path (metadata claim on
+    key-clustered blocks, else the kernel — all rows match, so the
+    filter column's payload is never touched); only blocks STRADDLING a
+    bound evaluate the predicate, codec-aware on the filter column's
+    dict/run streams (:func:`~xml2arrow_spark.operators.blocks
+    .match_mask_column`; float conjuncts decode and compare as float64),
+    and feed the row mask into the masked group kernel. Groups with zero
+    matching rows are absent, exactly as SQL's WHERE-before-GROUP-BY;
+    float filter columns never claim interior (zone stats skip NaN, which
+    is non-null yet fails BETWEEN) but still prune.
 
     Scale-adaptive dispatch like :func:`count_where` / :func:`group_count`:
     a blocks tree at most ``local_bytes`` answers driver-side with pyarrow;
@@ -1164,6 +1195,68 @@ def group_sum(
         else None
     )
     kz = ("vmin_i", "vmax_i") if key_cat == "i" else ("vmin_s", "vmax_s")
+    conj = (
+        _resolve_conjuncts(by_name, where, "group_sum")
+        if where is not None
+        else None
+    )
+
+    def _where_kind(stats):
+        """Classify one block against the conjunction from its zone stats
+        (per-conjunct (vmin, vmax, n_null); None = unstated; same bound
+        soundness as count_where's classifier — truncation-safe string
+        bounds, floats prune but never claim). 'pruned': some conjunct
+        provably matches no row. 'interior': EVERY row provably matches —
+        bounds inside on each bounded side AND a null-free filter column
+        (unlike count_where the group path cannot subtract filter nulls:
+        their group membership is unknown; and NaN is non-null yet fails
+        BETWEEN, so floats never claim). Else 'boundary' (decode + mask)."""
+        interior = True
+        for (_col, lo, hi, cat), (vmin, vmax, n_null) in zip(conj, stats):
+            if (lo is not None and vmax is not None and vmax < lo) or (
+                hi is not None and vmin is not None and hi < vmin
+            ):
+                return "pruned"
+            if (
+                cat == "d"
+                or n_null != 0
+                or not (lo is None or (vmin is not None and lo <= vmin))
+                or not (hi is None or (vmax is not None and vmax <= hi))
+            ):
+                interior = False
+        return "interior" if interior else "boundary"
+
+    def _boundary_mask(pair_of):
+        """Evaluate the conjunction over one straddling block:
+        ``pair_of(col)`` yields the filter column's (meta_json, payload).
+        Int/string conjuncts ride the codec-aware mask kernel
+        (match_mask_column — dictionary/run streams, values never
+        materialize where the codec allows); float conjuncts decode and
+        compare as float64, the same widening count_where's boundary path
+        uses. NULL/NaN rows fail, matching SQL WHERE. Returns a numpy row
+        mask, or None when no row matches (the block contributes no
+        group)."""
+        import pyarrow.compute as pc
+
+        from xml2arrow_spark.operators.encode import match_mask_column
+
+        mask = None
+        for col, lo, hi, cat in conj:
+            if cat == "d":
+                arr = pc.cast(decode_column(*pair_of(col)), pa.float64())
+                m = None
+                if lo is not None:
+                    m = pc.greater_equal(arr, pa.scalar(lo))
+                if hi is not None:
+                    mh = pc.less_equal(arr, pa.scalar(hi))
+                    m = mh if m is None else pc.and_kleene(m, mh)
+            else:
+                m = match_mask_column(*pair_of(col), None, lo, hi)
+                if m is None:
+                    return None
+            mask = m if mask is None else pc.and_kleene(mask, m)
+        out = pc.fill_null(mask, False).to_numpy(zero_copy_only=False)
+        return out if out.any() else None
 
     def _claim(kmin, kmax, k_nnull, zsum, a_nnull, amin, amax, br):
         """One block's (key, cnt, n_nonnull, sum) from zone metadata
@@ -1220,21 +1313,53 @@ def group_sum(
         tally: dict = {}
         if wide:
             avail = set(pq_mod.read_schema(fpath).names)
-            want = [
+            claim_want = [
                 "n_rows",
                 f"c_{key}__{kz[0]}", f"c_{key}__{kz[1]}",
                 f"c_{key}__n_null",
                 f"c_{agg_col}__zsum_i", f"c_{agg_col}__n_null",
                 f"c_{agg_col}__vmin_i", f"c_{agg_col}__vmax_i",
             ]
-            kernel_idx: list[int] = []
-            if set(want) <= avail:
-                st = pq_mod.read_table(fpath, columns=want)
+            have_claim = set(claim_want) <= avail
+            # per-conjunct zone-stat columns; an absent name reads as None
+            # (unstated) and that side of the classification degrades to
+            # boundary, never to a wrong skip
+            fstat: list[tuple] = []
+            if conj is not None:
+                for col, _lo, _hi, cat in conj:
+                    zmin, zmax = _ZONE_SUFFIXES[cat]
+                    fstat.append(tuple(
+                        n if n in avail else None
+                        for n in (f"c_{col}__{zmin}", f"c_{col}__{zmax}",
+                                  f"c_{col}__n_null")
+                    ))
+            read_cols = (claim_want if have_claim else ["n_rows"]) + [
+                n for trip in fstat for n in trip if n is not None
+            ]
+            kernel_idx: list[int] = []    # unfiltered / all-rows-match blocks
+            boundary_idx: list[int] = []  # predicate-straddling blocks (mask)
+            if (have_claim or conj is not None) and "n_rows" in avail:
+                st = pq_mod.read_table(fpath, columns=sorted(set(read_cols)))
                 rows_col = st.column("n_rows")
                 for i in range(st.num_rows):
                     br = rows_col[i].as_py()
                     if not br:
                         continue
+                    if conj is not None:
+                        kind = _where_kind([
+                            tuple(
+                                st.column(n)[i].as_py()
+                                if n is not None
+                                else None
+                                for n in trip
+                            )
+                            for trip in fstat
+                        ])
+                        if kind == "pruned":
+                            continue
+                        if kind == "boundary":
+                            boundary_idx.append(i)
+                            continue
                     claim = _claim(
                         st.column(f"c_{key}__{kz[0]}")[i].as_py(),
                         st.column(f"c_{key}__{kz[1]}")[i].as_py(),
@@ -1244,23 +1369,50 @@ def group_sum(
                         st.column(f"c_{agg_col}__vmin_i")[i].as_py(),
                         st.column(f"c_{agg_col}__vmax_i")[i].as_py(),
                         br,
-                    )
+                    ) if have_claim else None
                     if claim is not None:
                         _merge(tally, *claim)
                     else:
                         kernel_idx.append(i)
+            elif conj is not None:
+                # no usable stats at all: every block must evaluate the
+                # predicate — masked, never silently unfiltered
+                boundary_idx = list(range(pq_mod.read_metadata(fpath).num_rows))
             else:  # stats columns absent (older blocks): all kernel
                 kernel_idx = list(range(pq_mod.read_metadata(fpath).num_rows))
-            if kernel_idx:
+            if kernel_idx or boundary_idx:
                 cols = [
                     f"c_{key}__meta", f"c_{key}__data",
                     f"c_{agg_col}__meta", f"c_{agg_col}__data",
                 ]
+                if boundary_idx:
+                    cols += [
+                        x for col, _l, _h, _c in conj
+                        for x in (f"c_{col}__meta", f"c_{col}__data")
+                    ]
+                cols = list(dict.fromkeys(cols))
                 pay = pq_mod.read_table(fpath, columns=cols)
-                arrays = [pay.column(c).combine_chunks() for c in cols]
+                arrays = {c: pay.column(c).combine_chunks() for c in cols}
+
+                def _kargs(i):
+                    return (
+                        arrays[f"c_{key}__meta"][i].as_py(),
+                        arrays[f"c_{key}__data"][i].as_py(),
+                        arrays[f"c_{agg_col}__meta"][i].as_py(),
+                        arrays[f"c_{agg_col}__data"][i].as_py(),
+                    )
+
                 for i in kernel_idx:
-                    km, kd, am, ad = (a[i].as_py() for a in arrays)
-                    for v, t in group_sum_column(km, kd, am, ad).items():
+                    for v, t in group_sum_column(*_kargs(i)).items():
+                        _merge(tally, v, *t)
+                for i in boundary_idx:
+                    mask = _boundary_mask(lambda c, i=i: (
+                        arrays[f"c_{c}__meta"][i].as_py(),
+                        arrays[f"c_{c}__data"][i].as_py(),
+                    ))
+                    if mask is None:
+                        continue
+                    for v, t in group_sum_column(*_kargs(i), mask=mask).items():
                         _merge(tally, v, *t)
         else:
             tbl = pq_mod.read_table(fpath, columns=["n_rows", "cols"])
@@ -1286,8 +1438,36 @@ def group_sum(
                 br = rows_col[row].as_py()
                 if not br:
                     continue
+                mask = None
+                if conj is not None:
+                    stats = []
+                    for col, _lo, _hi, cat in conj:
+                        zmin, zmax = _ZONE_SUFFIXES[cat]
+                        try:
+                            fi = names.index(col)
+                        except ValueError:
+                            raise ValueError(
+                                f"block lacks an entry for {col!r}; the "
+                                f"sidecar schema and the blocks files disagree"
+                            ) from None
+                        stats.append(tuple(
+                            entries.field(f)[fi].as_py()
+                            if f in entry_fields
+                            else None
+                            for f in (zmin, zmax, "n_null")
+                        ))
+                    kind = _where_kind(stats)
+                    if kind == "pruned":
+                        continue
+                    if kind == "boundary":
+                        mask = _boundary_mask(lambda c: (
+                            entries.field("meta")[names.index(c)].as_py(),
+                            entries.field("data")[names.index(c)].as_py(),
+                        ))
+                        if mask is None:
+                            continue
                 claim = None
-                if has_stats:
+                if has_stats and mask is None:
                     claim = _claim(
                         entries.field(kz[0])[ki].as_py(),
                         entries.field(kz[1])[ki].as_py(),
@@ -1306,6 +1486,7 @@ def group_sum(
                         entries.field("data")[ki].as_py(),
                         entries.field("meta")[ai].as_py(),
                         entries.field("data")[ai].as_py(),
+                        mask=mask,
                     ).items():
                         _merge(tally, v, *t)
         for v, (_c, _nn, s, _mn, _mx) in tally.items():

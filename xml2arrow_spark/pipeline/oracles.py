@@ -1111,11 +1111,15 @@ def dataset_column_stats_sql() -> str:
             f"CAST(-1 AS BIGINT) AS sum_i FROM lineitem GROUP BY {col}"
         )
 
-    def gsum_row(prefix, key, agg):
+    def gsum_row(prefix, key, agg, cond=None):
         # the group_sum legs: grouped COUNT + exact SUM re-aggregated from
         # the raw table (DuckDB SUM(BIGINT) is HUGEINT — cast back; the
         # testdata totals fit int64, and the engine REFUSES when they
-        # don't, so a cast overflow here would itself flag the mismatch)
+        # don't, so a cast overflow here would itself flag the mismatch).
+        # cond gates the FILTERED variant (group_sum(where=)): SQL's
+        # WHERE-before-GROUP-BY, so a group with no matching row is
+        # absent on both sides
+        wh = f" WHERE {cond}" if cond else ""
         return (
             f"SELECT '{prefix}' || COALESCE(CAST({key} AS VARCHAR), '<null>') "
             f"AS column, "
@@ -1126,7 +1130,7 @@ def dataset_column_stats_sql() -> str:
             f"CAST(count(*) AS BIGINT) AS n_rows, "
             f"CAST(count({agg}) AS BIGINT) AS n_nonnull, "
             f"CAST(COALESCE(SUM({agg}), -1) AS BIGINT) AS sum_i "
-            f"FROM lineitem GROUP BY {key}"
+            f"FROM lineitem{wh} GROUP BY {key}"
         )
 
     return "\nUNION ALL\n".join(
@@ -1155,6 +1159,15 @@ def dataset_column_stats_sql() -> str:
             group_row("group:line=", "l_linenumber"),
             gsum_row("gsum:flag=", "l_returnflag", "l_orderkey"),
             gsum_row("gsum:line=", "l_linenumber", "l_orderkey"),
+            gsum_row(
+                "gwhere:flag=", "l_returnflag", "l_linenumber",
+                cond="l_orderkey BETWEEN 1000 AND 30000",
+            ),
+            gsum_row(
+                "gwhere:line=", "l_linenumber", "l_orderkey",
+                cond="l_returnflag BETWEEN 'A' AND 'N' "
+                     "AND l_quantity BETWEEN 5.0 AND 30.0",
+            ),
         ]
     )
 
