@@ -713,6 +713,41 @@ def main() -> None:
             / queries["q19k_group_sum_meta"],
             2,
         )
+
+        # q19l/q19m: the FILTERED grouped aggregate (group_sum(where=))
+        # on the orderkey-clustered encode: ~2/3 of blocks prune on zone
+        # bounds, provably-inside blocks skip the mask, only straddlers
+        # feed the masked group kernel — vs the column-pruned decode +
+        # WHERE + groupBy a careful user without pushdown would run.
+        best_of(
+            "q19l_group_sum_where",
+            lambda: group_sum(
+                spark, cw_ds, "l_returnflag", "l_linenumber", where=pred
+            ).collect(),
+        )
+        best_of(
+            "q19m_group_sum_where_via_decode",
+            lambda: decode_dataset(
+                spark, cw_ds,
+                columns=["l_returnflag", "l_linenumber", "l_orderkey"],
+            )
+            .filter(
+                (F.col("l_orderkey") >= pred[1])
+                & (F.col("l_orderkey") <= pred[2])
+            )
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.count("l_linenumber").alias("n_nonnull"),
+                F.sum("l_linenumber").alias("sum_a"),
+            )
+            .collect(),
+        )
+        extra["group_sum_where_speedup"] = round(
+            queries["q19m_group_sum_where_via_decode"]
+            / queries["q19l_group_sum_where"],
+            2,
+        )
     finally:
         shutil.rmtree(cw_dir, ignore_errors=True)
 
