@@ -479,6 +479,64 @@ def _resolve_conjuncts(by_name: dict, predicate, caller: str):
     return conj
 
 
+def _classify_where(conj, stats):
+    """Classify one block against a conjunction from its zone stats
+    (per-conjunct (vmin, vmax, n_null); None = unstated; same bound
+    soundness as count_where's classifier — truncation-safe string
+    bounds, floats prune but never claim). 'pruned': some conjunct
+    provably matches no row. 'interior': EVERY row provably matches —
+    bounds inside on each bounded side AND a null-free filter column
+    (unlike count_where the GROUP paths cannot subtract filter nulls:
+    their group membership is unknown; and NaN is non-null yet fails
+    BETWEEN, so floats never claim). Else 'boundary' (decode + mask)."""
+    interior = True
+    for (_col, lo, hi, cat), (vmin, vmax, n_null) in zip(conj, stats):
+        if (lo is not None and vmax is not None and vmax < lo) or (
+            hi is not None and vmin is not None and hi < vmin
+        ):
+            return "pruned"
+        if (
+            cat == "d"
+            or n_null != 0
+            or not (lo is None or (vmin is not None and lo <= vmin))
+            or not (hi is None or (vmax is not None and vmax <= hi))
+        ):
+            interior = False
+    return "interior" if interior else "boundary"
+
+
+def _conj_boundary_mask(conj, pair_of):
+    """Evaluate a conjunction over one straddling block: ``pair_of(col)``
+    yields the filter column's (meta_json, payload). Int/string conjuncts
+    ride the codec-aware mask kernel (match_mask_column — dictionary/run
+    streams, values never materialize where the codec allows); float
+    conjuncts decode and compare as float64, the same widening
+    count_where's boundary path uses. NULL/NaN rows fail, matching SQL
+    WHERE. Returns a numpy row mask, or None when no row matches (the
+    block contributes nothing)."""
+    import pyarrow.compute as pc
+
+    from xml2arrow_spark.operators.encode import match_mask_column
+
+    mask = None
+    for col, lo, hi, cat in conj:
+        if cat == "d":
+            arr = pc.cast(decode_column(*pair_of(col)), pa.float64())
+            m = None
+            if lo is not None:
+                m = pc.greater_equal(arr, pa.scalar(lo))
+            if hi is not None:
+                mh = pc.less_equal(arr, pa.scalar(hi))
+                m = mh if m is None else pc.and_kleene(m, mh)
+        else:
+            m = match_mask_column(*pair_of(col), None, lo, hi)
+            if m is None:
+                return None
+        mask = m if mask is None else pc.and_kleene(mask, m)
+    out = pc.fill_null(mask, False).to_numpy(zero_copy_only=False)
+    return out if out.any() else None
+
+
 def count_where(
     spark,
     out_path: str,
@@ -1202,61 +1260,10 @@ def group_sum(
     )
 
     def _where_kind(stats):
-        """Classify one block against the conjunction from its zone stats
-        (per-conjunct (vmin, vmax, n_null); None = unstated; same bound
-        soundness as count_where's classifier — truncation-safe string
-        bounds, floats prune but never claim). 'pruned': some conjunct
-        provably matches no row. 'interior': EVERY row provably matches —
-        bounds inside on each bounded side AND a null-free filter column
-        (unlike count_where the group path cannot subtract filter nulls:
-        their group membership is unknown; and NaN is non-null yet fails
-        BETWEEN, so floats never claim). Else 'boundary' (decode + mask)."""
-        interior = True
-        for (_col, lo, hi, cat), (vmin, vmax, n_null) in zip(conj, stats):
-            if (lo is not None and vmax is not None and vmax < lo) or (
-                hi is not None and vmin is not None and hi < vmin
-            ):
-                return "pruned"
-            if (
-                cat == "d"
-                or n_null != 0
-                or not (lo is None or (vmin is not None and lo <= vmin))
-                or not (hi is None or (vmax is not None and vmax <= hi))
-            ):
-                interior = False
-        return "interior" if interior else "boundary"
+        return _classify_where(conj, stats)
 
     def _boundary_mask(pair_of):
-        """Evaluate the conjunction over one straddling block:
-        ``pair_of(col)`` yields the filter column's (meta_json, payload).
-        Int/string conjuncts ride the codec-aware mask kernel
-        (match_mask_column — dictionary/run streams, values never
-        materialize where the codec allows); float conjuncts decode and
-        compare as float64, the same widening count_where's boundary path
-        uses. NULL/NaN rows fail, matching SQL WHERE. Returns a numpy row
-        mask, or None when no row matches (the block contributes no
-        group)."""
-        import pyarrow.compute as pc
-
-        from xml2arrow_spark.operators.encode import match_mask_column
-
-        mask = None
-        for col, lo, hi, cat in conj:
-            if cat == "d":
-                arr = pc.cast(decode_column(*pair_of(col)), pa.float64())
-                m = None
-                if lo is not None:
-                    m = pc.greater_equal(arr, pa.scalar(lo))
-                if hi is not None:
-                    mh = pc.less_equal(arr, pa.scalar(hi))
-                    m = mh if m is None else pc.and_kleene(m, mh)
-            else:
-                m = match_mask_column(*pair_of(col), None, lo, hi)
-                if m is None:
-                    return None
-            mask = m if mask is None else pc.and_kleene(mask, m)
-        out = pc.fill_null(mask, False).to_numpy(zero_copy_only=False)
-        return out if out.any() else None
+        return _conj_boundary_mask(conj, pair_of)
 
     def _claim(kmin, kmax, k_nnull, zsum, a_nnull, amin, amax, br):
         """One block's (key, cnt, n_nonnull, sum) from zone metadata
