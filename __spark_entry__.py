@@ -538,6 +538,13 @@ def q_dataset_column_stats(spark, sf_dir):
     per-group sum, a dropped NULL-agg row, or a miscounted group all
     hash-mismatch.
 
+    The ``gcwhere:`` legs gate :func:`group_count` ``where=`` (r05
+    continuation) — the filtered GROUP BY COUNT composing zone pruning,
+    single-valued-key metadata claims, and codec-aware boundary masks with
+    the masked count kernel; the oracle re-runs WHERE + GROUP BY on the
+    raw table, so an unsound prune, a wrong key claim, or a mask/bincount
+    misalignment all hash-mismatch.
+
     The ``gwhere:`` legs gate :func:`group_sum` ``where=`` (r05) — the
     filtered grouped aggregation composing zone pruning, interior claims,
     and codec-aware boundary masks before the group kernel: the int leg
@@ -623,8 +630,8 @@ def q_dataset_column_stats(spark, sf_dir):
             F.coalesce(F.col("sum_a"), F.lit(-1)).cast("long").alias("sum_i"),
         )
 
-    def group_leg(prefix, column):
-        gc = group_count(spark, out, column, local_bytes=0)
+    def group_leg(prefix, column, where=None):
+        gc = group_count(spark, out, column, local_bytes=0, where=where)
         return gc.select(
             F.concat(
                 F.lit(prefix),
@@ -681,6 +688,21 @@ def q_dataset_column_stats(spark, sf_dir):
         # (floats never claim interior), driving the masked group kernel
         gsum_leg(
             "gwhere:line=", "l_linenumber", "l_orderkey",
+            where=[("l_returnflag", "A", "N"), ("l_quantity", 5.0, 30.0)],
+        )
+    ).unionByName(
+        # filtered GROUP BY COUNT (r05 continuation): the same three block
+        # classes compose with the masked count kernel — interior blocks
+        # with a single-valued key claim (key, n_rows) from metadata alone
+        group_leg(
+            "gcwhere:flag=", "l_returnflag",
+            where=("l_orderkey", 1000, 30000),
+        )
+    ).unionByName(
+        # ...and the string + float conjunction (never-interior floats)
+        # over an int key, driving the masked dict/rle count path
+        group_leg(
+            "gcwhere:line=", "l_linenumber",
             where=[("l_returnflag", "A", "N"), ("l_quantity", 5.0, 30.0)],
         )
     )

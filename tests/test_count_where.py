@@ -855,3 +855,148 @@ def test_group_sum_where_skips_never_decode(spark, tmp_path, layout):
         assert got == full
     with pytest.raises(Exception):
         decode_dataset(spark, out).agg(F.count(F.lit(1))).collect()
+
+# ---- group_count(where=) + metadata claims ----------------------------------
+
+
+def _gcount_truth(spark, ds, key, cond, cols):
+    from pyspark.sql import functions as F
+
+    df = decode_dataset(spark, ds, columns=cols)
+    if cond is not None:
+        df = df.where(cond)
+    return {
+        r[key]: r["cnt"]
+        for r in df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+
+
+def _gcount_got(spark, ds, key, where, lb):
+    from xml2arrow_spark.operators.dataset import group_count
+
+    return {
+        r[key]: r["cnt"]
+        for r in group_count(
+            spark, ds, key, local_bytes=lb, where=where
+        ).collect()
+    }
+
+
+def test_group_count_where_int_predicate(spark, ds):
+    """id is range-clustered: the predicate exercises pruned, interior, and
+    boundary blocks; the result must equal decode + WHERE + GROUP BY."""
+    from pyspark.sql import functions as F
+
+    truth = _gcount_truth(
+        spark, ds, "tag", F.col("id").between(150, 749), ["tag", "id"]
+    )
+    for lb in (128 << 20, 0):
+        assert _gcount_got(spark, ds, "tag", ("id", 150, 749), lb) == truth
+
+
+def test_group_count_where_conjunction_float_string(spark, ds):
+    """String conjunct rides the codec-aware mask, float conjunct decodes
+    and compares as float64; NULL and NaN filter rows fail (SQL WHERE).
+    qty as the key carries a NULL group through the filter."""
+    from pyspark.sql import functions as F
+
+    cond = F.col("tag").between("a", "b") & F.col("val").between(0.0, 200.0)
+    truth = _gcount_truth(spark, ds, "qty", cond, ["qty", "tag", "val"])
+    for lb in (128 << 20, 0):
+        got = _gcount_got(
+            spark, ds, "qty", [("tag", "a", "b"), ("val", 0.0, 200.0)], lb
+        )
+        assert got == truth
+    assert any(k is None for k in got)  # the NULL key group survives
+
+
+def test_group_count_where_one_sided_and_empty(spark, ds):
+    from pyspark.sql import functions as F
+
+    truth = _gcount_truth(spark, ds, "tag", F.col("id") >= 500, ["tag", "id"])
+    for lb in (128 << 20, 0):
+        assert _gcount_got(spark, ds, "tag", ("id", 500, None), lb) == truth
+        # a predicate matching nothing yields an EMPTY result, not zeros
+        assert _gcount_got(spark, ds, "tag", ("id", 5000, 6000), lb) == {}
+
+
+def test_group_count_where_validation(spark, ds):
+    from xml2arrow_spark.operators.dataset import group_count
+
+    with pytest.raises(ValueError, match="lacks encoded column"):
+        group_count(spark, ds, "tag", where=("nope", 0, 1))
+    with pytest.raises(ValueError, match="scalar column"):
+        group_count(spark, ds, "tag", where=("tokens", 0, 1))
+    with pytest.raises(ValueError, match="must be int"):
+        group_count(spark, ds, "tag", where=("id", 0.5, 2.5))
+    with pytest.raises(ValueError, match="at least one bound"):
+        group_count(spark, ds, "tag", where=("id", None, None))
+
+
+@pytest.mark.parametrize("layout", ["nested", "wide"])
+def test_group_count_metadata_claim_never_decodes(spark, tmp_path, layout):
+    """Key-clustered dataset: every block is single-valued (or all-NULL)
+    in the key, so group_count answers from zone metadata (n_rows, key
+    bounds, null count) alone. Tampering a payload byte in one block
+    (fatal to any decode via the block CRC) must leave the answer exact
+    while decode_dataset refuses — both unfiltered and under a WHERE that
+    claims the tampered block interior."""
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.dataset import group_count
+
+    src = str(tmp_path / f"src_{layout}")
+    out = str(tmp_path / f"ds_{layout}")
+    os.makedirs(src)
+    n = 900
+    srcs = ["web", "code", None]  # one file per value; file 2 is all-NULL
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "src": pa.array([srcs[i // 300] for i in range(n)]),
+        }
+    )
+    for i in range(3):
+        pq.write_table(tbl.slice(300 * i, 300), os.path.join(src, f"part-{i}.parquet"))
+    manifest = CodecManifest.auto_for(
+        from_arrow_schema(tbl.schema), block_rows=100
+    )
+    encode_parquet_dataset(spark, src, out, manifest=manifest, layout=layout)
+
+    # tamper the key payload of one block in file u000001 ("code" rows)
+    bdir = os.path.join(out, "blocks")
+    fpath = os.path.join(bdir, "blocks-u000001.parquet")
+    t0 = pq.read_table(fpath)
+    rows = t0.to_pylist()
+    if layout == "nested":
+        ci = [c["name"] for c in rows[0]["cols"]].index("src")
+        payload = bytearray(rows[0]["cols"][ci]["data"])
+        payload[len(payload) // 2] ^= 0x01
+        rows[0]["cols"][ci]["data"] = bytes(payload)
+    else:
+        payload = bytearray(rows[0]["c_src__data"])
+        payload[len(payload) // 2] ^= 0x01
+        rows[0]["c_src__data"] = bytes(payload)
+    pq.write_table(pa.Table.from_pylist(rows, schema=t0.schema), fpath)
+    crc = os.path.join(bdir, "." + os.path.basename(fpath) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    spark.catalog.refreshByPath(bdir)
+
+    for lb in (128 << 20, 0):  # both dispatch paths ride the claims
+        got = {
+            r["src"]: r["cnt"]
+            for r in group_count(spark, out, "src", local_bytes=lb).collect()
+        }
+        assert got == {"web": 300, "code": 300, None: 300}
+        # WHERE on the id column: the tampered block [300..399] is interior
+        # to the predicate and still claims from key metadata alone
+        got = {
+            r["src"]: r["cnt"]
+            for r in group_count(
+                spark, out, "src", local_bytes=lb, where=("id", 150, 749)
+            ).collect()
+        }
+        assert got == {"web": 150, "code": 300, None: 150}
+    with pytest.raises(Exception):
+        decode_dataset(spark, out).agg(F.count(F.lit(1))).collect()

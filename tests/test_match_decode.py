@@ -214,6 +214,26 @@ def _assert_counts_equiv(meta, data):
     assert got == ref
     assert vals.type == arr.type or arr.null_count == len(arr)
 
+    # masked variant: must equal decode + filter + value_counts (the
+    # masked path may repeat a value — RLE run values — so fold by value)
+    mask = np.arange(len(arr)) % 3 != 1
+    vals, counts, n_null = value_counts_column(meta, data, mask=mask)
+    got = {}
+    for v, c in zip(vals.to_pylist(), counts.tolist()):
+        got[v] = got.get(v, 0) + c
+    sel = arr.filter(pa.array(mask))
+    assert n_null == sel.null_count
+    vc = pc.value_counts(sel.drop_null())
+    assert got == dict(
+        zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist())
+    )
+
+    # an all-False mask selects nothing: empty values, zero null count
+    vals, counts, n_null = value_counts_column(
+        meta, data, mask=np.zeros(len(arr), dtype=bool)
+    )
+    assert len(vals) == 0 and counts.size == 0 and n_null == 0
+
 
 @pytest.mark.parametrize("codec", INT_CODECS)
 @pytest.mark.parametrize("name", sorted(INT_ARRAYS))

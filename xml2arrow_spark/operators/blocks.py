@@ -490,11 +490,20 @@ def _gather_strdata(sd: StrData, idx: np.ndarray) -> StrData:
     return StrData(offsets=offsets, data=data)
 
 
-def value_counts_column(meta_json: str, payload: bytes):
+def value_counts_column(meta_json: str, payload: bytes, mask=None):
     """Exact per-block GROUP BY counts for one encoded column: returns
     ``(values, counts, n_null)`` where ``values`` is a pyarrow array of
-    distinct NON-NULL values from this block, ``counts`` an int64 numpy
-    array aligned with it, and ``n_null`` the block's null count.
+    NON-NULL values from this block (distinct when ``mask`` is None; the
+    masked path MAY repeat a value — RLE run values are not uniqued —
+    and callers fold tallies by value), ``counts`` an int64 numpy array
+    aligned with it, and ``n_null`` the block's null count.
+
+    ``mask`` (optional numpy/pyarrow boolean array over the block's rows,
+    no nulls) restricts the tally to the selected rows — the filtered
+    GROUP BY COUNT shape: rows where the mask is False contribute to no
+    value's count and not to ``n_null``, exactly as SQL's ``WHERE`` runs
+    before ``GROUP BY``. Rides :func:`group_codes_column`, so the key
+    values still never materialize per row for dict/rle/dict_str codecs.
 
     Codec-aware: ``dict``/``dict_str`` bincount the code stream against
     the dictionary, ``rle`` folds run lengths per run value, ``pdict``
@@ -510,6 +519,23 @@ def value_counts_column(meta_json: str, payload: bytes):
     tests/test_match_decode.py for every codec and null mix.
     """
     import pyarrow.compute as pc
+
+    if mask is not None:
+        dictionary, codes = group_codes_column(meta_json, payload)
+        m = np.asarray(mask, dtype=bool)
+        if m.size != codes.size:
+            raise BlockCorruptionError(
+                f"row mask and block disagree on row count "
+                f"({m.size} vs {codes.size})"
+            )
+        K = len(dictionary)
+        cnt = np.bincount(codes[m], minlength=K + 1).astype(np.int64)
+        keep = cnt[:K] > 0
+        return (
+            dictionary.take(pa.array(np.nonzero(keep)[0], type=pa.int64())),
+            cnt[:K][keep],
+            int(cnt[K]),
+        )
 
     meta = json.loads(meta_json)
     _verify_block_header(meta, payload)

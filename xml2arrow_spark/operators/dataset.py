@@ -989,15 +989,25 @@ def group_count(
     column: str,
     n_tasks: int | None = None,
     local_bytes: int = 128 << 20,
+    where=None,
 ):
-    """Exact ``SELECT column, COUNT(*) GROUP BY column`` over a STORED
-    dataset, computed on the codec streams: per block,
+    """Exact ``SELECT column, COUNT(*) [WHERE ...] GROUP BY column`` over a
+    STORED dataset, computed on the codec streams: per block,
     :func:`~xml2arrow_spark.operators.blocks.value_counts_column` bincounts
     the dict/pdict/dict_str code stream against its dictionary or folds RLE
     run lengths — the group column's values are never materialized for
     those codecs (other codecs decode and count; exactness is identical
     either way and pinned per codec). Per-file partial tallies then
     aggregate through one KB-scale shuffle keyed on the group value.
+
+    On KEY-CLUSTERED data (``presort`` by the key) a block whose zone
+    bounds PROVE the key single-valued — null-free key, vmin == vmax,
+    truncation-safe for strings (see :func:`group_sum`'s claim rule) — or
+    prove it ALL-NULL (stated null count == block rows) contributes
+    ``(key, n_rows)`` from metadata without touching payload bytes at all,
+    the same degeneration to a metadata scan :func:`group_sum` makes.
+    Bool/decimal keys carry no usable zone pair and always take the
+    kernel; exactness is identical either way.
 
     This is the everyday corpus-composition query ("rows per source /
     language / shard") at 10^12 rows: the payload cost is one column's
@@ -1009,6 +1019,17 @@ def group_count(
     SQL semantics: NULL is its own group (emitted with a NULL key). Float
     group keys are refused up front — SQL groups NaNs together, IEEE
     equality does not, so a float group-by cannot be reproduced portably.
+
+    ``where`` (one ``(column, lo, hi)`` tuple or a list — a conjunction;
+    either bound may be None, the same contract as :func:`count_where` /
+    :func:`group_sum`) restricts the count to the matching rows: blocks
+    whose zone stats provably MISS a conjunct skip unread, blocks provably
+    INSIDE every conjunct (null-free filter columns; floats never claim)
+    count exactly as the unfiltered path, and only STRADDLING blocks
+    evaluate the predicate — codec-aware on the filter column's dict/run
+    streams — and feed the row mask into the masked count kernel. Groups
+    with zero matching rows are absent, exactly as SQL's WHERE-before-
+    GROUP-BY.
 
     Scale-adaptive like :func:`count_where`: a blocks tree at most
     ``local_bytes`` answers driver-side with pyarrow (a cluster job costs
@@ -1041,46 +1062,208 @@ def group_count(
         )
     wide = side.get("layout", "nested") == "wide"
     out_ddl = f"{by_name[column]}, cnt bigint"
+    # key category for the metadata fast path (group_sum's rule: bool and
+    # decimal keys carry no usable zone pair and never claim)
+    key_cat = (
+        "i" if col_type in _CW_INT_TYPES
+        else "s" if col_type == "string"
+        else None
+    )
+    kz = ("vmin_i", "vmax_i") if key_cat == "i" else ("vmin_s", "vmax_s")
+    conj = (
+        _resolve_conjuncts(by_name, where, "group_count")
+        if where is not None
+        else None
+    )
+
+    def _claim(kmin, kmax, k_nnull, br):
+        """One block's (key, cnt) from zone metadata alone, or None when
+        metadata cannot prove it. Sound exactly when the key is provably
+        SINGLE-VALUED (null count 0, vmin == vmax — truncation-safe for
+        strings: stored bounds are only equal when neither was truncated
+        and true min == true max, see group_sum._claim) or provably
+        ALL-NULL (stated null count == block rows)."""
+        if key_cat is None or k_nnull is None:
+            return None
+        if k_nnull == br:
+            return (None, br)
+        if k_nnull == 0 and kmin is not None and kmin == kmax:
+            return (kmin, br)
+        return None
+
+    def _tally_counts(tally, meta_json, data, mask=None):
+        vals, counts, n_null = value_counts_column(meta_json, data, mask=mask)
+        if n_null:
+            tally[None] = tally.get(None, 0) + n_null
+        for v, c in zip(vals.to_pylist(), counts.tolist()):
+            tally[v] = tally.get(v, 0) + c
 
     def _file_counts(fpath, pq_mod):
-        """One file's (value -> count) dict; None key = the NULL group."""
+        """One file's (value -> count) dict; None key = the NULL group.
+        Metadata-claimable blocks never touch payload bytes (wide layout:
+        their payload columns are read only when SOME block of the file
+        needs a kernel); predicate-straddling blocks mask first."""
         tally: dict = {}
         if wide:
-            tbl = pq_mod.read_table(
-                fpath, columns=[f"c_{column}__meta", f"c_{column}__data"]
-            )
-            metas = tbl.column(f"c_{column}__meta").combine_chunks()
-            datas = tbl.column(f"c_{column}__data").combine_chunks()
-            pairs = (
-                (metas[i].as_py(), datas[i].as_py()) for i in range(tbl.num_rows)
-            )
+            avail = set(pq_mod.read_schema(fpath).names)
+            claim_want = [
+                "n_rows",
+                f"c_{column}__{kz[0]}", f"c_{column}__{kz[1]}",
+                f"c_{column}__n_null",
+            ]
+            have_claim = key_cat is not None and set(claim_want) <= avail
+            # per-conjunct zone-stat columns; an absent name reads as None
+            # (unstated) and that side of the classification degrades to
+            # boundary, never to a wrong skip
+            fstat: list[tuple] = []
+            if conj is not None:
+                for col, _lo, _hi, cat in conj:
+                    zmin, zmax = _ZONE_SUFFIXES[cat]
+                    fstat.append(tuple(
+                        n if n in avail else None
+                        for n in (f"c_{col}__{zmin}", f"c_{col}__{zmax}",
+                                  f"c_{col}__n_null")
+                    ))
+            read_cols = (claim_want if have_claim else ["n_rows"]) + [
+                n for trip in fstat for n in trip if n is not None
+            ]
+            kernel_idx: list[int] = []    # unfiltered / all-rows-match blocks
+            boundary_idx: list[int] = []  # predicate-straddling blocks (mask)
+            if (have_claim or conj is not None) and "n_rows" in avail:
+                st = pq_mod.read_table(fpath, columns=sorted(set(read_cols)))
+                rows_col = st.column("n_rows")
+                for i in range(st.num_rows):
+                    br = rows_col[i].as_py()
+                    if not br:
+                        continue
+                    if conj is not None:
+                        kind = _classify_where(conj, [
+                            tuple(
+                                st.column(n)[i].as_py()
+                                if n is not None
+                                else None
+                                for n in trip
+                            )
+                            for trip in fstat
+                        ])
+                        if kind == "pruned":
+                            continue
+                        if kind == "boundary":
+                            boundary_idx.append(i)
+                            continue
+                    claim = _claim(
+                        st.column(f"c_{column}__{kz[0]}")[i].as_py(),
+                        st.column(f"c_{column}__{kz[1]}")[i].as_py(),
+                        st.column(f"c_{column}__n_null")[i].as_py(),
+                        br,
+                    ) if have_claim else None
+                    if claim is not None:
+                        v, c = claim
+                        tally[v] = tally.get(v, 0) + c
+                    else:
+                        kernel_idx.append(i)
+            elif conj is not None:
+                # no usable stats at all: every block must evaluate the
+                # predicate — masked, never silently unfiltered
+                boundary_idx = list(range(pq_mod.read_metadata(fpath).num_rows))
+            else:  # stats columns absent (older blocks): all kernel
+                kernel_idx = list(range(pq_mod.read_metadata(fpath).num_rows))
+            if kernel_idx or boundary_idx:
+                cols = [f"c_{column}__meta", f"c_{column}__data"]
+                if boundary_idx:
+                    cols += [
+                        x for col, _l, _h, _c in conj
+                        for x in (f"c_{col}__meta", f"c_{col}__data")
+                    ]
+                cols = list(dict.fromkeys(cols))
+                pay = pq_mod.read_table(fpath, columns=cols)
+                arrays = {c: pay.column(c).combine_chunks() for c in cols}
+                for i in kernel_idx:
+                    _tally_counts(
+                        tally,
+                        arrays[f"c_{column}__meta"][i].as_py(),
+                        arrays[f"c_{column}__data"][i].as_py(),
+                    )
+                for i in boundary_idx:
+                    mask = _conj_boundary_mask(conj, lambda c, i=i: (
+                        arrays[f"c_{c}__meta"][i].as_py(),
+                        arrays[f"c_{c}__data"][i].as_py(),
+                    ))
+                    if mask is None:
+                        continue
+                    _tally_counts(
+                        tally,
+                        arrays[f"c_{column}__meta"][i].as_py(),
+                        arrays[f"c_{column}__data"][i].as_py(),
+                        mask=mask,
+                    )
         else:
-            tbl = pq_mod.read_table(fpath, columns=["cols"])
+            tbl = pq_mod.read_table(fpath, columns=["n_rows", "cols"])
             cols_col = tbl.column("cols").combine_chunks()
-
-            def _iter_nested():
-                for row in range(len(cols_col)):
-                    entries = cols_col[row].values
-                    names = entries.field("name").to_pylist()
-                    try:
-                        zi = names.index(column)
-                    except ValueError:
-                        raise ValueError(
-                            f"block lacks an entry for {column!r}; the "
-                            f"sidecar schema and the blocks files disagree"
-                        ) from None
-                    yield (
+            rows_col = tbl.column("n_rows")
+            entry_fields = {
+                f.name for f in tbl.schema.field("cols").type.value_type
+            }
+            has_stats = {"n_null", kz[0], kz[1]} <= entry_fields
+            for row in range(len(cols_col)):
+                entries = cols_col[row].values
+                names = entries.field("name").to_pylist()
+                try:
+                    zi = names.index(column)
+                except ValueError:
+                    raise ValueError(
+                        f"block lacks an entry for {column!r}; the "
+                        f"sidecar schema and the blocks files disagree"
+                    ) from None
+                br = rows_col[row].as_py()
+                if not br:
+                    continue
+                mask = None
+                if conj is not None:
+                    stats = []
+                    for col, _lo, _hi, cat in conj:
+                        zmin, zmax = _ZONE_SUFFIXES[cat]
+                        try:
+                            fi = names.index(col)
+                        except ValueError:
+                            raise ValueError(
+                                f"block lacks an entry for {col!r}; the "
+                                f"sidecar schema and the blocks files disagree"
+                            ) from None
+                        stats.append(tuple(
+                            entries.field(f)[fi].as_py()
+                            if f in entry_fields
+                            else None
+                            for f in (zmin, zmax, "n_null")
+                        ))
+                    kind = _classify_where(conj, stats)
+                    if kind == "pruned":
+                        continue
+                    if kind == "boundary":
+                        mask = _conj_boundary_mask(conj, lambda c: (
+                            entries.field("meta")[names.index(c)].as_py(),
+                            entries.field("data")[names.index(c)].as_py(),
+                        ))
+                        if mask is None:
+                            continue
+                claim = None
+                if has_stats and mask is None:
+                    claim = _claim(
+                        entries.field(kz[0])[zi].as_py(),
+                        entries.field(kz[1])[zi].as_py(),
+                        entries.field("n_null")[zi].as_py(),
+                        br,
+                    )
+                if claim is not None:
+                    v, c = claim
+                    tally[v] = tally.get(v, 0) + c
+                else:
+                    _tally_counts(
+                        tally,
                         entries.field("meta")[zi].as_py(),
                         entries.field("data")[zi].as_py(),
+                        mask=mask,
                     )
-
-            pairs = _iter_nested()
-        for meta_json, data in pairs:
-            vals, counts, n_null = value_counts_column(meta_json, data)
-            if n_null:
-                tally[None] = tally.get(None, 0) + n_null
-            for v, c in zip(vals.to_pylist(), counts.tolist()):
-                tally[v] = tally.get(v, 0) + c
         return tally
 
     infos = parquet_file_infos(os.path.join(out_path, "blocks"))

@@ -1097,10 +1097,13 @@ def dataset_column_stats_sql() -> str:
             f"{s} AS sum_i FROM lineitem WHERE {cond}"
         )
 
-    def group_row(prefix, col):
+    def group_row(prefix, col, cond=None):
         # the group_count legs: the oracle re-groups the raw table; a
         # miscounted dictionary slot, a dropped RLE run, or a lost NULL
-        # group all hash-mismatch
+        # group all hash-mismatch. cond gates the FILTERED variant
+        # (group_count(where=)): SQL's WHERE-before-GROUP-BY, so a group
+        # with no matching row is absent on both sides
+        wh = f" WHERE {cond}" if cond else ""
         return (
             f"SELECT '{prefix}' || COALESCE(CAST({col} AS VARCHAR), '<null>') "
             f"AS column, CAST(-1 AS BIGINT) AS vmin_i, "
@@ -1108,7 +1111,7 @@ def dataset_column_stats_sql() -> str:
             f"CAST(0 AS BIGINT) AS n_unstated, "
             f"CAST(count(*) AS BIGINT) AS n_rows, "
             f"CAST(-1 AS BIGINT) AS n_nonnull, "
-            f"CAST(-1 AS BIGINT) AS sum_i FROM lineitem GROUP BY {col}"
+            f"CAST(-1 AS BIGINT) AS sum_i FROM lineitem{wh} GROUP BY {col}"
         )
 
     def gsum_row(prefix, key, agg, cond=None):
@@ -1165,6 +1168,15 @@ def dataset_column_stats_sql() -> str:
             ),
             gsum_row(
                 "gwhere:line=", "l_linenumber", "l_orderkey",
+                cond="l_returnflag BETWEEN 'A' AND 'N' "
+                     "AND l_quantity BETWEEN 5.0 AND 30.0",
+            ),
+            group_row(
+                "gcwhere:flag=", "l_returnflag",
+                cond="l_orderkey BETWEEN 1000 AND 30000",
+            ),
+            group_row(
+                "gcwhere:line=", "l_linenumber",
                 cond="l_returnflag BETWEEN 'A' AND 'N' "
                      "AND l_quantity BETWEEN 5.0 AND 30.0",
             ),
