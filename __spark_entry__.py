@@ -661,6 +661,15 @@ def q_dataset_column_stats(spark, sf_dir):
         # one-sided range: pruning/interior test only the bounded side
         leg("where:open", ("l_orderkey", 9000, None), agg_col="l_orderkey")
     ).unionByName(
+        # IN-list conjuncts (r05 continuation): the string set evaluates
+        # once per dictionary value on the codec streams, the int set
+        # composes with the SUM pushdown over the matched rows
+        leg(
+            "where:flag_in",
+            [("l_returnflag", ["A", "R"]), ("l_linenumber", [1, 3, 5])],
+            agg_col="l_orderkey",
+        )
+    ).unionByName(
         # codec-stream GROUP BY counts: dict_str bincount (string key)
         group_leg("group:flag=", "l_returnflag")
     ).unionByName(
@@ -704,6 +713,13 @@ def q_dataset_column_stats(spark, sf_dir):
         group_leg(
             "gcwhere:line=", "l_linenumber",
             where=[("l_returnflag", "A", "N"), ("l_quantity", 5.0, 30.0)],
+        )
+    ).unionByName(
+        # grouped aggregation under an IN-list (r05 continuation): the
+        # point set rides the same codec-aware mask kernel under GROUP BY
+        gsum_leg(
+            "ginwhere:flag=", "l_returnflag", "l_orderkey",
+            where=("l_linenumber", [1, 2, 4]),
         )
     )
 

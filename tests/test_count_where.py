@@ -365,12 +365,17 @@ def test_randomized_against_python_truth(spark, tmp_path):
 
         def truth(preds, agg):
             def ok(r):
-                for col, lo, hi in preds:
-                    v = r[col]
+                for pred in preds:
+                    v = r[pred[0]]
                     if v is None:
                         return False
                     if isinstance(v, float) and v != v:  # NaN
                         return False
+                    if len(pred) == 2:  # IN-list conjunct
+                        if v not in pred[1]:
+                            return False
+                        continue
+                    _c, lo, hi = pred
                     if lo is not None and not (v >= lo):
                         return False
                     if hi is not None and not (v <= hi):
@@ -385,17 +390,43 @@ def test_randomized_against_python_truth(spark, tmp_path):
         str_bounds = ["", "a", "m", "m" * 64, "q" * 64, "z", None]
         flt_bounds = [-1e300, -2.5, 0.0, 3.75, 1e300, None]
         for _ in range(6):
-            preds = [("k", rng.choice(int_bounds), rng.choice(int_bounds))]
+            if rng.random() < 0.3:  # IN-list conjunct on the int key
+                k = int(rng.integers(1, 4))
+                preds = [("k", sorted({
+                    int(v) for v in rng.choice(
+                        [0, -1, 2**62, -(2**62), int(rng.integers(-10**6, 10**6))],
+                        size=k,
+                    )
+                }))]
+            else:
+                preds = [("k", rng.choice(int_bounds), rng.choice(int_bounds))]
             if rng.random() < 0.4:
-                preds.append(("s", rng.choice(str_bounds), rng.choice(str_bounds)))
+                if rng.random() < 0.3:
+                    preds.append(("s", [str(w) for w in rng.choice(
+                        ["", "a", "zz", "m" * 80, "neg", "nope"],
+                        size=int(rng.integers(1, 3)),
+                    )]))
+                else:
+                    preds.append(("s", rng.choice(str_bounds), rng.choice(str_bounds)))
             if rng.random() < 0.4:
-                preds.append(("f", rng.choice(flt_bounds), rng.choice(flt_bounds)))
+                if rng.random() < 0.3:
+                    preds.append(("f", [float(v) for v in rng.choice(
+                        [-1e300, -2.5, 0.0, 3.75, 1e300, float("inf")],
+                        size=int(rng.integers(1, 3)),
+                    )]))
+                else:
+                    preds.append(("f", rng.choice(flt_bounds), rng.choice(flt_bounds)))
             preds = [
-                (c, None if lo is None else (float(lo) if c == "f" else lo),
-                 None if hi is None else (float(hi) if c == "f" else hi))
-                for c, lo, hi in preds
+                p if len(p) == 2 else
+                (p[0],
+                 None if p[1] is None else (float(p[1]) if p[0] == "f" else p[1]),
+                 None if p[2] is None else (float(p[2]) if p[0] == "f" else p[2]))
+                for p in preds
             ]
-            preds = [p for p in preds if not (p[1] is None and p[2] is None)]
+            preds = [
+                p for p in preds
+                if len(p) == 2 or not (p[1] is None and p[2] is None)
+            ]
             if not preds:
                 continue
             exp = truth(preds, "k")
@@ -998,5 +1029,150 @@ def test_group_count_metadata_claim_never_decodes(spark, tmp_path, layout):
             ).collect()
         }
         assert got == {"web": 150, "code": 300, None: 150}
+    with pytest.raises(Exception):
+        decode_dataset(spark, out).agg(F.count(F.lit(1))).collect()
+
+# ---- IN-list predicates ((column, values) conjuncts) -------------------------
+
+
+def test_in_list_interior_pruned_boundary(spark, ds):
+    """tag is value-clustered (aaa then zzz, 100-row blocks): IN ['aaa']
+    claims single-valued blocks interior from metadata, prunes the zzz
+    blocks, and decodes only the straddling block — with an exact count."""
+    r = _one(count_where(spark, ds, ("tag", ["aaa"])))
+    assert r["n_match"] == 450
+    assert r["n_pruned"] >= 3  # pure-zzz blocks skip unread
+    assert r["n_interior"] >= 4  # pure-aaa blocks claim from metadata
+    assert r["n_interior"] + r["n_pruned"] + r["n_boundary"] == r["n_blocks"]
+    # both values: every block claims or straddles, nothing prunes
+    r = _one(count_where(spark, ds, ("tag", ["aaa", "zzz"])))
+    assert r["n_match"] == 900 and r["n_pruned"] == 0
+    # absent value inside the corpus range: the aaa/zzz-straddling block
+    # cannot zone-disprove it and decodes to zero matches; the rest prune
+    r = _one(count_where(spark, ds, ("tag", ["mmm"])))
+    assert r["n_match"] == 0 and r["n_pruned"] == r["n_blocks"] - 1
+    # absent value below every block's range: everything prunes unread
+    r = _one(count_where(spark, ds, ("tag", ["AAA"])))
+    assert r["n_match"] == 0 and r["n_pruned"] == r["n_blocks"]
+
+
+def test_in_list_int_and_agg(spark, ds):
+    """Int IN-list through the codec-aware mask, composed with the SUM/MIN/
+    MAX pushdown; equals the raw-table filter aggregate."""
+    from pyspark.sql import functions as F
+
+    want = (
+        decode_dataset(spark, ds, columns=["qty", "id"])
+        .where(F.col("qty").isin(1, 3))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("id").alias("s"),
+            F.min("id").alias("mn"),
+            F.max("id").alias("mx"),
+        )
+        .collect()[0]
+    )
+    for lb in (128 << 20, 0):
+        r = _one(count_where(spark, ds, ("qty", [1, 3]), agg_col="id",
+                             local_bytes=lb))
+        assert (r["n_match"], r["n_sum"], r["n_min"], r["n_max"]) == (
+            want["c"], want["s"], want["mn"], want["mx"]
+        )
+
+
+def test_in_list_float_and_mixed_conjunction(spark, ds):
+    """Float IN-list (IEEE equality, decode path — never claims interior)
+    conjoined with an int range; NULL and NaN rows fail, matching SQL."""
+    from pyspark.sql import functions as F
+
+    want = (
+        decode_dataset(spark, ds, columns=["val", "id"])
+        .where(F.col("val").isin(100.0, 150.5) & F.col("id").between(100, 700))
+        .count()
+    )
+    assert want > 0  # the fixture places these exact doubles
+    r = _one(count_where(
+        spark, ds, [("val", [100.0, 150.5]), ("id", 100, 700)]
+    ))
+    assert r["n_match"] == want and r["n_interior"] == 0
+
+
+def test_in_list_group_aggregates(spark, ds):
+    """group_sum/group_count accept IN-list conjuncts; results equal
+    decode + WHERE IN + GROUP BY on both dispatch paths."""
+    from pyspark.sql import functions as F
+
+    cond = F.col("qty").isin(0, 2, 6)
+    truth_sum = _gsum_where_truth(
+        spark, ds, "tag", "id", cond, ["tag", "id", "qty"]
+    )
+    truth_cnt = _gcount_truth(spark, ds, "tag", cond, ["tag", "qty"])
+    for lb in (128 << 20, 0):
+        assert _gsum_where_got(
+            spark, ds, "tag", "id", ("qty", [0, 2, 6]), lb
+        ) == truth_sum
+        assert _gcount_got(spark, ds, "tag", ("qty", [0, 2, 6]), lb) == truth_cnt
+
+
+def test_in_list_validation(spark, ds):
+    with pytest.raises(ValueError, match="at least one value"):
+        count_where(spark, ds, ("id", []))
+    with pytest.raises(ValueError, match="must be int"):
+        count_where(spark, ds, ("id", [1.5]))
+    with pytest.raises(ValueError, match="must be str"):
+        count_where(spark, ds, ("tag", [7]))
+    with pytest.raises(ValueError, match="NaN"):
+        count_where(spark, ds, ("val", [float("nan")]))
+
+
+@pytest.mark.parametrize("layout", ["nested", "wide"])
+def test_in_list_interior_never_decodes(spark, tmp_path, layout):
+    """The IN-list interior claim pinned the hard way: a value-clustered
+    dataset where the matching blocks are single-valued on a set member —
+    tampering their payloads must leave the count exact (metadata answers)
+    while decode refuses."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / f"src_{layout}")
+    out = str(tmp_path / f"ds_{layout}")
+    os.makedirs(src)
+    srcs = ["web", "code", "books"]
+    tbl = pa.table({
+        "src": pa.array([srcs[i // 300] for i in range(900)]),
+        "id": pa.array(np.arange(900, dtype=np.int64)),
+    })
+    for i in range(3):
+        pq.write_table(tbl.slice(300 * i, 300), os.path.join(src, f"part-{i}.parquet"))
+    manifest = CodecManifest.auto_for(
+        from_arrow_schema(tbl.schema), block_rows=100
+    )
+    encode_parquet_dataset(spark, src, out, manifest=manifest, layout=layout)
+
+    # tamper the src payload of every block in the "code" file
+    bdir = os.path.join(out, "blocks")
+    fpath = os.path.join(bdir, "blocks-u000001.parquet")
+    t0 = pq.read_table(fpath)
+    rows = t0.to_pylist()
+    for r in rows:
+        if layout == "nested":
+            ci = [c["name"] for c in r["cols"]].index("src")
+            payload = bytearray(r["cols"][ci]["data"])
+            payload[len(payload) // 2] ^= 0x01
+            r["cols"][ci]["data"] = bytes(payload)
+        else:
+            payload = bytearray(r["c_src__data"])
+            payload[len(payload) // 2] ^= 0x01
+            r["c_src__data"] = bytes(payload)
+    pq.write_table(pa.Table.from_pylist(rows, schema=t0.schema), fpath)
+    crc = os.path.join(bdir, "." + os.path.basename(fpath) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    spark.catalog.refreshByPath(bdir)
+
+    for lb in (128 << 20, 0):
+        r = _one(count_where(spark, out, ("src", ["code", "books"]),
+                             local_bytes=lb))
+        assert r["n_match"] == 600
+        assert r["n_boundary"] == 0  # every block claimed or pruned
     with pytest.raises(Exception):
         decode_dataset(spark, out).agg(F.count(F.lit(1))).collect()

@@ -427,12 +427,18 @@ _ZONE_SUFFIXES = {"i": ("vmin_i", "vmax_i"), "d": ("vmin_d", "vmax_d"),
 
 def _resolve_conjuncts(by_name: dict, predicate, caller: str):
     """Driver-side predicate validation shared by the metadata-accelerated
-    aggregates (:func:`count_where`, :func:`group_sum` ``where=``): resolve
-    each conjunct's value category up front so the executor-side block
-    classifier and mask kernels are branch-free on types. ``predicate`` is
-    one ``(column, lo, hi)`` tuple or a list (conjunction); either bound
-    may be None for a one-sided range. Returns ``[(col, lo, hi, cat)]``
-    with ``cat`` in ``{'i','d','s'}``."""
+    aggregates (:func:`count_where`, :func:`group_sum` / :func:`group_count`
+    ``where=``): resolve each conjunct's value category up front so the
+    executor-side block classifier and mask kernels are branch-free on
+    types. ``predicate`` is one conjunct or a list (conjunction); each
+    conjunct is either a 3-tuple ``(column, lo, hi)`` — inclusive range,
+    either bound may be None for a one-sided range — or a 2-tuple
+    ``(column, values)`` — an IN-list over a non-empty sequence of points
+    (the same two shapes :func:`~xml2arrow_spark.operators.encode
+    .decode_table`'s ``row_filter`` takes). Returns
+    ``[(col, values, lo, hi, cat)]`` with ``cat`` in ``{'i','d','s'}``;
+    ``values`` is None for range conjuncts, and lo/hi are None for
+    IN-list conjuncts."""
     import math
 
     from xml2arrow_spark.operators.encode import normalize_zone_filters
@@ -440,8 +446,19 @@ def _resolve_conjuncts(by_name: dict, predicate, caller: str):
     preds = normalize_zone_filters(predicate)
     if not preds:
         raise ValueError(f"{caller} needs at least one (column, lo, hi) predicate")
-    conj: list[tuple[str, object, object, str]] = []
-    for col, lo, hi in preds:
+    conj: list[tuple] = []
+    for pred in preds:
+        if len(pred) == 2:
+            col, values = pred
+            values = list(values)
+            lo = hi = None
+            if not values:
+                raise ValueError(
+                    f"IN-list predicate on {col!r} needs at least one value"
+                )
+        else:
+            col, lo, hi = pred
+            values = None
         if col not in by_name:
             raise ValueError(
                 f"dataset lacks encoded column {col!r}; it has {sorted(by_name)}"
@@ -451,12 +468,14 @@ def _resolve_conjuncts(by_name: dict, predicate, caller: str):
             raise ValueError(
                 f"{caller} needs a scalar column; {col!r} is {typ}"
             )
-        if lo is None and hi is None:
+        if values is None and lo is None and hi is None:
             raise ValueError(
                 f"predicate on {col!r} needs at least one bound "
                 "(lo, hi, or both); None means unbounded on that side"
             )
-        present = [b for b in (lo, hi) if b is not None]
+        present = values if values is not None else [
+            b for b in (lo, hi) if b is not None
+        ]
         if typ in _CW_INT_TYPES or typ.startswith("decimal"):
             if not all(
                 isinstance(b, int) and not isinstance(b, bool) for b in present
@@ -464,6 +483,13 @@ def _resolve_conjuncts(by_name: dict, predicate, caller: str):
                 raise ValueError(f"{col!r} is {typ}: bounds must be int")
             cat = "i"
         elif typ in ("float", "double", "real"):
+            if values is not None:
+                values = [float(v) for v in values]
+                if any(math.isnan(v) for v in values):
+                    raise ValueError(
+                        f"NaN in the IN-list for {col!r} can never match "
+                        "(IEEE equality; SQL IN agrees)"
+                    )
             lo = None if lo is None else float(lo)
             hi = None if hi is None else float(hi)
             if any(math.isnan(b) for b in (lo, hi) if b is not None):
@@ -475,7 +501,7 @@ def _resolve_conjuncts(by_name: dict, predicate, caller: str):
             cat = "s"
         else:
             raise ValueError(f"{caller} does not support {col!r} of type {typ}")
-        conj.append((col, lo, hi, cat))
+        conj.append((col, values, lo, hi, cat))
     return conj
 
 
@@ -488,9 +514,31 @@ def _classify_where(conj, stats):
     bounds inside on each bounded side AND a null-free filter column
     (unlike count_where the GROUP paths cannot subtract filter nulls:
     their group membership is unknown; and NaN is non-null yet fails
-    BETWEEN, so floats never claim). Else 'boundary' (decode + mask)."""
+    BETWEEN, so floats never claim). Else 'boundary' (decode + mask).
+
+    IN-list conjuncts (values set): pruned when every point falls outside
+    [vmin, vmax] — sound for truncated string bounds too, vmin understates
+    the true min and vmax overstates the true max; interior only when the
+    block is provably single-valued (vmin == vmax, truncation-safe) on a
+    set member with a null-free column."""
     interior = True
-    for (_col, lo, hi, cat), (vmin, vmax, n_null) in zip(conj, stats):
+    for (_col, values, lo, hi, cat), (vmin, vmax, n_null) in zip(conj, stats):
+        if values is not None:
+            if (
+                vmin is not None
+                and vmax is not None
+                and all(v < vmin or vmax < v for v in values)
+            ):
+                return "pruned"
+            if (
+                cat == "d"
+                or n_null != 0
+                or vmin is None
+                or vmin != vmax
+                or vmin not in values
+            ):
+                interior = False
+            continue
         if (lo is not None and vmax is not None and vmax < lo) or (
             hi is not None and vmin is not None and hi < vmin
         ):
@@ -509,7 +557,8 @@ def _conj_boundary_mask(conj, pair_of):
     """Evaluate a conjunction over one straddling block: ``pair_of(col)``
     yields the filter column's (meta_json, payload). Int/string conjuncts
     ride the codec-aware mask kernel (match_mask_column — dictionary/run
-    streams, values never materialize where the codec allows); float
+    streams, values never materialize where the codec allows; IN-lists
+    evaluate once per distinct value / run through the same kernel); float
     conjuncts decode and compare as float64, the same widening
     count_where's boundary path uses. NULL/NaN rows fail, matching SQL
     WHERE. Returns a numpy row mask, or None when no row matches (the
@@ -519,17 +568,22 @@ def _conj_boundary_mask(conj, pair_of):
     from xml2arrow_spark.operators.encode import match_mask_column
 
     mask = None
-    for col, lo, hi, cat in conj:
+    for col, values, lo, hi, cat in conj:
         if cat == "d":
             arr = pc.cast(decode_column(*pair_of(col)), pa.float64())
-            m = None
-            if lo is not None:
-                m = pc.greater_equal(arr, pa.scalar(lo))
-            if hi is not None:
-                mh = pc.less_equal(arr, pa.scalar(hi))
-                m = mh if m is None else pc.and_kleene(m, mh)
+            if values is not None:
+                m = pc.fill_null(pc.is_in(
+                    arr, value_set=pa.array(values, type=pa.float64())
+                ), False)
+            else:
+                m = None
+                if lo is not None:
+                    m = pc.greater_equal(arr, pa.scalar(lo))
+                if hi is not None:
+                    mh = pc.less_equal(arr, pa.scalar(hi))
+                    m = mh if m is None else pc.and_kleene(m, mh)
         else:
-            m = match_mask_column(*pair_of(col), None, lo, hi)
+            m = match_mask_column(*pair_of(col), values, lo, hi)
             if m is None:
                 return None
         mask = m if mask is None else pc.and_kleene(mask, m)
@@ -597,10 +651,14 @@ def count_where(
     routine fans out over executors via mapInArrow. ``local_bytes=0``
     forces the distributed path.
 
-    ``predicate`` is one ``(column, lo, hi)`` tuple or a list (conjunction);
-    bounds are inclusive, and either side may be ``None`` for a one-sided
-    range (``col >= lo`` / ``col <= hi``) — pruning and interior claims
-    then test only the bounded side. Columns must be scalar
+    ``predicate`` is one conjunct or a list (conjunction). Each conjunct
+    is a 3-tuple ``(column, lo, hi)`` — inclusive bounds, either side may
+    be ``None`` for a one-sided range (``col >= lo`` / ``col <= hi``;
+    pruning and interior claims then test only the bounded side) — or a
+    2-tuple ``(column, values)``, an IN-list: a block prunes when every
+    point falls outside its zone range, claims interior when provably
+    single-valued on a set member, and otherwise evaluates the set once
+    per distinct value / run on the codec streams. Columns must be scalar
     int/float/string/decimal; bound types must match the column category. Returns a ONE-ROW DataFrame
     ``(n_match, n_blocks, n_pruned, n_interior, n_boundary[, n_sum, n_min,
     n_max])`` — n_match and the aggregates are exact, the rest are the
@@ -645,8 +703,30 @@ def count_where(
         interior = True
         nulls: list[int] = []
         rows = 0
-        for (col, lo, hi, cat), (vmin, vmax, n_null, block_rows) in zip(conj, stats):
+        for (col, values, lo, hi, cat), (vmin, vmax, n_null, block_rows) in zip(conj, stats):
             rows = block_rows
+            if values is not None:
+                # IN-list conjunct: pruned when every point falls outside
+                # [vmin, vmax] (sound for truncated string bounds — vmin
+                # understates, vmax overstates); interior only when the
+                # block is provably single-valued on a set member
+                if (
+                    vmin is not None
+                    and vmax is not None
+                    and all(v < vmin or vmax < v for v in values)
+                ):
+                    return "pruned", 0, None
+                if (
+                    cat == "d"
+                    or n_null is None
+                    or vmin is None
+                    or vmin != vmax
+                    or vmin not in values
+                ):
+                    interior = False
+                else:
+                    nulls.append(n_null)
+                continue
             # one-sided outside tests are sound even for truncation-safe
             # string bounds (vmin understates, vmax overstates); a None
             # bound is unbounded on that side
@@ -696,17 +776,22 @@ def count_where(
         import pyarrow.compute as pc
 
         mask = None
-        for col, lo, hi, cat in conj:
+        for col, values, lo, hi, cat in conj:
             if cat == "d":
                 arr = pc.cast(decode_column(*pair_of(col)), pa.float64())
-                m = None
-                if lo is not None:
-                    m = pc.greater_equal(arr, pa.scalar(lo))
-                if hi is not None:
-                    mh = pc.less_equal(arr, pa.scalar(hi))
-                    m = mh if m is None else pc.and_kleene(m, mh)
+                if values is not None:
+                    m = pc.fill_null(pc.is_in(
+                        arr, value_set=pa.array(values, type=pa.float64())
+                    ), False)
+                else:
+                    m = None
+                    if lo is not None:
+                        m = pc.greater_equal(arr, pa.scalar(lo))
+                    if hi is not None:
+                        mh = pc.less_equal(arr, pa.scalar(hi))
+                        m = mh if m is None else pc.and_kleene(m, mh)
             else:
-                m = match_mask_column(*pair_of(col), None, lo, hi)
+                m = match_mask_column(*pair_of(col), values, lo, hi)
                 if m is None:
                     return 0, None  # a conjunct matched zero rows
             mask = m if mask is None else pc.and_kleene(mask, m)
@@ -751,7 +836,7 @@ def count_where(
         if wide:
             avail = set(pq.read_schema(fpath).names)
             want = {"n_rows"}
-            for col, _lo, _hi, cat in conj:
+            for col, _values, _lo, _hi, cat in conj:
                 zmin, zmax = suffixes[cat]
                 want |= {f"c_{col}__{zmin}", f"c_{col}__{zmax}",
                          f"c_{col}__n_null"}
@@ -770,7 +855,7 @@ def count_where(
             for i in range(stat_tbl.num_rows):
                 br = rows_col[i].as_py()
                 stats = []
-                for col, _lo, _hi, cat in conj:
+                for col, _values, _lo, _hi, cat in conj:
                     zmin, zmax = suffixes[cat]
                     stats.append((
                         _field(f"c_{col}__{zmin}", i),
@@ -802,7 +887,7 @@ def count_where(
             if boundary_idx:
                 # only now touch payload, and only the filter cols
                 # (+ the sum column)
-                pay_cols = [c for c, _l, _h, _c2 in conj]
+                pay_cols = [c for c, _v, _l, _h, _c2 in conj]
                 if agg_col is not None and agg_col not in pay_cols:
                     pay_cols.append(agg_col)
                 need = [x for col in pay_cols
@@ -834,7 +919,7 @@ def count_where(
             br = rows_col[row].as_py()
             stats = []
             idxs = []
-            for col, _lo, _hi, cat in conj:
+            for col, _values, _lo, _hi, cat in conj:
                 zmin, zmax = suffixes[cat]
                 try:
                     zi = names.index(col)
@@ -1020,7 +1105,8 @@ def group_count(
     group keys are refused up front — SQL groups NaNs together, IEEE
     equality does not, so a float group-by cannot be reproduced portably.
 
-    ``where`` (one ``(column, lo, hi)`` tuple or a list — a conjunction;
+    ``where`` (one ``(column, lo, hi)`` range or ``(column, values)``
+    IN-list conjunct, or a list of them — a conjunction;
     either bound may be None, the same contract as :func:`count_where` /
     :func:`group_sum`) restricts the count to the matching rows: blocks
     whose zone stats provably MISS a conjunct skip unread, blocks provably
@@ -1117,7 +1203,7 @@ def group_count(
             # boundary, never to a wrong skip
             fstat: list[tuple] = []
             if conj is not None:
-                for col, _lo, _hi, cat in conj:
+                for col, _values, _lo, _hi, cat in conj:
                     zmin, zmax = _ZONE_SUFFIXES[cat]
                     fstat.append(tuple(
                         n if n in avail else None
@@ -1172,7 +1258,7 @@ def group_count(
                 cols = [f"c_{column}__meta", f"c_{column}__data"]
                 if boundary_idx:
                     cols += [
-                        x for col, _l, _h, _c in conj
+                        x for col, _v, _l, _h, _c in conj
                         for x in (f"c_{col}__meta", f"c_{col}__data")
                     ]
                 cols = list(dict.fromkeys(cols))
@@ -1221,7 +1307,7 @@ def group_count(
                 mask = None
                 if conj is not None:
                     stats = []
-                    for col, _lo, _hi, cat in conj:
+                    for col, _values, _lo, _hi, cat in conj:
                         zmin, zmax = _ZONE_SUFFIXES[cat]
                         try:
                             fi = names.index(col)
@@ -1369,7 +1455,8 @@ def group_sum(
     outside int64 REFUSES per task with ArithmeticError (ANSI-style;
     Spark's ANSI sum covers the cross-task roll-up).
 
-    ``where`` (one ``(column, lo, hi)`` tuple or a list — a conjunction;
+    ``where`` (one ``(column, lo, hi)`` range or ``(column, values)``
+    IN-list conjunct, or a list of them — a conjunction;
     either bound may be None for a one-sided range, same contract as
     :func:`count_where`) restricts the aggregation to the matching rows,
     composing the two metadata accelerations: a block whose zone bounds
@@ -1516,7 +1603,7 @@ def group_sum(
             # boundary, never to a wrong skip
             fstat: list[tuple] = []
             if conj is not None:
-                for col, _lo, _hi, cat in conj:
+                for col, _values, _lo, _hi, cat in conj:
                     zmin, zmax = _ZONE_SUFFIXES[cat]
                     fstat.append(tuple(
                         n if n in avail else None
@@ -1577,7 +1664,7 @@ def group_sum(
                 ]
                 if boundary_idx:
                     cols += [
-                        x for col, _l, _h, _c in conj
+                        x for col, _v, _l, _h, _c in conj
                         for x in (f"c_{col}__meta", f"c_{col}__data")
                     ]
                 cols = list(dict.fromkeys(cols))
@@ -1631,7 +1718,7 @@ def group_sum(
                 mask = None
                 if conj is not None:
                     stats = []
-                    for col, _lo, _hi, cat in conj:
+                    for col, _values, _lo, _hi, cat in conj:
                         zmin, zmax = _ZONE_SUFFIXES[cat]
                         try:
                             fi = names.index(col)

@@ -1158,6 +1158,11 @@ def dataset_column_stats_sql() -> str:
                 "l_orderkey >= 9000",
                 agg_expr="l_orderkey",
             ),
+            where_row(
+                "where:flag_in",
+                "l_returnflag IN ('A', 'R') AND l_linenumber IN (1, 3, 5)",
+                agg_expr="l_orderkey",
+            ),
             group_row("group:flag=", "l_returnflag"),
             group_row("group:line=", "l_linenumber"),
             gsum_row("gsum:flag=", "l_returnflag", "l_orderkey"),
@@ -1179,6 +1184,10 @@ def dataset_column_stats_sql() -> str:
                 "gcwhere:line=", "l_linenumber",
                 cond="l_returnflag BETWEEN 'A' AND 'N' "
                      "AND l_quantity BETWEEN 5.0 AND 30.0",
+            ),
+            gsum_row(
+                "ginwhere:flag=", "l_returnflag", "l_orderkey",
+                cond="l_linenumber IN (1, 2, 4)",
             ),
         ]
     )
