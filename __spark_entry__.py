@@ -630,6 +630,38 @@ def q_dataset_column_stats(spark, sf_dir):
             F.coalesce(F.col("sum_a"), F.lit(-1)).cast("long").alias("sum_i"),
         )
 
+    def _topk_sentinels(label_col, value_col):
+        return [
+            label_col.alias("column"),
+            value_col.alias("vmin_i"),
+            F.lit(-1).cast("long").alias("vmax_i"),
+            F.lit(-1.0).alias("vmin_d"),
+            F.lit(-1.0).alias("vmax_d"),
+            F.lit(0).cast("long").alias("n_unstated"),
+            F.lit(-1).cast("long").alias("n_rows"),
+            F.lit(-1).cast("long").alias("n_nonnull"),
+            F.lit(-1).cast("long").alias("sum_i"),
+        ]
+
+    def topk_int_leg(label, column, kk, descending):
+        from xml2arrow_spark.operators.dataset import top_k
+
+        tk = top_k(spark, out, column, kk, descending=descending,
+                   local_bytes=0)
+        return tk.select(*_topk_sentinels(
+            F.lit(label), F.col(column).cast("long")
+        ))
+
+    def topk_str_leg(prefix, column, kk, descending):
+        from xml2arrow_spark.operators.dataset import top_k
+
+        tk = top_k(spark, out, column, kk, descending=descending,
+                   local_bytes=0)
+        return tk.select(*_topk_sentinels(
+            F.concat(F.lit(prefix), F.col(column)),
+            F.lit(-1).cast("long"),
+        ))
+
     def group_leg(prefix, column, where=None):
         gc = group_count(spark, out, column, local_bytes=0, where=where)
         return gc.select(
@@ -721,6 +753,17 @@ def q_dataset_column_stats(spark, sf_dir):
             "ginwhere:flag=", "l_returnflag", "l_orderkey",
             where=("l_linenumber", [1, 2, 4]),
         )
+    ).unionByName(
+        # top-k pushdown (r05 continuation): ORDER BY ... LIMIT answered
+        # zone-ordered with early termination through the distributed
+        # path (tau pre-pass + per-file rank-ordered scans); the oracle
+        # re-sorts the raw table, so a wrong skip, a lost duplicate, or
+        # a NULL leaking into the ranks all hash-mismatch
+        topk_int_leg("topk:okey", "l_orderkey", 7, descending=True)
+    ).unionByName(
+        topk_int_leg("topk:line", "l_linenumber", 5, descending=False)
+    ).unionByName(
+        topk_str_leg("topk:flag=", "l_returnflag", 6, descending=True)
     )
 
 

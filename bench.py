@@ -748,6 +748,28 @@ def main() -> None:
             / queries["q19l_group_sum_where"],
             2,
         )
+
+        # q19n/q19o: top-k pushdown (ORDER BY ... LIMIT) on the orderkey-
+        # clustered encode: the tau pre-pass + rank-ordered block visits
+        # read a handful of top blocks; the baseline is the column-pruned
+        # decode + orderBy + limit a user without pushdown would run.
+        from xml2arrow_spark.operators.dataset import top_k
+
+        best_of(
+            "q19n_top_k_meta",
+            lambda: top_k(spark, cw_ds, "l_orderkey", 100).collect(),
+        )
+        best_of(
+            "q19o_top_k_via_decode",
+            lambda: decode_dataset(spark, cw_ds, columns=["l_orderkey"])
+            .where(F.col("l_orderkey").isNotNull())
+            .orderBy(F.desc("l_orderkey"))
+            .limit(100)
+            .collect(),
+        )
+        extra["top_k_speedup"] = round(
+            queries["q19o_top_k_via_decode"] / queries["q19n_top_k_meta"], 2
+        )
     finally:
         shutil.rmtree(cw_dir, ignore_errors=True)
 

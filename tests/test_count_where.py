@@ -1176,3 +1176,114 @@ def test_in_list_interior_never_decodes(spark, tmp_path, layout):
         assert r["n_boundary"] == 0  # every block claimed or pruned
     with pytest.raises(Exception):
         decode_dataset(spark, out).agg(F.count(F.lit(1))).collect()
+
+# ---- top_k: ORDER BY ... LIMIT pushdown with zone-ordered early stop --------
+
+
+def test_top_k_matches_order_by_limit(spark, ds):
+    """Both directions, both dispatch paths, duplicates kept with
+    multiplicity; equals decode + orderBy + limit."""
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.dataset import top_k
+
+    base = decode_dataset(spark, ds, columns=["qty"]).where(
+        F.col("qty").isNotNull()
+    )
+    want_desc = [r["qty"] for r in base.orderBy(F.desc("qty")).limit(9).collect()]
+    want_asc = [r["qty"] for r in base.orderBy(F.asc("qty")).limit(9).collect()]
+    for lb in (128 << 20, 0):
+        got = [r["qty"] for r in top_k(spark, ds, "qty", 9, local_bytes=lb).collect()]
+        assert got == want_desc
+        got = [r["qty"] for r in top_k(
+            spark, ds, "qty", 9, descending=False, local_bytes=lb
+        ).collect()]
+        assert got == want_asc
+
+
+def test_top_k_strings_and_overshoot(spark, ds):
+    from xml2arrow_spark.operators.dataset import top_k
+
+    for lb in (128 << 20, 0):
+        got = [r["tag"] for r in top_k(spark, ds, "tag", 3, local_bytes=lb).collect()]
+        assert got == ["zzz", "zzz", "zzz"]
+        got = [r["tag"] for r in top_k(
+            spark, ds, "tag", 2, descending=False, local_bytes=lb
+        ).collect()]
+        assert got == ["aaa", "aaa"]
+        # k beyond the population returns every non-null value
+        got = top_k(spark, ds, "id", 10**6, local_bytes=lb).count()
+        assert got == 900
+
+
+def test_top_k_validation(spark, ds):
+    from xml2arrow_spark.operators.dataset import top_k
+
+    with pytest.raises(ValueError, match="k >= 1"):
+        top_k(spark, ds, "id", 0)
+    with pytest.raises(ValueError, match="NaN"):
+        top_k(spark, ds, "val", 3)  # float column refused
+    with pytest.raises(ValueError, match="scalar"):
+        top_k(spark, ds, "tokens", 3)
+    with pytest.raises(ValueError, match="lacks encoded column"):
+        top_k(spark, ds, "nope", 3)
+
+
+@pytest.mark.parametrize("layout", ["nested", "wide"])
+def test_top_k_early_stop_never_decodes(spark, tmp_path, layout):
+    """Value-clustered dataset: top-k desc reads only the top blocks.
+    Tampering every payload OUTSIDE the top blocks (fatal to any decode
+    via the block CRC) must leave the answer exact while a full decode
+    refuses — the early-termination skip is real, not cosmetic."""
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.dataset import top_k
+
+    src = str(tmp_path / f"src_{layout}")
+    out = str(tmp_path / f"ds_{layout}")
+    os.makedirs(src)
+    # clustered: block i holds exactly [100i, 100i+99], shuffled WITHIN the
+    # block so delta cannot fold the payload into metadata (a perfect
+    # arithmetic progression encodes to 0 payload bytes — untamperable)
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([
+        rng.permutation(np.arange(100 * i, 100 * (i + 1), dtype=np.int64))
+        for i in range(9)
+    ])
+    tbl = pa.table({"v": pa.array(vals)})
+    for i in range(3):
+        pq.write_table(tbl.slice(300 * i, 300), os.path.join(src, f"part-{i}.parquet"))
+    manifest = CodecManifest.auto_for(
+        from_arrow_schema(tbl.schema), block_rows=100
+    )
+    encode_parquet_dataset(spark, src, out, manifest=manifest, layout=layout)
+
+    # tamper every block of the two LOWER files (values 0..599)
+    bdir = os.path.join(out, "blocks")
+    for unit in ("u000000", "u000001"):
+        fpath = os.path.join(bdir, f"blocks-{unit}.parquet")
+        t0 = pq.read_table(fpath)
+        rows = t0.to_pylist()
+        for r in rows:
+            if layout == "nested":
+                payload = bytearray(r["cols"][0]["data"])
+                if payload:
+                    payload[len(payload) // 2] ^= 0x01
+                    r["cols"][0]["data"] = bytes(payload)
+            else:
+                payload = bytearray(r["c_v__data"])
+                if payload:
+                    payload[len(payload) // 2] ^= 0x01
+                    r["c_v__data"] = bytes(payload)
+        pq.write_table(pa.Table.from_pylist(rows, schema=t0.schema), fpath)
+        crc = os.path.join(bdir, f".blocks-{unit}.parquet.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+    spark.catalog.refreshByPath(bdir)
+
+    want = list(range(899, 889, -1))
+    for lb in (128 << 20, 0):
+        got = [r["v"] for r in top_k(spark, out, "v", 10, local_bytes=lb).collect()]
+        assert got == want
+    with pytest.raises(Exception):
+        decode_dataset(spark, out).agg(F.count(F.lit(1))).collect()

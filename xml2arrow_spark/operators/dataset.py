@@ -1856,6 +1856,356 @@ def group_sum(
     )
 
 
+def _topk_trim(tally: dict, k: int, descending: bool):
+    """Trim a value->count tally to the smallest prefix (in rank order)
+    whose cumulative count reaches ``k``; returns the k-th ranked value
+    (the early-termination threshold) or None while fewer than ``k``
+    values have been seen. Keeping only that prefix bounds the tally at
+    k+1 distinct values no matter how many blocks fold in."""
+    items = sorted(tally.items(), key=lambda t: t[0], reverse=descending)
+    cum = 0
+    kth = None
+    for i, (v, c) in enumerate(items):
+        cum += c
+        if cum >= k:
+            kth = v
+            for drop, _c in items[i + 1:]:
+                del tally[drop]
+            break
+    return kth
+
+
+def top_k(
+    spark,
+    out_path: str,
+    column: str,
+    k: int,
+    descending: bool = True,
+    n_tasks: int | None = None,
+    local_bytes: int = 128 << 20,
+):
+    """Exact ``SELECT column FROM t WHERE column IS NOT NULL ORDER BY
+    column [DESC] LIMIT k`` over a STORED dataset — the top-k pushdown,
+    zone-ordered with sound early termination (the small-materialized-
+    aggregates move applied to ORDER BY ... LIMIT):
+
+    - blocks are visited in zone-bound rank order (vmax descending for
+      the default, vmin ascending for ``descending=False``; blocks with
+      missing stats are visited FIRST — they can never be skipped);
+    - each visited block folds its per-value tally through
+      :func:`~xml2arrow_spark.operators.blocks.value_counts_column`
+      (dict/rle/pdict/dict_str code streams — the column's values never
+      materialize per row for those codecs), trimmed to the best k;
+    - once k values are held, a block whose zone bound cannot beat the
+      current k-th value is SKIPPED, and because blocks are rank-ordered
+      every block after it skips too — on value-clustered data
+      (``presort``) the scan touches a handful of blocks out of the
+      corpus. The skip is sound for truncation-safe string bounds: a
+      bumped vmax overstates the true max, so ``vmax <= kth`` still
+      proves no contained value can enter the top k (extra ties cannot
+      change the first-k multiset); mirrored for understated vmin
+      ascending.
+
+    Float columns are refused: both Spark and SQL engines order NaN above
+    every value, but zone stats skip NaN, so a metadata skip could drop
+    NaN rows — engine-defined results are never returned. NULLs never
+    rank (SQL NULLS LAST under LIMIT semantics): the result is the k
+    largest/smallest NON-NULL values, with multiplicity; fewer than k
+    rows come back when the dataset has fewer non-null values.
+
+    Scale-adaptive like :func:`count_where`. At most ``local_bytes`` of
+    blocks answers driver-side: one pass collects every block's rank
+    bound (wide layout: a zone stats column, payload untouched), then one
+    GLOBALLY rank-ordered visit folds blocks until the threshold closes —
+    payload is read per file only when some block of it is actually
+    visited. Above the threshold, a driver pre-pass computes the
+    k-th best GUARANTEED-CONTAINED zone value (vmax for int descending —
+    the zone max IS a contained value; vmin for strings, whose bumped
+    vmax may not be) with one column-pruned Spark scan over the blocks
+    metadata, then each file task runs the rank-ordered routine over ITS
+    blocks seeded with that global threshold — a task whose best block
+    cannot beat it skips the whole file after a single stats read, and
+    only (value, count) partials bounded by k per file return to the
+    driver. ``local_bytes=0`` forces the distributed path. Both paths
+    pinned equal — and pinned to SKIP, via payload tampering — in tests.
+
+    Returns a DataFrame with one column (the original name and type), k
+    rows, sorted in rank order.
+    """
+    import yaml
+
+    from xml2arrow_spark.operators.encode import split_schema_ddl
+    from xml2arrow_spark.sources.files import parquet_file_infos, plan_parquet_tasks
+
+    if k < 1:
+        raise ValueError(f"top_k needs k >= 1, got {k}")
+    with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
+        side = yaml.safe_load(f.read())
+    by_name = split_schema_ddl(side["schema_ddl"])
+    if column not in by_name:
+        raise ValueError(
+            f"dataset lacks encoded column {column!r}; it has {sorted(by_name)}"
+        )
+    col_type = by_name[column].split(None, 1)[1].strip().lower()
+    if col_type in ("float", "double", "real"):
+        raise ValueError(
+            f"top_k refuses float columns ({column} is {col_type}): zone "
+            "stats skip NaN, which SQL engines order above every value — "
+            "a metadata skip could silently drop NaN rows"
+        )
+    if col_type.startswith(("array", "map", "struct")):
+        raise ValueError(f"top_k needs a scalar column; {column!r} is {col_type}")
+    wide = side.get("layout", "nested") == "wide"
+    cat = (
+        "i" if col_type in _CW_INT_TYPES
+        else "s" if col_type == "string"
+        else None
+    )
+    kz = _ZONE_SUFFIXES[cat] if cat is not None else None
+    # the rank bound that can SKIP a block: the side the top of the order
+    # lives on (vmax for descending, vmin for ascending) — over-/under-
+    # statement of truncated string bounds only ever under-skips
+    bound_field = (kz[1] if descending else kz[0]) if kz else None
+    # the INNER zone bound every non-null value provably beats-or-ties
+    # (descending: every value >= vmin — sound even for a truncated
+    # string vmin, which UNDERSTATES the true min; ascending: every
+    # value <= vmax, a bumped string vmax only overstates) — paired with
+    # the block's non-null count it proves "this block holds cnt values
+    # at least this good", the distributed global threshold's evidence
+    guaranteed_field = (kz[0] if descending else kz[1]) if kz else None
+
+    def _beats(b, t):
+        """True when a block bounded by ``b`` could still contribute —
+        i.e. strictly beats threshold ``t`` in rank order."""
+        return t < b if descending else b < t
+
+    def _scan_blocks(fpath, pq_mod):
+        """One file's (bounds, getter): per-block rank bound (None =
+        unknown, never skippable) and a lazy (meta, data) accessor. Wide
+        layout reads ONLY the stats column up front; payload is read on
+        the first actual access."""
+        if wide:
+            avail = set(pq_mod.read_schema(fpath).names)
+            bcol = f"c_{column}__{bound_field}" if bound_field else None
+            if bcol is not None and bcol in avail:
+                bounds = pq_mod.read_table(
+                    fpath, columns=[bcol]
+                ).column(bcol).to_pylist()
+            else:
+                bounds = [None] * pq_mod.read_metadata(fpath).num_rows
+            state = {}
+
+            def getter(i):
+                if "m" not in state:
+                    pay = pq_mod.read_table(
+                        fpath,
+                        columns=[f"c_{column}__meta", f"c_{column}__data"],
+                    )
+                    state["m"] = pay.column(f"c_{column}__meta").combine_chunks()
+                    state["d"] = pay.column(f"c_{column}__data").combine_chunks()
+                return state["m"][i].as_py(), state["d"][i].as_py()
+
+            return bounds, getter
+        tbl = pq_mod.read_table(fpath, columns=["cols"])
+        cols_col = tbl.column("cols").combine_chunks()
+        entry_fields = {f.name for f in tbl.schema.field("cols").type.value_type}
+        have_bound = bound_field is not None and bound_field in entry_fields
+        handles = []
+        bounds = []
+        for row in range(len(cols_col)):
+            entries = cols_col[row].values
+            names = entries.field("name").to_pylist()
+            try:
+                zi = names.index(column)
+            except ValueError:
+                raise ValueError(
+                    f"block lacks an entry for {column!r}; the "
+                    f"sidecar schema and the blocks files disagree"
+                ) from None
+            handles.append((entries, zi))
+            bounds.append(
+                entries.field(bound_field)[zi].as_py() if have_bound else None
+            )
+
+        def getter(i):
+            entries, zi = handles[i]
+            return (
+                entries.field("meta")[zi].as_py(),
+                entries.field("data")[zi].as_py(),
+            )
+
+        return bounds, getter
+
+    def _visit(order, getter_of, tally, kth0=None):
+        """Fold blocks in rank order into ``tally`` until the threshold
+        closes; ``order`` is [(bound, key, i)] with unknown bounds first.
+        Returns the final k-th value.
+
+        Two skip rules, both monotone in the rank order (so the first
+        skip ends the walk): against the OWN k-th value the skip may take
+        ties — the tally already holds k values at least as good, so
+        extra copies of the k-th cannot change the first-k multiset —
+        but against the SEEDED global threshold ``kth0`` (distributed
+        mode: the k-th best provably-contained zone value, proving only
+        that k values >= it exist SOMEWHERE) the skip must be STRICT: a
+        block bounded exactly at it may hold the very copies the global
+        top k needs."""
+        kth = None
+        for b, key, i in order:
+            if b is not None and (
+                (kth is not None and not _beats(b, kth))
+                or (kth0 is not None and _beats(kth0, b))
+            ):
+                break  # rank-ordered: every later block skips too
+            vals, counts, _n_null = value_counts_column(*getter_of(key)(i))
+            for v, c in zip(vals.to_pylist(), counts.tolist()):
+                tally[v] = tally.get(v, 0) + c
+            kth = _topk_trim(tally, k, descending)
+        return kth
+
+    def _rank_order(items):
+        """[(bound, key, i)] -> unknown-bound blocks first (never
+        skippable), then rank order."""
+        unknown = [e for e in items if e[0] is None]
+        known = sorted(
+            (e for e in items if e[0] is not None),
+            key=lambda e: e[0],
+            reverse=descending,
+        )
+        return unknown + known
+
+    def _finish(total: dict):
+        _topk_trim(total, k, descending)
+        out = []
+        for v in sorted(total, reverse=descending):
+            out.extend([v] * total[v])
+            if len(out) >= k:
+                break
+        out = out[:k]
+        # arrow-backed LocalRelation — see group_count's local finish
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        lsch = to_arrow_schema(StructType.fromDDL(by_name[column]))
+        return spark.createDataFrame(
+            pa.table({column: pa.array(out, type=lsch.field(0).type)}),
+            schema=by_name[column],
+        )
+
+    infos = parquet_file_infos(os.path.join(out_path, "blocks"))
+    if sum(s for _p, s in infos) <= local_bytes:
+        import pyarrow.parquet as pq_local
+
+        # pass 1: every block's rank bound (wide: stats columns only);
+        # pass 2: ONE globally rank-ordered visit — payload IO happens
+        # per file only when some block of it is actually folded
+        getters = {}
+        items = []
+        for fi, (fp, _s) in enumerate(infos):
+            bounds, getter = _scan_blocks(fp, pq_local)
+            getters[fi] = getter
+            items += [(b, fi, i) for i, b in enumerate(bounds)]
+        total: dict = {}
+        _visit(_rank_order(items), lambda key: getters[key], total)
+        return _finish(total)
+
+    # distributed: one column-pruned Spark scan over the blocks METADATA
+    # computes the global threshold tau — the best zone value such that
+    # the blocks' inner bounds + non-null counts PROVE k values at least
+    # that good exist — so file tasks can skip whole files the rank
+    # order proves out. Each contributing block holds >= 1 value, so the
+    # top k blocks by inner bound always suffice: orderBy + LIMIT k (a
+    # TakeOrdered, no global sort), cumulative-count walk driver-side.
+    # Conservative when stats are missing (tau=None visits everything).
+    from pyspark.sql import functions as F
+
+    tau = None
+    if guaranteed_field is not None:
+        blocks_df = spark.read.parquet(os.path.join(out_path, "blocks"))
+        gcol = ncol = None
+        if wide:
+            if (
+                f"c_{column}__{guaranteed_field}" in blocks_df.columns
+                and f"c_{column}__n_null" in blocks_df.columns
+                and "n_rows" in blocks_df.columns
+            ):
+                gcol = F.col(f"c_{column}__{guaranteed_field}")
+                ncol = F.col("n_rows") - F.col(f"c_{column}__n_null")
+        else:
+            efields = set(
+                blocks_df.schema["cols"].dataType.elementType.fieldNames()
+            )
+            if {guaranteed_field, "n_null"} <= efields and (
+                "n_rows" in blocks_df.columns
+            ):
+                entry = F.element_at(
+                    F.filter(F.col("cols"), lambda c: c["name"] == F.lit(column)),
+                    1,
+                )
+                gcol = entry[guaranteed_field]
+                ncol = F.col("n_rows") - entry["n_null"]
+        if gcol is not None:
+            g = blocks_df.select(
+                gcol.alias("g"), ncol.alias("cnt")
+            ).where(F.col("g").isNotNull() & (F.col("cnt") > 0))
+            rows = g.orderBy(
+                F.desc("g") if descending else F.asc("g")
+            ).limit(k).collect()
+            cum = 0
+            for r in rows:
+                cum += r["cnt"]
+                if cum >= k:
+                    tau = r["g"]
+                    break
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    out_ddl = f"{by_name[column]}, cnt bigint"
+    out_schema = to_arrow_schema(StructType.fromDDL(out_ddl))
+
+    def topk_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        from xml2arrow_spark.env import limit_arrow_threads
+
+        limit_arrow_threads(1)
+        for b in batches:
+            path_lists = b.column(b.schema.get_field_index("path")).to_pylist()
+            for fpath in (p for paths in path_lists for p in paths):
+                bounds, getter = _scan_blocks(fpath, pq)
+                tally: dict = {}
+                _visit(
+                    _rank_order([(bb, 0, i) for i, bb in enumerate(bounds)]),
+                    lambda _key: getter,
+                    tally,
+                    kth0=tau,
+                )
+                if not tally:
+                    continue
+                items = list(tally.items())
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([v for v, _c in items],
+                                 type=out_schema.field(0).type),
+                        pa.array([c for _v, c in items], type=pa.int64()),
+                    ],
+                    names=[column, "cnt"],
+                )
+
+    tasks = plan_parquet_tasks(spark, os.path.join(out_path, "blocks"), n_tasks)
+    per_file = tasks.mapInArrow(topk_files, out_ddl)
+    # per-file partials are bounded by k+1 distinct values each — KB-scale
+    # metadata, collected and merged driver-side (the repo's KB-metadata
+    # ground rule: a second Spark job would cost more than the merge)
+    total: dict = {}
+    for row in per_file.collect():
+        v, c = row[0], row[1]
+        total[v] = total.get(v, 0) + c
+    return _finish(total)
+
+
+
 def compact_dataset(
     spark, out_path: str, target_files: int = 8, n_tasks: int | None = None
 ) -> dict:

@@ -1136,6 +1136,25 @@ def dataset_column_stats_sql() -> str:
             f"FROM lineitem{wh} GROUP BY {key}"
         )
 
+    def topk_row(label, col, kk, direction, as_label):
+        # int top-k rides vmin_i, string top-k rides the label itself
+        # (duplicates keep their multiplicity on both sides)
+        sel = (
+            f"'{label}' || v AS column, CAST(-1 AS BIGINT) AS vmin_i"
+            if as_label
+            else f"'{label}' AS column, CAST(v AS BIGINT) AS vmin_i"
+        )
+        return (
+            f"SELECT {sel}, "
+            f"CAST(-1 AS BIGINT) AS vmax_i, -1.0 AS vmin_d, -1.0 AS vmax_d, "
+            f"CAST(0 AS BIGINT) AS n_unstated, "
+            f"CAST(-1 AS BIGINT) AS n_rows, "
+            f"CAST(-1 AS BIGINT) AS n_nonnull, "
+            f"CAST(-1 AS BIGINT) AS sum_i FROM ("
+            f"SELECT {col} AS v FROM lineitem WHERE {col} IS NOT NULL "
+            f"ORDER BY v {direction} LIMIT {kk})"
+        )
+
     return "\nUNION ALL\n".join(
         [
             row("l_orderkey", True),
@@ -1189,6 +1208,12 @@ def dataset_column_stats_sql() -> str:
                 "ginwhere:flag=", "l_returnflag", "l_orderkey",
                 cond="l_linenumber IN (1, 2, 4)",
             ),
+            # the top_k legs: the oracle re-sorts the raw table, so a
+            # wrong zone skip, a lost duplicate, or a NULL in the ranks
+            # all hash-mismatch; strings carry the value in the label
+            topk_row("topk:okey", "l_orderkey", 7, "DESC", as_label=False),
+            topk_row("topk:line", "l_linenumber", 5, "ASC", as_label=False),
+            topk_row("topk:flag=", "l_returnflag", 6, "DESC", as_label=True),
         ]
     )
 
