@@ -662,6 +662,31 @@ def q_dataset_column_stats(spark, sf_dir):
             F.lit(-1).cast("long"),
         ))
 
+    def topkrows_leg(label, column, kk, agg):
+        # fingerprint the RANK() <= k row SET: min/max of the rank column
+        # plus count + count/sum of a payload column — a wrong threshold,
+        # a dropped tie, or an unsound zone/row filter all shift it
+        from xml2arrow_spark.operators.dataset import top_k_rows
+
+        df = top_k_rows(spark, out, column, kk, columns=[agg], local_bytes=0)
+        return df.agg(
+            F.min(column).cast("long").alias("vmin_i"),
+            F.max(column).cast("long").alias("vmax_i"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(agg).alias("n_nonnull"),
+            F.sum(agg).cast("long").alias("sum_i"),
+        ).select(
+            F.lit(label).alias("column"),
+            "vmin_i",
+            "vmax_i",
+            F.lit(-1.0).alias("vmin_d"),
+            F.lit(-1.0).alias("vmax_d"),
+            F.lit(0).cast("long").alias("n_unstated"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_nonnull").cast("long").alias("n_nonnull"),
+            "sum_i",
+        )
+
     def group_leg(prefix, column, where=None):
         gc = group_count(spark, out, column, local_bytes=0, where=where)
         return gc.select(
@@ -764,6 +789,12 @@ def q_dataset_column_stats(spark, sf_dir):
         topk_int_leg("topk:line", "l_linenumber", 5, descending=False)
     ).unionByName(
         topk_str_leg("topk:flag=", "l_returnflag", 6, descending=True)
+    ).unionByName(
+        # top-k ROW retrieval (RANK() <= k, ties included): the threshold
+        # from the zone-ordered top_k feeds the selective decode (zone
+        # prune + in-kernel range select); the oracle re-ranks the raw
+        # table with a window function
+        topkrows_leg("topkrows:okey", "l_orderkey", 50, "l_linenumber")
     )
 
 

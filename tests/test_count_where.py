@@ -1287,3 +1287,47 @@ def test_top_k_early_stop_never_decodes(spark, tmp_path, layout):
         assert got == want
     with pytest.raises(Exception):
         decode_dataset(spark, out).agg(F.count(F.lit(1))).collect()
+
+# ---- top_k_rows: RANK() <= k row retrieval ----------------------------------
+
+
+def test_top_k_rows_rank_semantics_with_ties(spark, ds):
+    """qty cycles 0..6 with heavy ties: the result must be the exact
+    RANK() <= k row SET (ties included — deterministic, unlike LIMIT),
+    on both directions and both dispatch paths."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from xml2arrow_spark.operators.dataset import top_k_rows
+
+    raw = decode_dataset(spark, ds, columns=["qty", "id"])
+    for desc in (True, False):
+        w = Window.orderBy(F.desc("qty") if desc else F.asc("qty"))
+        want = {
+            (r["qty"], r["id"])
+            for r in raw.where(F.col("qty").isNotNull())
+            .withColumn("r", F.rank().over(w))
+            .where(F.col("r") <= 5)
+            .select("qty", "id")
+            .collect()
+        }
+        for lb in (128 << 20, 0):
+            got = {
+                (r["qty"], r["id"])
+                for r in top_k_rows(
+                    spark, ds, "qty", 5, columns=["id"],
+                    descending=desc, local_bytes=lb,
+                ).collect()
+            }
+            assert got == want, (desc, lb)
+    assert len(want) > 5  # the fixture really does tie across the k-th rank
+
+
+def test_top_k_rows_includes_filter_column_and_small_corpus(spark, ds):
+    from xml2arrow_spark.operators.dataset import top_k_rows
+
+    df = top_k_rows(spark, ds, "id", 3, columns=["tag"])
+    assert set(df.columns) == {"id", "tag"}
+    assert sorted(r["id"] for r in df.collect()) == [897, 898, 899]
+    # k beyond the population: every non-null row qualifies (RANK <= k)
+    assert top_k_rows(spark, ds, "id", 10**6).count() == 900

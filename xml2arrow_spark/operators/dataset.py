@@ -2206,6 +2206,63 @@ def top_k(
 
 
 
+def top_k_rows(
+    spark,
+    out_path: str,
+    column: str,
+    k: int,
+    columns: list[str] | None = None,
+    descending: bool = True,
+    n_tasks: int | None = None,
+    local_bytes: int = 128 << 20,
+):
+    """The ROWS whose ``column`` ranks within the top k over a STORED
+    dataset — SQL ``RANK() <= k`` semantics, ties INCLUDED: the result is
+    a deterministic SET (an ``ORDER BY ... LIMIT k`` with ties at the
+    k-th value is an arbitrary slice; this never is). NULLs never rank.
+
+    Two metadata-priced phases compose:
+
+    1. :func:`top_k` proves the k-th ranked value from zone-ordered block
+       visits with early termination (on value-clustered data: a handful
+       of blocks);
+    2. the selective decode (:func:`decode_dataset` with the matching
+       ``zone_filter`` + in-kernel ``row_filter``) reads ONLY blocks that
+       can hold qualifying rows and gathers only the qualifying rows'
+       payload across the Arrow boundary.
+
+    ``columns`` projects the output (wide layout: unrequested columns are
+    never read off disk); ``column`` itself is always included — the
+    in-kernel row filter needs it. Fewer than k distinct-ranked rows
+    (small corpus) returns every non-null row, matching RANK semantics.
+
+    Returns a DataFrame of the qualifying rows (unordered, as any SQL
+    row set; k or more rows when ties straddle the k-th rank).
+    """
+    from pyspark.sql import functions as F
+
+    tk = top_k(
+        spark, out_path, column, k,
+        descending=descending, n_tasks=n_tasks, local_bytes=local_bytes,
+    ).collect()
+    if columns is not None and column not in columns:
+        columns = [column] + list(columns)
+    if not tk:
+        # no non-null values: nothing ranks
+        return decode_dataset(
+            spark, out_path, n_tasks=n_tasks, columns=columns
+        ).where(F.lit(False))
+    thr = tk[-1][0]  # the k-th ranked value (or the worst, when < k exist)
+    zf = (column, thr, None) if descending else (column, None, thr)
+    return decode_dataset(
+        spark, out_path,
+        n_tasks=n_tasks,
+        columns=columns,
+        zone_filter=zf,
+        row_filter=zf,
+    )
+
+
 def compact_dataset(
     spark, out_path: str, target_files: int = 8, n_tasks: int | None = None
 ) -> dict:

@@ -1214,6 +1214,20 @@ def dataset_column_stats_sql() -> str:
             topk_row("topk:okey", "l_orderkey", 7, "DESC", as_label=False),
             topk_row("topk:line", "l_linenumber", 5, "ASC", as_label=False),
             topk_row("topk:flag=", "l_returnflag", 6, "DESC", as_label=True),
+            # the top_k_rows leg: RANK() <= k with ties included — the
+            # oracle re-ranks the raw table with a window function and
+            # fingerprints the identical row set
+            "SELECT 'topkrows:okey' AS column, "
+            "CAST(min(v) AS BIGINT) AS vmin_i, "
+            "CAST(max(v) AS BIGINT) AS vmax_i, "
+            "-1.0 AS vmin_d, -1.0 AS vmax_d, "
+            "CAST(0 AS BIGINT) AS n_unstated, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(count(a) AS BIGINT) AS n_nonnull, "
+            "CAST(sum(a) AS BIGINT) AS sum_i FROM ("
+            "SELECT l_orderkey AS v, l_linenumber AS a, "
+            "RANK() OVER (ORDER BY l_orderkey DESC) AS r "
+            "FROM lineitem WHERE l_orderkey IS NOT NULL) WHERE r <= 50",
         ]
     )
 
