@@ -770,6 +770,44 @@ def main() -> None:
         extra["top_k_speedup"] = round(
             queries["q19o_top_k_via_decode"] / queries["q19n_top_k_meta"], 2
         )
+
+        # q19p/q19q: the SECOND clustered axis. cw_ds is range-clustered
+        # on l_orderkey alone, so a l_quantity predicate decodes every
+        # block; the z-ordered encode (Morton interleave of equi-depth
+        # ranks, operators/zorder.py) gives l_quantity its own zone
+        # locality and the same predicate prunes — identical exact count,
+        # physically different layout (setup untimed).
+        cw_src3 = os.path.join(cw_dir, "src_z")
+        cw_ds3 = os.path.join(cw_dir, "ds_z")
+        li.repartition(8).write.mode("overwrite").parquet(cw_src3)
+        encode_parquet_dataset(
+            spark, cw_src3, cw_ds3, manifest=man_cw,
+            presort=["l_orderkey", "l_quantity"], cluster="zorder",
+        )
+        qpred = ("l_quantity", 5.0, 10.0)
+        best_of(
+            "q19p_count_where_2nd_axis_lex",
+            lambda: count_where(
+                spark, cw_ds, qpred, agg_col="l_orderkey"
+            ).collect(),
+        )
+        best_of(
+            "q19q_count_where_2nd_axis_zorder",
+            lambda: count_where(
+                spark, cw_ds3, qpred, agg_col="l_orderkey"
+            ).collect(),
+        )
+        extra["zorder_2nd_axis_speedup"] = round(
+            queries["q19p_count_where_2nd_axis_lex"]
+            / queries["q19q_count_where_2nd_axis_zorder"],
+            2,
+        )
+        extra["zorder_2nd_axis_pruned_frac"] = round(
+            (lambda r: r["n_pruned"] / r["n_blocks"])(
+                count_where(spark, cw_ds3, qpred).collect()[0].asDict()
+            ),
+            3,
+        )
     finally:
         shutil.rmtree(cw_dir, ignore_errors=True)
 

@@ -88,6 +88,8 @@ def encode_parquet_dataset(
     manifest: CodecManifest | None = None,
     n_tasks: int | None = None,
     layout: str = "nested",
+    presort: list[str] | None = None,
+    cluster: str = "lex",
 ) -> dict:
     """Encode every parquet file under ``in_path`` into
     ``out_path/blocks/blocks-u{unit:06d}.parquet`` (blocks schema), append
@@ -102,9 +104,22 @@ def encode_parquet_dataset(
     column pruning on the STORED dataset), and zone-map columns land in
     parquet row-group statistics. The right layout for wide tables where
     queries touch a few columns; nested keeps one schema for any column
-    set."""
+    set.
+
+    ``presort=[cols...]`` reorders each unit's rows before blocking — one
+    in-task vectorized sort, no shuffle. ``cluster='lex'`` (default) is
+    the leading-column clustering (long RLE runs + tight zone maps on the
+    first column); ``cluster='zorder'`` Morton-interleaves the columns'
+    equi-depth rank buckets (:mod:`~xml2arrow_spark.operators.zorder`),
+    so zone maps prune on EVERY clustered column — the multi-dimensional
+    layout maintenance a 100 TB table needs when queries filter on more
+    than one axis. Clustering is physical only (decode order changes,
+    values never do) and is recorded in the sidecar; resuming with a
+    different clustering refuses rather than mixing layouts."""
     if layout not in ("nested", "wide"):
         raise ValueError(f"unknown blocks layout {layout!r}")
+    if cluster not in ("lex", "zorder"):
+        raise ValueError(f"unknown cluster {cluster!r}: use 'lex' or 'zorder'")
     from pyspark.sql import functions as F
     from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -157,6 +172,14 @@ def encode_parquet_dataset(
                 f"[{prior_ddl}]; this run encodes [{schema_ddl}] — "
                 f"resuming would mix incompatible block schemas"
             )
+        prior_sort = (side.get("presort"), side.get("cluster", "lex"))
+        if prior_sort != (list(presort) if presort else None, cluster):
+            raise ManifestError(
+                f"dataset at {out_path!r} was written with clustering "
+                f"{prior_sort!r}; this run uses "
+                f"{(presort, cluster)!r} — resuming would mix block "
+                f"clusterings (zone pruning would silently degrade)"
+            )
     elif _completed_units(spark, out_path):
         raise ManifestError(
             f"dataset at {out_path!r} has a manifest table but no "
@@ -169,6 +192,8 @@ def encode_parquet_dataset(
             resolved.to_yaml()
             + f"\nschema_ddl: '{schema_ddl}'\nplacement: {PLACEMENT_ID}\n"
             + f"layout: {layout}\n"
+            + (f"presort: {list(presort)}\ncluster: {cluster}\n"
+               if presort else "")
         )
     os.replace(spath + ".inprogress", spath)
 
@@ -215,17 +240,26 @@ def encode_parquet_dataset(
                 for i, p in zip(idxs, paths)
             ):
                 pf = pq.ParquetFile(fpath)
+                if presort:
+                    # clustering needs the whole unit in memory (one file
+                    # = one unit, sized for an executor by construction);
+                    # one vectorized sort/take, then the same blockify
+                    from xml2arrow_spark.operators.zorder import presort_table
+
+                    unit_tbl = presort_table(
+                        pf.read(columns=cols), list(presort), cluster
+                    )
+                    batch_iter = unit_tbl.to_batches(max_chunksize=block_rows)
+                else:
+                    batch_iter = pf.iter_batches(
+                        batch_size=block_rows, columns=cols
+                    )
                 blocks = [
                     _encode_block(
                         block, cols, policies, part_id, file_idx,
                         (file_idx << 20) | seq, required=required,
                     )
-                    for seq, block in enumerate(
-                        _blockify(
-                            pf.iter_batches(batch_size=block_rows, columns=cols),
-                            block_rows,
-                        )
-                    )
+                    for seq, block in enumerate(_blockify(batch_iter, block_rows))
                 ]
                 if wide:
                     blocks = [_widen_block(b, cols) for b in blocks]
