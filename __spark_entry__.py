@@ -687,6 +687,15 @@ def q_dataset_column_stats(spark, sf_dir):
             "sum_i",
         )
 
+    def quant_leg(prefix, column, qs):
+        from xml2arrow_spark.operators.dataset import exact_quantiles
+
+        df = exact_quantiles(spark, out, column, qs, local_bytes=0)
+        return df.select(*_topk_sentinels(
+            F.concat(F.lit(prefix), F.col("q_milli").cast("string")),
+            F.col("value").cast("long"),
+        ))
+
     def group_leg(prefix, column, where=None):
         gc = group_count(spark, out, column, local_bytes=0, where=where)
         return gc.select(
@@ -795,6 +804,12 @@ def q_dataset_column_stats(spark, sf_dir):
         # prune + in-kernel range select); the oracle re-ranks the raw
         # table with a window function
         topkrows_leg("topkrows:okey", "l_orderkey", 50, "l_linenumber")
+    ).unionByName(
+        # exact discrete quantiles on the codec streams (integer milli-
+        # quantile ranks, ceil division — bit-portable); the oracle
+        # recomputes each rank with a cumulative window over the raw
+        # table, so a miscounted tally or an off-by-one rank mismatches
+        quant_leg("quant:okey=", "l_orderkey", [0, 250, 500, 750, 1000])
     )
 
 

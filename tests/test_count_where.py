@@ -1331,3 +1331,58 @@ def test_top_k_rows_includes_filter_column_and_small_corpus(spark, ds):
     assert sorted(r["id"] for r in df.collect()) == [897, 898, 899]
     # k beyond the population: every non-null row qualifies (RANK <= k)
     assert top_k_rows(spark, ds, "id", 10**6).count() == 900
+
+# ---- exact_quantiles: discrete quantiles on the codec streams ----------------
+
+
+def _quant_truth(spark, ds, col, q):
+    xs = sorted(
+        r[col]
+        for r in decode_dataset(spark, ds, columns=[col]).collect()
+        if r[col] is not None
+    )
+    rank = max(1, (q * len(xs) + 999) // 1000)
+    return xs[rank - 1]
+
+
+def test_exact_quantiles_int_and_string(spark, ds):
+    """Milli-quantile ranks are integer-exact (ceil division): q=0 is the
+    min, q=1000 the max, every value occurs in the data; both dispatch
+    paths; nulls never rank."""
+    from xml2arrow_spark.operators.dataset import exact_quantiles
+
+    qs = [0, 1, 100, 500, 900, 999, 1000]
+    for col in ("qty", "tag", "id"):
+        want = {q: _quant_truth(spark, ds, col, q) for q in qs}
+        for lb in (128 << 20, 0):
+            got = {
+                r["q_milli"]: r["value"]
+                for r in exact_quantiles(
+                    spark, ds, col, qs, local_bytes=lb
+                ).collect()
+            }
+            assert got == want, (col, lb)
+
+
+def test_exact_quantiles_validation_and_empty(spark, ds, tmp_path):
+    from xml2arrow_spark.operators.dataset import exact_quantiles
+
+    with pytest.raises(ValueError, match="at least one"):
+        exact_quantiles(spark, ds, "id", [])
+    with pytest.raises(ValueError, match=r"\[0, 1000\]"):
+        exact_quantiles(spark, ds, "id", [1001])
+    with pytest.raises(ValueError, match=r"\[0, 1000\]"):
+        exact_quantiles(spark, ds, "id", [0.5])
+    with pytest.raises(ValueError, match="not portable"):
+        exact_quantiles(spark, ds, "val", [500])  # float refused
+    # an all-null column quantiles to zero rows
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "dsq")
+    os.makedirs(src)
+    t = pa.table({
+        "a": pa.array([None] * 50, type=pa.int64()),
+        "b": pa.array(np.arange(50, dtype=np.int64)),
+    })
+    pq.write_table(t, os.path.join(src, "part-0.parquet"))
+    encode_parquet_dataset(spark, src, out)
+    assert exact_quantiles(spark, out, "a", [500]).count() == 0

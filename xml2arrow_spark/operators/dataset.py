@@ -2240,6 +2240,94 @@ def top_k(
 
 
 
+def exact_quantiles(
+    spark,
+    out_path: str,
+    column: str,
+    q_milli: list[int],
+    n_tasks: int | None = None,
+    local_bytes: int = 128 << 20,
+):
+    """EXACT discrete quantiles of a stored dataset's column, computed on
+    the codec streams: for each requested milli-quantile ``q`` (0..1000)
+    the result is the smallest non-null value whose cumulative row count
+    reaches ``ceil(q * n / 1000)`` over the ``n`` non-null rows — i.e.
+    ``q=0`` is the min, ``q=500`` the (lower) median, ``q=1000`` the max,
+    and every returned value OCCURS in the data (discrete quantiles, no
+    interpolation — so string/bool/decimal columns quantile exactly like
+    ints). Quantile ranks are integer arithmetic end to end (milli units,
+    ceiling division), so any SQL engine reproduces them bit-for-bit —
+    the repo's parity discipline; no float rank can drift.
+
+    Rides :func:`group_count`'s per-block value tallies
+    (dict/rle/pdict/dict_str code-stream bincounts — the column's values
+    never materialize per row for those codecs), then one driver-side
+    sorted cumulative walk over the (value, count) pairs: the whole
+    corpus's quantile structure costs one column's code streams plus a
+    KB-per-distinct-value merge. Same cardinality envelope as
+    group_count (moderate distinct counts; for planning-grade estimates
+    on ultra-high-cardinality columns use the KMV sketch). Float columns
+    are refused for the same portability rule (NaN ordering).
+
+    NULLs never rank (SQL ordered-set aggregates skip them); an all-null
+    or empty column returns zero rows.
+
+    Returns a DataFrame ``(q_milli bigint, value <column type>)``, one
+    row per requested quantile, in the requested order.
+    """
+    import yaml
+
+    from xml2arrow_spark.operators.encode import split_schema_ddl
+
+    qs = list(q_milli)
+    if not qs:
+        raise ValueError("exact_quantiles needs at least one milli-quantile")
+    for q in qs:
+        if not isinstance(q, int) or isinstance(q, bool) or not 0 <= q <= 1000:
+            raise ValueError(
+                f"milli-quantiles must be ints in [0, 1000], got {q!r}"
+            )
+    counts = group_count(
+        spark, out_path, column, n_tasks=n_tasks, local_bytes=local_bytes
+    ).collect()
+    pairs = sorted(
+        ((r[0], r[1]) for r in counts if r[0] is not None), key=lambda t: t[0]
+    )
+    n = sum(c for _v, c in pairs)
+    out_q: list[int] = []
+    out_v: list = []
+    if n:
+        values = [v for v, _c in pairs]
+        cums = []
+        acc = 0
+        for _v, c in pairs:
+            acc += c
+            cums.append(acc)
+        import bisect
+
+        for q in qs:
+            # ceil(q*n/1000), floored at rank 1 so q=0 returns the min
+            rank = max(1, (q * n + 999) // 1000)
+            out_q.append(q)
+            out_v.append(values[bisect.bisect_left(cums, rank)])
+    with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
+        side = yaml.safe_load(f.read())
+    by_name = split_schema_ddl(side["schema_ddl"])
+    vtype = by_name[column].split(None, 1)[1]
+    # arrow-backed LocalRelation — see group_count's local finish
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    lsch = to_arrow_schema(StructType.fromDDL(f"q_milli bigint, value {vtype}"))
+    return spark.createDataFrame(
+        pa.table({
+            "q_milli": pa.array(out_q, type=pa.int64()),
+            "value": pa.array(out_v, type=lsch.field(1).type),
+        }),
+        schema=f"q_milli bigint, value {vtype}",
+    )
+
+
 def top_k_rows(
     spark,
     out_path: str,

@@ -1229,6 +1229,27 @@ def dataset_column_stats_sql() -> str:
             "RANK() OVER (ORDER BY l_orderkey DESC) AS r "
             "FROM lineitem WHERE l_orderkey IS NOT NULL) WHERE r <= 50",
         ]
+        # the exact_quantiles legs: one row per milli-quantile, the rank
+        # recomputed with integer ceil division over a cumulative window —
+        # the identical arithmetic the engine uses, so no float rank can
+        # drift between engines
+        + [
+            f"SELECT 'quant:okey={q}' AS column, "
+            f"CAST((SELECT min(v) FROM ("
+            f"SELECT l_orderkey AS v, "
+            f"sum(count(*)) OVER (ORDER BY l_orderkey) AS cum "
+            f"FROM lineitem WHERE l_orderkey IS NOT NULL "
+            f"GROUP BY l_orderkey) "
+            f"WHERE cum >= greatest(1, ({q} * ("
+            f"SELECT count(l_orderkey) FROM lineitem) + 999) // 1000)"
+            f") AS BIGINT) AS vmin_i, "
+            f"CAST(-1 AS BIGINT) AS vmax_i, -1.0 AS vmin_d, -1.0 AS vmax_d, "
+            f"CAST(0 AS BIGINT) AS n_unstated, "
+            f"CAST(-1 AS BIGINT) AS n_rows, "
+            f"CAST(-1 AS BIGINT) AS n_nonnull, "
+            f"CAST(-1 AS BIGINT) AS sum_i"
+            for q in (0, 250, 500, 750, 1000)
+        ]
     )
 
 
