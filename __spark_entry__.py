@@ -687,6 +687,35 @@ def q_dataset_column_stats(spark, sf_dir):
             "sum_i",
         )
 
+    def gaggs_legs(key, a1, a2):
+        # ONE multi-agg pass (key codes + both agg streams decoded once),
+        # projected as two label rows per key so each agg column gets its
+        # own oracle row — the oracle re-aggregates each column separately
+        from xml2arrow_spark.operators.dataset import group_aggs
+
+        ga = group_aggs(spark, out, key, [a1, a2], local_bytes=0)
+
+        def leg(prefix, a):
+            return ga.select(
+                F.concat(
+                    F.lit(prefix),
+                    F.coalesce(F.col(key).cast("string"), F.lit("<null>")),
+                ).alias("column"),
+                F.coalesce(F.col(f"min_{a}"), F.lit(-1)).cast("long")
+                .alias("vmin_i"),
+                F.coalesce(F.col(f"max_{a}"), F.lit(-1)).cast("long")
+                .alias("vmax_i"),
+                F.lit(-1.0).alias("vmin_d"),
+                F.lit(-1.0).alias("vmax_d"),
+                F.lit(0).cast("long").alias("n_unstated"),
+                F.col("cnt").cast("long").alias("n_rows"),
+                F.col(f"nn_{a}").cast("long").alias("n_nonnull"),
+                F.coalesce(F.col(f"sum_{a}"), F.lit(-1)).cast("long")
+                .alias("sum_i"),
+            )
+
+        return leg(f"gaggs:{a1}:", a1).unionByName(leg(f"gaggs:{a2}:", a2))
+
     def quant_leg(prefix, column, qs):
         from xml2arrow_spark.operators.dataset import exact_quantiles
 
@@ -810,6 +839,10 @@ def q_dataset_column_stats(spark, sf_dir):
         # recomputes each rank with a cumulative window over the raw
         # table, so a miscounted tally or an off-by-one rank mismatches
         quant_leg("quant:okey=", "l_orderkey", [0, 250, 500, 750, 1000])
+    ).unionByName(
+        # multi-agg GROUP BY (group_aggs): both aggregate columns computed
+        # in ONE pass (shared key codes), each gated by its own oracle row
+        gaggs_legs("l_returnflag", "l_orderkey", "l_linenumber")
     )
 
 

@@ -1386,3 +1386,151 @@ def test_exact_quantiles_validation_and_empty(spark, ds, tmp_path):
     pq.write_table(t, os.path.join(src, "part-0.parquet"))
     encode_parquet_dataset(spark, src, out)
     assert exact_quantiles(spark, out, "a", [500]).count() == 0
+
+# ---- group_aggs: several agg columns in one pass -----------------------------
+
+
+def test_group_aggs_two_columns_matches_decode(spark, ds):
+    """One pass over (key stream + 2 agg streams) must equal two separate
+    decode+groupBy aggregates, NULL groups and all, on both paths."""
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.dataset import group_aggs
+
+    truth = {
+        (r["tag"], r["cnt"], r["nn_qty"], r["s_qty"], r["mn_qty"], r["mx_qty"],
+         r["nn_id"], r["s_id"], r["mn_id"], r["mx_id"])
+        for r in decode_dataset(spark, ds, columns=["tag", "qty", "id"])
+        .groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count("qty").alias("nn_qty"),
+            F.sum("qty").alias("s_qty"),
+            F.min("qty").alias("mn_qty"),
+            F.max("qty").alias("mx_qty"),
+            F.count("id").alias("nn_id"),
+            F.sum("id").alias("s_id"),
+            F.min("id").alias("mn_id"),
+            F.max("id").alias("mx_id"),
+        )
+        .collect()
+    }
+    for lb in (128 << 20, 0):
+        got = {
+            (r["tag"], r["cnt"], r["nn_qty"], r["sum_qty"], r["min_qty"],
+             r["max_qty"], r["nn_id"], r["sum_id"], r["min_id"], r["max_id"])
+            for r in group_aggs(
+                spark, ds, "tag", ["qty", "id"], local_bytes=lb
+            ).collect()
+        }
+        assert got == truth
+
+
+def test_group_aggs_where_and_validation(spark, ds):
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.dataset import group_aggs
+
+    truth = {
+        (r["tag"], r["cnt"], r["s_qty"], r["s_id"])
+        for r in decode_dataset(spark, ds, columns=["tag", "qty", "id"])
+        .where(F.col("id").between(150, 749))
+        .groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("qty").alias("s_qty"),
+            F.sum("id").alias("s_id"),
+        )
+        .collect()
+    }
+    for lb in (128 << 20, 0):
+        got = {
+            (r["tag"], r["cnt"], r["sum_qty"], r["sum_id"])
+            for r in group_aggs(
+                spark, ds, "tag", ["qty", "id"],
+                where=("id", 150, 749), local_bytes=lb,
+            ).collect()
+        }
+        assert got == truth
+    with pytest.raises(ValueError, match="at least one agg"):
+        group_aggs(spark, ds, "tag", [])
+    with pytest.raises(ValueError, match="integer agg"):
+        group_aggs(spark, ds, "tag", ["qty", "val"])
+
+
+@pytest.mark.parametrize("layout", ["nested", "wide"])
+def test_group_aggs_metadata_claim_all_columns_or_kernel(spark, tmp_path, layout):
+    """Key-clustered + BOTH agg columns' stats stated: the claim answers
+    from metadata (tampered payloads stay untouched). One agg column
+    missing its stats would downgrade to the kernel — covered by the
+    all-null-extrema rule in _claim; here we pin the happy path hard."""
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.dataset import group_aggs
+
+    src = str(tmp_path / f"src_{layout}")
+    out = str(tmp_path / f"ds_{layout}")
+    os.makedirs(src)
+    n = 900
+    srcs = ["web", "code", "books"]
+    tbl = pa.table({
+        "src": pa.array([srcs[i // 300] for i in range(n)]),
+        "tok": pa.array(
+            [None if i % 50 == 7 else (i * 13) % 1000 for i in range(n)],
+            type=pa.int64(),
+        ),
+        "chars": pa.array([(i * 7) % 500 for i in range(n)], type=pa.int64()),
+    })
+    for i in range(3):
+        pq.write_table(tbl.slice(300 * i, 300), os.path.join(src, f"part-{i}.parquet"))
+    manifest = CodecManifest.auto_for(
+        from_arrow_schema(tbl.schema), block_rows=100
+    )
+    encode_parquet_dataset(spark, src, out, manifest=manifest, layout=layout)
+
+    truth = {}
+    for s, t, ch in zip(
+        tbl.column("src").to_pylist(),
+        tbl.column("tok").to_pylist(),
+        tbl.column("chars").to_pylist(),
+    ):
+        c, nt, st_, nc, sc = truth.get(s, (0, 0, 0, 0, 0))
+        truth[s] = (
+            c + 1, nt + (t is not None), st_ + (t or 0), nc + 1, sc + ch,
+        )
+
+    # tamper EVERY payload in one unit: claims must still answer
+    bdir = os.path.join(out, "blocks")
+    fpath = os.path.join(bdir, "blocks-u000001.parquet")
+    t0 = pq.read_table(fpath)
+    rows = t0.to_pylist()
+    for r in rows:
+        if layout == "nested":
+            for ci in range(len(r["cols"])):
+                payload = bytearray(r["cols"][ci]["data"])
+                if payload:
+                    payload[len(payload) // 2] ^= 0x01
+                    r["cols"][ci]["data"] = bytes(payload)
+        else:
+            for col in ("c_src__data", "c_tok__data", "c_chars__data"):
+                payload = bytearray(r[col])
+                if payload:
+                    payload[len(payload) // 2] ^= 0x01
+                    r[col] = bytes(payload)
+    pq.write_table(pa.Table.from_pylist(rows, schema=t0.schema), fpath)
+    crc = os.path.join(bdir, "." + os.path.basename(fpath) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    spark.catalog.refreshByPath(bdir)
+
+    for lb in (128 << 20, 0):
+        got = {
+            r["src"]: (r["cnt"], r["nn_tok"], r["sum_tok"], r["nn_chars"],
+                       r["sum_chars"])
+            for r in group_aggs(
+                spark, out, "src", ["tok", "chars"], local_bytes=lb
+            ).collect()
+        }
+        assert got == truth
+    with pytest.raises(Exception):
+        decode_dataset(spark, out).agg(F.count(F.lit(1))).collect()

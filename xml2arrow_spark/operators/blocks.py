@@ -763,6 +763,118 @@ def group_codes_column(meta_json: str, payload: bytes):
     return dictionary, codes
 
 
+def group_aggs_column(key_meta: str, key_data: bytes, aggs, mask=None):
+    """Exact per-block grouped COUNT plus per-agg (n_nonnull, SUM, MIN,
+    MAX) for one key column and SEVERAL agg columns in ONE pass: returns
+    ``{key_value_or_None: [cnt, (nn, sum, mn, mx), (nn, sum, mn, mx), ...]}``
+    with one 4-tuple per entry of ``aggs`` (a list of (meta_json, payload)
+    pairs). The key's group codes are computed ONCE
+    (:func:`group_codes_column` — dict/rle/dict_str code streams, no key
+    materialization) and shared by every agg fold; each agg column decodes
+    once — the one-scan multi-aggregate accounting shape ("rows, tokens,
+    chars per source" prices one key stream + m agg streams, not m scans).
+
+    Per-agg semantics are :func:`group_sum_column`'s exactly: ``cnt`` is
+    SQL COUNT(*) of the (masked) group, ``nn`` counts non-NULL agg rows,
+    ``sum`` is the exact python-int fold via the hi/lo 32-bit split (0
+    when nn is 0 — the caller maps that to SQL's NULL), ``mn``/``mx`` are
+    None when nn is 0. ``mask`` restricts every tally to the selected
+    rows (WHERE before GROUP BY). Integer agg columns only; float folds
+    are order-dependent and refused.
+    """
+    dictionary, codes = group_codes_column(key_meta, key_data)
+    if mask is not None:
+        mask = np.asarray(mask, dtype=bool)
+        if mask.size != codes.size:
+            raise BlockCorruptionError(
+                f"row mask and key block disagree on row count "
+                f"({mask.size} vs {codes.size})"
+            )
+    K = len(dictionary)
+    cnt = np.bincount(codes if mask is None else codes[mask],
+                      minlength=K + 1).astype(np.int64)
+
+    per_agg = []
+    for agg_meta, agg_data in aggs:
+        arr = decode_column(agg_meta, agg_data)
+        if not pa.types.is_integer(arr.type):
+            raise EncodeTypeError(
+                f"SUM pushdown needs an integer agg column, got {arr.type}: "
+                "float folds are order-dependent and a metadata/kernel sum "
+                "never approximates (same rule as count_where)"
+            )
+        if len(arr) != codes.size:
+            raise BlockCorruptionError(
+                f"key and agg blocks disagree on row count "
+                f"({codes.size} vs {len(arr)})"
+            )
+        if arr.null_count:
+            valid = np.asarray(arr.is_valid())
+            if mask is not None:
+                valid = valid & mask
+            v = arr.fill_null(0).to_numpy()[valid]
+            gcodes = codes[valid]
+        elif mask is not None:
+            v = arr.to_numpy()[mask]
+            gcodes = codes[mask]
+        else:
+            v = arr.to_numpy()
+            gcodes = codes
+        nn = np.bincount(gcodes, minlength=K + 1).astype(np.int64)
+        # exact signed/unsigned split: v == (v >> 32) * 2^32 + (v & 0xFFFFFFFF)
+        # in two's complement; each half's per-group fold fits int64 for any
+        # block size (|hi| <= 2^32, lo < 2^32)
+        if v.dtype == np.uint64:
+            hi = (v >> np.uint64(32)).astype(np.int64)
+            lo = (v & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        else:
+            v64 = v.astype(np.int64)
+            hi = v64 >> 32
+            lo = v64 & 0xFFFFFFFF
+        hi_acc = np.zeros(K + 1, dtype=np.int64)
+        lo_acc = np.zeros(K + 1, dtype=np.int64)
+        np.add.at(hi_acc, gcodes, hi)
+        np.add.at(lo_acc, gcodes, lo)
+        # extrema in the value's native dtype (no overflow possible);
+        # sentinel slots are masked off by nn==0 below
+        info = np.iinfo(v.dtype)
+        mn_acc = np.full(K + 1, info.max, dtype=v.dtype)
+        mx_acc = np.full(K + 1, info.min, dtype=v.dtype)
+        np.minimum.at(mn_acc, gcodes, v)
+        np.maximum.at(mx_acc, gcodes, v)
+        per_agg.append((nn, hi_acc, lo_acc, mn_acc, mx_acc))
+
+    out: dict = {}
+    keys = dictionary.to_pylist() + [None]
+    for g, kv in enumerate(keys):
+        c = int(cnt[g])
+        if not c:
+            continue  # unoccupied slot (the null slot of a null-free block)
+        trips = []
+        for nn, hi_acc, lo_acc, mn_acc, mx_acc in per_agg:
+            nng = int(nn[g])
+            trips.append((
+                nng,
+                (int(hi_acc[g]) << 32) + int(lo_acc[g]),
+                int(mn_acc[g]) if nng else None,
+                int(mx_acc[g]) if nng else None,
+            ))
+        prev = out.get(kv)
+        if prev is None:
+            out[kv] = [c] + trips
+        else:  # duplicate dictionary slots (RLE run values) fold by value
+            prev[0] += c
+            for i, (nng, sm, mn, mx) in enumerate(trips, start=1):
+                pn, ps, pm, px = prev[i]
+                pn += nng
+                ps += sm
+                if mn is not None:
+                    pm = mn if pm is None else min(pm, mn)
+                    px = mx if px is None else max(px, mx)
+                prev[i] = (pn, ps, pm, px)
+    return out
+
+
 def group_sum_column(key_meta: str, key_data: bytes, agg_meta: str, agg_data: bytes,
                      mask=None):
     """Exact per-block grouped COUNT/SUM/MIN/MAX for one (key, agg) column
@@ -781,92 +893,19 @@ def group_sum_column(key_meta: str, key_data: bytes, agg_meta: str, agg_data: by
     and a group with zero selected rows is absent from the result, exactly
     as SQL's ``WHERE`` runs before ``GROUP BY``.
 
-    The key side rides :func:`group_codes_column` (dict/rle/dict_str code
-    streams, no key materialization); the agg side decodes ONCE and folds
-    per group through an exact hi/lo 32-bit split: both int64 accumulators
-    stay within ±2^48·n_rows — provably unwrappable for any block — and
-    the halves recombine as python ints. Integer agg columns only; float
-    sums are order-dependent (never exact, matching count_where's rule)
-    and refused.
+    The single-agg view of :func:`group_aggs_column` (the key side rides
+    group_codes_column — no key materialization; the agg side decodes
+    once and folds through the exact hi/lo 32-bit split); kept as the
+    stable kernel API and pinned per codec in tests/test_match_decode.py.
     """
-    dictionary, codes = group_codes_column(key_meta, key_data)
-    arr = decode_column(agg_meta, agg_data)
-    if not pa.types.is_integer(arr.type):
-        raise EncodeTypeError(
-            f"SUM pushdown needs an integer agg column, got {arr.type}: "
-            "float folds are order-dependent and a metadata/kernel sum "
-            "never approximates (same rule as count_where)"
+    out = group_aggs_column(key_meta, key_data, [(agg_meta, agg_data)],
+                            mask=mask)
+    return {
+        kv: [c, nng, sm, mn, mx]
+        for kv, (c, (nng, sm, mn, mx)) in (
+            (kv, (row[0], row[1])) for kv, row in out.items()
         )
-    if len(arr) != codes.size:
-        raise BlockCorruptionError(
-            f"key and agg blocks disagree on row count "
-            f"({codes.size} vs {len(arr)})"
-        )
-    if mask is not None:
-        mask = np.asarray(mask, dtype=bool)
-        if mask.size != codes.size:
-            raise BlockCorruptionError(
-                f"row mask and key block disagree on row count "
-                f"({mask.size} vs {codes.size})"
-            )
-    K = len(dictionary)
-    cnt = np.bincount(codes if mask is None else codes[mask],
-                      minlength=K + 1).astype(np.int64)
-    if arr.null_count:
-        valid = np.asarray(arr.is_valid())
-        if mask is not None:
-            valid = valid & mask
-        v = arr.fill_null(0).to_numpy()[valid]
-        gcodes = codes[valid]
-    elif mask is not None:
-        v = arr.to_numpy()[mask]
-        gcodes = codes[mask]
-    else:
-        v = arr.to_numpy()
-        gcodes = codes
-    nn = np.bincount(gcodes, minlength=K + 1).astype(np.int64)
-    # exact signed/unsigned split: v == (v >> 32) * 2^32 + (v & 0xFFFFFFFF)
-    # in two's complement; each half's per-group fold fits int64 for any
-    # block size (|hi| <= 2^32, lo < 2^32)
-    if v.dtype == np.uint64:
-        hi = (v >> np.uint64(32)).astype(np.int64)
-        lo = (v & np.uint64(0xFFFFFFFF)).astype(np.int64)
-    else:
-        v64 = v.astype(np.int64)
-        hi = v64 >> 32
-        lo = v64 & 0xFFFFFFFF
-    hi_acc = np.zeros(K + 1, dtype=np.int64)
-    lo_acc = np.zeros(K + 1, dtype=np.int64)
-    np.add.at(hi_acc, gcodes, hi)
-    np.add.at(lo_acc, gcodes, lo)
-    # extrema in the value's native dtype (no overflow possible); sentinel
-    # slots are masked off by nn==0 below
-    info = np.iinfo(v.dtype)
-    mn_acc = np.full(K + 1, info.max, dtype=v.dtype)
-    mx_acc = np.full(K + 1, info.min, dtype=v.dtype)
-    np.minimum.at(mn_acc, gcodes, v)
-    np.maximum.at(mx_acc, gcodes, v)
-    out: dict = {}
-    keys = dictionary.to_pylist() + [None]
-    for g, k in enumerate(keys):
-        c = int(cnt[g])
-        if not c:
-            continue  # unoccupied slot (the null slot of a null-free block)
-        nng = int(nn[g])
-        s = (int(hi_acc[g]) << 32) + int(lo_acc[g])
-        mn = int(mn_acc[g]) if nng else None
-        mx = int(mx_acc[g]) if nng else None
-        prev = out.get(k)
-        if prev is None:
-            out[k] = [c, nng, s, mn, mx]
-        else:  # duplicate dictionary slots (RLE run values) fold by value
-            prev[0] += c
-            prev[1] += nng
-            prev[2] += s
-            if mn is not None:
-                prev[3] = mn if prev[3] is None else min(prev[3], mn)
-                prev[4] = mx if prev[4] is None else max(prev[4], mx)
-    return out
+    }
 
 
 def match_decode_column(meta_json: str, payload: bytes, values, lo, hi):

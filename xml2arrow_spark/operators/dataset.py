@@ -50,6 +50,10 @@ __all__ = [
     "count_where",
     "group_count",
     "group_sum",
+    "group_aggs",
+    "top_k",
+    "top_k_rows",
+    "exact_quantiles",
     "METADATA_DDL",
 ]
 
@@ -1445,77 +1449,44 @@ def group_count(
     return per_file.groupBy(column).agg(F.sum("cnt").alias("cnt"))
 
 
-def group_sum(
+def group_aggs(
     spark,
     out_path: str,
     key: str,
-    agg_col: str,
+    agg_cols: list[str],
     n_tasks: int | None = None,
     local_bytes: int = 128 << 20,
     where=None,
 ):
-    """Exact ``SELECT key, COUNT(*), COUNT(agg), SUM(agg), MIN(agg),
-    MAX(agg) [WHERE ...] GROUP BY key`` over a STORED dataset, computed per block on the codec streams: the
-    key side rides :func:`~xml2arrow_spark.operators.blocks.group_codes_column`
-    (dict/rle/dict_str code streams — key values never materialize for
-    those codecs), the agg column decodes ONCE per block and folds per
-    group through an exact hi/lo 32-bit split (python-int recombination,
-    so a corpus of int64 extremes can never silently wrap — the same
-    no-silent-misreport contract as count_where's sum). Per-file partial
-    rows then aggregate through one KB-scale shuffle keyed on the group
-    value.
+    """Exact ``SELECT key, COUNT(*), COUNT/SUM/MIN/MAX(a) for a in
+    agg_cols [WHERE ...] GROUP BY key`` over a STORED dataset in ONE
+    pass: the key's group codes come off the codec streams once
+    (dict/rle/dict_str — key values never materialize) and every agg
+    column decodes once per block into the exact hi/lo-split python-int
+    fold (:func:`~xml2arrow_spark.operators.blocks.group_aggs_column`) —
+    the multi-aggregate accounting query ("rows, tokens, chars per
+    source") prices one key stream + m agg streams, never m scans.
 
-    This is the corpus-accounting workhorse at 10^12 rows — "token total
-    per source / language / shard" — priced at two columns' payload
-    streams (one of which stays compressed for dict/rle keys) plus a
-    (distinct value, partials) shuffle, never a row shuffle.
+    Semantics per agg column are :func:`group_sum`'s exactly (NULL agg
+    values skipped, ``sum_<c>`` NULL when a group has no non-null value,
+    totals outside int64 REFUSE); NULL key is its own group; float/list
+    keys and float agg columns are refused (NaN grouping and float-fold
+    order are not portable).
 
-    On KEY-CLUSTERED data (``presort`` by the key) it degenerates further,
-    to a metadata scan: a block whose zone bounds PROVE the key
-    single-valued (null-free key, vmin == vmax — truncation-safe for
-    strings, see ``_claim``) and whose agg column carries its exact block
-    sum (``zsum_i``) plus a stated null count contributes
-    ``(key, n_rows, zsum)`` without touching payload bytes at all (wide
-    layout: without reading them off disk unless some block of the file
-    needs the kernel). Pinned the hard way in tests/test_count_where.py:
-    tampered payload + still-correct answer.
+    On KEY-CLUSTERED data the metadata claim carries over: a block whose
+    zone bounds prove the key single-valued contributes
+    ``(key, n_rows, zsum/extrema per agg)`` without touching payload —
+    but only when EVERY agg column's exact block stats are stated
+    (one unprovable column downgrades the whole block to the kernel;
+    results identical either way).
 
-    SQL semantics throughout: NULL key is its own group; NULL agg values
-    are skipped by SUM and ``sum_a`` is NULL when a group has no non-null
-    agg value (``n_nonnull`` distinguishes the two zero cases). Float and
-    list keys are refused (NaN grouping is not portable — see
-    :func:`group_count`); float agg columns are refused (a float fold is
-    order-dependent, this engine's aggregates never approximate). A total
-    outside int64 REFUSES per task with ArithmeticError (ANSI-style;
-    Spark's ANSI sum covers the cross-task roll-up).
+    ``where`` takes the same range / IN-list conjunctions as
+    :func:`count_where` — pruned / interior / boundary classification
+    composes with the masked multi-agg kernel.
 
-    ``where`` (one ``(column, lo, hi)`` range or ``(column, values)``
-    IN-list conjunct, or a list of them — a conjunction;
-    either bound may be None for a one-sided range, same contract as
-    :func:`count_where`) restricts the aggregation to the matching rows,
-    composing the two metadata accelerations: a block whose zone bounds
-    provably MISS a conjunct contributes nothing without being read past
-    its stats (on filter-clustered data most of the corpus prunes here); a
-    block provably INSIDE every conjunct with null-free filter columns
-    aggregates exactly as the unfiltered path (metadata claim on
-    key-clustered blocks, else the kernel — all rows match, so the
-    filter column's payload is never touched); only blocks STRADDLING a
-    bound evaluate the predicate, codec-aware on the filter column's
-    dict/run streams (:func:`~xml2arrow_spark.operators.blocks
-    .match_mask_column`; float conjuncts decode and compare as float64),
-    and feed the row mask into the masked group kernel. Groups with zero
-    matching rows are absent, exactly as SQL's WHERE-before-GROUP-BY;
-    float filter columns never claim interior (zone stats skip NaN, which
-    is non-null yet fails BETWEEN) but still prune.
-
-    Scale-adaptive dispatch like :func:`count_where` / :func:`group_count`:
-    a blocks tree at most ``local_bytes`` answers driver-side with pyarrow;
-    ``local_bytes=0`` forces the distributed mapInArrow path. Both paths
-    pinned equal in tests/test_count_where.py.
-
-    Returns a DataFrame ``(key, cnt, n_nonnull, sum_a, min_a, max_a)``
-    with the key's original type; the three aggregates are NULL for a
-    group with no non-null agg value.
+    Scale-adaptive dispatch like :func:`count_where`. Returns a DataFrame
+    ``(key, cnt, nn_<c>, sum_<c>, min_<c>, max_<c> ...)`` with the key's
+    original type.
     """
     import yaml
 
@@ -1524,10 +1495,12 @@ def group_sum(
     from xml2arrow_spark.operators.encode import split_schema_ddl
     from xml2arrow_spark.sources.files import parquet_file_infos, plan_parquet_tasks
 
+    if not agg_cols:
+        raise ValueError("group_aggs needs at least one agg column")
     with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
         side = yaml.safe_load(f.read())
     by_name = split_schema_ddl(side["schema_ddl"])
-    for col in (key, agg_col):
+    for col in [key, *agg_cols]:
         if col not in by_name:
             raise ValueError(
                 f"dataset lacks encoded column {col!r}; it has {sorted(by_name)}"
@@ -1535,22 +1508,24 @@ def group_sum(
     key_type = by_name[key].split(None, 1)[1].lower()
     if "float" in key_type or "double" in key_type or "array" in key_type:
         raise ValueError(
-            f"group_sum needs a scalar int/string/bool/decimal key, got "
+            f"group_aggs needs a scalar int/string/bool/decimal key, got "
             f"{key} {key_type} (SQL groups NaNs together, IEEE equality "
             f"does not — a float group-by is not portable)"
         )
-    agg_type = by_name[agg_col].split(None, 1)[1].strip().lower()
-    if agg_type not in _CW_INT_TYPES:
-        raise ValueError(
-            f"group_sum needs an integer agg column, got {agg_col} "
-            f"{agg_type}: float folds are order-dependent and these "
-            f"aggregates never approximate (count_where's rule)"
-        )
+    for a in agg_cols:
+        styp = by_name[a].split(None, 1)[1].strip().lower()
+        if styp not in _CW_INT_TYPES:
+            raise ValueError(
+                f"group_aggs needs integer agg columns, got {a} "
+                f"{styp}: float folds are order-dependent and these "
+                f"aggregates never approximate (count_where's rule)"
+            )
     wide = side.get("layout", "nested") == "wide"
-    out_ddl = f"{by_name[key]}, cnt bigint, nn bigint, s bigint, mn bigint, mx bigint"
-    # key category for the metadata fast path: which zone-bound fields can
-    # prove the block single-valued (bool/decimal keys never claim — they
-    # carry no usable zone pair — and fall through to the kernel path)
+    m = len(agg_cols)
+    part_ddl = f"{by_name[key]}, cnt bigint, " + ", ".join(
+        f"nn{i} bigint, s{i} bigint, mn{i} bigint, mx{i} bigint"
+        for i in range(m)
+    )
     key_cat = (
         "i" if key_type in _CW_INT_TYPES
         else "s" if key_type == "string"
@@ -1558,68 +1533,55 @@ def group_sum(
     )
     kz = ("vmin_i", "vmax_i") if key_cat == "i" else ("vmin_s", "vmax_s")
     conj = (
-        _resolve_conjuncts(by_name, where, "group_sum")
+        _resolve_conjuncts(by_name, where, "group_aggs")
         if where is not None
         else None
     )
 
-    def _where_kind(stats):
-        return _classify_where(conj, stats)
-
-    def _boundary_mask(pair_of):
-        return _conj_boundary_mask(conj, pair_of)
-
-    def _claim(kmin, kmax, k_nnull, zsum, a_nnull, amin, amax, br):
-        """One block's (key, cnt, n_nonnull, sum) from zone metadata
-        ALONE, or None when metadata cannot prove it — on key-clustered
-        data (presort) GROUP BY degenerates to a metadata scan.
-
-        Soundness: the claim needs the key provably SINGLE-VALUED over
-        every row — a stated key null count of 0 plus vmin == vmax. For
-        strings that equality is truncation-safe by construction: a
-        truncated lower bound is a strict prefix (< the true min ≤ max ≤
-        stored upper) and a truncated upper bound is bumped strictly
-        above the true max, so the two stored bounds can only be EQUAL
-        when neither was truncated and the true min equals the true max.
-        The agg side needs its exact block sum (zsum_i, None whenever
-        int64-exactness was not provable at encode) and a stated null
-        count (nn = rows - nulls; an all-null block claims sum 0 with
-        nn 0, which the caller maps to SQL's NULL); its zone extrema ARE
-        the group's min/max, because with a single-valued null-free key
-        every non-null agg row belongs to the one group."""
+    def _claim(kmin, kmax, k_nnull, br, agg_stats):
+        """One block's (key, cnt, trips) from zone metadata alone, or None
+        — group_sum's claim rule per agg column: the key provably
+        single-valued (null-free, truncation-safe vmin == vmax) and EVERY
+        agg column carrying its exact block sum + stated null count (and
+        stated extrema whenever a non-null value exists)."""
         if (
             key_cat is None
             or k_nnull != 0
             or kmin is None
             or kmax is None
             or kmin != kmax
-            or zsum is None
-            or a_nnull is None
         ):
             return None
-        nng = br - a_nnull
-        if nng and (amin is None or amax is None):
-            return None  # extrema unstated: downgrade to the kernel
-        return (kmin, br, nng, zsum, amin if nng else None, amax if nng else None)
+        trips = []
+        for zsum, a_nnull, amin, amax in agg_stats:
+            if zsum is None or a_nnull is None:
+                return None
+            nng = br - a_nnull
+            if nng and (amin is None or amax is None):
+                return None  # extrema unstated: downgrade to the kernel
+            trips.append((nng, zsum, amin if nng else None,
+                          amax if nng else None))
+        return (kmin, br, trips)
 
-    def _merge(tally, v, c, nng, s, mn, mx):
+    def _merge(tally, v, c, trips):
         prev = tally.get(v)
         if prev is None:
-            tally[v] = [c, nng, s, mn, mx]
+            tally[v] = [c, list(trips)]
         else:
             prev[0] += c
-            prev[1] += nng
-            prev[2] += s
-            if mn is not None:
-                prev[3] = mn if prev[3] is None else min(prev[3], mn)
-                prev[4] = mx if prev[4] is None else max(prev[4], mx)
+            for i, (nng, sm, mn, mx) in enumerate(trips):
+                pn, ps, pm, px = prev[1][i]
+                pn += nng
+                ps += sm
+                if mn is not None:
+                    pm = mn if pm is None else min(pm, mn)
+                    px = mx if px is None else max(px, mx)
+                prev[1][i] = (pn, ps, pm, px)
 
     def _file_sums(fpath, pq_mod):
-        """One file's {value_or_None: [cnt, n_nonnull, sum_pyint]}.
-        Metadata-claimable blocks never touch payload bytes (wide layout:
-        their payload columns are read only when SOME block of the file
-        needs the kernel); the rest run group_sum_column."""
-        from xml2arrow_spark.operators.blocks import group_sum_column
+        """One file's {key_or_None: [cnt, [(nn, sum, mn, mx) per agg]]};
+        metadata-claimable blocks never touch payload bytes."""
+        from xml2arrow_spark.operators.blocks import group_aggs_column
 
         tally: dict = {}
         if wide:
@@ -1628,8 +1590,10 @@ def group_sum(
                 "n_rows",
                 f"c_{key}__{kz[0]}", f"c_{key}__{kz[1]}",
                 f"c_{key}__n_null",
-                f"c_{agg_col}__zsum_i", f"c_{agg_col}__n_null",
-                f"c_{agg_col}__vmin_i", f"c_{agg_col}__vmax_i",
+            ] + [
+                x for a in agg_cols
+                for x in (f"c_{a}__zsum_i", f"c_{a}__n_null",
+                          f"c_{a}__vmin_i", f"c_{a}__vmax_i")
             ]
             have_claim = set(claim_want) <= avail
             # per-conjunct zone-stat columns; an absent name reads as None
@@ -1657,7 +1621,7 @@ def group_sum(
                     if not br:
                         continue
                     if conj is not None:
-                        kind = _where_kind([
+                        kind = _classify_where(conj, [
                             tuple(
                                 st.column(n)[i].as_py()
                                 if n is not None
@@ -1675,14 +1639,19 @@ def group_sum(
                         st.column(f"c_{key}__{kz[0]}")[i].as_py(),
                         st.column(f"c_{key}__{kz[1]}")[i].as_py(),
                         st.column(f"c_{key}__n_null")[i].as_py(),
-                        st.column(f"c_{agg_col}__zsum_i")[i].as_py(),
-                        st.column(f"c_{agg_col}__n_null")[i].as_py(),
-                        st.column(f"c_{agg_col}__vmin_i")[i].as_py(),
-                        st.column(f"c_{agg_col}__vmax_i")[i].as_py(),
                         br,
+                        [
+                            (
+                                st.column(f"c_{a}__zsum_i")[i].as_py(),
+                                st.column(f"c_{a}__n_null")[i].as_py(),
+                                st.column(f"c_{a}__vmin_i")[i].as_py(),
+                                st.column(f"c_{a}__vmax_i")[i].as_py(),
+                            )
+                            for a in agg_cols
+                        ],
                     ) if have_claim else None
                     if claim is not None:
-                        _merge(tally, *claim)
+                        _merge(tally, claim[0], claim[1], claim[2])
                     else:
                         kernel_idx.append(i)
             elif conj is not None:
@@ -1692,9 +1661,9 @@ def group_sum(
             else:  # stats columns absent (older blocks): all kernel
                 kernel_idx = list(range(pq_mod.read_metadata(fpath).num_rows))
             if kernel_idx or boundary_idx:
-                cols = [
-                    f"c_{key}__meta", f"c_{key}__data",
-                    f"c_{agg_col}__meta", f"c_{agg_col}__data",
+                cols = [f"c_{key}__meta", f"c_{key}__data"] + [
+                    x for a in agg_cols
+                    for x in (f"c_{a}__meta", f"c_{a}__data")
                 ]
                 if boundary_idx:
                     cols += [
@@ -1709,22 +1678,27 @@ def group_sum(
                     return (
                         arrays[f"c_{key}__meta"][i].as_py(),
                         arrays[f"c_{key}__data"][i].as_py(),
-                        arrays[f"c_{agg_col}__meta"][i].as_py(),
-                        arrays[f"c_{agg_col}__data"][i].as_py(),
+                        [
+                            (
+                                arrays[f"c_{a}__meta"][i].as_py(),
+                                arrays[f"c_{a}__data"][i].as_py(),
+                            )
+                            for a in agg_cols
+                        ],
                     )
 
                 for i in kernel_idx:
-                    for v, t in group_sum_column(*_kargs(i)).items():
-                        _merge(tally, v, *t)
+                    for v, row in group_aggs_column(*_kargs(i)).items():
+                        _merge(tally, v, row[0], row[1:])
                 for i in boundary_idx:
-                    mask = _boundary_mask(lambda c, i=i: (
+                    mask = _conj_boundary_mask(conj, lambda c, i=i: (
                         arrays[f"c_{c}__meta"][i].as_py(),
                         arrays[f"c_{c}__data"][i].as_py(),
                     ))
                     if mask is None:
                         continue
-                    for v, t in group_sum_column(*_kargs(i), mask=mask).items():
-                        _merge(tally, v, *t)
+                    for v, row in group_aggs_column(*_kargs(i), mask=mask).items():
+                        _merge(tally, v, row[0], row[1:])
         else:
             tbl = pq_mod.read_table(fpath, columns=["n_rows", "cols"])
             cols_col = tbl.column("cols").combine_chunks()
@@ -1740,10 +1714,10 @@ def group_sum(
                 names = entries.field("name").to_pylist()
                 try:
                     ki = names.index(key)
-                    ai = names.index(agg_col)
+                    ais = [names.index(a) for a in agg_cols]
                 except ValueError:
                     raise ValueError(
-                        f"block lacks an entry for {key!r}/{agg_col!r}; "
+                        f"block lacks an entry for {key!r}/{agg_cols!r}; "
                         f"the sidecar schema and the blocks files disagree"
                     ) from None
                 br = rows_col[row].as_py()
@@ -1767,11 +1741,11 @@ def group_sum(
                             else None
                             for f in (zmin, zmax, "n_null")
                         ))
-                    kind = _where_kind(stats)
+                    kind = _classify_where(conj, stats)
                     if kind == "pruned":
                         continue
                     if kind == "boundary":
-                        mask = _boundary_mask(lambda c: (
+                        mask = _conj_boundary_mask(conj, lambda c: (
                             entries.field("meta")[names.index(c)].as_py(),
                             entries.field("data")[names.index(c)].as_py(),
                         ))
@@ -1783,30 +1757,51 @@ def group_sum(
                         entries.field(kz[0])[ki].as_py(),
                         entries.field(kz[1])[ki].as_py(),
                         entries.field("n_null")[ki].as_py(),
-                        entries.field("zsum_i")[ai].as_py(),
-                        entries.field("n_null")[ai].as_py(),
-                        entries.field("vmin_i")[ai].as_py(),
-                        entries.field("vmax_i")[ai].as_py(),
                         br,
+                        [
+                            (
+                                entries.field("zsum_i")[ai].as_py(),
+                                entries.field("n_null")[ai].as_py(),
+                                entries.field("vmin_i")[ai].as_py(),
+                                entries.field("vmax_i")[ai].as_py(),
+                            )
+                            for ai in ais
+                        ],
                     )
                 if claim is not None:
-                    _merge(tally, *claim)
+                    _merge(tally, claim[0], claim[1], claim[2])
                 else:
-                    for v, t in group_sum_column(
+                    from xml2arrow_spark.operators.blocks import (
+                        group_aggs_column as _gac,
+                    )
+
+                    for v, rrow in _gac(
                         entries.field("meta")[ki].as_py(),
                         entries.field("data")[ki].as_py(),
-                        entries.field("meta")[ai].as_py(),
-                        entries.field("data")[ai].as_py(),
+                        [
+                            (
+                                entries.field("meta")[ai].as_py(),
+                                entries.field("data")[ai].as_py(),
+                            )
+                            for ai in ais
+                        ],
                         mask=mask,
                     ).items():
-                        _merge(tally, v, *t)
-        for v, (_c, _nn, s, _mn, _mx) in tally.items():
-            if not (-(1 << 63) <= s < (1 << 63)):
-                raise ArithmeticError(
-                    f"group_sum total for key {v!r} is outside int64 "
-                    f"({s}); refusing rather than wrapping (ANSI contract)"
-                )
+                        _merge(tally, v, rrow[0], rrow[1:])
+        for v, (_c, trips) in tally.items():
+            for (_nn, sm, _mn, _mx), a in zip(trips, agg_cols):
+                if not (-(1 << 63) <= sm < (1 << 63)):
+                    raise ArithmeticError(
+                        f"group_aggs total of {a!r} for key {v!r} is outside "
+                        f"int64 ({sm}); refusing rather than wrapping "
+                        f"(ANSI contract)"
+                    )
         return tally
+
+    out_sql_ddl = f"{by_name[key]}, cnt bigint, " + ", ".join(
+        f"nn_{a} bigint, sum_{a} bigint, min_{a} bigint, max_{a} bigint"
+        for a in agg_cols
+    )
 
     infos = parquet_file_infos(os.path.join(out_path, "blocks"))
     if sum(s for _p, s in infos) <= local_bytes:
@@ -1814,23 +1809,25 @@ def group_sum(
 
         total: dict = {}
         for fp, _s in infos:
-            for v, t in _file_sums(fp, pq_local).items():
-                _merge(total, v, *t)
+            for v, (c, trips) in _file_sums(fp, pq_local).items():
+                _merge(total, v, c, trips)
         rows = []
-        for v, (c, nng, s, mn, mx) in total.items():
-            if not (-(1 << 63) <= s < (1 << 63)):
-                raise ArithmeticError(
-                    f"group_sum total for key {v!r} is outside int64 "
-                    f"({s}); refusing rather than wrapping (ANSI contract)"
-                )
-            rows.append((v, c, nng, s if nng else None, mn, mx))
+        for v, (c, trips) in total.items():
+            flat = [v, c]
+            for (nng, sm, mn, mx), a in zip(trips, agg_cols):
+                if not (-(1 << 63) <= sm < (1 << 63)):
+                    raise ArithmeticError(
+                        f"group_aggs total of {a!r} for key {v!r} is outside "
+                        f"int64 ({sm}); refusing rather than wrapping "
+                        f"(ANSI contract)"
+                    )
+                flat += [nng, sm if nng else None, mn, mx]
+            rows.append(flat)
         # arrow-backed LocalRelation — see group_count's local finish
         from pyspark.sql.pandas.types import to_arrow_schema
         from pyspark.sql.types import StructType
 
-        lsch = to_arrow_schema(StructType.fromDDL(
-            f"{by_name[key]}, cnt bigint, n_nonnull bigint, "
-            f"sum_a bigint, min_a bigint, max_a bigint"))
+        lsch = to_arrow_schema(StructType.fromDDL(out_sql_ddl))
         return spark.createDataFrame(pa.table(
             {
                 lsch.field(i).name: pa.array(
@@ -1838,15 +1835,14 @@ def group_sum(
                 )
                 for i in range(len(lsch))
             }
-        ), schema=f"{by_name[key]}, cnt bigint, n_nonnull bigint, "
-        f"sum_a bigint, min_a bigint, max_a bigint")
+        ), schema=out_sql_ddl)
 
     # resolved DRIVER-side: DDL parsing needs an active SparkContext,
     # which executor-side Python workers do not have; pa.Schema pickles
     from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import StructType
 
-    out_schema = to_arrow_schema(StructType.fromDDL(out_ddl))
+    out_schema = to_arrow_schema(StructType.fromDDL(part_ddl))
 
     def sum_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
@@ -1861,33 +1857,80 @@ def group_sum(
                 if not tally:
                     continue
                 items = list(tally.items())
+                arrays = [
+                    pa.array([v for v, _t in items],
+                             type=out_schema.field(0).type),
+                    pa.array([t[0] for _v, t in items], type=pa.int64()),
+                ]
+                for i in range(m):
+                    # nn==0 partials carry sum 0 (never NULL) so the
+                    # roll-up's F.sum stays total-order deterministic; the
+                    # final when() restores SQL's NULL (min/max partials
+                    # carry NULL — F.min/F.max skip them)
+                    arrays.append(pa.array(
+                        [t[1][i][0] for _v, t in items], type=pa.int64()))
+                    arrays.append(pa.array(
+                        [t[1][i][1] for _v, t in items], type=pa.int64()))
+                    arrays.append(pa.array(
+                        [t[1][i][2] for _v, t in items], type=pa.int64()))
+                    arrays.append(pa.array(
+                        [t[1][i][3] for _v, t in items], type=pa.int64()))
                 yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(
-                            [v for v, _t in items], type=out_schema.field(0).type
-                        ),
-                        pa.array([t[0] for _v, t in items], type=pa.int64()),
-                        pa.array([t[1] for _v, t in items], type=pa.int64()),
-                        # nn==0 partials carry sum 0 (never NULL) so the
-                        # roll-up's F.sum stays total-order deterministic;
-                        # the final when() restores SQL's NULL (min/max
-                        # partials carry NULL — F.min/F.max skip them)
-                        pa.array([t[2] for _v, t in items], type=pa.int64()),
-                        pa.array([t[3] for _v, t in items], type=pa.int64()),
-                        pa.array([t[4] for _v, t in items], type=pa.int64()),
+                    arrays,
+                    names=[key, "cnt"] + [
+                        x for i in range(m)
+                        for x in (f"nn{i}", f"s{i}", f"mn{i}", f"mx{i}")
                     ],
-                    names=[key, "cnt", "nn", "s", "mn", "mx"],
                 )
 
     tasks = plan_parquet_tasks(spark, os.path.join(out_path, "blocks"), n_tasks)
-    per_file = tasks.mapInArrow(sum_files, out_ddl)
-    return per_file.groupBy(key).agg(
-        F.sum("cnt").alias("cnt"),
-        F.sum("nn").alias("n_nonnull"),
-        F.when(F.sum("nn") > 0, F.sum("s")).otherwise(F.lit(None)).alias("sum_a"),
-        F.min("mn").alias("min_a"),
-        F.max("mx").alias("max_a"),
+    per_file = tasks.mapInArrow(sum_files, part_ddl)
+    aggs = [F.sum("cnt").alias("cnt")]
+    for i, a in enumerate(agg_cols):
+        aggs += [
+            F.sum(f"nn{i}").alias(f"nn_{a}"),
+            F.when(F.sum(f"nn{i}") > 0, F.sum(f"s{i}"))
+            .otherwise(F.lit(None)).alias(f"sum_{a}"),
+            F.min(f"mn{i}").alias(f"min_{a}"),
+            F.max(f"mx{i}").alias(f"max_{a}"),
+        ]
+    return per_file.groupBy(key).agg(*aggs)
+
+
+def group_sum(
+    spark,
+    out_path: str,
+    key: str,
+    agg_col: str,
+    n_tasks: int | None = None,
+    local_bytes: int = 128 << 20,
+    where=None,
+):
+    """Exact ``SELECT key, COUNT(*), COUNT(agg), SUM(agg), MIN(agg),
+    MAX(agg) [WHERE ...] GROUP BY key`` over a STORED dataset — the
+    single-agg view of :func:`group_aggs` (one kernel, one claim rule,
+    one dispatch; see there for the execution story: codec-stream key
+    codes, exact hi/lo-split folds, zone-metadata claims on key-clustered
+    blocks, range/IN-list ``where`` composition, ANSI refusal outside
+    int64). Kept as the stable everyday API and pinned hard in
+    tests/test_count_where.py (tamper pins, dual-path equality, oracle
+    gates).
+
+    Returns a DataFrame ``(key, cnt, n_nonnull, sum_a, min_a, max_a)``
+    with the key's original type; the three aggregates are NULL for a
+    group with no non-null agg value.
+    """
+    df = group_aggs(
+        spark, out_path, key, [agg_col],
+        n_tasks=n_tasks, local_bytes=local_bytes, where=where,
     )
+    return df.withColumnsRenamed({
+        f"nn_{agg_col}": "n_nonnull",
+        f"sum_{agg_col}": "sum_a",
+        f"min_{agg_col}": "min_a",
+        f"max_{agg_col}": "max_a",
+    })
+
 
 
 def _topk_trim(tally: dict, k: int, descending: bool):

@@ -1208,6 +1208,10 @@ def dataset_column_stats_sql() -> str:
                 "ginwhere:flag=", "l_returnflag", "l_orderkey",
                 cond="l_linenumber IN (1, 2, 4)",
             ),
+            # group_aggs legs: the engine computes both columns in one
+            # pass; the oracle re-aggregates each separately
+            gsum_row("gaggs:l_orderkey:", "l_returnflag", "l_orderkey"),
+            gsum_row("gaggs:l_linenumber:", "l_returnflag", "l_linenumber"),
             # the top_k legs: the oracle re-sorts the raw table, so a
             # wrong zone skip, a lost duplicate, or a NULL in the ranks
             # all hash-mismatch; strings carry the value in the label
