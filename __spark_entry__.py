@@ -643,11 +643,11 @@ def q_dataset_column_stats(spark, sf_dir):
             F.lit(-1).cast("long").alias("sum_i"),
         ]
 
-    def topk_int_leg(label, column, kk, descending):
+    def topk_int_leg(label, column, kk, descending, where=None):
         from xml2arrow_spark.operators.dataset import top_k
 
         tk = top_k(spark, out, column, kk, descending=descending,
-                   local_bytes=0)
+                   local_bytes=0, where=where)
         return tk.select(*_topk_sentinels(
             F.lit(label), F.col(column).cast("long")
         ))
@@ -843,6 +843,14 @@ def q_dataset_column_stats(spark, sf_dir):
         # multi-agg GROUP BY (group_aggs): both aggregate columns computed
         # in ONE pass (shared key codes), each gated by its own oracle row
         gaggs_legs("l_returnflag", "l_orderkey", "l_linenumber")
+    ).unionByName(
+        # filtered rank query (top_k(where=)): zone pruning + codec-aware
+        # boundary masks compose with the rank walk; the oracle re-sorts
+        # the filtered raw table
+        topk_int_leg(
+            "topkw:okey", "l_orderkey", 9, descending=True,
+            where=[("l_returnflag", "A", "N"), ("l_linenumber", [1, 2])],
+        )
     )
 
 

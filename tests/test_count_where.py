@@ -1534,3 +1534,51 @@ def test_group_aggs_metadata_claim_all_columns_or_kernel(spark, tmp_path, layout
         assert got == truth
     with pytest.raises(Exception):
         decode_dataset(spark, out).agg(F.count(F.lit(1))).collect()
+
+# ---- top_k(where=): filtered rank queries ------------------------------------
+
+
+def test_top_k_where_matches_filtered_order_by(spark, ds):
+    """Range + IN-list predicates compose with the rank walk: equals
+    decode + WHERE + orderBy + limit on both directions and paths."""
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.dataset import top_k
+
+    raw = decode_dataset(spark, ds, columns=["qty", "id", "tag"])
+    cases = [
+        (("id", 150, 749), F.col("id").between(150, 749)),
+        (("tag", ["zzz"]), F.col("tag").isin("zzz")),
+        ([("id", 300, None), ("qty", 1, 5)],
+         (F.col("id") >= 300) & F.col("qty").between(1, 5)),
+    ]
+    for where, cond in cases:
+        base = raw.where(cond & F.col("qty").isNotNull())
+        for desc in (True, False):
+            want = [
+                r["qty"]
+                for r in base.orderBy(
+                    F.desc("qty") if desc else F.asc("qty")
+                ).limit(6).collect()
+            ]
+            for lb in (128 << 20, 0):
+                got = [r["qty"] for r in top_k(
+                    spark, ds, "qty", 6,
+                    descending=desc, local_bytes=lb, where=where,
+                ).collect()]
+                assert got == want, (where, desc, lb)
+
+
+def test_top_k_where_empty_and_rank_column_is_filter_column(spark, ds):
+    from xml2arrow_spark.operators.dataset import top_k
+
+    for lb in (128 << 20, 0):
+        assert top_k(
+            spark, ds, "qty", 3, local_bytes=lb, where=("id", 10**9, None)
+        ).count() == 0
+        # ranking the filter column itself: the boundary mask and the
+        # tally run over the same stream
+        got = [r["id"] for r in top_k(
+            spark, ds, "id", 4, local_bytes=lb, where=("id", None, 500)
+        ).collect()]
+        assert got == [500, 499, 498, 497]

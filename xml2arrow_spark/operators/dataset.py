@@ -1960,6 +1960,7 @@ def top_k(
     descending: bool = True,
     n_tasks: int | None = None,
     local_bytes: int = 128 << 20,
+    where=None,
 ):
     """Exact ``SELECT column FROM t WHERE column IS NOT NULL ORDER BY
     column [DESC] LIMIT k`` over a STORED dataset — the top-k pushdown,
@@ -2006,6 +2007,16 @@ def top_k(
     driver. ``local_bytes=0`` forces the distributed path. Both paths
     pinned equal — and pinned to SKIP, via payload tampering — in tests.
 
+    ``where`` (the same range / IN-list conjunctions as
+    :func:`count_where`) restricts the ranking to the matching rows:
+    predicate-pruned blocks drop before the walk, provably-inside blocks
+    fold unmasked, and straddling blocks evaluate the conjunction
+    codec-aware and fold MASKED tallies — the rank skip stays sound under
+    a mask (masking only removes rows; the zone bound still dominates
+    every survivor). The distributed tau pre-pass is disabled under a
+    predicate (zone counts prove values exist, not that they match);
+    per-file walks still early-terminate on their own tallies.
+
     Returns a DataFrame with one column (the original name and type), k
     rows, sorted in rank order.
     """
@@ -2019,6 +2030,11 @@ def top_k(
     with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
         side = yaml.safe_load(f.read())
     by_name = split_schema_ddl(side["schema_ddl"])
+    conj = (
+        _resolve_conjuncts(by_name, where, "top_k")
+        if where is not None
+        else None
+    )
     if column not in by_name:
         raise ValueError(
             f"dataset lacks encoded column {column!r}; it has {sorted(by_name)}"
@@ -2064,12 +2080,38 @@ def top_k(
         if wide:
             avail = set(pq_mod.read_schema(fpath).names)
             bcol = f"c_{column}__{bound_field}" if bound_field else None
-            if bcol is not None and bcol in avail:
-                bounds = pq_mod.read_table(
-                    fpath, columns=[bcol]
-                ).column(bcol).to_pylist()
+            stat_cols = [bcol] if bcol is not None and bcol in avail else []
+            fstat: list[tuple] = []
+            if conj is not None:
+                for col, _values, _lo, _hi, fcat in conj:
+                    zmin, zmax = _ZONE_SUFFIXES[fcat]
+                    trip = tuple(
+                        n if n in avail else None
+                        for n in (f"c_{col}__{zmin}", f"c_{col}__{zmax}",
+                                  f"c_{col}__n_null")
+                    )
+                    fstat.append(trip)
+                    stat_cols += [n for n in trip if n is not None]
+            if stat_cols:
+                st = pq_mod.read_table(fpath, columns=sorted(set(stat_cols)))
+                n_blocks = st.num_rows
             else:
-                bounds = [None] * pq_mod.read_metadata(fpath).num_rows
+                st = None
+                n_blocks = pq_mod.read_metadata(fpath).num_rows
+            if bcol is not None and bcol in avail:
+                bounds = st.column(bcol).to_pylist()
+            else:
+                bounds = [None] * n_blocks
+            kinds = [None] * n_blocks
+            if conj is not None:
+                for i in range(n_blocks):
+                    kinds[i] = _classify_where(conj, [
+                        tuple(
+                            st.column(n)[i].as_py() if n is not None else None
+                            for n in trip
+                        )
+                        for trip in fstat
+                    ])
             state = {}
 
             def getter(i):
@@ -2082,13 +2124,33 @@ def top_k(
                     state["d"] = pay.column(f"c_{column}__data").combine_chunks()
                 return state["m"][i].as_py(), state["d"][i].as_py()
 
-            return bounds, getter
+            def fpair(i):
+                # lazy filter-column payload, read once per file and only
+                # when some boundary block actually needs the mask
+                def pair(col):
+                    kk = f"f_{col}"
+                    if kk not in state:
+                        pay = pq_mod.read_table(
+                            fpath,
+                            columns=[f"c_{col}__meta", f"c_{col}__data"],
+                        )
+                        state[kk] = (
+                            pay.column(f"c_{col}__meta").combine_chunks(),
+                            pay.column(f"c_{col}__data").combine_chunks(),
+                        )
+                    m, d = state[kk]
+                    return m[i].as_py(), d[i].as_py()
+
+                return pair
+
+            return bounds, kinds, getter, fpair
         tbl = pq_mod.read_table(fpath, columns=["cols"])
         cols_col = tbl.column("cols").combine_chunks()
         entry_fields = {f.name for f in tbl.schema.field("cols").type.value_type}
         have_bound = bound_field is not None and bound_field in entry_fields
         handles = []
         bounds = []
+        kinds = []
         for row in range(len(cols_col)):
             entries = cols_col[row].values
             names = entries.field("name").to_pylist()
@@ -2099,24 +2161,61 @@ def top_k(
                     f"block lacks an entry for {column!r}; the "
                     f"sidecar schema and the blocks files disagree"
                 ) from None
-            handles.append((entries, zi))
+            handles.append((entries, zi, names))
             bounds.append(
                 entries.field(bound_field)[zi].as_py() if have_bound else None
             )
+            if conj is None:
+                kinds.append(None)
+            else:
+                stats = []
+                for col, _values, _lo, _hi, fcat in conj:
+                    zmin, zmax = _ZONE_SUFFIXES[fcat]
+                    try:
+                        fi = names.index(col)
+                    except ValueError:
+                        raise ValueError(
+                            f"block lacks an entry for {col!r}; the "
+                            f"sidecar schema and the blocks files disagree"
+                        ) from None
+                    stats.append(tuple(
+                        entries.field(f)[fi].as_py()
+                        if f in entry_fields
+                        else None
+                        for f in (zmin, zmax, "n_null")
+                    ))
+                kinds.append(_classify_where(conj, stats))
 
         def getter(i):
-            entries, zi = handles[i]
+            entries, zi, _names = handles[i]
             return (
                 entries.field("meta")[zi].as_py(),
                 entries.field("data")[zi].as_py(),
             )
 
-        return bounds, getter
+        def fpair(i):
+            entries, _zi, names = handles[i]
 
-    def _visit(order, getter_of, tally, kth0=None):
+            def pair(col):
+                fi = names.index(col)
+                return (
+                    entries.field("meta")[fi].as_py(),
+                    entries.field("data")[fi].as_py(),
+                )
+
+            return pair
+
+        return bounds, kinds, getter, fpair
+
+    def _visit(order, getter_of, fpair_of, tally, kth0=None):
         """Fold blocks in rank order into ``tally`` until the threshold
-        closes; ``order`` is [(bound, key, i)] with unknown bounds first.
-        Returns the final k-th value.
+        closes; ``order`` is [(bound, kind, key, i)] with unknown bounds
+        first. Returns the final k-th value. Predicate-pruned blocks
+        ``continue`` (the predicate skip is not rank-ordered); boundary
+        blocks evaluate the conjunction codec-aware and fold MASKED
+        tallies — the rank skip stays sound under a mask, because masking
+        only removes rows and the zone bound still dominates every
+        surviving value.
 
         Two skip rules, both monotone in the rank order (so the first
         skip ends the walk): against the OWN k-th value the skip may take
@@ -2128,21 +2227,32 @@ def top_k(
         block bounded exactly at it may hold the very copies the global
         top k needs."""
         kth = None
-        for b, key, i in order:
+        for b, kind, key, i in order:
             if b is not None and (
                 (kth is not None and not _beats(b, kth))
                 or (kth0 is not None and _beats(kth0, b))
             ):
                 break  # rank-ordered: every later block skips too
-            vals, counts, _n_null = value_counts_column(*getter_of(key)(i))
+            if kind == "pruned":
+                continue  # predicate skip: NOT rank-ordered, keep walking
+            mask = None
+            if kind == "boundary":
+                mask = _conj_boundary_mask(conj, fpair_of(key)(i))
+                if mask is None:
+                    continue  # no row matched the predicate
+            vals, counts, _n_null = value_counts_column(
+                *getter_of(key)(i), mask=mask
+            )
             for v, c in zip(vals.to_pylist(), counts.tolist()):
                 tally[v] = tally.get(v, 0) + c
             kth = _topk_trim(tally, k, descending)
         return kth
 
     def _rank_order(items):
-        """[(bound, key, i)] -> unknown-bound blocks first (never
-        skippable), then rank order."""
+        """[(bound, kind, key, i)] -> unknown-bound blocks first (never
+        skippable), then rank order; predicate-pruned blocks drop here —
+        they can never contribute, whatever their rank."""
+        items = [e for e in items if e[1] != "pruned"]
         unknown = [e for e in items if e[0] is None]
         known = sorted(
             (e for e in items if e[0] is not None),
@@ -2177,13 +2287,22 @@ def top_k(
         # pass 2: ONE globally rank-ordered visit — payload IO happens
         # per file only when some block of it is actually folded
         getters = {}
+        fpairs = {}
         items = []
         for fi, (fp, _s) in enumerate(infos):
-            bounds, getter = _scan_blocks(fp, pq_local)
+            bounds, kinds, getter, fpair = _scan_blocks(fp, pq_local)
             getters[fi] = getter
-            items += [(b, fi, i) for i, b in enumerate(bounds)]
+            fpairs[fi] = fpair
+            items += [
+                (b, kd, fi, i) for i, (b, kd) in enumerate(zip(bounds, kinds))
+            ]
         total: dict = {}
-        _visit(_rank_order(items), lambda key: getters[key], total)
+        _visit(
+            _rank_order(items),
+            lambda key: getters[key],
+            lambda key: fpairs[key],
+            total,
+        )
         return _finish(total)
 
     # distributed: one column-pruned Spark scan over the blocks METADATA
@@ -2196,8 +2315,11 @@ def top_k(
     # Conservative when stats are missing (tau=None visits everything).
     from pyspark.sql import functions as F
 
+    # under a predicate tau is unavailable: inner bounds + counts prove
+    # values EXIST, not that they survive the filter — per-file rank
+    # walks still early-terminate on their own tallies
     tau = None
-    if guaranteed_field is not None:
+    if guaranteed_field is not None and conj is None:
         blocks_df = spark.read.parquet(os.path.join(out_path, "blocks"))
         gcol = ncol = None
         if wide:
@@ -2250,11 +2372,15 @@ def top_k(
         for b in batches:
             path_lists = b.column(b.schema.get_field_index("path")).to_pylist()
             for fpath in (p for paths in path_lists for p in paths):
-                bounds, getter = _scan_blocks(fpath, pq)
+                bounds, kinds, getter, fpair = _scan_blocks(fpath, pq)
                 tally: dict = {}
                 _visit(
-                    _rank_order([(bb, 0, i) for i, bb in enumerate(bounds)]),
+                    _rank_order([
+                        (bb, kd, 0, i)
+                        for i, (bb, kd) in enumerate(zip(bounds, kinds))
+                    ]),
                     lambda _key: getter,
+                    lambda _key: fpair,
                     tally,
                     kth0=tau,
                 )

@@ -1136,7 +1136,7 @@ def dataset_column_stats_sql() -> str:
             f"FROM lineitem{wh} GROUP BY {key}"
         )
 
-    def topk_row(label, col, kk, direction, as_label):
+    def topk_row(label, col, kk, direction, as_label, cond=None):
         # int top-k rides vmin_i, string top-k rides the label itself
         # (duplicates keep their multiplicity on both sides)
         sel = (
@@ -1151,8 +1151,9 @@ def dataset_column_stats_sql() -> str:
             f"CAST(-1 AS BIGINT) AS n_rows, "
             f"CAST(-1 AS BIGINT) AS n_nonnull, "
             f"CAST(-1 AS BIGINT) AS sum_i FROM ("
-            f"SELECT {col} AS v FROM lineitem WHERE {col} IS NOT NULL "
-            f"ORDER BY v {direction} LIMIT {kk})"
+            f"SELECT {col} AS v FROM lineitem WHERE {col} IS NOT NULL"
+            + (f" AND {cond}" if cond else "")
+            + f" ORDER BY v {direction} LIMIT {kk})"
         )
 
     return "\nUNION ALL\n".join(
@@ -1218,6 +1219,11 @@ def dataset_column_stats_sql() -> str:
             topk_row("topk:okey", "l_orderkey", 7, "DESC", as_label=False),
             topk_row("topk:line", "l_linenumber", 5, "ASC", as_label=False),
             topk_row("topk:flag=", "l_returnflag", 6, "DESC", as_label=True),
+            topk_row(
+                "topkw:okey", "l_orderkey", 9, "DESC", as_label=False,
+                cond="l_returnflag BETWEEN 'A' AND 'N' "
+                     "AND l_linenumber IN (1, 2)",
+            ),
             # the top_k_rows leg: RANK() <= k with ties included — the
             # oracle re-ranks the raw table with a window function and
             # fingerprints the identical row set
