@@ -716,14 +716,35 @@ def q_dataset_column_stats(spark, sf_dir):
 
         return leg(f"gaggs:{a1}:", a1).unionByName(leg(f"gaggs:{a2}:", a2))
 
-    def quant_leg(prefix, column, qs):
+    def quant_leg(prefix, column, qs, where=None):
         from xml2arrow_spark.operators.dataset import exact_quantiles
 
-        df = exact_quantiles(spark, out, column, qs, local_bytes=0)
+        df = exact_quantiles(spark, out, column, qs, local_bytes=0,
+                             where=where)
         return df.select(*_topk_sentinels(
             F.concat(F.lit(prefix), F.col("q_milli").cast("string")),
             F.col("value").cast("long"),
         ))
+
+    def hist_leg(prefix, column, nb, where=None):
+        # exact equi-width histogram: one oracle row per NON-EMPTY bin,
+        # the bucket expression recomputed in SQL with widened arithmetic
+        from xml2arrow_spark.operators.dataset import value_histogram
+
+        df = value_histogram(spark, out, column, nb, local_bytes=0,
+                             where=where)
+        return df.select(
+            F.concat(F.lit(prefix), F.col("bin").cast("string"))
+            .alias("column"),
+            F.lit(-1).cast("long").alias("vmin_i"),
+            F.lit(-1).cast("long").alias("vmax_i"),
+            F.lit(-1.0).alias("vmin_d"),
+            F.lit(-1.0).alias("vmax_d"),
+            F.lit(0).cast("long").alias("n_unstated"),
+            F.col("cnt").cast("long").alias("n_rows"),
+            F.lit(-1).cast("long").alias("n_nonnull"),
+            F.lit(-1).cast("long").alias("sum_i"),
+        )
 
     def group_leg(prefix, column, where=None):
         gc = group_count(spark, out, column, local_bytes=0, where=where)
@@ -850,6 +871,17 @@ def q_dataset_column_stats(spark, sf_dir):
         topk_int_leg(
             "topkw:okey", "l_orderkey", 9, descending=True,
             where=[("l_returnflag", "A", "N"), ("l_linenumber", [1, 2])],
+        )
+    ).unionByName(
+        # exact equi-width histogram on the codec streams (integer bucket
+        # math, non-negative numerator — floor == trunc on both engines)
+        hist_leg("hist:okey=", "l_orderkey", 8)
+    ).unionByName(
+        # filtered quantiles: the ranked population rides
+        # group_count(where=)'s classification
+        quant_leg(
+            "quantw:line=", "l_linenumber", [0, 500, 1000],
+            where=("l_returnflag", ["A", "R"]),
         )
     )
 

@@ -1582,3 +1582,95 @@ def test_top_k_where_empty_and_rank_column_is_filter_column(spark, ds):
             spark, ds, "id", 4, local_bytes=lb, where=("id", None, 500)
         ).collect()]
         assert got == [500, 499, 498, 497]
+
+# ---- value_histogram + filtered quantiles ------------------------------------
+
+
+def test_value_histogram_matches_python_truth(spark, ds):
+    from xml2arrow_spark.operators.dataset import value_histogram
+
+    xs = [
+        r["id"]
+        for r in decode_dataset(spark, ds, columns=["id"]).collect()
+    ]
+    lo, hi = min(xs), max(xs)
+    want: dict = {}
+    for v in xs:
+        b = (v - lo) * 7 // (hi - lo + 1)
+        want[b] = want.get(b, 0) + 1
+    for lb in (128 << 20, 0):
+        got = {
+            r["bin"]: r["cnt"]
+            for r in value_histogram(
+                spark, ds, "id", 7, local_bytes=lb
+            ).collect()
+        }
+        assert got == want
+    # explicit bounds exclude out-of-range rows; empty bins absent
+    got = {
+        r["bin"]: r["cnt"]
+        for r in value_histogram(spark, ds, "id", 4, lo=100, hi=499).collect()
+    }
+    want2: dict = {}
+    for v in xs:
+        if 100 <= v <= 499:
+            b = (v - 100) * 4 // 400
+            want2[b] = want2.get(b, 0) + 1
+    assert got == want2
+
+
+def test_value_histogram_where_and_validation(spark, ds):
+    from xml2arrow_spark.operators.dataset import value_histogram
+
+    xs = [
+        r["id"]
+        for r in decode_dataset(spark, ds, columns=["id", "tag"])
+        .where("tag = 'zzz'")
+        .collect()
+    ]
+    lo, hi = min(xs), max(xs)
+    want: dict = {}
+    for v in xs:
+        b = (v - lo) * 5 // (hi - lo + 1)
+        want[b] = want.get(b, 0) + 1
+    got = {
+        r["bin"]: r["cnt"]
+        for r in value_histogram(
+            spark, ds, "id", 5, where=("tag", ["zzz"])
+        ).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="n_bins >= 1"):
+        value_histogram(spark, ds, "id", 0)
+    with pytest.raises(ValueError, match="integer column"):
+        value_histogram(spark, ds, "tag", 4)
+    with pytest.raises(ValueError, match="integer column"):
+        value_histogram(spark, ds, "val", 4)
+    # empty selection: zero rows, not an error
+    assert value_histogram(
+        spark, ds, "id", 4, where=("id", 10**9, None)
+    ).count() == 0
+
+
+def test_exact_quantiles_where(spark, ds):
+    from xml2arrow_spark.operators.dataset import exact_quantiles
+
+    xs = sorted(
+        r["qty"]
+        for r in decode_dataset(spark, ds, columns=["qty", "id"])
+        .where("id BETWEEN 150 AND 749")
+        .collect()
+        if r["qty"] is not None
+    )
+    qs = [0, 500, 1000]
+    want = {
+        q: xs[max(1, (q * len(xs) + 999) // 1000) - 1] for q in qs
+    }
+    for lb in (128 << 20, 0):
+        got = {
+            r["q_milli"]: r["value"]
+            for r in exact_quantiles(
+                spark, ds, "qty", qs, where=("id", 150, 749), local_bytes=lb
+            ).collect()
+        }
+        assert got == want

@@ -54,6 +54,7 @@ __all__ = [
     "top_k",
     "top_k_rows",
     "exact_quantiles",
+    "value_histogram",
     "METADATA_DDL",
 ]
 
@@ -2416,6 +2417,7 @@ def exact_quantiles(
     q_milli: list[int],
     n_tasks: int | None = None,
     local_bytes: int = 128 << 20,
+    where=None,
 ):
     """EXACT discrete quantiles of a stored dataset's column, computed on
     the codec streams: for each requested milli-quantile ``q`` (0..1000)
@@ -2439,7 +2441,11 @@ def exact_quantiles(
     are refused for the same portability rule (NaN ordering).
 
     NULLs never rank (SQL ordered-set aggregates skip them); an all-null
-    or empty column returns zero rows.
+    or empty column returns zero rows. ``where`` (the same range /
+    IN-list conjunctions as :func:`count_where`) restricts the ranked
+    population to the matching rows — it rides :func:`group_count`'s
+    ``where=`` (zone prune / interior / masked boundary) unchanged, so
+    "median tokens within source X" prices like the filtered GROUP BY.
 
     Returns a DataFrame ``(q_milli bigint, value <column type>)``, one
     row per requested quantile, in the requested order.
@@ -2457,7 +2463,8 @@ def exact_quantiles(
                 f"milli-quantiles must be ints in [0, 1000], got {q!r}"
             )
     counts = group_count(
-        spark, out_path, column, n_tasks=n_tasks, local_bytes=local_bytes
+        spark, out_path, column, n_tasks=n_tasks, local_bytes=local_bytes,
+        where=where,
     ).collect()
     pairs = sorted(
         ((r[0], r[1]) for r in counts if r[0] is not None), key=lambda t: t[0]
@@ -2494,6 +2501,95 @@ def exact_quantiles(
             "value": pa.array(out_v, type=lsch.field(1).type),
         }),
         schema=f"q_milli bigint, value {vtype}",
+    )
+
+
+def value_histogram(
+    spark,
+    out_path: str,
+    column: str,
+    n_bins: int,
+    lo: int | None = None,
+    hi: int | None = None,
+    n_tasks: int | None = None,
+    local_bytes: int = 128 << 20,
+    where=None,
+):
+    """EXACT equi-width histogram of a stored dataset's integer column,
+    computed on the codec streams: per-value tallies come from
+    :func:`group_count` (dict/rle/pdict code-stream bincounts — values
+    never materialize per row), then one driver-side pass folds them into
+    ``n_bins`` buckets over ``[lo, hi]``:
+    ``bin = (v - lo) * n_bins // (hi - lo + 1)`` — integer arithmetic
+    with a non-negative numerator, so truncating and flooring division
+    agree and any SQL engine reproduces every bucket bit-for-bit (the
+    engine folds in python ints; an oracle must widen the intermediate
+    product past int64 itself, e.g. DuckDB HUGEINT).
+
+    ``lo``/``hi`` default to the (filtered) data's min/max; when given
+    explicitly, rows OUTSIDE ``[lo, hi]`` are excluded (compose a
+    ``where`` range if you want them counted at the edges). NULLs never
+    count. Empty bins are absent, as SQL's GROUP BY would have them.
+    ``where`` takes the same range / IN-list conjunctions as
+    :func:`count_where` and rides group_count's classification unchanged.
+
+    The ANALYZE-grade distribution snapshot at 10^12 rows: one column's
+    code streams + a KB-scale per-distinct-value merge, no decode for
+    dictionary codecs, no row shuffle. Same cardinality envelope as
+    group_count. Integer columns only (equi-width needs a metric; for
+    string distributions use :func:`group_count` or
+    :func:`exact_quantiles`).
+
+    Returns a DataFrame ``(bin bigint, cnt bigint)``, non-empty bins
+    only, ordered by bin.
+    """
+    import yaml
+
+    from xml2arrow_spark.operators.encode import split_schema_ddl
+
+    if n_bins < 1:
+        raise ValueError(f"value_histogram needs n_bins >= 1, got {n_bins}")
+    with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
+        side = yaml.safe_load(f.read())
+    by_name = split_schema_ddl(side["schema_ddl"])
+    if column not in by_name:
+        raise ValueError(
+            f"dataset lacks encoded column {column!r}; it has {sorted(by_name)}"
+        )
+    col_type = by_name[column].split(None, 1)[1].strip().lower()
+    if col_type not in _CW_INT_TYPES:
+        raise ValueError(
+            f"value_histogram needs an integer column, got {column} "
+            f"{col_type}: equi-width bins need a metric (strings: use "
+            f"group_count / exact_quantiles; floats: NaN/rounding make "
+            f"bucket edges engine-defined)"
+        )
+    for b in (lo, hi):
+        if b is not None and (not isinstance(b, int) or isinstance(b, bool)):
+            raise ValueError(f"lo/hi must be ints, got {b!r}")
+    counts = group_count(
+        spark, out_path, column, n_tasks=n_tasks, local_bytes=local_bytes,
+        where=where,
+    ).collect()
+    pairs = [(r[0], r[1]) for r in counts if r[0] is not None]
+    bins: dict[int, int] = {}
+    if pairs:
+        dlo = min(v for v, _c in pairs) if lo is None else lo
+        dhi = max(v for v, _c in pairs) if hi is None else hi
+        if dlo <= dhi:
+            width_slots = dhi - dlo + 1
+            for v, c in pairs:
+                if dlo <= v <= dhi:
+                    b = (v - dlo) * n_bins // width_slots
+                    bins[b] = bins.get(b, 0) + c
+    items = sorted(bins.items())
+    # arrow-backed LocalRelation — see group_count's local finish
+    return spark.createDataFrame(
+        pa.table({
+            "bin": pa.array([b for b, _c in items], type=pa.int64()),
+            "cnt": pa.array([c for _b, c in items], type=pa.int64()),
+        }),
+        schema="bin bigint, cnt bigint",
     )
 
 

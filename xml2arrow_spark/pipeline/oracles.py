@@ -1239,6 +1239,44 @@ def dataset_column_stats_sql() -> str:
             "RANK() OVER (ORDER BY l_orderkey DESC) AS r "
             "FROM lineitem WHERE l_orderkey IS NOT NULL) WHERE r <= 50",
         ]
+        # the value_histogram legs: one row per NON-EMPTY bucket; the
+        # bucket expression is the engine's exact integer arithmetic with
+        # the intermediate product widened to HUGEINT (the engine folds in
+        # python ints, which never overflow)
+        + [
+            "SELECT 'hist:okey=' || CAST(CAST((CAST(v AS HUGEINT) - lo) * 8 "
+            "// (hi - lo + 1) AS BIGINT) AS VARCHAR) AS column, "
+            "CAST(-1 AS BIGINT) AS vmin_i, CAST(-1 AS BIGINT) AS vmax_i, "
+            "-1.0 AS vmin_d, -1.0 AS vmax_d, CAST(0 AS BIGINT) AS n_unstated, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(-1 AS BIGINT) AS n_nonnull, CAST(-1 AS BIGINT) AS sum_i "
+            "FROM (SELECT l_orderkey AS v FROM lineitem "
+            "WHERE l_orderkey IS NOT NULL), "
+            "(SELECT CAST(min(l_orderkey) AS HUGEINT) AS lo, "
+            "CAST(max(l_orderkey) AS HUGEINT) AS hi FROM lineitem) "
+            "GROUP BY 1"
+        ]
+        # the filtered-quantile legs: same ceil-division rank, population
+        # restricted by the predicate on both sides
+        + [
+            f"SELECT 'quantw:line={q}' AS column, "
+            f"CAST((SELECT min(v) FROM ("
+            f"SELECT l_linenumber AS v, "
+            f"sum(count(*)) OVER (ORDER BY l_linenumber) AS cum "
+            f"FROM lineitem WHERE l_linenumber IS NOT NULL "
+            f"AND l_returnflag IN ('A', 'R') "
+            f"GROUP BY l_linenumber) "
+            f"WHERE cum >= greatest(1, ({q} * ("
+            f"SELECT count(l_linenumber) FROM lineitem "
+            f"WHERE l_returnflag IN ('A', 'R')) + 999) // 1000)"
+            f") AS BIGINT) AS vmin_i, "
+            f"CAST(-1 AS BIGINT) AS vmax_i, -1.0 AS vmin_d, -1.0 AS vmax_d, "
+            f"CAST(0 AS BIGINT) AS n_unstated, "
+            f"CAST(-1 AS BIGINT) AS n_rows, "
+            f"CAST(-1 AS BIGINT) AS n_nonnull, "
+            f"CAST(-1 AS BIGINT) AS sum_i"
+            for q in (0, 500, 1000)
+        ]
         # the exact_quantiles legs: one row per milli-quantile, the rank
         # recomputed with integer ceil division over a cumulative window —
         # the identical arithmetic the engine uses, so no float rank can
