@@ -802,6 +802,29 @@ def main() -> None:
             / queries["q19q_count_where_2nd_axis_zorder"],
             2,
         )
+
+        # q19r/q19s: multi-agg GROUP BY — ONE pass over (key + 2 agg
+        # streams) vs the two separate group_sum passes a user without
+        # group_aggs would run (key codes decoded twice there).
+        from xml2arrow_spark.operators.dataset import group_aggs
+
+        best_of(
+            "q19r_group_aggs_one_pass",
+            lambda: group_aggs(
+                spark, cw_ds, "l_returnflag", ["l_orderkey", "l_linenumber"]
+            ).collect(),
+        )
+        best_of(
+            "q19s_group_sum_twice",
+            lambda: (
+                group_sum(spark, cw_ds, "l_returnflag", "l_orderkey").collect(),
+                group_sum(spark, cw_ds, "l_returnflag", "l_linenumber").collect(),
+            ),
+        )
+        extra["group_aggs_one_pass_speedup"] = round(
+            queries["q19s_group_sum_twice"] / queries["q19r_group_aggs_one_pass"],
+            2,
+        )
         extra["zorder_2nd_axis_pruned_frac"] = round(
             (lambda r: r["n_pruned"] / r["n_blocks"])(
                 count_where(spark, cw_ds3, qpred).collect()[0].asDict()
