@@ -1674,3 +1674,37 @@ def test_exact_quantiles_where(spark, ds):
             ).collect()
         }
         assert got == want
+
+# ---- top_k_rows(where=) + conjunctive selective decode ------------------------
+
+
+def test_top_k_rows_where_matches_filtered_rank(spark, ds):
+    """RANK() <= k within the filtered slice, ties included — equals the
+    Spark window over the filtered rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from xml2arrow_spark.operators.dataset import top_k_rows
+
+    raw = decode_dataset(spark, ds, columns=["qty", "id", "tag"])
+    for where, cond in [
+        (("tag", ["zzz"]), F.col("tag").isin("zzz")),
+        ([("id", 100, 600), ("tag", "a", "b")],
+         F.col("id").between(100, 600) & F.col("tag").between("a", "b")),
+    ]:
+        w = Window.orderBy(F.desc("qty"))
+        want = {
+            (r["qty"], r["id"])
+            for r in raw.where(cond & F.col("qty").isNotNull())
+            .withColumn("r", F.rank().over(w))
+            .where(F.col("r") <= 4)
+            .select("qty", "id")
+            .collect()
+        }
+        got = {
+            (r["qty"], r["id"])
+            for r in top_k_rows(
+                spark, ds, "qty", 4, columns=["id"], where=where
+            ).collect()
+        }
+        assert got == want, where

@@ -32,9 +32,10 @@ def test_row_filter_exact_selection(spark, layout, tmp_path):
     assert decode_table(stored, DDL, row_filter=("doc_id", ["ghost"])).count() == 0
     # empty value set -> zero rows by definition
     assert decode_table(stored, DDL, row_filter=("doc_id", [])).count() == 0
-    # filter column must be part of the decoded schema
-    with pytest.raises(ValueError):
-        decode_table(stored, "tokens array<int>", row_filter=("doc_id", wanted))
+    # the filter column may live OUTSIDE the decoded projection: its
+    # stream computes the mask, only the projected columns decode
+    got_t = decode_table(stored, "tokens array<int>", row_filter=("doc_id", wanted))
+    assert got_t.count() == expect.count()
     df.unpersist()
 
 
@@ -153,8 +154,13 @@ def test_decode_dataset_row_filter(spark, layout, tmp_path):
 
     # empty result + validation
     assert decode_dataset(spark, out, row_filter=("n_tok", 10**9, None)).count() == 0
-    with pytest.raises(ValueError, match="must be in the decoded"):
-        decode_dataset(spark, out, columns=["doc_id"], row_filter=("n_tok", 1, 2))
+    # the filter column may live OUTSIDE the projection (filter on the
+    # length, project only the ids)
+    got_p = decode_dataset(
+        spark, out, columns=["doc_id"], row_filter=("n_tok", None, 40)
+    )
+    assert set(got_p.columns) == {"doc_id"}
+    assert got_p.count() == raw.filter(F.col("n_tok") <= 40).count()
 
 
 def test_read_encoded_dataset_row_filter_with_family(spark, tmp_path):
@@ -197,3 +203,60 @@ def test_read_encoded_dataset_row_filter_with_family(spark, tmp_path):
         read_encoded_dataset(
             spark, path, columns=["doc_id", "dbl"], row_filter=("dbl", 0, 10)
         )
+
+
+@pytest.mark.parametrize("layout", ["nested", "wide"])
+def test_row_filter_conjunction(spark, tmp_path, layout):
+    """row_filter now takes a LIST of conjuncts (ranges and IN-lists
+    mixed): the per-conjunct masks AND together, a zero-match conjunct
+    skips the whole block, and filter columns can sit outside the
+    projection."""
+    df = tokens_dataframe(spark, 800, variant="low_card", n_partitions=2).cache()
+    man = CodecManifest.auto_for(df.schema, block_rows=128)
+    blocks = encode_table(df, man, layout=layout)
+    path = str(tmp_path / f"conj_{layout}")
+    blocks.write.parquet(path)
+    stored = spark.read.parquet(path)
+
+    srcs = [r["source"] for r in df.select("source").distinct().limit(2).collect()]
+    cond = F.col("n_tok").between(30, 300) & F.col("source").isin(srcs)
+    expect = df.filter(cond)
+    got = decode_table(
+        stored, DDL,
+        row_filter=[("n_tok", 30, 300), ("source", srcs)],
+    )
+    assert verify_roundtrip(expect, got)["ok"]
+    # projection without the filter columns
+    got_p = decode_table(
+        stored, "doc_id string",
+        row_filter=[("n_tok", 30, 300), ("source", srcs)],
+    )
+    assert got_p.count() == expect.count()
+    # a zero-match conjunct empties the result
+    assert decode_table(
+        stored, DDL, row_filter=[("n_tok", 30, 300), ("source", ["ghost"])]
+    ).count() == 0
+    df.unpersist()
+
+
+def test_dataset_row_filter_conjunction(spark, tmp_path):
+    from xml2arrow_spark.operators.dataset import decode_dataset, encode_parquet_dataset
+
+    df = tokens_dataframe(spark, 700, variant="low_card", n_partitions=2)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "ds")
+    df.write.parquet(src)
+    encode_parquet_dataset(spark, src, out, layout="wide")
+    raw = spark.read.parquet(src)
+    srcs = [r["source"] for r in raw.select("source").distinct().limit(2).collect()]
+    expect = raw.filter(F.col("n_tok").between(20, 200) & F.col("source").isin(srcs))
+    got = decode_dataset(
+        spark, out,
+        columns=["doc_id", "n_tok"],
+        row_filter=[("n_tok", 20, 200), ("source", srcs)],
+    )
+    assert set(got.columns) == {"doc_id", "n_tok"}
+    assert got.count() == expect.count()
+    assert {r["doc_id"] for r in got.collect()} == {
+        r["doc_id"] for r in expect.collect()
+    }

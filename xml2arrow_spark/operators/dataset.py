@@ -2602,6 +2602,7 @@ def top_k_rows(
     descending: bool = True,
     n_tasks: int | None = None,
     local_bytes: int = 128 << 20,
+    where=None,
 ):
     """The ROWS whose ``column`` ranks within the top k over a STORED
     dataset — SQL ``RANK() <= k`` semantics, ties INCLUDED: the result is
@@ -2619,9 +2620,14 @@ def top_k_rows(
        payload across the Arrow boundary.
 
     ``columns`` projects the output (wide layout: unrequested columns are
-    never read off disk); ``column`` itself is always included — the
-    in-kernel row filter needs it. Fewer than k distinct-ranked rows
-    (small corpus) returns every non-null row, matching RANK semantics.
+    never read off disk); ``column`` itself is always included. Fewer
+    than k distinct-ranked rows (small corpus) returns every non-null
+    row, matching RANK semantics. ``where`` (count_where's range/IN-list
+    conjunctions) ranks WITHIN the filtered rows: the threshold comes
+    from :func:`top_k` ``where=`` and the conjunction joins the selective
+    decode's row filter (range conjuncts also zone-prune), so "the k
+    longest documents in source X, with their text" stays a
+    metadata-priced scan.
 
     Returns a DataFrame of the qualifying rows (unordered, as any SQL
     row set; k or more rows when ties straddle the k-th rank).
@@ -2631,6 +2637,7 @@ def top_k_rows(
     tk = top_k(
         spark, out_path, column, k,
         descending=descending, n_tasks=n_tasks, local_bytes=local_bytes,
+        where=where,
     ).collect()
     if columns is not None and column not in columns:
         columns = [column] + list(columns)
@@ -2640,13 +2647,22 @@ def top_k_rows(
             spark, out_path, n_tasks=n_tasks, columns=columns
         ).where(F.lit(False))
     thr = tk[-1][0]  # the k-th ranked value (or the worst, when < k exist)
-    zf = (column, thr, None) if descending else (column, None, thr)
+    rf = (column, thr, None) if descending else (column, None, thr)
+    row_filters = [rf]
+    zone_filters = [rf]
+    if where is not None:
+        from xml2arrow_spark.operators.encode import normalize_zone_filters
+
+        for pred in normalize_zone_filters(where):
+            row_filters.append(pred)
+            if len(pred) == 3:  # range conjuncts also prune whole blocks
+                zone_filters.append(pred)
     return decode_dataset(
         spark, out_path,
         n_tasks=n_tasks,
         columns=columns,
-        zone_filter=zf,
-        row_filter=zf,
+        zone_filter=zone_filters,
+        row_filter=row_filters,
     )
 
 
@@ -2888,20 +2904,22 @@ def decode_dataset(
     ``row_filter`` pushes row selection INSIDE the decode kernel, with
     :func:`~xml2arrow_spark.operators.encode.decode_table` semantics:
     2-tuple ``(column, values)`` = point set, 3-tuple ``(column, lo, hi)``
-    = inclusive range (either side may be ``None``). The filter column is
-    decoded FIRST per block; zero-match blocks skip every other kernel
-    (discarding the zone filter's false positives), matching blocks
-    gather only the matching rows — the result is EXACT on the filter
-    column, and only the matches cross the Arrow boundary. Pair with the
-    corresponding ``zone_filter`` so non-overlapping blocks never reach
-    the kernel at all."""
+    = inclusive range (either side may be ``None``), or a LIST of either —
+    a conjunction whose codec-aware masks AND together. The filter
+    column(s) evaluate FIRST per block; zero-match blocks skip every
+    other kernel (discarding the zone filter's false positives), matching
+    blocks gather only the matching rows — the result is EXACT on the
+    filter columns, only the matches cross the Arrow boundary, and filter
+    columns need not be in ``columns`` (they are read for the mask and
+    dropped). Pair with the corresponding ``zone_filter`` so
+    non-overlapping blocks never reach the kernel at all."""
     import yaml
 
     from xml2arrow_spark.operators.encode import (
         _zone_suffixes,
-        normalize_row_filter,
+        apply_row_filters,
+        normalize_row_filters,
         normalize_zone_filters,
-        match_decode_column,
         split_schema_ddl,
     )
     from xml2arrow_spark.sources.files import plan_parquet_tasks
@@ -2927,7 +2945,12 @@ def decode_dataset(
         for (c, lo, hi) in normalize_zone_filters(zone_filter)
     ]
 
-    rf_col, rf_values, rf_lo, rf_hi = normalize_row_filter(row_filter, out_names)
+    rfs = normalize_row_filters(row_filter)
+    for c, _v, _l, _h in rfs:
+        if c not in by_name:
+            raise ValueError(
+                f"dataset lacks encoded column {c!r}; it has {sorted(by_name)}"
+            )
 
     def _zone_keep(vmin, vmax, lo, hi) -> bool:
         # prune_blocks semantics: missing stats always keep
@@ -2943,8 +2966,12 @@ def decode_dataset(
             path_lists = b.column(b.schema.get_field_index("path")).to_pylist()
             for fpath in (p for paths in path_lists for p in paths):
                 if wide:
+                    read_names = list(dict.fromkeys(
+                        out_names + [c for c, _v, _l, _h in rfs]
+                    ))
                     need = [
-                        x for n in out_names for x in (f"c_{n}__meta", f"c_{n}__data")
+                        x for n in read_names
+                        for x in (f"c_{n}__meta", f"c_{n}__data")
                     ]
                     kwargs = {}
                     if zfs:
@@ -2965,34 +2992,35 @@ def decode_dataset(
                             expr = one if expr is None else (expr & one)
                         kwargs["filters"] = expr
                     tbl = pq.read_table(fpath, columns=need, **kwargs)  # pruned IO
-                    metas = [tbl.column(f"c_{n}__meta").combine_chunks() for n in out_names]
-                    datas = [tbl.column(f"c_{n}__data").combine_chunks() for n in out_names]
-                    rf_i = out_names.index(rf_col) if rf_col is not None else None
+                    metas = {n: tbl.column(f"c_{n}__meta").combine_chunks()
+                             for n in read_names}
+                    datas = {n: tbl.column(f"c_{n}__data").combine_chunks()
+                             for n in read_names}
                     for row in range(tbl.num_rows):
-                        if rf_i is not None:
-                            md = match_decode_column(
-                                metas[rf_i][row].as_py(),
-                                datas[rf_i][row].as_py(),
-                                rf_values, rf_lo, rf_hi,
-                            )
-                            if md is None:
-                                continue  # zero matches: skip other kernels
-                            mask, first_sel = md
-                            yield pa.RecordBatch.from_arrays(
-                                [
-                                    first_sel if i == rf_i else decode_column(
-                                        metas[i][row].as_py(),
-                                        datas[i][row].as_py(),
-                                    ).filter(mask)
-                                    for i in range(len(out_names))
-                                ],
-                                names=out_names,
-                            )
-                            continue
+                        fr = apply_row_filters(
+                            rfs,
+                            lambda c: (
+                                metas[c][row].as_py(), datas[c][row].as_py()
+                            ),
+                            out_names,
+                        )
+                        if fr is None:
+                            continue  # zero matches: skip other kernels
+                        mask, selected = fr
                         yield pa.RecordBatch.from_arrays(
                             [
-                                decode_column(metas[i][row].as_py(), datas[i][row].as_py())
-                                for i in range(len(out_names))
+                                selected[n] if n in selected else (
+                                    decode_column(
+                                        metas[n][row].as_py(),
+                                        datas[n][row].as_py(),
+                                    ).filter(mask)
+                                    if mask is not None
+                                    else decode_column(
+                                        metas[n][row].as_py(),
+                                        datas[n][row].as_py(),
+                                    )
+                                )
+                                for n in out_names
                             ],
                             names=out_names,
                         )
@@ -3020,18 +3048,17 @@ def decode_dataset(
                         continue  # whole block pruned before any kernel
                     metas = entries.field("meta")
                     datas = entries.field("data")
-                    mask = None
-                    decoded = {}
-                    if rf_col is not None:
-                        fi = names.index(rf_col)
-                        md = match_decode_column(
-                            metas[fi].as_py(), datas[fi].as_py(),
-                            rf_values, rf_lo, rf_hi,
-                        )
-                        if md is None:
-                            continue  # zero matches: skip other kernels
-                        mask, first_sel = md
-                        decoded[rf_col] = first_sel
+                    fr = apply_row_filters(
+                        rfs,
+                        lambda c: (
+                            metas[names.index(c)].as_py(),
+                            datas[names.index(c)].as_py(),
+                        ),
+                        out_names,
+                    )
+                    if fr is None:
+                        continue  # zero matches: skip other kernels
+                    mask, decoded = fr
                     for i, nm in enumerate(names):
                         if nm in wanted and nm not in decoded:
                             arr = decode_column(metas[i].as_py(), datas[i].as_py())

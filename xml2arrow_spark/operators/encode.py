@@ -846,26 +846,71 @@ def prune_blocks_any(blocks_df, column: str, values: list):
     return blocks_df.filter(keep)
 
 
-def normalize_row_filter(row_filter, out_names):
-    """Validate and split a row_filter spec: 2-tuple ``(col, values)`` =
-    point-set selection, 3-tuple ``(col, lo, hi)`` = inclusive range with
-    optional open sides. Returns (col, values|None, lo, hi)."""
+def normalize_row_filters(row_filter) -> list[tuple]:
+    """Validate and split a row_filter spec into a CONJUNCTION list of
+    ``(col, values|None, lo, hi)``: each conjunct is a 2-tuple
+    ``(col, values)`` = point-set selection or a 3-tuple ``(col, lo, hi)``
+    = inclusive range with optional open sides; ``row_filter`` may be one
+    conjunct or a list of them. Filter columns need NOT be in the decoded
+    projection — they are read for the mask and dropped (filter on the id,
+    project the text)."""
     if row_filter is None:
-        return None, None, None, None
-    rf_col = row_filter[0]
-    rf_values = rf_lo = rf_hi = None
-    if len(row_filter) == 3:
-        rf_lo, rf_hi = row_filter[1], row_filter[2]
-        if rf_lo is None and rf_hi is None:
-            raise ValueError("range row_filter needs at least one bound (lo, hi)")
-    else:
-        rf_values = list(row_filter[1])
-    if rf_col not in out_names:
-        raise ValueError(
-            f"row_filter column {rf_col!r} must be in the decoded "
-            f"schema {list(out_names)}"
-        )
-    return rf_col, rf_values, rf_lo, rf_hi
+        return []
+    preds = (
+        [row_filter] if isinstance(row_filter, tuple) else list(row_filter)
+    )
+    out = []
+    for pred in preds:
+        rf_col = pred[0]
+        rf_values = rf_lo = rf_hi = None
+        if len(pred) == 3:
+            rf_lo, rf_hi = pred[1], pred[2]
+            if rf_lo is None and rf_hi is None:
+                raise ValueError(
+                    "range row_filter needs at least one bound (lo, hi)"
+                )
+        elif len(pred) == 2:
+            rf_values = list(pred[1])
+        else:
+            raise ValueError(
+                f"row_filter conjunct must be (col, values) or "
+                f"(col, lo, hi), got {pred!r}"
+            )
+        out.append((rf_col, rf_values, rf_lo, rf_hi))
+    return out
+
+
+def apply_row_filters(rfs, pair, out_names):
+    """Evaluate a row-filter conjunction over one block, codec-aware:
+    returns ``None`` when NO row matches (the block skips every other
+    kernel — including zone-filter false positives), else
+    ``(mask, selected)`` where ``mask`` is the AND of the per-conjunct
+    masks (or None when ``rfs`` is empty — every row) and ``selected``
+    maps at most one projected filter column to its pre-gathered rows
+    (the single-conjunct fused fast path of
+    :func:`~xml2arrow_spark.operators.blocks.match_decode_column`).
+    ``pair(col)`` yields a column's (meta_json, payload)."""
+    import pyarrow.compute as pc
+
+    if not rfs:
+        return None, {}
+    if len(rfs) == 1 and rfs[0][0] in out_names:
+        col, vv, lo, hi = rfs[0]
+        md = match_decode_column(*pair(col), vv, lo, hi)
+        if md is None:
+            return None
+        mask, sel = md
+        return mask, {col: sel}
+    mask = None
+    for col, vv, lo, hi in rfs:
+        m = match_mask_column(*pair(col), vv, lo, hi)
+        if m is None:
+            return None
+        mask = m if mask is None else pc.and_kleene(mask, m)
+    mask = pc.fill_null(mask, False)
+    if not pc.any(mask).as_py():
+        return None
+    return mask, {}
 
 
 
@@ -901,6 +946,13 @@ def decode_table(blocks_df, schema_ddl: str, zone_filter=None, row_filter=None):
     in-kernel range select → only the matching rows' payload crosses the
     Arrow boundary.
 
+    ``row_filter`` may also be a LIST of such tuples — a conjunction:
+    each conjunct's mask evaluates codec-aware, the masks AND together,
+    and a zero-match conjunct skips the block before any other kernel.
+    Filter columns need NOT be in the decoded projection (filter on the
+    id, project the text): their streams are read for the mask and
+    dropped.
+
     ``schema_ddl`` may name a SUBSET of the encoded columns. Nested layout:
     only the named entries are decoded (CPU pruning — the payload bytes of
     the others still ride in the ``cols`` struct). Wide layout (see
@@ -914,11 +966,14 @@ def decode_table(blocks_df, schema_ddl: str, zone_filter=None, row_filter=None):
         blocks_df = prune_blocks(blocks_df, *zf)
     out_schema = StructType.fromDDL(schema_ddl)
     out_names = [f.name for f in out_schema.fields]
-    rf_col, rf_values, rf_lo, rf_hi = normalize_row_filter(row_filter, out_names)
+    rfs = normalize_row_filters(row_filter)
     is_wide = "cols" not in blocks_df.columns
 
     if is_wide:
-        needed = [x for n in out_names for x in (f"c_{n}__meta", f"c_{n}__data")]
+        read_names = list(dict.fromkeys(
+            out_names + [c for c, _v, _l, _h in rfs]
+        ))
+        needed = [x for n in read_names for x in (f"c_{n}__meta", f"c_{n}__data")]
         missing = set(needed) - set(blocks_df.columns)
         if missing:
             raise ValueError(f"blocks table lacks columns for {sorted(missing)}")
@@ -935,20 +990,18 @@ def decode_table(blocks_df, schema_ddl: str, zone_filter=None, row_filter=None):
                     def col(n):
                         return decode_column(*pair(n))
 
-                    if rf_col is not None:
-                        # codec-aware: the predicate evaluates on the code
-                        # stream where the codec allows, so a zero-match
-                        # block skips without materializing a value
-                        md = match_decode_column(*pair(rf_col), rf_values, rf_lo, rf_hi)
-                        if md is None:
-                            continue  # zero matches: skip every other kernel
-                        mask, first_sel = md
-                        arrays = [
-                            first_sel if n == rf_col else col(n).filter(mask)
-                            for n in out_names
-                        ]
-                    else:
-                        arrays = [col(n) for n in out_names]
+                    # codec-aware: each conjunct evaluates on the code
+                    # stream where the codec allows, so a zero-match
+                    # block skips without materializing a value
+                    fr = apply_row_filters(rfs, pair, out_names)
+                    if fr is None:
+                        continue  # zero matches: skip every other kernel
+                    mask, selected = fr
+                    arrays = [
+                        selected[n] if n in selected
+                        else (col(n) if mask is None else col(n).filter(mask))
+                        for n in out_names
+                    ]
                     yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
         # the select is what lets the parquet scan prune payload columns
@@ -976,18 +1029,17 @@ def decode_table(blocks_df, schema_ddl: str, zone_filter=None, row_filter=None):
                         f"blocks table lacks encoded column(s) {sorted(missing)}; "
                         f"blocks contain {sorted(names)}"
                     )
-                mask = None
-                if rf_col is not None:
-                    i = names.index(rf_col)
-                    md = match_decode_column(
-                        metas[i].as_py(), datas[i].as_py(), rf_values, rf_lo, rf_hi
-                    )
-                    if md is None:
-                        continue  # zero matches: skip every other kernel
-                    mask, first_sel = md
-                    decoded = {rf_col: first_sel}
-                else:
-                    decoded = {}
+                fr = apply_row_filters(
+                    rfs,
+                    lambda c: (
+                        metas[names.index(c)].as_py(),
+                        datas[names.index(c)].as_py(),
+                    ),
+                    out_names,
+                )
+                if fr is None:
+                    continue  # zero matches: skip every other kernel
+                mask, decoded = fr
                 for i, nm in enumerate(names):
                     if nm in wanted and nm not in decoded:
                         arr = decode_column(metas[i].as_py(), datas[i].as_py())
