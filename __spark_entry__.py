@@ -716,6 +716,20 @@ def q_dataset_column_stats(spark, sf_dir):
 
         return leg(f"gaggs:{a1}:", a1).unionByName(leg(f"gaggs:{a2}:", a2))
 
+    def gkmv_leg(prefix, key, column, kk):
+        # per-group KMV distinct estimate on the codec streams; the
+        # PORTABLE hash makes the estimate itself oracle-pinnable
+        from xml2arrow_spark.pipeline.sketches import group_distinct_est
+
+        df = group_distinct_est(spark, out, key, column, k=kk, local_bytes=0)
+        return df.select(*_topk_sentinels(
+            F.concat(
+                F.lit(prefix),
+                F.coalesce(F.col(key).cast("string"), F.lit("<null>")),
+            ),
+            F.col("n_distinct_est").cast("long"),
+        ))
+
     def quant_leg(prefix, column, qs, where=None):
         from xml2arrow_spark.operators.dataset import exact_quantiles
 
@@ -883,6 +897,11 @@ def q_dataset_column_stats(spark, sf_dir):
             "quantw:line=", "l_linenumber", [0, 500, 1000],
             where=("l_returnflag", ["A", "R"]),
         )
+    ).unionByName(
+        # grouped distinct-count ESTIMATE (KMV, k=64): the oracle
+        # reproduces the portable hash + k-min window + integer estimate
+        # bit-for-bit — an approximation a gate can still pin exactly
+        gkmv_leg("gkmv:flag=", "l_returnflag", "l_orderkey", 64)
     )
 
 

@@ -1,0 +1,169 @@
+"""group_distinct_est: per-group KMV distinct-count estimates computed on
+a stored dataset's codec streams — the ESTIMATE itself is portable (the
+numpy hash twin is bit-identical to the SQL expression), so an oracle can
+pin it, which an HLL estimate never allows."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql.pandas.types import from_arrow_schema
+
+from xml2arrow_spark.manifest import CodecManifest
+from xml2arrow_spark.operators.dataset import encode_parquet_dataset
+from xml2arrow_spark.pipeline import sqlgen as G
+from xml2arrow_spark.pipeline.sketches import group_distinct_est, kmv_hash_np
+
+N = 9000
+
+
+def _table() -> pa.Table:
+    rng = np.random.default_rng(2)
+    return pa.table({
+        "src": pa.array(
+            [None if i % 97 == 0 else f"s{i % 4}" for i in range(N)]
+        ),
+        "tok": pa.array(
+            [
+                None if i % 50 == 3 else int(x)
+                for i, x in enumerate(rng.integers(0, 5000, size=N))
+            ],
+            type=pa.int64(),
+        ),
+        "id": pa.array(np.arange(N, dtype=np.int64)),
+    })
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("t", _table())
+    yield con
+    con.close()
+
+
+def _oracle(duck, k, cond="TRUE"):
+    return {
+        r[0]: r[1]
+        for r in duck.execute(f"""
+            WITH pairs AS (
+              SELECT DISTINCT src, {G.kmv_hash_expr('tok', 'duckdb')} AS h
+              FROM t WHERE tok IS NOT NULL AND {cond}),
+            ranked AS (
+              SELECT src, h,
+                     row_number() OVER (PARTITION BY src ORDER BY h) AS rn
+              FROM pairs),
+            sk AS (
+              SELECT src, count(*) AS n_h, max(h) AS h_k
+              FROM ranked WHERE rn <= {k} GROUP BY src)
+            SELECT src, {G.kmv_estimate_expr('n_h', 'h_k', k, 'duckdb')}
+            FROM sk""").fetchall()
+    }
+
+
+def test_kmv_hash_np_bit_identical_to_sql():
+    """The numpy twin must equal the SQL hash for EVERY int64 — including
+    negatives (SQL truncating %% + nonneg fold == numpy floor %%) and the
+    2^31/2^62 boundary cases."""
+    import duckdb
+
+    rng = np.random.default_rng(1)
+    vals = np.concatenate([
+        rng.integers(-(2 ** 62), 2 ** 62, size=5000),
+        np.arange(-100, 100),
+        np.array([
+            0, 1, -1, 2 ** 62, -(2 ** 62), 2 ** 31 - 1, -(2 ** 31 - 1),
+            2 ** 31, -(2 ** 31), 2 ** 63 - 1, -(2 ** 63) + 1,
+        ]),
+    ]).astype(np.int64)
+    con = duckdb.connect()
+    con.register("tv", pa.table({"v": vals}))
+    want = (
+        con.execute(f"SELECT {G.kmv_hash_expr('v', 'duckdb')} FROM tv")
+        .df().iloc[:, 0].to_numpy().astype(np.int64)
+    )
+    assert np.array_equal(kmv_hash_np(vals), want)
+
+
+@pytest.fixture(scope="module", params=["nested", "wide"])
+def ds(request, spark, tmp_path_factory):
+    layout = request.param
+    base = str(tmp_path_factory.mktemp(f"gkmv_{layout}"))
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "ds")
+    os.makedirs(src)
+    tbl = _table()
+    for i in range(3):
+        pq.write_table(
+            tbl.slice(3000 * i, 3000), os.path.join(src, f"part-{i}.parquet")
+        )
+    manifest = CodecManifest.auto_for(
+        from_arrow_schema(tbl.schema), block_rows=512
+    )
+    encode_parquet_dataset(spark, src, out, manifest=manifest, layout=layout)
+    return out
+
+
+def test_estimate_matches_oracle_both_paths(spark, ds, duck):
+    for k in (64, 256):
+        want = _oracle(duck, k)
+        for lb in (128 << 20, 0):
+            got = {
+                r["src"]: r["n_distinct_est"]
+                for r in group_distinct_est(
+                    spark, ds, "src", "tok", k=k, local_bytes=lb
+                ).collect()
+            }
+            assert got == want, (k, lb)
+    assert None in got  # the NULL key is its own group
+
+
+def test_exact_below_k_and_error_band(spark, ds, duck):
+    exact = {
+        r[0]: r[1]
+        for r in duck.execute(
+            "SELECT src, count(DISTINCT tok) FROM t GROUP BY src"
+        ).fetchall()
+    }
+    # k above every group's cardinality: the sketch never fills -> exact
+    got = {
+        r["src"]: r["n_distinct_est"]
+        for r in group_distinct_est(spark, ds, "src", "tok", k=10 ** 5).collect()
+    }
+    assert got == exact
+    # k=256: inside a few sigma of the 1/sqrt(k) band
+    got = {
+        r["src"]: r["n_distinct_est"]
+        for r in group_distinct_est(spark, ds, "src", "tok", k=256).collect()
+    }
+    for kk, truth in exact.items():
+        assert abs(got[kk] - truth) / truth < 0.25, (kk, got[kk], truth)
+
+
+def test_where_and_validation(spark, ds, duck):
+    want = _oracle(duck, 64, "id BETWEEN 2000 AND 7000")
+    for lb in (128 << 20, 0):
+        got = {
+            r["src"]: r["n_distinct_est"]
+            for r in group_distinct_est(
+                spark, ds, "src", "tok", k=64,
+                where=("id", 2000, 7000), local_bytes=lb,
+            ).collect()
+        }
+        assert got == want
+    with pytest.raises(ValueError, match="k >= 1"):
+        group_distinct_est(spark, ds, "src", "tok", k=0)
+    with pytest.raises(ValueError, match="integer value"):
+        group_distinct_est(spark, ds, "src", "src")
+    with pytest.raises(ValueError, match="lacks encoded column"):
+        group_distinct_est(spark, ds, "src", "nope")
+    # a predicate matching nothing yields an empty result
+    assert group_distinct_est(
+        spark, ds, "src", "tok", where=("id", 10 ** 9, None)
+    ).count() == 0

@@ -1277,6 +1277,27 @@ def dataset_column_stats_sql() -> str:
             f"CAST(-1 AS BIGINT) AS sum_i"
             for q in (0, 500, 1000)
         ]
+        # the group_distinct_est leg: the oracle reproduces the portable
+        # quadratic hash, the per-group k-min window, and the integer
+        # estimate bit-for-bit (KMV beats HLL here exactly because the
+        # estimate is engine-portable)
+        + [
+            "SELECT 'gkmv:flag=' || COALESCE(CAST(src AS VARCHAR), '<null>') "
+            "AS column, "
+            f"CAST({G.kmv_estimate_expr('n_h', 'h_k', 64, D)} AS BIGINT) "
+            "AS vmin_i, "
+            "CAST(-1 AS BIGINT) AS vmax_i, -1.0 AS vmin_d, -1.0 AS vmax_d, "
+            "CAST(0 AS BIGINT) AS n_unstated, CAST(-1 AS BIGINT) AS n_rows, "
+            "CAST(-1 AS BIGINT) AS n_nonnull, CAST(-1 AS BIGINT) AS sum_i "
+            "FROM ("
+            "SELECT src, count(*) AS n_h, max(h) AS h_k FROM ("
+            "SELECT src, h, row_number() OVER "
+            "(PARTITION BY src ORDER BY h) AS rn FROM ("
+            "SELECT DISTINCT l_returnflag AS src, "
+            f"{G.kmv_hash_expr('l_orderkey', D)} AS h "
+            "FROM lineitem WHERE l_orderkey IS NOT NULL)"
+            ") WHERE rn <= 64 GROUP BY src)"
+        ]
         # the exact_quantiles legs: one row per milli-quantile, the rank
         # recomputed with integer ceil division over a cumulative window —
         # the identical arithmetic the engine uses, so no float rank can

@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from xml2arrow_spark.pipeline import sqlgen as G
 
-__all__ = ["kmv_distinct", "kmv_token_vocab", "KMV_K"]
+__all__ = ["kmv_distinct", "kmv_token_vocab", "group_distinct_est",
+           "kmv_hash_np", "KMV_K"]
 
 KMV_K = 256
 
@@ -89,3 +90,342 @@ def kmv_token_vocab(tok: DataFrame, k: int = KMV_K) -> DataFrame:
         .distinct()
     )
     return _kmv_agg(pairs, ["source"], k)
+
+
+def kmv_hash_np(v):
+    """Numpy twin of :func:`sqlgen.kmv_hash_expr` — bit-identical for every
+    int64 input (pinned in tests/test_sketches_dataset.py): nonnegative
+    residue mod M (numpy's floor ``%`` with a positive modulus EQUALS the
+    SQL double-``%`` nonneg fold, including for negative inputs), then two
+    quadratic rounds. Every intermediate stays < 2^63 (r < 2^31, so
+    r*r < 2^62 and the additive terms add ~2^47)."""
+    import numpy as np
+
+    M = G.KMV_MOD
+    A = G.KMV_MULT
+    r = v.astype(np.int64) % M
+    r = (r * r % M + r * A + 11) % M
+    return (r * r % M + r * A) % M
+
+
+def _kmv_merge(acc: list, hashes, k: int) -> list:
+    """Merge sorted distinct hash lists, keep the k smallest distinct."""
+    if not acc:
+        return list(hashes[: int(k)])
+    import heapq
+
+    out = []
+    last = None
+    for h in heapq.merge(acc, hashes):
+        if h != last:
+            out.append(h)
+            last = h
+            if len(out) >= k:
+                break
+    return out
+
+
+def group_distinct_est(
+    spark,
+    out_path: str,
+    key: str,
+    column: str,
+    k: int = KMV_K,
+    n_tasks: int | None = None,
+    local_bytes: int = 128 << 20,
+    where=None,
+):
+    """Per-group distinct-count ESTIMATE over a STORED dataset, computed on
+    the codec streams — ``SELECT key, approx(COUNT(DISTINCT column))
+    [WHERE ...] GROUP BY key`` with a gate-pinnable answer: the key's
+    group codes ride :func:`~xml2arrow_spark.operators.blocks
+    .group_codes_column` (dict/rle/dict_str — key values never materialize
+    per row), the value column decodes once per block and hashes through
+    the PORTABLE quadratic hash (:func:`kmv_hash_np` ==
+    ``sqlgen.kmv_hash_expr`` bit-for-bit), and each block keeps only the k
+    smallest distinct hashes PER GROUP — so a 10^12-row corpus ships
+    (groups x k) 8-byte partials per file, never values. Error ~1/sqrt(k)
+    (k=256 → ~6%); EXACT below k distinct values per group, and exact in
+    the oracle's eyes always — DuckDB reproduces the estimate bit-for-bit,
+    which an HLL (Spark's approx_count_distinct) cannot offer.
+
+    Integer value columns only (the portable hash is integer arithmetic);
+    NULL values never count (SQL COUNT(DISTINCT)); the NULL key is its own
+    group. ``where`` takes count_where's range/IN-list conjunctions: zone-
+    pruned blocks skip unread, provably-inside blocks hash unmasked, and
+    straddling blocks mask first — there is no metadata claim (distinct
+    hashes need the values), so interior just means "no mask".
+
+    Scale-adaptive dispatch like the exact aggregates; the distributed
+    roll-up is one KB-scale (key, hash) shuffle + per-key window, no
+    collect_set. Returns ``(key, n_distinct_est bigint)``.
+    """
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import yaml
+
+    from xml2arrow_spark.operators.blocks import (
+        decode_column,
+        group_codes_column,
+    )
+    from xml2arrow_spark.operators.dataset import (
+        _CW_INT_TYPES,
+        _ZONE_SUFFIXES,
+        _classify_where,
+        _conj_boundary_mask,
+        _resolve_conjuncts,
+        MANIFEST_SIDECAR,
+    )
+    from xml2arrow_spark.operators.encode import split_schema_ddl
+    from xml2arrow_spark.sources.files import (
+        parquet_file_infos,
+        plan_parquet_tasks,
+    )
+
+    if k < 1:
+        raise ValueError(f"group_distinct_est needs k >= 1, got {k}")
+    with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
+        side = yaml.safe_load(f.read())
+    by_name = split_schema_ddl(side["schema_ddl"])
+    for col in (key, column):
+        if col not in by_name:
+            raise ValueError(
+                f"dataset lacks encoded column {col!r}; it has {sorted(by_name)}"
+            )
+    key_type = by_name[key].split(None, 1)[1].lower()
+    if "float" in key_type or "double" in key_type or "array" in key_type:
+        raise ValueError(
+            f"group_distinct_est needs a scalar int/string/bool/decimal "
+            f"key, got {key} {key_type}"
+        )
+    val_type = by_name[column].split(None, 1)[1].strip().lower()
+    if val_type not in _CW_INT_TYPES:
+        raise ValueError(
+            f"group_distinct_est needs an integer value column, got "
+            f"{column} {val_type}: the portable KMV hash is integer "
+            f"arithmetic (fingerprint strings first)"
+        )
+    wide = side.get("layout", "nested") == "wide"
+    conj = (
+        _resolve_conjuncts(by_name, where, "group_distinct_est")
+        if where is not None
+        else None
+    )
+
+    def _block_hashes(tally, key_pair, val_pair, mask):
+        dictionary, codes = group_codes_column(*key_pair)
+        arr = decode_column(*val_pair)
+        valid = np.asarray(arr.is_valid()) if arr.null_count else None
+        if mask is not None:
+            valid = mask if valid is None else (valid & mask)
+        if valid is not None:
+            v = arr.fill_null(0).to_numpy()[valid]
+            gcodes = codes[valid]
+        else:
+            v = arr.to_numpy()
+            gcodes = codes
+        if not v.size:
+            return
+        h = kmv_hash_np(v)
+        # distinct (code, hash), sorted — then the first k per code
+        pairs = np.unique(np.stack([gcodes, h], axis=1), axis=0)
+        keys = dictionary.to_pylist() + [None]
+        starts = np.searchsorted(pairs[:, 0], np.arange(len(keys)))
+        ends = np.searchsorted(pairs[:, 0], np.arange(1, len(keys) + 1))
+        for g, kv in enumerate(keys):
+            lo, hi = int(starts[g]), int(ends[g])
+            if lo == hi:
+                continue
+            hs = pairs[lo:min(hi, lo + int(k)), 1].tolist()
+            tally[kv] = _kmv_merge(tally.get(kv, []), hs, k)
+
+    def _file_hashes(fpath, pq_mod):
+        """One file's {key_or_None: sorted <=k smallest distinct hashes}."""
+        tally: dict = {}
+        if wide:
+            avail = set(pq_mod.read_schema(fpath).names)
+            fstat: list[tuple] = []
+            if conj is not None:
+                for col, _values, _lo, _hi, cat in conj:
+                    zmin, zmax = _ZONE_SUFFIXES[cat]
+                    fstat.append(tuple(
+                        n if n in avail else None
+                        for n in (f"c_{col}__{zmin}", f"c_{col}__{zmax}",
+                                  f"c_{col}__n_null")
+                    ))
+            kinds = None
+            if conj is not None:
+                stat_cols = [n for trip in fstat for n in trip if n is not None]
+                if stat_cols:
+                    st = pq_mod.read_table(fpath, columns=sorted(set(stat_cols)))
+                    n_blocks = st.num_rows
+                else:
+                    st = None
+                    n_blocks = pq_mod.read_metadata(fpath).num_rows
+                kinds = [
+                    _classify_where(conj, [
+                        tuple(
+                            st.column(n)[i].as_py()
+                            if (st is not None and n is not None)
+                            else None
+                            for n in trip
+                        )
+                        for trip in fstat
+                    ])
+                    for i in range(n_blocks)
+                ]
+                if all(kd == "pruned" for kd in kinds):
+                    return tally
+            cols = [
+                f"c_{key}__meta", f"c_{key}__data",
+                f"c_{column}__meta", f"c_{column}__data",
+            ]
+            if conj is not None:
+                cols += [
+                    x for col, _v, _l, _h, _c in conj
+                    for x in (f"c_{col}__meta", f"c_{col}__data")
+                ]
+            cols = list(dict.fromkeys(cols))
+            pay = pq_mod.read_table(fpath, columns=cols)
+            arrays = {c: pay.column(c).combine_chunks() for c in cols}
+            for i in range(pay.num_rows):
+                mask = None
+                if kinds is not None:
+                    if kinds[i] == "pruned":
+                        continue
+                    if kinds[i] == "boundary":
+                        mask = _conj_boundary_mask(conj, lambda c, i=i: (
+                            arrays[f"c_{c}__meta"][i].as_py(),
+                            arrays[f"c_{c}__data"][i].as_py(),
+                        ))
+                        if mask is None:
+                            continue
+                _block_hashes(
+                    tally,
+                    (arrays[f"c_{key}__meta"][i].as_py(),
+                     arrays[f"c_{key}__data"][i].as_py()),
+                    (arrays[f"c_{column}__meta"][i].as_py(),
+                     arrays[f"c_{column}__data"][i].as_py()),
+                    mask,
+                )
+        else:
+            tbl = pq_mod.read_table(fpath, columns=["cols"])
+            cols_col = tbl.column("cols").combine_chunks()
+            entry_fields = {
+                f.name for f in tbl.schema.field("cols").type.value_type
+            }
+            for row in range(len(cols_col)):
+                entries = cols_col[row].values
+                names = entries.field("name").to_pylist()
+                try:
+                    ki = names.index(key)
+                    vi = names.index(column)
+                except ValueError:
+                    raise ValueError(
+                        f"block lacks an entry for {key!r}/{column!r}; the "
+                        f"sidecar schema and the blocks files disagree"
+                    ) from None
+                mask = None
+                if conj is not None:
+                    stats = []
+                    for col, _values, _lo, _hi, cat in conj:
+                        zmin, zmax = _ZONE_SUFFIXES[cat]
+                        try:
+                            fi = names.index(col)
+                        except ValueError:
+                            raise ValueError(
+                                f"block lacks an entry for {col!r}; the "
+                                f"sidecar schema and the blocks files "
+                                f"disagree"
+                            ) from None
+                        stats.append(tuple(
+                            entries.field(f)[fi].as_py()
+                            if f in entry_fields
+                            else None
+                            for f in (zmin, zmax, "n_null")
+                        ))
+                    kind = _classify_where(conj, stats)
+                    if kind == "pruned":
+                        continue
+                    if kind == "boundary":
+                        mask = _conj_boundary_mask(conj, lambda c: (
+                            entries.field("meta")[names.index(c)].as_py(),
+                            entries.field("data")[names.index(c)].as_py(),
+                        ))
+                        if mask is None:
+                            continue
+                _block_hashes(
+                    tally,
+                    (entries.field("meta")[ki].as_py(),
+                     entries.field("data")[ki].as_py()),
+                    (entries.field("meta")[vi].as_py(),
+                     entries.field("data")[vi].as_py()),
+                    mask,
+                )
+        return tally
+
+    def _estimate(hashes: list) -> int:
+        n_h = len(hashes)
+        if n_h < k:
+            return n_h
+        return (int(k) - 1) * G.KMV_MOD // max(int(hashes[-1]), 1)
+
+    infos = parquet_file_infos(os.path.join(out_path, "blocks"))
+    if sum(s for _p, s in infos) <= local_bytes:
+        import pyarrow.parquet as pq_local
+
+        total: dict = {}
+        for fp, _s in infos:
+            for kv, hs in _file_hashes(fp, pq_local).items():
+                total[kv] = _kmv_merge(total.get(kv, []), hs, k)
+        items = list(total.items())
+        # arrow-backed LocalRelation — the KB-metadata finish rule
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        lsch = to_arrow_schema(
+            StructType.fromDDL(f"{by_name[key]}, n_distinct_est bigint")
+        )
+        return spark.createDataFrame(pa.table({
+            key: pa.array([kv for kv, _h in items], type=lsch.field(0).type),
+            "n_distinct_est": pa.array(
+                [_estimate(hs) for _kv, hs in items], type=pa.int64()
+            ),
+        }), schema=f"{by_name[key]}, n_distinct_est bigint")
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+    from typing import Iterator
+
+    part_ddl = f"{by_name[key]}, h bigint"
+    out_schema = to_arrow_schema(StructType.fromDDL(part_ddl))
+
+    def hash_files(batches: "Iterator[pa.RecordBatch]"):
+        import pyarrow.parquet as pq
+
+        from xml2arrow_spark.env import limit_arrow_threads
+
+        limit_arrow_threads(1)
+        for b in batches:
+            path_lists = b.column(b.schema.get_field_index("path")).to_pylist()
+            for fpath in (p for paths in path_lists for p in paths):
+                tally = _file_hashes(fpath, pq)
+                if not tally:
+                    continue
+                ks, hs = [], []
+                for kv, hh in tally.items():
+                    ks += [kv] * len(hh)
+                    hs += hh
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ks, type=out_schema.field(0).type),
+                        pa.array(hs, type=pa.int64()),
+                    ],
+                    names=[key, "h"],
+                )
+
+    tasks = plan_parquet_tasks(spark, os.path.join(out_path, "blocks"), n_tasks)
+    pairs = tasks.mapInArrow(hash_files, part_ddl).distinct()
+    return _kmv_agg(pairs, [key], k)
