@@ -716,6 +716,27 @@ def q_dataset_column_stats(spark, sf_dir):
 
         return leg(f"gaggs:{a1}:", a1).unionByName(leg(f"gaggs:{a2}:", a2))
 
+    def gc2_leg(prefix, k1, k2):
+        # composite-key GROUP BY on the mixed-radix code stream; the
+        # oracle re-groups the raw table on both keys
+        gc = group_count(spark, out, [k1, k2], local_bytes=0)
+        return gc.select(
+            F.concat(
+                F.lit(prefix),
+                F.coalesce(F.col(k1).cast("string"), F.lit("<null>")),
+                F.lit(","),
+                F.coalesce(F.col(k2).cast("string"), F.lit("<null>")),
+            ).alias("column"),
+            F.lit(-1).cast("long").alias("vmin_i"),
+            F.lit(-1).cast("long").alias("vmax_i"),
+            F.lit(-1.0).alias("vmin_d"),
+            F.lit(-1.0).alias("vmax_d"),
+            F.lit(0).cast("long").alias("n_unstated"),
+            F.col("cnt").cast("long").alias("n_rows"),
+            F.lit(-1).cast("long").alias("n_nonnull"),
+            F.lit(-1).cast("long").alias("sum_i"),
+        )
+
     def gkmv_leg(prefix, key, column, kk):
         # per-group KMV distinct estimate on the codec streams; the
         # PORTABLE hash makes the estimate itself oracle-pinnable
@@ -902,6 +923,10 @@ def q_dataset_column_stats(spark, sf_dir):
         # reproduces the portable hash + k-min window + integer estimate
         # bit-for-bit — an approximation a gate can still pin exactly
         gkmv_leg("gkmv:flag=", "l_returnflag", "l_orderkey", 64)
+    ).unionByName(
+        # composite-key GROUP BY COUNT (r05 continuation): one mixed-radix
+        # code stream per block, never a per-row tuple build
+        gc2_leg("gc2:", "l_returnflag", "l_linenumber")
     )
 
 

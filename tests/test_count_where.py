@@ -1708,3 +1708,94 @@ def test_top_k_rows_where_matches_filtered_rank(spark, ds):
             ).collect()
         }
         assert got == want, where
+
+# ---- composite-key GROUP BY COUNT ---------------------------------------------
+
+
+def test_group_count_composite_matches_decode(spark, ds):
+    """Two-key GROUP BY on the mixed-radix code stream; every NULL
+    combination is its own group; both dispatch paths."""
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.dataset import group_count
+
+    truth = {
+        (r["tag"], r["qty"]): r["cnt"]
+        for r in decode_dataset(spark, ds, columns=["tag", "qty"])
+        .groupBy("tag", "qty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for lb in (128 << 20, 0):
+        got = {
+            (r["tag"], r["qty"]): r["cnt"]
+            for r in group_count(
+                spark, ds, ["tag", "qty"], local_bytes=lb
+            ).collect()
+        }
+        assert got == truth
+    assert any(q is None for _t, q in got)  # NULL component groups survive
+
+
+def test_group_count_composite_where_and_validation(spark, ds):
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.dataset import group_count
+
+    truth = {
+        (r["tag"], r["qty"]): r["cnt"]
+        for r in decode_dataset(spark, ds, columns=["tag", "qty", "id"])
+        .where(F.col("id").between(150, 749))
+        .groupBy("tag", "qty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for lb in (128 << 20, 0):
+        got = {
+            (r["tag"], r["qty"]): r["cnt"]
+            for r in group_count(
+                spark, ds, ["tag", "qty"],
+                where=("id", 150, 749), local_bytes=lb,
+            ).collect()
+        }
+        assert got == truth
+    with pytest.raises(ValueError, match="scalar int/string"):
+        group_count(spark, ds, ["tag", "val"])  # float key component
+    with pytest.raises(ValueError, match="lacks encoded column"):
+        group_count(spark, ds, ["tag", "nope"])
+    # a single-entry list is exactly the single-key path
+    a = {r["tag"]: r["cnt"] for r in group_count(spark, ds, ["tag"]).collect()}
+    b = {r["tag"]: r["cnt"] for r in group_count(spark, ds, "tag").collect()}
+    assert a == b
+
+
+def test_composite_value_counts_kernel_equivalence():
+    """The mixed-radix kernel must equal a decode + python tuple count for
+    every codec mix, nulls included."""
+    import pyarrow as pa2
+
+    from xml2arrow_spark.operators.blocks import composite_value_counts
+    from xml2arrow_spark.operators.encode import encode_column
+    from xml2arrow_spark.operators.blocks import decode_column
+
+    a = pa2.array([1, 1, 2, None, 2, 1] * 40, type=pa2.int64())
+    b = pa2.array(["x", None, "y", "y", "x", "x"] * 40)
+    c = pa2.array([True, False, None, True, True, False] * 40)
+    pairs = []
+    for arr, codec in [(a, "dict"), (b, "dict_str"), (c, "auto")]:
+        _, meta, data = encode_column(arr, codec)
+        pairs.append((meta, data))
+    got = composite_value_counts(pairs)
+    want: dict = {}
+    cols = [decode_column(m, d).to_pylist() for m, d in pairs]
+    for kt in zip(*cols):
+        want[kt] = want.get(kt, 0) + 1
+    assert got == want
+    # masked variant
+    mask = np.arange(240) % 3 != 1
+    got = composite_value_counts(pairs, mask=mask)
+    want = {}
+    for i, kt in enumerate(zip(*cols)):
+        if mask[i]:
+            want[kt] = want.get(kt, 0) + 1
+    assert got == want

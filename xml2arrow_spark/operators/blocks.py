@@ -763,6 +763,54 @@ def group_codes_column(meta_json: str, payload: bytes):
     return dictionary, codes
 
 
+def composite_value_counts(key_pairs, mask=None):
+    """Exact per-block GROUP BY counts over a COMPOSITE key: ``key_pairs``
+    is a list of (meta_json, payload) — one per key column — and the
+    result is ``{(v1, v2, ...): count}`` over the block's (masked) rows,
+    with ``None`` components for NULL key values (SQL: every NULL
+    combination is its own group).
+
+    Each column's group codes ride :func:`group_codes_column`
+    (dict/rle/dict_str code streams — no per-row key materialization);
+    the codes combine positionally into one mixed-radix code
+    (``c = c1 * (K2+1) + c2 ...``, the +1 radix slot being each column's
+    NULL group), so the composite tally is one ``np.unique`` over an
+    int64 stream no matter how many key columns — never a per-row tuple
+    build. Refusals (float/list keys) come from group_codes_column.
+    """
+    dicts = []
+    combined = None
+    n = None
+    for meta, data in key_pairs:
+        d, c = group_codes_column(meta, data)
+        if n is None:
+            n = c.size
+        elif c.size != n:
+            raise BlockCorruptionError(
+                f"composite key blocks disagree on row count ({n} vs {c.size})"
+            )
+        dicts.append(d.to_pylist() + [None])
+        combined = c if combined is None else combined * len(dicts[-1]) + c
+    if mask is not None:
+        mask = np.asarray(mask, dtype=bool)
+        if mask.size != n:
+            raise BlockCorruptionError(
+                f"row mask and key blocks disagree on row count "
+                f"({mask.size} vs {n})"
+            )
+        combined = combined[mask]
+    slots, counts = np.unique(combined, return_counts=True)
+    out: dict = {}
+    for slot, cnt in zip(slots.tolist(), counts.tolist()):
+        parts = []
+        for d in reversed(dicts):
+            slot, j = divmod(slot, len(d))
+            parts.append(d[j])
+        key = tuple(reversed(parts))
+        out[key] = out.get(key, 0) + cnt  # RLE dup dictionary slots fold
+    return out
+
+
 def group_aggs_column(key_meta: str, key_data: bytes, aggs, mask=None):
     """Exact per-block grouped COUNT plus per-agg (n_nonnull, SUM, MIN,
     MAX) for one key column and SEVERAL agg columns in ONE pass: returns

@@ -1107,10 +1107,237 @@ def count_where(
     return agg if agg_col is not None else agg.drop("n_sum", "n_min", "n_max")
 
 
+def _group_count_composite(
+    spark, out_path, columns, by_name, side, n_tasks, local_bytes, where
+):
+    """COMPOSITE-key GROUP BY COUNT (``group_count(column=[k1, k2, ...])``):
+    every key column's group codes come off its codec stream and combine
+    into one mixed-radix int64 code per row
+    (:func:`~xml2arrow_spark.operators.blocks.composite_value_counts` —
+    no per-row tuple build, no key materialization for dict/rle/dict_str),
+    so "rows per (source, language)" prices the key columns' code streams
+    plus a (tuple, count) KB-scale shuffle. SQL semantics: every NULL
+    combination is its own group. ``where`` composes exactly as the
+    single-key path (zone prune / unmasked / masked); composite keys make
+    no metadata claim — a block would need EVERY key single-valued, a
+    layout presort can't generally produce."""
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.blocks import composite_value_counts
+    from xml2arrow_spark.sources.files import parquet_file_infos, plan_parquet_tasks
+
+    if len(columns) < 2:
+        raise ValueError("composite group_count needs at least two key columns")
+    for col in columns:
+        if col not in by_name:
+            raise ValueError(
+                f"dataset lacks encoded column {col!r}; it has {sorted(by_name)}"
+            )
+        typ = by_name[col].split(None, 1)[1].lower()
+        if "float" in typ or "double" in typ or "array" in typ:
+            raise ValueError(
+                f"group_count needs scalar int/string/bool/decimal keys, "
+                f"got {col} {typ}"
+            )
+    wide = side.get("layout", "nested") == "wide"
+    out_ddl = ", ".join(by_name[c] for c in columns) + ", cnt bigint"
+    conj = (
+        _resolve_conjuncts(by_name, where, "group_count")
+        if where is not None
+        else None
+    )
+
+    def _file_counts(fpath, pq_mod):
+        tally: dict = {}
+        if wide:
+            avail = set(pq_mod.read_schema(fpath).names)
+            fstat: list[tuple] = []
+            if conj is not None:
+                for col, _values, _lo, _hi, cat in conj:
+                    zmin, zmax = _ZONE_SUFFIXES[cat]
+                    fstat.append(tuple(
+                        n if n in avail else None
+                        for n in (f"c_{col}__{zmin}", f"c_{col}__{zmax}",
+                                  f"c_{col}__n_null")
+                    ))
+            kinds = None
+            if conj is not None:
+                stat_cols = [n for trip in fstat for n in trip if n is not None]
+                if stat_cols:
+                    st = pq_mod.read_table(fpath, columns=sorted(set(stat_cols)))
+                    n_blocks = st.num_rows
+                else:
+                    st = None
+                    n_blocks = pq_mod.read_metadata(fpath).num_rows
+                kinds = [
+                    _classify_where(conj, [
+                        tuple(
+                            st.column(n)[i].as_py()
+                            if (st is not None and n is not None)
+                            else None
+                            for n in trip
+                        )
+                        for trip in fstat
+                    ])
+                    for i in range(n_blocks)
+                ]
+                if all(kd == "pruned" for kd in kinds):
+                    return tally
+            cols = [
+                x for c in columns for x in (f"c_{c}__meta", f"c_{c}__data")
+            ]
+            if conj is not None:
+                cols += [
+                    x for col, _v, _l, _h, _c in conj
+                    for x in (f"c_{col}__meta", f"c_{col}__data")
+                ]
+            cols = list(dict.fromkeys(cols))
+            pay = pq_mod.read_table(fpath, columns=cols)
+            arrays = {c: pay.column(c).combine_chunks() for c in cols}
+            for i in range(pay.num_rows):
+                mask = None
+                if kinds is not None:
+                    if kinds[i] == "pruned":
+                        continue
+                    if kinds[i] == "boundary":
+                        mask = _conj_boundary_mask(conj, lambda c, i=i: (
+                            arrays[f"c_{c}__meta"][i].as_py(),
+                            arrays[f"c_{c}__data"][i].as_py(),
+                        ))
+                        if mask is None:
+                            continue
+                for kt, c in composite_value_counts(
+                    [
+                        (arrays[f"c_{kc}__meta"][i].as_py(),
+                         arrays[f"c_{kc}__data"][i].as_py())
+                        for kc in columns
+                    ],
+                    mask=mask,
+                ).items():
+                    tally[kt] = tally.get(kt, 0) + c
+        else:
+            tbl = pq_mod.read_table(fpath, columns=["cols"])
+            cols_col = tbl.column("cols").combine_chunks()
+            entry_fields = {
+                f.name for f in tbl.schema.field("cols").type.value_type
+            }
+            for row in range(len(cols_col)):
+                entries = cols_col[row].values
+                names = entries.field("name").to_pylist()
+                try:
+                    kis = [names.index(kc) for kc in columns]
+                except ValueError:
+                    raise ValueError(
+                        f"block lacks an entry for {columns!r}; the "
+                        f"sidecar schema and the blocks files disagree"
+                    ) from None
+                mask = None
+                if conj is not None:
+                    stats = []
+                    for col, _values, _lo, _hi, cat in conj:
+                        zmin, zmax = _ZONE_SUFFIXES[cat]
+                        try:
+                            fi = names.index(col)
+                        except ValueError:
+                            raise ValueError(
+                                f"block lacks an entry for {col!r}; the "
+                                f"sidecar schema and the blocks files "
+                                f"disagree"
+                            ) from None
+                        stats.append(tuple(
+                            entries.field(f)[fi].as_py()
+                            if f in entry_fields
+                            else None
+                            for f in (zmin, zmax, "n_null")
+                        ))
+                    kind = _classify_where(conj, stats)
+                    if kind == "pruned":
+                        continue
+                    if kind == "boundary":
+                        mask = _conj_boundary_mask(conj, lambda c: (
+                            entries.field("meta")[names.index(c)].as_py(),
+                            entries.field("data")[names.index(c)].as_py(),
+                        ))
+                        if mask is None:
+                            continue
+                for kt, c in composite_value_counts(
+                    [
+                        (entries.field("meta")[ki].as_py(),
+                         entries.field("data")[ki].as_py())
+                        for ki in kis
+                    ],
+                    mask=mask,
+                ).items():
+                    tally[kt] = tally.get(kt, 0) + c
+        return tally
+
+    infos = parquet_file_infos(os.path.join(out_path, "blocks"))
+    if sum(sz for _p, sz in infos) <= local_bytes:
+        import pyarrow.parquet as pq_local
+
+        total: dict = {}
+        for fp, _sz in infos:
+            for kt, c in _file_counts(fp, pq_local).items():
+                total[kt] = total.get(kt, 0) + c
+        items = list(total.items())
+        # arrow-backed LocalRelation — see the single-key local finish
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        lsch = to_arrow_schema(StructType.fromDDL(out_ddl))
+        return spark.createDataFrame(pa.table(
+            {
+                lsch.field(j).name: pa.array(
+                    [
+                        (kt[j] if j < len(columns) else c)
+                        for kt, c in items
+                    ],
+                    type=lsch.field(j).type,
+                )
+                for j in range(len(lsch))
+            }
+        ), schema=out_ddl)
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    out_schema = to_arrow_schema(StructType.fromDDL(out_ddl))
+
+    def count_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        from xml2arrow_spark.env import limit_arrow_threads
+
+        limit_arrow_threads(1)
+        for b in batches:
+            path_lists = b.column(b.schema.get_field_index("path")).to_pylist()
+            for fpath in (p for paths in path_lists for p in paths):
+                tally = _file_counts(fpath, pq)
+                if not tally:
+                    continue
+                items = list(tally.items())
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(
+                            [kt[j] for kt, _c in items],
+                            type=out_schema.field(j).type,
+                        )
+                        for j in range(len(columns))
+                    ] + [
+                        pa.array([c for _kt, c in items], type=pa.int64()),
+                    ],
+                    names=list(columns) + ["cnt"],
+                )
+
+    tasks = plan_parquet_tasks(spark, os.path.join(out_path, "blocks"), n_tasks)
+    per_file = tasks.mapInArrow(count_files, out_ddl)
+    return per_file.groupBy(*columns).agg(F.sum("cnt").alias("cnt"))
+
+
 def group_count(
     spark,
     out_path: str,
-    column: str,
+    column,
     n_tasks: int | None = None,
     local_bytes: int = 128 << 20,
     where=None,
@@ -1174,6 +1401,15 @@ def group_count(
     with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
         side = yaml.safe_load(f.read())
     by_name = split_schema_ddl(side["schema_ddl"])
+    if not isinstance(column, str):
+        cols = list(column)
+        if len(cols) == 1:
+            column = cols[0]
+        else:
+            return _group_count_composite(
+                spark, out_path, cols, by_name, side, n_tasks, local_bytes,
+                where,
+            )
     if column not in by_name:
         raise ValueError(
             f"dataset lacks encoded column {column!r}; it has {sorted(by_name)}"
