@@ -737,6 +737,32 @@ def q_dataset_column_stats(spark, sf_dir):
             F.lit(-1).cast("long").alias("sum_i"),
         )
 
+    def ga2_leg(prefix, k1, k2, agg):
+        # composite-key multi-agg pass; the oracle re-aggregates the raw
+        # table grouped on both keys
+        from xml2arrow_spark.operators.dataset import group_aggs
+
+        ga = group_aggs(spark, out, [k1, k2], [agg], local_bytes=0)
+        return ga.select(
+            F.concat(
+                F.lit(prefix),
+                F.coalesce(F.col(k1).cast("string"), F.lit("<null>")),
+                F.lit(","),
+                F.coalesce(F.col(k2).cast("string"), F.lit("<null>")),
+            ).alias("column"),
+            F.coalesce(F.col(f"min_{agg}"), F.lit(-1)).cast("long")
+            .alias("vmin_i"),
+            F.coalesce(F.col(f"max_{agg}"), F.lit(-1)).cast("long")
+            .alias("vmax_i"),
+            F.lit(-1.0).alias("vmin_d"),
+            F.lit(-1.0).alias("vmax_d"),
+            F.lit(0).cast("long").alias("n_unstated"),
+            F.col("cnt").cast("long").alias("n_rows"),
+            F.col(f"nn_{agg}").cast("long").alias("n_nonnull"),
+            F.coalesce(F.col(f"sum_{agg}"), F.lit(-1)).cast("long")
+            .alias("sum_i"),
+        )
+
     def gkmv_leg(prefix, key, column, kk):
         # per-group KMV distinct estimate on the codec streams; the
         # PORTABLE hash makes the estimate itself oracle-pinnable
@@ -927,6 +953,9 @@ def q_dataset_column_stats(spark, sf_dir):
         # composite-key GROUP BY COUNT (r05 continuation): one mixed-radix
         # code stream per block, never a per-row tuple build
         gc2_leg("gc2:", "l_returnflag", "l_linenumber")
+    ).unionByName(
+        # ...and the composite-key grouped aggregate (one pass, tuple keys)
+        ga2_leg("ga2:", "l_returnflag", "l_linenumber", "l_orderkey")
     )
 
 

@@ -1799,3 +1799,78 @@ def test_composite_value_counts_kernel_equivalence():
         if mask[i]:
             want[kt] = want.get(kt, 0) + 1
     assert got == want
+
+# ---- composite-key group_aggs --------------------------------------------------
+
+
+def test_group_aggs_composite_matches_decode(spark, ds):
+    """Tokens+ids per (tag, qty) in one pass over the key code streams;
+    equals decode + two-key groupBy, NULL combinations included."""
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.dataset import group_aggs
+
+    truth = {
+        (r["tag"], r["qty"], r["cnt"], r["nn"], r["s"], r["mn"], r["mx"])
+        for r in decode_dataset(spark, ds, columns=["tag", "qty", "id"])
+        .groupBy("tag", "qty")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count("id").alias("nn"),
+            F.sum("id").alias("s"),
+            F.min("id").alias("mn"),
+            F.max("id").alias("mx"),
+        )
+        .collect()
+    }
+    for lb in (128 << 20, 0):
+        got = {
+            (r["tag"], r["qty"], r["cnt"], r["nn_id"], r["sum_id"],
+             r["min_id"], r["max_id"])
+            for r in group_aggs(
+                spark, ds, ["tag", "qty"], ["id"], local_bytes=lb
+            ).collect()
+        }
+        assert got == truth
+
+
+def test_group_aggs_composite_where_and_two_aggs(spark, ds):
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.dataset import group_aggs
+
+    truth = {
+        (r["tag"], r["qty"], r["cnt"], r["s_id"], r["s_q"])
+        for r in decode_dataset(spark, ds, columns=["tag", "qty", "id"])
+        .where(F.col("id").between(150, 749))
+        .groupBy("tag", "qty")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("id").alias("s_id"),
+            F.sum("qty").alias("s_q"),
+        )
+        .collect()
+    }
+    for lb in (128 << 20, 0):
+        got = {
+            (r["tag"], r["qty"], r["cnt"], r["sum_id"], r["sum_qty"])
+            for r in group_aggs(
+                spark, ds, ["tag", "qty"], ["id", "qty"],
+                where=("id", 150, 749), local_bytes=lb,
+            ).collect()
+        }
+        assert got == truth
+    with pytest.raises(ValueError, match="scalar int/string"):
+        group_aggs(spark, ds, ["tag", "val"], ["id"])
+    with pytest.raises(ValueError, match="integer agg"):
+        group_aggs(spark, ds, ["tag", "qty"], ["val"])
+    # 1-element key list delegates to the single-key path (claims intact)
+    a = {
+        (r["tag"], r["cnt"], r["sum_id"])
+        for r in group_aggs(spark, ds, ["tag"], ["id"]).collect()
+    }
+    b = {
+        (r["tag"], r["cnt"], r["sum_id"])
+        for r in group_aggs(spark, ds, "tag", ["id"]).collect()
+    }
+    assert a == b

@@ -811,6 +811,46 @@ def composite_value_counts(key_pairs, mask=None):
     return out
 
 
+def composite_group_codes(key_pairs):
+    """COMPOSITE per-row group codes: mixed-radix combination of each key
+    column's codec-stream codes (:func:`group_codes_column`; the +1 radix
+    slot per column is its NULL group), compacted with one ``np.unique``
+    so downstream folds never allocate the full radix product. Returns
+    ``(keys, codes)`` — ``keys[j]`` the decoded key TUPLE of compact slot
+    ``j`` (None components for NULLs), ``codes`` int64 per row."""
+    dicts = []
+    combined = None
+    n = None
+    for meta, data in key_pairs:
+        d, c = group_codes_column(meta, data)
+        if n is None:
+            n = c.size
+        elif c.size != n:
+            raise BlockCorruptionError(
+                f"composite key blocks disagree on row count ({n} vs {c.size})"
+            )
+        dicts.append(d.to_pylist() + [None])
+        combined = c if combined is None else combined * len(dicts[-1]) + c
+    slots, codes = np.unique(combined, return_inverse=True)
+    keys = []
+    for slot in slots.tolist():
+        parts = []
+        for d in reversed(dicts):
+            slot, j = divmod(slot, len(d))
+            parts.append(d[j])
+        keys.append(tuple(reversed(parts)))
+    return keys, codes.astype(np.int64)
+
+
+def composite_group_aggs(key_pairs, aggs, mask=None):
+    """:func:`group_aggs_column` over a COMPOSITE key: same per-agg
+    semantics (exact hi/lo folds, NULL-skipping counts), keyed by tuples
+    via the compacted mixed-radix codes — "tokens + chars per (source,
+    language)" in one pass over the key code streams + agg streams."""
+    keys, codes = composite_group_codes(key_pairs)
+    return _fold_group_aggs(keys, codes, aggs, mask)
+
+
 def group_aggs_column(key_meta: str, key_data: bytes, aggs, mask=None):
     """Exact per-block grouped COUNT plus per-agg (n_nonnull, SUM, MIN,
     MAX) for one key column and SEVERAL agg columns in ONE pass: returns
@@ -831,6 +871,14 @@ def group_aggs_column(key_meta: str, key_data: bytes, aggs, mask=None):
     are order-dependent and refused.
     """
     dictionary, codes = group_codes_column(key_meta, key_data)
+    return _fold_group_aggs(dictionary.to_pylist() + [None], codes, aggs, mask)
+
+
+def _fold_group_aggs(keys, codes, aggs, mask=None):
+    """Shared grouped-aggregate fold: ``keys`` maps slot -> key object
+    (single values for one key column, tuples for composite keys; slots
+    MAY repeat a key — RLE run values — and fold by value), ``codes`` maps
+    every row to a slot. Returns group_aggs_column's shape."""
     if mask is not None:
         mask = np.asarray(mask, dtype=bool)
         if mask.size != codes.size:
@@ -838,7 +886,7 @@ def group_aggs_column(key_meta: str, key_data: bytes, aggs, mask=None):
                 f"row mask and key block disagree on row count "
                 f"({mask.size} vs {codes.size})"
             )
-    K = len(dictionary)
+    K = len(keys) - 1  # preserved naming: slots are 0..K
     cnt = np.bincount(codes if mask is None else codes[mask],
                       minlength=K + 1).astype(np.int64)
 
@@ -893,7 +941,6 @@ def group_aggs_column(key_meta: str, key_data: bytes, aggs, mask=None):
         per_agg.append((nn, hi_acc, lo_acc, mn_acc, mx_acc))
 
     out: dict = {}
-    keys = dictionary.to_pylist() + [None]
     for g, kv in enumerate(keys):
         c = int(cnt[g])
         if not c:

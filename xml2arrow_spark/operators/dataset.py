@@ -1686,10 +1686,317 @@ def group_count(
     return per_file.groupBy(column).agg(F.sum("cnt").alias("cnt"))
 
 
+def _group_aggs_composite(
+    spark, out_path, keys, agg_cols, by_name, side, n_tasks, local_bytes,
+    where,
+):
+    """COMPOSITE-key :func:`group_aggs` (``key=[k1, k2, ...]``): the key
+    columns' codec-stream codes combine into one compacted mixed-radix
+    code per row (:func:`~xml2arrow_spark.operators.blocks
+    .composite_group_aggs`) and every agg column decodes once per block —
+    "tokens + chars per (source, language)" in one pass. Same per-agg
+    semantics and ANSI refusal as the single-key path; where= composes
+    (prune / unmasked / masked); composite keys make no metadata claim (a
+    block would need EVERY key column single-valued)."""
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.blocks import composite_group_aggs
+    from xml2arrow_spark.sources.files import parquet_file_infos, plan_parquet_tasks
+
+    if len(keys) < 2:
+        raise ValueError("composite group_aggs needs at least two key columns")
+    for col in keys:
+        if col not in by_name:
+            raise ValueError(
+                f"dataset lacks encoded column {col!r}; it has {sorted(by_name)}"
+            )
+        typ = by_name[col].split(None, 1)[1].lower()
+        if "float" in typ or "double" in typ or "array" in typ:
+            raise ValueError(
+                f"group_aggs needs scalar int/string/bool/decimal keys, "
+                f"got {col} {typ}"
+            )
+    for a in agg_cols:
+        if a not in by_name:
+            raise ValueError(
+                f"dataset lacks encoded column {a!r}; it has {sorted(by_name)}"
+            )
+        styp = by_name[a].split(None, 1)[1].strip().lower()
+        if styp not in _CW_INT_TYPES:
+            raise ValueError(
+                f"group_aggs needs integer agg columns, got {a} {styp}"
+            )
+    wide = side.get("layout", "nested") == "wide"
+    m = len(agg_cols)
+    key_ddl = ", ".join(by_name[c] for c in keys)
+    part_ddl = f"{key_ddl}, cnt bigint, " + ", ".join(
+        f"nn{i} bigint, s{i} bigint, mn{i} bigint, mx{i} bigint"
+        for i in range(m)
+    )
+    out_sql_ddl = f"{key_ddl}, cnt bigint, " + ", ".join(
+        f"nn_{a} bigint, sum_{a} bigint, min_{a} bigint, max_{a} bigint"
+        for a in agg_cols
+    )
+    conj = (
+        _resolve_conjuncts(by_name, where, "group_aggs")
+        if where is not None
+        else None
+    )
+
+    def _merge(tally, kt, c, trips):
+        prev = tally.get(kt)
+        if prev is None:
+            tally[kt] = [c, list(trips)]
+        else:
+            prev[0] += c
+            for i, (nng, sm, mn, mx) in enumerate(trips):
+                pn, ps, pm, px = prev[1][i]
+                pn += nng
+                ps += sm
+                if mn is not None:
+                    pm = mn if pm is None else min(pm, mn)
+                    px = mx if px is None else max(px, mx)
+                prev[1][i] = (pn, ps, pm, px)
+
+    def _file_sums(fpath, pq_mod):
+        tally: dict = {}
+        if wide:
+            avail = set(pq_mod.read_schema(fpath).names)
+            fstat: list[tuple] = []
+            if conj is not None:
+                for col, _values, _lo, _hi, cat in conj:
+                    zmin, zmax = _ZONE_SUFFIXES[cat]
+                    fstat.append(tuple(
+                        n if n in avail else None
+                        for n in (f"c_{col}__{zmin}", f"c_{col}__{zmax}",
+                                  f"c_{col}__n_null")
+                    ))
+            kinds = None
+            if conj is not None:
+                stat_cols = [n for trip in fstat for n in trip if n is not None]
+                if stat_cols:
+                    st = pq_mod.read_table(fpath, columns=sorted(set(stat_cols)))
+                    n_blocks = st.num_rows
+                else:
+                    st = None
+                    n_blocks = pq_mod.read_metadata(fpath).num_rows
+                kinds = [
+                    _classify_where(conj, [
+                        tuple(
+                            st.column(n)[i].as_py()
+                            if (st is not None and n is not None)
+                            else None
+                            for n in trip
+                        )
+                        for trip in fstat
+                    ])
+                    for i in range(n_blocks)
+                ]
+                if all(kd == "pruned" for kd in kinds):
+                    return tally
+            cols = [
+                x for c in keys + agg_cols
+                for x in (f"c_{c}__meta", f"c_{c}__data")
+            ]
+            if conj is not None:
+                cols += [
+                    x for col, _v, _l, _h, _c in conj
+                    for x in (f"c_{col}__meta", f"c_{col}__data")
+                ]
+            cols = list(dict.fromkeys(cols))
+            pay = pq_mod.read_table(fpath, columns=cols)
+            arrays = {c: pay.column(c).combine_chunks() for c in cols}
+            for i in range(pay.num_rows):
+                mask = None
+                if kinds is not None:
+                    if kinds[i] == "pruned":
+                        continue
+                    if kinds[i] == "boundary":
+                        mask = _conj_boundary_mask(conj, lambda c, i=i: (
+                            arrays[f"c_{c}__meta"][i].as_py(),
+                            arrays[f"c_{c}__data"][i].as_py(),
+                        ))
+                        if mask is None:
+                            continue
+                for kt, row in composite_group_aggs(
+                    [
+                        (arrays[f"c_{kc}__meta"][i].as_py(),
+                         arrays[f"c_{kc}__data"][i].as_py())
+                        for kc in keys
+                    ],
+                    [
+                        (arrays[f"c_{a}__meta"][i].as_py(),
+                         arrays[f"c_{a}__data"][i].as_py())
+                        for a in agg_cols
+                    ],
+                    mask=mask,
+                ).items():
+                    _merge(tally, kt, row[0], row[1:])
+        else:
+            tbl = pq_mod.read_table(fpath, columns=["cols"])
+            cols_col = tbl.column("cols").combine_chunks()
+            entry_fields = {
+                f.name for f in tbl.schema.field("cols").type.value_type
+            }
+            for row_i in range(len(cols_col)):
+                entries = cols_col[row_i].values
+                names = entries.field("name").to_pylist()
+                try:
+                    kis = [names.index(kc) for kc in keys]
+                    ais = [names.index(a) for a in agg_cols]
+                except ValueError:
+                    raise ValueError(
+                        f"block lacks an entry for {keys!r}/{agg_cols!r}; "
+                        f"the sidecar schema and the blocks files disagree"
+                    ) from None
+                mask = None
+                if conj is not None:
+                    stats = []
+                    for col, _values, _lo, _hi, cat in conj:
+                        zmin, zmax = _ZONE_SUFFIXES[cat]
+                        try:
+                            fi = names.index(col)
+                        except ValueError:
+                            raise ValueError(
+                                f"block lacks an entry for {col!r}; the "
+                                f"sidecar schema and the blocks files "
+                                f"disagree"
+                            ) from None
+                        stats.append(tuple(
+                            entries.field(f)[fi].as_py()
+                            if f in entry_fields
+                            else None
+                            for f in (zmin, zmax, "n_null")
+                        ))
+                    kind = _classify_where(conj, stats)
+                    if kind == "pruned":
+                        continue
+                    if kind == "boundary":
+                        mask = _conj_boundary_mask(conj, lambda c: (
+                            entries.field("meta")[names.index(c)].as_py(),
+                            entries.field("data")[names.index(c)].as_py(),
+                        ))
+                        if mask is None:
+                            continue
+                for kt, rrow in composite_group_aggs(
+                    [
+                        (entries.field("meta")[ki].as_py(),
+                         entries.field("data")[ki].as_py())
+                        for ki in kis
+                    ],
+                    [
+                        (entries.field("meta")[ai].as_py(),
+                         entries.field("data")[ai].as_py())
+                        for ai in ais
+                    ],
+                    mask=mask,
+                ).items():
+                    _merge(tally, kt, rrow[0], rrow[1:])
+        for kt, (_c, trips) in tally.items():
+            for (_nn, sm, _mn, _mx), a in zip(trips, agg_cols):
+                if not (-(1 << 63) <= sm < (1 << 63)):
+                    raise ArithmeticError(
+                        f"group_aggs total of {a!r} for key {kt!r} is "
+                        f"outside int64 ({sm}); refusing rather than "
+                        f"wrapping (ANSI contract)"
+                    )
+        return tally
+
+    nk = len(keys)
+    infos = parquet_file_infos(os.path.join(out_path, "blocks"))
+    if sum(sz for _p, sz in infos) <= local_bytes:
+        import pyarrow.parquet as pq_local
+
+        total: dict = {}
+        for fp, _sz in infos:
+            for kt, (c, trips) in _file_sums(fp, pq_local).items():
+                _merge(total, kt, c, trips)
+        rows = []
+        for kt, (c, trips) in total.items():
+            flat = list(kt) + [c]
+            for (nng, sm, mn, mx), a in zip(trips, agg_cols):
+                if not (-(1 << 63) <= sm < (1 << 63)):
+                    raise ArithmeticError(
+                        f"group_aggs total of {a!r} for key {kt!r} is "
+                        f"outside int64 ({sm}); refusing rather than "
+                        f"wrapping (ANSI contract)"
+                    )
+                flat += [nng, sm if nng else None, mn, mx]
+            rows.append(flat)
+        # arrow-backed LocalRelation — see group_count's local finish
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        lsch = to_arrow_schema(StructType.fromDDL(out_sql_ddl))
+        return spark.createDataFrame(pa.table(
+            {
+                lsch.field(i).name: pa.array(
+                    [r[i] for r in rows], type=lsch.field(i).type
+                )
+                for i in range(len(lsch))
+            }
+        ), schema=out_sql_ddl)
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    out_schema = to_arrow_schema(StructType.fromDDL(part_ddl))
+
+    def sum_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        from xml2arrow_spark.env import limit_arrow_threads
+
+        limit_arrow_threads(1)
+        for b in batches:
+            path_lists = b.column(b.schema.get_field_index("path")).to_pylist()
+            for fpath in (p for paths in path_lists for p in paths):
+                tally = _file_sums(fpath, pq)
+                if not tally:
+                    continue
+                items = list(tally.items())
+                arrays = [
+                    pa.array(
+                        [kt[j] for kt, _t in items],
+                        type=out_schema.field(j).type,
+                    )
+                    for j in range(nk)
+                ] + [
+                    pa.array([t[0] for _kt, t in items], type=pa.int64()),
+                ]
+                for i in range(m):
+                    # nn==0 partials carry sum 0 (never NULL): see the
+                    # single-key path's roll-up comment
+                    for j in range(4):
+                        arrays.append(pa.array(
+                            [t[1][i][j] for _kt, t in items], type=pa.int64()
+                        ))
+                yield pa.RecordBatch.from_arrays(
+                    arrays,
+                    names=list(keys) + ["cnt"] + [
+                        x for i in range(m)
+                        for x in (f"nn{i}", f"s{i}", f"mn{i}", f"mx{i}")
+                    ],
+                )
+
+    tasks = plan_parquet_tasks(spark, os.path.join(out_path, "blocks"), n_tasks)
+    per_file = tasks.mapInArrow(sum_files, part_ddl)
+    aggs = [F.sum("cnt").alias("cnt")]
+    for i, a in enumerate(agg_cols):
+        aggs += [
+            F.sum(f"nn{i}").alias(f"nn_{a}"),
+            F.when(F.sum(f"nn{i}") > 0, F.sum(f"s{i}"))
+            .otherwise(F.lit(None)).alias(f"sum_{a}"),
+            F.min(f"mn{i}").alias(f"min_{a}"),
+            F.max(f"mx{i}").alias(f"max_{a}"),
+        ]
+    return per_file.groupBy(*keys).agg(*aggs)
+
+
 def group_aggs(
     spark,
     out_path: str,
-    key: str,
+    key,
     agg_cols: list[str],
     n_tasks: int | None = None,
     local_bytes: int = 128 << 20,
@@ -1737,6 +2044,15 @@ def group_aggs(
     with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
         side = yaml.safe_load(f.read())
     by_name = split_schema_ddl(side["schema_ddl"])
+    if not isinstance(key, str):
+        keys = list(key)
+        if len(keys) == 1:
+            key = keys[0]
+        else:
+            return _group_aggs_composite(
+                spark, out_path, keys, list(agg_cols), by_name, side,
+                n_tasks, local_bytes, where,
+            )
     for col in [key, *agg_cols]:
         if col not in by_name:
             raise ValueError(

@@ -1288,6 +1288,19 @@ def dataset_column_stats_sql() -> str:
             "CAST(-1 AS BIGINT) AS n_nonnull, CAST(-1 AS BIGINT) AS sum_i "
             "FROM lineitem GROUP BY l_returnflag, l_linenumber"
         ]
+        # the composite-key group_aggs leg
+        + [
+            "SELECT 'ga2:' || COALESCE(CAST(l_returnflag AS VARCHAR), "
+            "'<null>') || ',' || COALESCE(CAST(l_linenumber AS VARCHAR), "
+            "'<null>') AS column, "
+            "CAST(COALESCE(MIN(l_orderkey), -1) AS BIGINT) AS vmin_i, "
+            "CAST(COALESCE(MAX(l_orderkey), -1) AS BIGINT) AS vmax_i, "
+            "-1.0 AS vmin_d, -1.0 AS vmax_d, CAST(0 AS BIGINT) AS n_unstated, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(count(l_orderkey) AS BIGINT) AS n_nonnull, "
+            "CAST(COALESCE(SUM(l_orderkey), -1) AS BIGINT) AS sum_i "
+            "FROM lineitem GROUP BY l_returnflag, l_linenumber"
+        ]
         # the group_distinct_est leg: the oracle reproduces the portable
         # quadratic hash, the per-group k-min window, and the integer
         # estimate bit-for-bit (KMV beats HLL here exactly because the
