@@ -461,25 +461,38 @@ def q_contamination_hits(spark, sf_dir):
 
 
 def q_dataset_wide_subset(spark, sf_dir):
-    """Wide STORED dataset + subset decode: a lineitem projection goes
-    through the fused sink with layout='wide', then only 2 of 4 columns are
-    decoded — the parquet scan reads only those columns' payload bytes.
-    Oracle = the raw 2-column projection."""
+    """Wide STORED dataset + subset decode + TRAINING-SHARD EXPORT: a
+    lineitem projection goes through the fused sink with layout='wide',
+    then only 2 of 4 columns leave through `export_slice` (storage-level
+    column pruning -> deterministic shard sink -> verified manifest) and
+    the gate returns the READ-BACK of the written shards — a row the
+    export dropped, duplicated, or mis-sharded hash-mismatches the raw
+    2-column oracle. verify_export must also hold."""
     import os
 
-    from xml2arrow_spark.operators.dataset import (
-        decode_dataset,
-        encode_parquet_dataset,
+    from xml2arrow_spark.operators.dataset import encode_parquet_dataset
+    from xml2arrow_spark.operators.export import (
+        export_slice,
+        read_export,
+        verify_export,
     )
 
     base = _scratch("wds_")
     src = os.path.join(base, "src")
     out = os.path.join(base, "ds")
+    exp = os.path.join(base, "export")
     _lineitem(spark, sf_dir).select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     ).repartition(4).write.mode("overwrite").parquet(src)
     encode_parquet_dataset(spark, src, out, layout="wide")
-    return decode_dataset(spark, out, columns=["l_orderkey", "l_quantity"])
+    export_slice(
+        spark, out, exp, id_col="l_orderkey", columns=["l_quantity"],
+        n_shards=8, mode="overwrite",
+    )
+    rep = verify_export(spark, exp)
+    if not rep["ok"]:
+        raise AssertionError(f"export verification failed: {rep['findings']}")
+    return read_export(spark, exp).select("l_orderkey", "l_quantity")
 
 
 def q_dataset_compact_roundtrip(spark, sf_dir):
