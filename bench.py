@@ -831,6 +831,31 @@ def main() -> None:
             ),
             3,
         )
+
+        # q20: training-shard export (pruned decode -> deterministic
+        # shard+order -> partitioned sink -> verified manifest) vs the
+        # bare decode+write a user without the manifest/order would run —
+        # prices what the determinism + verification evidence costs.
+        from xml2arrow_spark.operators.export import export_slice
+
+        exp_dest = os.path.join(cw_dir, "export")
+        best_of(
+            "q20a_export_shards",
+            lambda: export_slice(
+                spark, cw_ds, exp_dest, id_col="l_orderkey",
+                columns=["l_quantity"], n_shards=32, mode="overwrite",
+            ),
+        )
+        raw_dest = os.path.join(cw_dir, "export_raw")
+        best_of(
+            "q20b_decode_write_raw",
+            lambda: decode_dataset(
+                spark, cw_ds, columns=["l_orderkey", "l_quantity"]
+            ).write.mode("overwrite").parquet(raw_dest),
+        )
+        extra["export_overhead_x"] = round(
+            queries["q20a_export_shards"] / queries["q20b_decode_write_raw"], 2
+        )
     finally:
         shutil.rmtree(cw_dir, ignore_errors=True)
 

@@ -86,6 +86,28 @@ def test_order_matches_shuffle_order_truth(spark, ds, tmp_path):
     assert _rows(read_export(spark, dest), cols) == _rows(truth, cols)
 
 
+def test_physical_file_order_is_pos_order(spark, ds, tmp_path):
+    """A training loader streams shard files sequentially: rows must sit
+    in the files in pos order (the plan relies on the rank window's
+    within-partition sort reaching the sink unchanged — a re-sort or
+    added exchange would scramble it silently)."""
+    dest = str(tmp_path / "out")
+    export_slice(spark, ds, dest, id_col="doc_id", n_shards=3)
+    checked = 0
+    for d in sorted(os.listdir(dest)):
+        if not d.startswith("shard="):
+            continue
+        for fn in sorted(os.listdir(os.path.join(dest, d))):
+            if not fn.endswith(".parquet"):
+                continue
+            pos = pq.read_table(
+                os.path.join(dest, d, fn), columns=["pos"]
+            ).column("pos").to_pylist()
+            assert pos == sorted(pos)
+            checked += len(pos)
+    assert checked == N
+
+
 def test_filters_compose_and_id_autoincluded(spark, ds, tmp_path):
     dest = str(tmp_path / "out")
     man = export_slice(

@@ -154,10 +154,11 @@ def export_slice(
         zone_filter=zone_filter, row_filter=row_filter,
     )
     if order:
+        # shuffle_order's rank window already exchanges on `shard` and
+        # leaves each partition sorted (shard, pos) — the partitioned sink
+        # streams that order straight into the shard files, no second
+        # exchange and no extra sort
         sharded = shuffle_order(df, n_shards=n_shards, id_col=id_col)
-        sharded = sharded.repartition(n_shards, "shard").sortWithinPartitions(
-            "shard", "pos"
-        )
         data_cols = [*out_cols, "pos"]
     else:
         from xml2arrow_spark.pipeline import sqlgen as G
