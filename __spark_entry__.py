@@ -1684,13 +1684,47 @@ def q_multimodal_features(spark, sf_dir):
 # coverage is preserved bit-for-bit while the registry shrinks to 48.
 
 
+def q_encode_temporal_roundtrip(spark, sf_dir):
+    """Timestamp + date32 through the codec engine: l_shipdate rides as
+    timestamp_ntz (epoch micros on the integer codec family — delta on
+    time-ordered data) plus a derived DATE column (days as int32); decode
+    must be bit-identical. Both project to tz-free integer scalars
+    (micros / epoch days via timestampdiff/datediff, the parity-safe
+    arithmetic) with the same expressions in the oracle."""
+    df = _lineitem(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.col("l_shipdate").cast("date").alias("ship_day"),
+    )
+    manifest = CodecManifest.auto_for(df.schema, block_rows=8192)
+    blocks = encode_table(df, manifest)
+    ddl = (
+        "l_orderkey bigint, l_linenumber int, l_shipdate timestamp_ntz, "
+        "ship_day date"
+    )
+    return decode_table(blocks, ddl).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+            "l_shipdate)"
+        ).cast("long").alias("ship_us"),
+        F.expr("datediff(ship_day, DATE'1970-01-01')").cast("long").alias(
+            "ship_epoch_day"
+        ),
+    )
+
+
 def q_encode_types_composite(spark, sf_dir):
-    """Three independent encode->decode legs (presort/RLE-amplified,
-    float32 dec-probe, uint64-as-decimal(20,0)) as one tagged union: one
-    gated row set pinning all three typed round trips. A union, not a
-    join — (l_orderkey, l_linenumber) is NOT unique in the synthetic
-    lineitem, so a key join would multiply rows. Sentinels keep the union
-    null-free per the canonicalizer contract."""
+    """Four independent encode->decode legs (presort/RLE-amplified,
+    float32 dec-probe, uint64-as-decimal(20,0), timestamp+date epoch
+    projection) as one tagged union: one gated row set pinning all four
+    typed round trips. A union, not a join — (l_orderkey, l_linenumber)
+    is NOT unique in the synthetic lineitem, so a key join would multiply
+    rows. Sentinels keep the union null-free per the canonicalizer
+    contract."""
+    neg1 = F.lit(-1).cast("long")
     pre = q_encode_presort_roundtrip(spark, sf_dir).select(
         F.lit("presort").alias("part"),
         "l_orderkey",
@@ -1701,6 +1735,8 @@ def q_encode_types_composite(spark, sf_dir):
         F.lit(-1.0).alias("qty_f"),
         F.lit(-1.0).alias("disc_f"),
         F.lit("").alias("big_id_str"),
+        neg1.alias("ship_us"),
+        neg1.alias("ship_epoch_day"),
     )
     f32 = q_encode_float32_roundtrip(spark, sf_dir).select(
         F.lit("f32").alias("part"),
@@ -1712,6 +1748,8 @@ def q_encode_types_composite(spark, sf_dir):
         "qty_f",
         "disc_f",
         F.lit("").alias("big_id_str"),
+        neg1.alias("ship_us"),
+        neg1.alias("ship_epoch_day"),
     )
     u64 = q_encode_uint64_roundtrip(spark, sf_dir).select(
         F.lit("u64").alias("part"),
@@ -1723,8 +1761,23 @@ def q_encode_types_composite(spark, sf_dir):
         F.lit(-1.0).alias("qty_f"),
         F.lit(-1.0).alias("disc_f"),
         "big_id_str",
+        neg1.alias("ship_us"),
+        neg1.alias("ship_epoch_day"),
     )
-    return pre.unionByName(f32).unionByName(u64)
+    tmp = q_encode_temporal_roundtrip(spark, sf_dir).select(
+        F.lit("temporal").alias("part"),
+        "l_orderkey",
+        "l_linenumber",
+        F.lit("").alias("l_returnflag"),
+        F.lit("").alias("l_linestatus"),
+        F.lit(-1.0).alias("l_quantity"),
+        F.lit(-1.0).alias("qty_f"),
+        F.lit(-1.0).alias("disc_f"),
+        F.lit("").alias("big_id_str"),
+        "ship_us",
+        "ship_epoch_day",
+    )
+    return pre.unionByName(f32).unionByName(u64).unionByName(tmp)
 
 
 def q_multimodal_pipeline(spark, sf_dir):

@@ -39,6 +39,9 @@ _INT_SPARK_TYPES = {"tinyint", "smallint", "int", "integer", "bigint", "long"}
 _STR_SPARK_TYPES = {"string", "binary"}
 _FLOAT_SPARK_TYPES = {"float", "double"}
 _BOOL_SPARK_TYPES = {"boolean"}
+# temporal columns ride the integer codec family (epoch ticks / days);
+# see operators/blocks.py kind="temporal"
+_TEMPORAL_SPARK_TYPES = {"timestamp", "timestamp_ntz", "date"}
 
 
 @dataclass
@@ -71,6 +74,8 @@ class ColumnPolicy:
             allowed = {AUTO, *FLOAT_CODECS}
         elif base in _BOOL_SPARK_TYPES:
             allowed = {AUTO, *BOOL_CODECS}
+        elif base in _TEMPORAL_SPARK_TYPES:
+            allowed = {AUTO, *INT_CODECS}
         elif base == "decimal":
             # UInt64's widened Spark type (types.py): scale-0 decimals ride
             # the integer-codec family; fractional decimals are not a
@@ -85,6 +90,7 @@ class ColumnPolicy:
             raise ManifestError(
                 f"column {column!r}: unsupported type {spark_type!r} "
                 f"(integers, strings, floats, booleans, decimal(p,0), "
+                f"timestamp/timestamp_ntz/date, "
                 f"array<int>, and array<float/double> are encodable)"
             )
         base_codec, _, general = self.codec.partition("+")
@@ -213,6 +219,7 @@ class CodecManifest:
                 or base in _STR_SPARK_TYPES
                 or base in _FLOAT_SPARK_TYPES
                 or base in _BOOL_SPARK_TYPES
+                or base in _TEMPORAL_SPARK_TYPES
                 or (base == "decimal" and t.replace(" ", "").endswith(",0)"))
             ):
                 cols[f.name] = ColumnPolicy(codec=AUTO, nullable=f.nullable)

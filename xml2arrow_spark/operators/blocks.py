@@ -237,6 +237,37 @@ def _encode_column_raw(
         }
         return resolved, json.dumps(meta), validity + sblob
 
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        # temporal columns ride the integer codec family: the physical
+        # value IS an epoch count (timestamp -> its unit's ticks as int64,
+        # date32 -> days as int32), and event times are exactly where
+        # delta/FOR shine. The ORIGINAL arrow type (unit + tz) is recorded
+        # in the header and reproduced bit-identically at decode — the
+        # engine never reinterprets an instant across timezones.
+        if t == pa.date64():
+            raise EncodeTypeError(
+                "date64 is not supported (Spark produces date32); cast first"
+            )
+        if pa.types.is_timestamp(t):
+            lt = {"lt": "timestamp", "unit": t.unit, "tz": t.tz}
+            storage = pa.int64()
+        else:
+            lt = {"lt": "date32"}
+            storage = pa.int32()
+        valid_arr = arr.drop_null() if mask is not None else arr
+        values = np.asarray(valid_arr.cast(storage))
+        resolved = _resolve_int(codec, values)
+        vmeta, vblob = encode_values(resolved, values)
+        meta = {
+            "kind": "temporal",
+            "fmt": BLOCK_FORMAT_VERSION,
+            "n": n,
+            **lt,
+            "values_meta": vmeta,
+            "validity_len": len(validity),
+        }
+        return resolved, json.dumps(meta), validity + vblob
+
     if pa.types.is_integer(t):
         valid_arr = arr.drop_null() if mask is not None else arr
         values = np.asarray(valid_arr)
@@ -408,6 +439,19 @@ def decode_column(meta_json: str, payload: bytes) -> pa.Array:
         full[mask] = values
         return pa.array(full, type=_PA_INT[meta["dtype"]], mask=~mask)
 
+    if kind == "temporal":
+        values = decode_values(meta["values_meta"], payload)
+        if meta["lt"] == "timestamp":
+            typ = pa.timestamp(meta["unit"], tz=meta["tz"])
+        else:
+            typ = pa.date32()
+            values = values.astype(np.int32, copy=False)  # arrow refuses int64->date32
+        if mask is None:
+            return pa.array(values, type=typ)
+        full = np.zeros(n, dtype=values.dtype)
+        full[mask] = values
+        return pa.array(full, type=typ, mask=~mask)
+
     if kind == "float":
         values = decode_values(meta["values_meta"], payload)
         typ = pa.float32() if meta["dtype"] == "float" else pa.float64()
@@ -449,8 +493,27 @@ def decode_column(meta_json: str, payload: bytes) -> pa.Array:
 def row_match_mask(arr: pa.Array, values, lo, hi):
     """Boolean match mask for the filter column, or None if no row matches
     (block skip). Null values never match; NaN never matches a finite
-    range (IEEE comparisons)."""
+    range (IEEE comparisons). Temporal columns compare as epoch ticks in
+    their storage unit (timestamp -> unit count, date32 -> days) — bounds
+    and IN-list values may be those integers or datetime/date objects
+    (converted through pyarrow's scalar semantics)."""
     import pyarrow.compute as pc
+
+    if pa.types.is_timestamp(arr.type) or pa.types.is_date(arr.type):
+        t = arr.type
+        itype = pa.int64() if pa.types.is_timestamp(t) else pa.int32()
+
+        def _tick(b):
+            if b is None or isinstance(b, int):
+                return b
+            return pa.scalar(b, type=t).cast(itype).as_py()
+
+        lo, hi = _tick(lo), _tick(hi)
+        if values is not None:
+            values = [_tick(v) for v in values]
+        arr = arr.cast(itype)
+        if itype != pa.int64():
+            arr = arr.cast(pa.int64())
 
     if values is not None:
         mask = pc.is_in(arr, value_set=pa.array(values).cast(arr.type)).fill_null(

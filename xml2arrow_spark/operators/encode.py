@@ -194,6 +194,16 @@ def _zone_stats(arr: pa.Array):
 
     t = arr.type
     target = arr.flatten() if (pa.types.is_list(t) or pa.types.is_large_list(t)) else arr
+    if pa.types.is_timestamp(target.type) or pa.types.is_date(target.type):
+        # temporal columns take INTEGER zone stats in their storage unit
+        # (epoch ticks / days — matching the block encoding), so
+        # time-range predicates prune like any int range; the integer
+        # branch's provable-exactness bound handles zsum_i (epoch-micros
+        # magnitudes ~2^51 make it None for all but tiny blocks)
+        target = target.cast(pa.int32() if pa.types.is_date(target.type)
+                             else pa.int64())
+        if target.type != pa.int64():
+            target = target.cast(pa.int64())
     n_null = int(arr.null_count)
     none6 = (None, None, None, None, None, None)
     if len(target) == 0 or target.null_count == len(target):

@@ -1452,12 +1452,13 @@ FROM w
 
 
 def encode_types_composite_sql() -> str:
-    """One row per lineitem PK carrying all three typed round-trip
+    """One row per lineitem PK carrying all four typed round-trip
     contracts (r05 registry consolidation — VERDICT r04 #1): the presort
     multiset (raw projection; the in-task permutation must preserve it),
     float32 bit-parity (correctly-rounded REAL cast then the exact
-    REAL->DOUBLE widening), and the uint64/decimal(20,0) +2^63 digit
-    string. A tagged UNION, not a join — (l_orderkey, l_linenumber) is
+    REAL->DOUBLE widening), the uint64/decimal(20,0) +2^63 digit
+    string, and the temporal epoch projection (timestamp micros + date32
+    days — tz-free date_diff arithmetic on both sides). A tagged UNION, not a join — (l_orderkey, l_linenumber) is
     not unique in the synthetic lineitem — with the same null-free
     sentinels as the Spark side. Each leg is the UNCHANGED single-operator
     oracle as a CTE: one source of truth per contract, no inline
@@ -1465,21 +1466,38 @@ def encode_types_composite_sql() -> str:
     return f"""
 WITH pre AS ({encode_presort_roundtrip_sql()}),
 f32 AS ({encode_float32_roundtrip_sql()}),
-u64 AS ({encode_uint64_roundtrip_sql()})
+u64 AS ({encode_uint64_roundtrip_sql()}),
+tmp AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(date_diff('microsecond', TIMESTAMP '1970-01-01',
+                        l_shipdate) AS BIGINT) AS ship_us,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_epoch_day
+  FROM lineitem
+)
 SELECT 'presort' AS part, l_orderkey, l_linenumber,
        l_returnflag, l_linestatus, l_quantity,
-       -1.0 AS qty_f, -1.0 AS disc_f, '' AS big_id_str
+       -1.0 AS qty_f, -1.0 AS disc_f, '' AS big_id_str,
+       CAST(-1 AS BIGINT) AS ship_us, CAST(-1 AS BIGINT) AS ship_epoch_day
 FROM pre
 UNION ALL
 SELECT 'f32' AS part, l_orderkey, l_linenumber,
        '' AS l_returnflag, '' AS l_linestatus, -1.0 AS l_quantity,
-       qty_f, disc_f, '' AS big_id_str
+       qty_f, disc_f, '' AS big_id_str,
+       CAST(-1 AS BIGINT) AS ship_us, CAST(-1 AS BIGINT) AS ship_epoch_day
 FROM f32
 UNION ALL
 SELECT 'u64' AS part, l_orderkey, l_linenumber,
        '' AS l_returnflag, '' AS l_linestatus, -1.0 AS l_quantity,
-       -1.0 AS qty_f, -1.0 AS disc_f, big_id_str
+       -1.0 AS qty_f, -1.0 AS disc_f, big_id_str,
+       CAST(-1 AS BIGINT) AS ship_us, CAST(-1 AS BIGINT) AS ship_epoch_day
 FROM u64
+UNION ALL
+SELECT 'temporal' AS part, l_orderkey, l_linenumber,
+       '' AS l_returnflag, '' AS l_linestatus, -1.0 AS l_quantity,
+       -1.0 AS qty_f, -1.0 AS disc_f, '' AS big_id_str,
+       ship_us, ship_epoch_day
+FROM tmp
 """
 
 

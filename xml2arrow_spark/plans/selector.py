@@ -253,10 +253,13 @@ def resolve_manifest(df, manifest, sample_rows: int = 8192):
     from pyspark.sql.types import (
         ArrayType,
         BooleanType,
+        DateType,
         DecimalType,
         DoubleType,
         FloatType,
         StringType,
+        TimestampNTZType,
+        TimestampType,
     )
 
     from xml2arrow_spark.codecs.base import strdata_from_arrow
@@ -328,6 +331,21 @@ def resolve_manifest(df, manifest, sample_rows: int = 8192):
             )
         elif isinstance(spark_type, BooleanType):
             codec = "bool_pack"
+        elif isinstance(
+            spark_type, (DateType, TimestampType, TimestampNTZType)
+        ):
+            # temporal columns ride the integer choosers on their epoch
+            # counts (pandas ns for timestamps, ordinal days for dates —
+            # the unit scales deltas uniformly, so the CHOICE is the same
+            # as over the stored micros/days)
+            sample = series.dropna()
+            if isinstance(spark_type, DateType):
+                values = np.array(
+                    [d.toordinal() for d in sample], dtype=np.int64
+                )
+            else:
+                values = sample.to_numpy().astype("datetime64[ns]").astype(np.int64)
+            codec = choose_int_codec(values)
         elif isinstance(spark_type, DecimalType):
             # UInt64-widened columns: sample as python ints (driver-side,
             # bounded), bit-cast through uint64 like the block encoder
