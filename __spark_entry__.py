@@ -701,12 +701,15 @@ def q_dataset_column_stats(spark, sf_dir):
         )
 
     def gaggs_legs(key, a1, a2):
-        # ONE multi-agg pass (key codes + both agg streams decoded once),
-        # projected as two label rows per key so each agg column gets its
-        # own oracle row — the oracle re-aggregates each column separately
+        # ONE multi-agg pass (key codes + both agg streams decoded once,
+        # sums AND sums of squares folded together), projected as label
+        # rows so each (agg, statistic) gets its own oracle row — the
+        # oracle re-aggregates each column separately (squares through
+        # HUGEINT)
         from xml2arrow_spark.operators.dataset import group_aggs
 
-        ga = group_aggs(spark, out, key, [a1, a2], local_bytes=0)
+        ga = group_aggs(spark, out, key, [a1, a2], local_bytes=0,
+                        with_sum_sq=True)
 
         def leg(prefix, a):
             return ga.select(
@@ -727,7 +730,31 @@ def q_dataset_column_stats(spark, sf_dir):
                 .alias("sum_i"),
             )
 
-        return leg(f"gaggs:{a1}:", a1).unionByName(leg(f"gaggs:{a2}:", a2))
+        def ssq_leg(prefix, a):
+            return ga.select(
+                F.concat(
+                    F.lit(prefix),
+                    F.coalesce(F.col(key).cast("string"), F.lit("<null>")),
+                ).alias("column"),
+                F.coalesce(F.col(f"min_{a}"), F.lit(-1)).cast("long")
+                .alias("vmin_i"),
+                F.coalesce(F.col(f"max_{a}"), F.lit(-1)).cast("long")
+                .alias("vmax_i"),
+                F.lit(-1.0).alias("vmin_d"),
+                F.lit(-1.0).alias("vmax_d"),
+                F.lit(0).cast("long").alias("n_unstated"),
+                F.col("cnt").cast("long").alias("n_rows"),
+                F.col(f"nn_{a}").cast("long").alias("n_nonnull"),
+                F.coalesce(F.col(f"sumsq_{a}"), F.lit(-1)).cast("long")
+                .alias("sum_i"),
+            )
+
+        return (
+            leg(f"gaggs:{a1}:", a1)
+            .unionByName(leg(f"gaggs:{a2}:", a2))
+            .unionByName(ssq_leg(f"gssq:{a1}:", a1))
+            .unionByName(ssq_leg(f"gssq:{a2}:", a2))
+        )
 
     def gc2_leg(prefix, k1, k2):
         # composite-key GROUP BY on the mixed-radix code stream; the

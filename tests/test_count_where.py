@@ -1535,6 +1535,173 @@ def test_group_aggs_metadata_claim_all_columns_or_kernel(spark, tmp_path, layout
     with pytest.raises(Exception):
         decode_dataset(spark, out).agg(F.count(F.lit(1))).collect()
 
+# ---- group_aggs(with_sum_sq=): exact variance support -------------------------
+
+
+def test_group_aggs_sum_sq_matches_decode(spark, ds):
+    """sumsq_<c> must equal SUM(c*c) over non-null values per group (NULL
+    for all-NULL groups), on both dispatch paths, alongside the untouched
+    linear aggregates; where= composes."""
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.dataset import group_aggs
+
+    def truth(cond=None):
+        df = decode_dataset(spark, ds, columns=["tag", "qty", "id"])
+        if cond is not None:
+            df = df.filter(cond)
+        return {
+            (r["tag"], r["cnt"], r["s_qty"], r["ss_qty"], r["ss_id"])
+            for r in df.groupBy("tag").agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("qty").alias("s_qty"),
+                F.sum(F.col("qty") * F.col("qty")).alias("ss_qty"),
+                F.sum(F.col("id") * F.col("id")).alias("ss_id"),
+            ).collect()
+        }
+
+    for lb in (128 << 20, 0):
+        got = {
+            (r["tag"], r["cnt"], r["sum_qty"], r["sumsq_qty"], r["sumsq_id"])
+            for r in group_aggs(
+                spark, ds, "tag", ["qty", "id"], local_bytes=lb,
+                with_sum_sq=True,
+            ).collect()
+        }
+        assert got == truth()
+    from pyspark.sql import functions as F2
+
+    got_w = {
+        (r["tag"], r["cnt"], r["sum_qty"], r["sumsq_qty"], r["sumsq_id"])
+        for r in group_aggs(
+            spark, ds, "tag", ["qty", "id"], where=("id", 300, 700),
+            with_sum_sq=True,
+        ).collect()
+    }
+    assert got_w == truth((F2.col("id") >= 300) & (F2.col("id") <= 700))
+
+
+def test_group_aggs_sum_sq_composite_and_variance(spark, ds):
+    """Composite keys carry sumsq through the shared fold; variance
+    derived from (nn, sum, sumsq) equals Spark's var_pop exactly on
+    integer data (both are exact rational arithmetic here)."""
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.dataset import group_aggs
+
+    got = {
+        (r["tag"], r["qty"]): (r["cnt"], r["sumsq_id"])
+        for r in group_aggs(
+            spark, ds, ["tag", "qty"], ["id"], with_sum_sq=True
+        ).collect()
+    }
+    truth = {
+        (r["tag"], r["qty"]): (r["cnt"], r["ss"])
+        for r in decode_dataset(spark, ds, columns=["tag", "qty", "id"])
+        .groupBy("tag", "qty")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("id") * F.col("id")).alias("ss"),
+        )
+        .collect()
+    }
+    assert got == truth
+    # exact variance: nn*sumsq - sum^2 == var_pop * nn^2 (integer identity)
+    rows = group_aggs(spark, ds, "tag", ["id"], with_sum_sq=True).collect()
+    vp = {
+        r["tag"]: r["v"]
+        for r in decode_dataset(spark, ds, columns=["tag", "id"])
+        .groupBy("tag").agg(F.var_pop("id").alias("v")).collect()
+    }
+    for r in rows:
+        nn, s, ss = r["nn_id"], r["sum_id"], r["sumsq_id"]
+        if nn and vp[r["tag"]] is not None:
+            assert abs((nn * ss - s * s) / (nn * nn) - vp[r["tag"]]) < 1e-6
+
+
+def test_group_aggs_sum_sq_refuses_big_magnitudes(spark, tmp_path):
+    """|value| > floor(sqrt(2^63-1)) cannot square inside int64: both
+    dispatch paths must REFUSE, never wrap (the linear sum of the same
+    data still answers)."""
+    from xml2arrow_spark.operators.dataset import group_aggs
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "ds")
+    os.makedirs(src)
+    tbl = pa.table({
+        "k": pa.array(["a"] * 4),
+        "v": pa.array([1, 2, 3_037_000_500, 4], type=pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(src, "part-0.parquet"))
+    encode_parquet_dataset(spark, src, out)
+    for lb in (128 << 20, 0):
+        with pytest.raises(Exception, match="sum-of-squares|ANSI|Arithmetic"):
+            group_aggs(
+                spark, out, "k", ["v"], local_bytes=lb, with_sum_sq=True
+            ).collect()
+    got = group_aggs(spark, out, "k", ["v"], local_bytes=0).collect()
+    assert got[0]["sum_v"] == 1 + 2 + 3_037_000_500 + 4
+
+
+@pytest.mark.parametrize("layout", ["nested", "wide"])
+def test_group_aggs_sum_sq_disables_metadata_claim(spark, tmp_path, layout):
+    """No block stat stores a sum of squares, so with_sum_sq must force
+    the kernel even on claimable blocks: the SAME tamper that the claim
+    path survives (test above) must make the flagged call refuse via the
+    block CRC — proof it reads payload, never a stale claim."""
+    from xml2arrow_spark.operators.dataset import group_aggs
+
+    src = str(tmp_path / f"src_{layout}")
+    out = str(tmp_path / f"ds_{layout}")
+    os.makedirs(src)
+    n = 300
+    tbl = pa.table({
+        "src": pa.array(["web"] * n),
+        "tok": pa.array([(i * 13) % 1000 for i in range(n)], type=pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(src, "part-0.parquet"))
+    manifest = CodecManifest.auto_for(
+        from_arrow_schema(tbl.schema), block_rows=100
+    )
+    encode_parquet_dataset(spark, src, out, manifest=manifest, layout=layout)
+
+    # unflagged: answers from metadata claims (sanity)
+    base = group_aggs(spark, out, "src", ["tok"]).collect()
+    assert base[0]["sum_tok"] == sum((i * 13) % 1000 for i in range(n))
+
+    bdir = os.path.join(out, "blocks")
+    fpath = sorted(
+        os.path.join(bdir, f) for f in os.listdir(bdir) if f.endswith(".parquet")
+    )[0]
+    t0 = pq.read_table(fpath)
+    rows = t0.to_pylist()
+    for r in rows:
+        if layout == "nested":
+            for ci in range(len(r["cols"])):
+                payload = bytearray(r["cols"][ci]["data"])
+                if payload:
+                    payload[len(payload) // 2] ^= 0x01
+                    r["cols"][ci]["data"] = bytes(payload)
+        else:
+            for col in ("c_src__data", "c_tok__data"):
+                payload = bytearray(r[col])
+                if payload:
+                    payload[len(payload) // 2] ^= 0x01
+                    r[col] = bytes(payload)
+    pq.write_table(pa.Table.from_pylist(rows, schema=t0.schema), fpath)
+    crc = os.path.join(bdir, "." + os.path.basename(fpath) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    spark.catalog.refreshByPath(bdir)
+
+    # claims still answer the unflagged call after the tamper...
+    again = group_aggs(spark, out, "src", ["tok"]).collect()
+    assert again[0]["sum_tok"] == base[0]["sum_tok"]
+    # ...but the flagged call must hit the kernel and refuse via CRC
+    with pytest.raises(Exception):
+        group_aggs(spark, out, "src", ["tok"], with_sum_sq=True).collect()
+
+
 # ---- top_k(where=): filtered rank queries ------------------------------------
 
 

@@ -905,16 +905,17 @@ def composite_group_codes(key_pairs):
     return keys, codes.astype(np.int64)
 
 
-def composite_group_aggs(key_pairs, aggs, mask=None):
+def composite_group_aggs(key_pairs, aggs, mask=None, with_sq=False):
     """:func:`group_aggs_column` over a COMPOSITE key: same per-agg
     semantics (exact hi/lo folds, NULL-skipping counts), keyed by tuples
     via the compacted mixed-radix codes — "tokens + chars per (source,
     language)" in one pass over the key code streams + agg streams."""
     keys, codes = composite_group_codes(key_pairs)
-    return _fold_group_aggs(keys, codes, aggs, mask)
+    return _fold_group_aggs(keys, codes, aggs, mask, with_sq=with_sq)
 
 
-def group_aggs_column(key_meta: str, key_data: bytes, aggs, mask=None):
+def group_aggs_column(key_meta: str, key_data: bytes, aggs, mask=None,
+                      with_sq=False):
     """Exact per-block grouped COUNT plus per-agg (n_nonnull, SUM, MIN,
     MAX) for one key column and SEVERAL agg columns in ONE pass: returns
     ``{key_value_or_None: [cnt, (nn, sum, mn, mx), (nn, sum, mn, mx), ...]}``
@@ -932,12 +933,24 @@ def group_aggs_column(key_meta: str, key_data: bytes, aggs, mask=None):
     None when nn is 0. ``mask`` restricts every tally to the selected
     rows (WHERE before GROUP BY). Integer agg columns only; float folds
     are order-dependent and refused.
+
+    ``with_sq=True`` appends an exact sum of SQUARES to every agg tuple
+    (-> 5-tuples ``(nn, sum, mn, mx, sumsq)``): each |value| must stay
+    <= floor(sqrt(2^63-1)) so the per-element square fits int64 (any
+    larger value REFUSES — the ANSI no-silent-wrap contract; a sum of
+    squares cannot be range-split the way the linear sum can), then the
+    squares fold through the same exact hi/lo split. Sum + sum-of-squares
+    + count make variance/stddev exactly derivable by the caller.
     """
     dictionary, codes = group_codes_column(key_meta, key_data)
-    return _fold_group_aggs(dictionary.to_pylist() + [None], codes, aggs, mask)
+    return _fold_group_aggs(dictionary.to_pylist() + [None], codes, aggs, mask,
+                            with_sq=with_sq)
 
 
-def _fold_group_aggs(keys, codes, aggs, mask=None):
+_SQ_BOUND = 3037000499  # floor(sqrt(2^63 - 1)): squares provably fit int64
+
+
+def _fold_group_aggs(keys, codes, aggs, mask=None, with_sq=False):
     """Shared grouped-aggregate fold: ``keys`` maps slot -> key object
     (single values for one key column, tuples for composite keys; slots
     MAY repeat a key — RLE run values — and fold by value), ``codes`` maps
@@ -994,6 +1007,24 @@ def _fold_group_aggs(keys, codes, aggs, mask=None):
         lo_acc = np.zeros(K + 1, dtype=np.int64)
         np.add.at(hi_acc, gcodes, hi)
         np.add.at(lo_acc, gcodes, lo)
+        sq_hi_acc = sq_lo_acc = None
+        if with_sq:
+            if v.size and (
+                int(v.max(initial=0)) > _SQ_BOUND
+                or (v.dtype != np.uint64 and int(v.min(initial=0)) < -_SQ_BOUND)
+            ):
+                raise ArithmeticError(
+                    f"sum-of-squares needs |value| <= {_SQ_BOUND} so each "
+                    f"square fits int64; refusing rather than wrapping "
+                    f"(ANSI contract)"
+                )
+            sq = (v.astype(np.int64) * v.astype(np.int64))  # provably exact
+            sq_hi = sq >> 32
+            sq_lo = sq & 0xFFFFFFFF
+            sq_hi_acc = np.zeros(K + 1, dtype=np.int64)
+            sq_lo_acc = np.zeros(K + 1, dtype=np.int64)
+            np.add.at(sq_hi_acc, gcodes, sq_hi)
+            np.add.at(sq_lo_acc, gcodes, sq_lo)
         # extrema in the value's native dtype (no overflow possible);
         # sentinel slots are masked off by nn==0 below
         info = np.iinfo(v.dtype)
@@ -1001,7 +1032,8 @@ def _fold_group_aggs(keys, codes, aggs, mask=None):
         mx_acc = np.full(K + 1, info.min, dtype=v.dtype)
         np.minimum.at(mn_acc, gcodes, v)
         np.maximum.at(mx_acc, gcodes, v)
-        per_agg.append((nn, hi_acc, lo_acc, mn_acc, mx_acc))
+        per_agg.append((nn, hi_acc, lo_acc, mn_acc, mx_acc,
+                        sq_hi_acc, sq_lo_acc))
 
     out: dict = {}
     for g, kv in enumerate(keys):
@@ -1009,27 +1041,35 @@ def _fold_group_aggs(keys, codes, aggs, mask=None):
         if not c:
             continue  # unoccupied slot (the null slot of a null-free block)
         trips = []
-        for nn, hi_acc, lo_acc, mn_acc, mx_acc in per_agg:
+        for nn, hi_acc, lo_acc, mn_acc, mx_acc, sq_hi_acc, sq_lo_acc in per_agg:
             nng = int(nn[g])
-            trips.append((
+            trip = (
                 nng,
                 (int(hi_acc[g]) << 32) + int(lo_acc[g]),
                 int(mn_acc[g]) if nng else None,
                 int(mx_acc[g]) if nng else None,
-            ))
+            )
+            if with_sq:
+                trip += ((int(sq_hi_acc[g]) << 32) + int(sq_lo_acc[g]),)
+            trips.append(trip)
         prev = out.get(kv)
         if prev is None:
             out[kv] = [c] + trips
         else:  # duplicate dictionary slots (RLE run values) fold by value
             prev[0] += c
-            for i, (nng, sm, mn, mx) in enumerate(trips, start=1):
-                pn, ps, pm, px = prev[i]
+            for i, t in enumerate(trips, start=1):
+                nng, sm, mn, mx = t[:4]
+                p = prev[i]
+                pn, ps, pm, px = p[:4]
                 pn += nng
                 ps += sm
                 if mn is not None:
                     pm = mn if pm is None else min(pm, mn)
                     px = mx if px is None else max(px, mx)
-                prev[i] = (pn, ps, pm, px)
+                merged = (pn, ps, pm, px)
+                if with_sq:
+                    merged += (p[4] + t[4],)
+                prev[i] = merged
     return out
 
 

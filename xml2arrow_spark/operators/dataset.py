@@ -1688,7 +1688,7 @@ def group_count(
 
 def _group_aggs_composite(
     spark, out_path, keys, agg_cols, by_name, side, n_tasks, local_bytes,
-    where,
+    where, with_sum_sq=False,
 ):
     """COMPOSITE-key :func:`group_aggs` (``key=[k1, k2, ...]``): the key
     columns' codec-stream codes combine into one compacted mixed-radix
@@ -1729,12 +1729,15 @@ def _group_aggs_composite(
     wide = side.get("layout", "nested") == "wide"
     m = len(agg_cols)
     key_ddl = ", ".join(by_name[c] for c in keys)
+    ssq_p = ", ssq{i} bigint" if with_sum_sq else ""
     part_ddl = f"{key_ddl}, cnt bigint, " + ", ".join(
         f"nn{i} bigint, s{i} bigint, mn{i} bigint, mx{i} bigint"
+        + ssq_p.format(i=i)
         for i in range(m)
     )
     out_sql_ddl = f"{key_ddl}, cnt bigint, " + ", ".join(
         f"nn_{a} bigint, sum_{a} bigint, min_{a} bigint, max_{a} bigint"
+        + (f", sumsq_{a} bigint" if with_sum_sq else "")
         for a in agg_cols
     )
     conj = (
@@ -1749,14 +1752,19 @@ def _group_aggs_composite(
             tally[kt] = [c, list(trips)]
         else:
             prev[0] += c
-            for i, (nng, sm, mn, mx) in enumerate(trips):
-                pn, ps, pm, px = prev[1][i]
+            for i, t in enumerate(trips):
+                nng, sm, mn, mx = t[:4]
+                p = prev[1][i]
+                pn, ps, pm, px = p[:4]
                 pn += nng
                 ps += sm
                 if mn is not None:
                     pm = mn if pm is None else min(pm, mn)
                     px = mx if px is None else max(px, mx)
-                prev[1][i] = (pn, ps, pm, px)
+                merged = (pn, ps, pm, px)
+                if len(t) > 4:
+                    merged += (p[4] + t[4],)
+                prev[1][i] = merged
 
     def _file_sums(fpath, pq_mod):
         tally: dict = {}
@@ -1830,6 +1838,7 @@ def _group_aggs_composite(
                         for a in agg_cols
                     ],
                     mask=mask,
+                    with_sq=with_sum_sq,
                 ).items():
                     _merge(tally, kt, row[0], row[1:])
         else:
@@ -1890,10 +1899,12 @@ def _group_aggs_composite(
                         for ai in ais
                     ],
                     mask=mask,
+                    with_sq=with_sum_sq,
                 ).items():
                     _merge(tally, kt, rrow[0], rrow[1:])
         for kt, (_c, trips) in tally.items():
-            for (_nn, sm, _mn, _mx), a in zip(trips, agg_cols):
+            for t, a in zip(trips, agg_cols):
+                sm = t[1] if len(t) == 4 else max(t[1], t[4], key=abs)
                 if not (-(1 << 63) <= sm < (1 << 63)):
                     raise ArithmeticError(
                         f"group_aggs total of {a!r} for key {kt!r} is "
@@ -1914,14 +1925,18 @@ def _group_aggs_composite(
         rows = []
         for kt, (c, trips) in total.items():
             flat = list(kt) + [c]
-            for (nng, sm, mn, mx), a in zip(trips, agg_cols):
-                if not (-(1 << 63) <= sm < (1 << 63)):
-                    raise ArithmeticError(
-                        f"group_aggs total of {a!r} for key {kt!r} is "
-                        f"outside int64 ({sm}); refusing rather than "
-                        f"wrapping (ANSI contract)"
-                    )
+            for t, a in zip(trips, agg_cols):
+                nng, sm, mn, mx = t[:4]
+                for tot in t[1:2] + t[4:5]:
+                    if not (-(1 << 63) <= tot < (1 << 63)):
+                        raise ArithmeticError(
+                            f"group_aggs total of {a!r} for key {kt!r} is "
+                            f"outside int64 ({tot}); refusing rather than "
+                            f"wrapping (ANSI contract)"
+                        )
                 flat += [nng, sm if nng else None, mn, mx]
+                if with_sum_sq:
+                    flat.append(t[4] if nng else None)
             rows.append(flat)
         # arrow-backed LocalRelation — see group_count's local finish
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -1964,10 +1979,11 @@ def _group_aggs_composite(
                 ] + [
                     pa.array([t[0] for _kt, t in items], type=pa.int64()),
                 ]
+                width = 5 if with_sum_sq else 4
                 for i in range(m):
                     # nn==0 partials carry sum 0 (never NULL): see the
                     # single-key path's roll-up comment
-                    for j in range(4):
+                    for j in range(width):
                         arrays.append(pa.array(
                             [t[1][i][j] for _kt, t in items], type=pa.int64()
                         ))
@@ -1975,7 +1991,11 @@ def _group_aggs_composite(
                     arrays,
                     names=list(keys) + ["cnt"] + [
                         x for i in range(m)
-                        for x in (f"nn{i}", f"s{i}", f"mn{i}", f"mx{i}")
+                        for x in (
+                            (f"nn{i}", f"s{i}", f"mn{i}", f"mx{i}", f"ssq{i}")
+                            if with_sum_sq
+                            else (f"nn{i}", f"s{i}", f"mn{i}", f"mx{i}")
+                        )
                     ],
                 )
 
@@ -1990,6 +2010,11 @@ def _group_aggs_composite(
             F.min(f"mn{i}").alias(f"min_{a}"),
             F.max(f"mx{i}").alias(f"max_{a}"),
         ]
+        if with_sum_sq:
+            aggs.append(
+                F.when(F.sum(f"nn{i}") > 0, F.sum(f"ssq{i}"))
+                .otherwise(F.lit(None)).alias(f"sumsq_{a}")
+            )
     return per_file.groupBy(*keys).agg(*aggs)
 
 
@@ -2001,6 +2026,7 @@ def group_aggs(
     n_tasks: int | None = None,
     local_bytes: int = 128 << 20,
     where=None,
+    with_sum_sq: bool = False,
 ):
     """Exact ``SELECT key, COUNT(*), COUNT/SUM/MIN/MAX(a) for a in
     agg_cols [WHERE ...] GROUP BY key`` over a STORED dataset in ONE
@@ -2028,9 +2054,18 @@ def group_aggs(
     :func:`count_where` — pruned / interior / boundary classification
     composes with the masked multi-agg kernel.
 
+    ``with_sum_sq=True`` adds an exact ``sumsq_<c>`` per agg column (the
+    sum of squares; NULL when the group has no non-null value), making
+    variance/stddev exactly derivable from ``(nn, sum, sumsq)``. Each
+    |value| must stay <= floor(sqrt(2^63-1)) so every square fits int64 —
+    larger magnitudes REFUSE (the ANSI contract; a sum of squares cannot
+    be range-split like the linear sum). No block stat stores a sum of
+    squares, so metadata claims are disabled under the flag: claimable
+    blocks downgrade to the kernel, results exact either way.
+
     Scale-adaptive dispatch like :func:`count_where`. Returns a DataFrame
-    ``(key, cnt, nn_<c>, sum_<c>, min_<c>, max_<c> ...)`` with the key's
-    original type.
+    ``(key, cnt, nn_<c>, sum_<c>, min_<c>, max_<c> [, sumsq_<c>] ...)``
+    with the key's original type.
     """
     import yaml
 
@@ -2051,7 +2086,7 @@ def group_aggs(
         else:
             return _group_aggs_composite(
                 spark, out_path, keys, list(agg_cols), by_name, side,
-                n_tasks, local_bytes, where,
+                n_tasks, local_bytes, where, with_sum_sq,
             )
     for col in [key, *agg_cols]:
         if col not in by_name:
@@ -2075,8 +2110,10 @@ def group_aggs(
             )
     wide = side.get("layout", "nested") == "wide"
     m = len(agg_cols)
+    ssq_p = ", ssq{i} bigint" if with_sum_sq else ""
     part_ddl = f"{by_name[key]}, cnt bigint, " + ", ".join(
         f"nn{i} bigint, s{i} bigint, mn{i} bigint, mx{i} bigint"
+        + ssq_p.format(i=i)
         for i in range(m)
     )
     key_cat = (
@@ -2096,7 +2133,12 @@ def group_aggs(
         — group_sum's claim rule per agg column: the key provably
         single-valued (null-free, truncation-safe vmin == vmax) and EVERY
         agg column carrying its exact block sum + stated null count (and
-        stated extrema whenever a non-null value exists)."""
+        stated extrema whenever a non-null value exists). No block
+        stat stores a sum of squares, so the claim is disabled
+        entirely under with_sum_sq (kernel instead; exact either
+        way)."""
+        if with_sum_sq:
+            return None
         if (
             key_cat is None
             or k_nnull != 0
@@ -2122,14 +2164,19 @@ def group_aggs(
             tally[v] = [c, list(trips)]
         else:
             prev[0] += c
-            for i, (nng, sm, mn, mx) in enumerate(trips):
-                pn, ps, pm, px = prev[1][i]
+            for i, t in enumerate(trips):
+                nng, sm, mn, mx = t[:4]
+                p = prev[1][i]
+                pn, ps, pm, px = p[:4]
                 pn += nng
                 ps += sm
                 if mn is not None:
                     pm = mn if pm is None else min(pm, mn)
                     px = mx if px is None else max(px, mx)
-                prev[1][i] = (pn, ps, pm, px)
+                merged = (pn, ps, pm, px)
+                if len(t) > 4:
+                    merged += (p[4] + t[4],)
+                prev[1][i] = merged
 
     def _file_sums(fpath, pq_mod):
         """One file's {key_or_None: [cnt, [(nn, sum, mn, mx) per agg]]};
@@ -2241,7 +2288,9 @@ def group_aggs(
                     )
 
                 for i in kernel_idx:
-                    for v, row in group_aggs_column(*_kargs(i)).items():
+                    for v, row in group_aggs_column(
+                        *_kargs(i), with_sq=with_sum_sq
+                    ).items():
                         _merge(tally, v, row[0], row[1:])
                 for i in boundary_idx:
                     mask = _conj_boundary_mask(conj, lambda c, i=i: (
@@ -2250,7 +2299,9 @@ def group_aggs(
                     ))
                     if mask is None:
                         continue
-                    for v, row in group_aggs_column(*_kargs(i), mask=mask).items():
+                    for v, row in group_aggs_column(
+                        *_kargs(i), mask=mask, with_sq=with_sum_sq
+                    ).items():
                         _merge(tally, v, row[0], row[1:])
         else:
             tbl = pq_mod.read_table(fpath, columns=["n_rows", "cols"])
@@ -2339,20 +2390,23 @@ def group_aggs(
                             for ai in ais
                         ],
                         mask=mask,
+                        with_sq=with_sum_sq,
                     ).items():
                         _merge(tally, v, rrow[0], rrow[1:])
         for v, (_c, trips) in tally.items():
-            for (_nn, sm, _mn, _mx), a in zip(trips, agg_cols):
-                if not (-(1 << 63) <= sm < (1 << 63)):
-                    raise ArithmeticError(
-                        f"group_aggs total of {a!r} for key {v!r} is outside "
-                        f"int64 ({sm}); refusing rather than wrapping "
-                        f"(ANSI contract)"
-                    )
+            for t, a in zip(trips, agg_cols):
+                for tot in t[1:2] + t[4:5]:
+                    if not (-(1 << 63) <= tot < (1 << 63)):
+                        raise ArithmeticError(
+                            f"group_aggs total of {a!r} for key {v!r} is "
+                            f"outside int64 ({tot}); refusing rather than "
+                            f"wrapping (ANSI contract)"
+                        )
         return tally
 
     out_sql_ddl = f"{by_name[key]}, cnt bigint, " + ", ".join(
         f"nn_{a} bigint, sum_{a} bigint, min_{a} bigint, max_{a} bigint"
+        + (f", sumsq_{a} bigint" if with_sum_sq else "")
         for a in agg_cols
     )
 
@@ -2367,14 +2421,18 @@ def group_aggs(
         rows = []
         for v, (c, trips) in total.items():
             flat = [v, c]
-            for (nng, sm, mn, mx), a in zip(trips, agg_cols):
-                if not (-(1 << 63) <= sm < (1 << 63)):
-                    raise ArithmeticError(
-                        f"group_aggs total of {a!r} for key {v!r} is outside "
-                        f"int64 ({sm}); refusing rather than wrapping "
-                        f"(ANSI contract)"
-                    )
+            for t, a in zip(trips, agg_cols):
+                nng, sm, mn, mx = t[:4]
+                for tot in t[1:2] + t[4:5]:
+                    if not (-(1 << 63) <= tot < (1 << 63)):
+                        raise ArithmeticError(
+                            f"group_aggs total of {a!r} for key {v!r} is "
+                            f"outside int64 ({tot}); refusing rather than "
+                            f"wrapping (ANSI contract)"
+                        )
                 flat += [nng, sm if nng else None, mn, mx]
+                if with_sum_sq:
+                    flat.append(t[4] if nng else None)
             rows.append(flat)
         # arrow-backed LocalRelation — see group_count's local finish
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -2415,24 +2473,25 @@ def group_aggs(
                              type=out_schema.field(0).type),
                     pa.array([t[0] for _v, t in items], type=pa.int64()),
                 ]
+                width = 5 if with_sum_sq else 4
                 for i in range(m):
                     # nn==0 partials carry sum 0 (never NULL) so the
                     # roll-up's F.sum stays total-order deterministic; the
                     # final when() restores SQL's NULL (min/max partials
                     # carry NULL — F.min/F.max skip them)
-                    arrays.append(pa.array(
-                        [t[1][i][0] for _v, t in items], type=pa.int64()))
-                    arrays.append(pa.array(
-                        [t[1][i][1] for _v, t in items], type=pa.int64()))
-                    arrays.append(pa.array(
-                        [t[1][i][2] for _v, t in items], type=pa.int64()))
-                    arrays.append(pa.array(
-                        [t[1][i][3] for _v, t in items], type=pa.int64()))
+                    for j in range(width):
+                        arrays.append(pa.array(
+                            [t[1][i][j] for _v, t in items], type=pa.int64()
+                        ))
                 yield pa.RecordBatch.from_arrays(
                     arrays,
                     names=[key, "cnt"] + [
                         x for i in range(m)
-                        for x in (f"nn{i}", f"s{i}", f"mn{i}", f"mx{i}")
+                        for x in (
+                            (f"nn{i}", f"s{i}", f"mn{i}", f"mx{i}", f"ssq{i}")
+                            if with_sum_sq
+                            else (f"nn{i}", f"s{i}", f"mn{i}", f"mx{i}")
+                        )
                     ],
                 )
 
@@ -2447,6 +2506,11 @@ def group_aggs(
             F.min(f"mn{i}").alias(f"min_{a}"),
             F.max(f"mx{i}").alias(f"max_{a}"),
         ]
+        if with_sum_sq:
+            aggs.append(
+                F.when(F.sum(f"nn{i}") > 0, F.sum(f"ssq{i}"))
+                .otherwise(F.lit(None)).alias(f"sumsq_{a}")
+            )
     return per_file.groupBy(key).agg(*aggs)
 
 

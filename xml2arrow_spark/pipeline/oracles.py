@@ -1114,15 +1114,18 @@ def dataset_column_stats_sql() -> str:
             f"CAST(-1 AS BIGINT) AS sum_i FROM lineitem{wh} GROUP BY {col}"
         )
 
-    def gsum_row(prefix, key, agg, cond=None):
+    def gsum_row(prefix, key, agg, cond=None, agg_expr=None):
         # the group_sum legs: grouped COUNT + exact SUM re-aggregated from
         # the raw table (DuckDB SUM(BIGINT) is HUGEINT — cast back; the
         # testdata totals fit int64, and the engine REFUSES when they
         # don't, so a cast overflow here would itself flag the mismatch).
         # cond gates the FILTERED variant (group_sum(where=)): SQL's
         # WHERE-before-GROUP-BY, so a group with no matching row is
-        # absent on both sides
+        # absent on both sides. agg_expr overrides the SUMMED expression
+        # only (the gssq legs square through HUGEINT); extrema/counts stay
+        # on the raw column
         wh = f" WHERE {cond}" if cond else ""
+        sum_arg = agg_expr or agg
         return (
             f"SELECT '{prefix}' || COALESCE(CAST({key} AS VARCHAR), '<null>') "
             f"AS column, "
@@ -1132,7 +1135,7 @@ def dataset_column_stats_sql() -> str:
             f"CAST(0 AS BIGINT) AS n_unstated, "
             f"CAST(count(*) AS BIGINT) AS n_rows, "
             f"CAST(count({agg}) AS BIGINT) AS n_nonnull, "
-            f"CAST(COALESCE(SUM({agg}), -1) AS BIGINT) AS sum_i "
+            f"CAST(COALESCE(SUM({sum_arg}), -1) AS BIGINT) AS sum_i "
             f"FROM lineitem{wh} GROUP BY {key}"
         )
 
@@ -1213,6 +1216,17 @@ def dataset_column_stats_sql() -> str:
             # pass; the oracle re-aggregates each separately
             gsum_row("gaggs:l_orderkey:", "l_returnflag", "l_orderkey"),
             gsum_row("gaggs:l_linenumber:", "l_returnflag", "l_linenumber"),
+            # the sum-of-squares legs (group_aggs with_sum_sq, SAME pass):
+            # the oracle squares through HUGEINT — the engine's exact
+            # hi/lo fold of int64 squares must match it bit-for-bit
+            gsum_row(
+                "gssq:l_orderkey:", "l_returnflag", "l_orderkey",
+                agg_expr="CAST(l_orderkey AS HUGEINT) * l_orderkey",
+            ),
+            gsum_row(
+                "gssq:l_linenumber:", "l_returnflag", "l_linenumber",
+                agg_expr="CAST(l_linenumber AS HUGEINT) * l_linenumber",
+            ),
             # the top_k legs: the oracle re-sorts the raw table, so a
             # wrong zone skip, a lost duplicate, or a NULL in the ranks
             # all hash-mismatch; strings carry the value in the label
