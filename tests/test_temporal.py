@@ -159,6 +159,47 @@ def test_selector_picks_delta_for_event_times(spark, tds):
     assert man.columns["ts"].codec == "delta"
 
 
+def test_temporal_group_keys(spark, tds):
+    """The everyday time rollup — rows / sums per day — through the codec
+    streams: a date32 GROUP BY key works on both dispatch paths and both
+    kernels (group_count tallies, group_sum folds), matching a decode +
+    Spark groupBy to the row."""
+    out, tbl = tds
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.dataset import (
+        decode_dataset,
+        group_count,
+        group_sum,
+    )
+
+    truth_cnt = {
+        r["day"]: r["count"]
+        for r in decode_dataset(spark, out, columns=["day"])
+        .groupBy("day").count().collect()
+    }
+    truth_sum = {
+        r["day"]: (r["cnt"], r["s"])
+        for r in decode_dataset(spark, out, columns=["day", "event_id"])
+        .groupBy("day").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("event_id").alias("s")
+        ).collect()
+    }
+    for lb in (128 << 20, 0):
+        got_cnt = {
+            r["day"]: r["cnt"]
+            for r in group_count(spark, out, "day", local_bytes=lb).collect()
+        }
+        assert got_cnt == truth_cnt
+        got_sum = {
+            r["day"]: (r["cnt"], r["sum_a"])
+            for r in group_sum(
+                spark, out, "day", "event_id", local_bytes=lb
+            ).collect()
+        }
+        assert got_sum == truth_sum
+
+
 def test_count_where_refuses_temporal_cleanly(spark, tds):
     out, _tbl = tds
     from xml2arrow_spark.operators.dataset import count_where
