@@ -580,7 +580,8 @@ def q_dataset_column_stats(spark, sf_dir):
     src = os.path.join(base, "src")
     out = os.path.join(base, "ds")
     _lineitem(spark, sf_dir).select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag"
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_returnflag", "l_shipdate"
     ).repartitionByRange(4, "l_orderkey").sortWithinPartitions(
         "l_orderkey"
     ).write.mode("overwrite").parquet(src)
@@ -877,6 +878,16 @@ def q_dataset_column_stats(spark, sf_dir):
     ).unionByName(
         # one-sided range: pruning/interior test only the bounded side
         leg("where:open", ("l_orderkey", 9000, None), agg_col="l_orderkey")
+    ).unionByName(
+        # temporal predicate (r05 #4): bounds are epoch-micros ticks, the
+        # unit the timestamp's zone stats and mask kernel share — 1997..
+        # 1998 window, SUM pushdown over the matched rows; the oracle
+        # re-filters with the equivalent TIMESTAMP literals
+        leg(
+            "where:ship",
+            ("l_shipdate", 852_076_800_000_000, 915_062_400_000_000),
+            agg_col="l_orderkey",
+        )
     ).unionByName(
         # IN-list conjuncts (r05 continuation): the string set evaluates
         # once per dictionary value on the codec streams, the int set

@@ -200,9 +200,42 @@ def test_temporal_group_keys(spark, tds):
         assert got_sum == truth_sum
 
 
-def test_count_where_refuses_temporal_cleanly(spark, tds):
-    out, _tbl = tds
-    from xml2arrow_spark.operators.dataset import count_where
+def test_count_where_temporal_ticks(spark, tds):
+    """Time-range predicates on the metadata-accelerated aggregates:
+    bounds are storage-unit tick ints (zone stats + mask kernel share the
+    unit, so classification and evaluation are exact); datetime objects
+    are refused here (only the kernel knows a block's actual arrow unit).
+    The time-clustered fixture exercises pruned/interior/boundary."""
+    out, tbl = tds
+    import pyarrow.compute as pc
 
-    with pytest.raises(ValueError, match="timestamp"):
-        count_where(spark, out, ("ts", 0, 10**18))
+    from xml2arrow_spark.operators.dataset import count_where, group_count
+
+    ticks = tbl.column("ts").cast(pa.int64())
+    lo = ticks[100].as_py()
+    hi = ticks[399].as_py()
+    for lb in (128 << 20, 0):
+        r = count_where(
+            spark, out, ("ts", lo, hi), agg_col="event_id", local_bytes=lb
+        ).collect()[0].asDict()
+        assert r["n_match"] == 300
+        assert r["n_sum"] == sum(range(100, 400))
+        assert (r["n_min"], r["n_max"]) == (100, 399)
+        assert r["n_pruned"] > 0 and r["n_interior"] > 0
+    # day-granularity range on the date32 column (days are the unit)
+    dlo = tbl.column("day")[0].cast(pa.int32()).as_py()
+    n0 = int(pc.sum(pc.equal(tbl.column("day").cast(pa.int32()),
+                             dlo)).as_py())
+    r = count_where(spark, out, ("day", dlo, dlo)).collect()[0].asDict()
+    assert r["n_match"] == n0 > 0
+    # filtered GROUP BY composes the same classification
+    g = {
+        r["day"]: r["cnt"]
+        for r in group_count(spark, out, "day", where=("ts", lo, hi)).collect()
+    }
+    assert sum(g.values()) == 300
+    # datetime bounds refuse with the unit explanation
+    import datetime
+
+    with pytest.raises(ValueError, match="tick"):
+        count_where(spark, out, ("ts", datetime.datetime(2024, 1, 1), None))

@@ -538,6 +538,23 @@ def _resolve_conjuncts(by_name: dict, predicate, caller: str):
             if not all(isinstance(b, str) for b in present):
                 raise ValueError(f"{col!r} is string: bounds must be str")
             cat = "s"
+        elif typ in ("timestamp", "timestamp_ntz", "date"):
+            # temporal predicates are STORAGE-UNIT tick integers (micros
+            # for Spark-written timestamps, days for date32) — the zone
+            # stats and the mask kernel both operate in that unit, so int
+            # bounds classify and evaluate exactly. datetime objects are
+            # deliberately NOT accepted here: only the kernel sees a
+            # block's actual arrow unit (a non-Spark parquet source may
+            # carry ms/ns), and a driver-side unit guess could misprune.
+            if not all(
+                isinstance(b, int) and not isinstance(b, bool) for b in present
+            ):
+                raise ValueError(
+                    f"{col!r} is {typ}: bounds must be storage-unit tick "
+                    f"ints (epoch micros for Spark timestamps, days for "
+                    f"dates)"
+                )
+            cat = "i"
         else:
             raise ValueError(f"{caller} does not support {col!r} of type {typ}")
         conj.append((col, values, lo, hi, cat))

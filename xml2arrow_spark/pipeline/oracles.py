@@ -1166,6 +1166,18 @@ def dataset_column_stats_sql() -> str:
             row("l_quantity", False),
             row("l_discount", False),
             str_row("l_returnflag"),
+            # the temporal column's zone stats are epoch-micros ints; no
+            # sum (epoch magnitudes void the provable-exactness bound)
+            "SELECT 'l_shipdate' AS column, "
+            "CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', "
+            "min(l_shipdate)) AS BIGINT) AS vmin_i, "
+            "CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', "
+            "max(l_shipdate)) AS BIGINT) AS vmax_i, "
+            "-1.0 AS vmin_d, -1.0 AS vmax_d, "
+            "CAST(0 AS BIGINT) AS n_unstated, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(count(l_shipdate) AS BIGINT) AS n_nonnull, "
+            "CAST(-1 AS BIGINT) AS sum_i FROM lineitem",
             where_row(
                 "where:okey",
                 "l_orderkey BETWEEN 1000 AND 30000",
@@ -1179,6 +1191,12 @@ def dataset_column_stats_sql() -> str:
             where_row(
                 "where:open",
                 "l_orderkey >= 9000",
+                agg_expr="l_orderkey",
+            ),
+            where_row(
+                "where:ship",
+                "l_shipdate BETWEEN TIMESTAMP '1997-01-01' "
+                "AND TIMESTAMP '1998-12-31'",
                 agg_expr="l_orderkey",
             ),
             where_row(
