@@ -574,6 +574,7 @@ def q_dataset_column_stats(spark, sf_dir):
         encode_parquet_dataset,
         group_count,
         group_sum,
+        time_bucket_count,
     )
 
     base = _scratch("stats_")
@@ -887,6 +888,26 @@ def q_dataset_column_stats(spark, sf_dir):
             "where:ship",
             ("l_shipdate", 852_076_800_000_000, 915_062_400_000_000),
             agg_col="l_orderkey",
+        )
+    ).unionByName(
+        # fixed-width time-bucket rollup (r05 #4): 180-day buckets of
+        # l_shipdate folded INSIDE the block walk — partials are
+        # (bucket, count), never per-micros tallies; one-bucket blocks
+        # claim from zone metadata. Oracle floor-divides the epoch-micros
+        # (non-negative here, so DuckDB's truncating // equals floor).
+        time_bucket_count(
+            spark, out, "l_shipdate", 15_552_000_000_000, local_bytes=0
+        ).select(
+            F.concat(F.lit("tbucket:"), F.col("bucket").cast("string"))
+            .alias("column"),
+            F.col("bucket_start").alias("vmin_i"),
+            F.lit(-1).cast("long").alias("vmax_i"),
+            F.lit(-1.0).alias("vmin_d"),
+            F.lit(-1.0).alias("vmax_d"),
+            F.lit(0).cast("long").alias("n_unstated"),
+            F.col("cnt").alias("n_rows"),
+            F.lit(-1).cast("long").alias("n_nonnull"),
+            F.lit(-1).cast("long").alias("sum_i"),
         )
     ).unionByName(
         # IN-list conjuncts (r05 continuation): the string set evaluates

@@ -832,6 +832,49 @@ def main() -> None:
             3,
         )
 
+        # q19t/q19u: fixed-width time-bucket rollup on a TIME-clustered
+        # encode (ingest order is time order — the events-table shape):
+        # one-bucket blocks claim (bucket, count) from zone metadata, so
+        # the daily-rollup query is mostly a stats scan; baseline is the
+        # column-pruned decode + floor + groupBy a user without the
+        # operator would run.
+        from xml2arrow_spark.operators.dataset import time_bucket_count
+
+        DAY30_US = 30 * 86_400_000_000
+        cw_src4 = os.path.join(cw_dir, "src_time")
+        cw_ds4 = os.path.join(cw_dir, "ds_time")
+        li_t = spark.read.parquet(
+            os.path.join(SF_DIR, "lineitem.parquet")
+        ).select("l_shipdate", "l_orderkey")
+        li_t.repartitionByRange(8, "l_shipdate").sortWithinPartitions(
+            "l_shipdate"
+        ).write.mode("overwrite").parquet(cw_src4)
+        encode_parquet_dataset(spark, cw_src4, cw_ds4, layout="wide")
+        best_of(
+            "q19t_time_bucket_meta",
+            lambda: time_bucket_count(
+                spark, cw_ds4, "l_shipdate", DAY30_US
+            ).collect(),
+        )
+        best_of(
+            "q19u_time_bucket_via_decode",
+            lambda: decode_dataset(spark, cw_ds4, columns=["l_shipdate"])
+            .select(
+                F.floor(
+                    F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+                    / F.lit(DAY30_US)
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .count()
+            .collect(),
+        )
+        extra["time_bucket_speedup"] = round(
+            queries["q19u_time_bucket_via_decode"]
+            / queries["q19t_time_bucket_meta"],
+            2,
+        )
+
         # q20: training-shard export (pruned decode -> deterministic
         # shard+order -> partitioned sink -> verified manifest) vs the
         # bare decode+write a user without the manifest/order would run —

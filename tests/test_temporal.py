@@ -200,6 +200,157 @@ def test_temporal_group_keys(spark, tds):
         assert got_sum == truth_sum
 
 
+DAY_US = 86_400_000_000
+
+
+def test_time_bucket_count_matches_decode(spark, tds):
+    """Fixed-width bucket rollup on the codec streams: exact vs the
+    decode+floor+groupBy truth on both dispatch paths; where= composes;
+    negative buckets floor correctly left of the origin."""
+    out, tbl = tds
+    from xml2arrow_spark.operators.dataset import time_bucket_count
+
+    ticks = tbl.column("ts").cast(pa.int64()).to_pylist()
+    truth: dict[int, int] = {}
+    for t in ticks:
+        truth[t // DAY_US] = truth.get(t // DAY_US, 0) + 1
+    for lb in (128 << 20, 0):
+        got = {
+            r["bucket"]: r["cnt"]
+            for r in time_bucket_count(
+                spark, out, "ts", DAY_US, local_bytes=lb
+            ).collect()
+        }
+        assert got == truth
+    lo, hi = ticks[50], ticks[249]
+    tw: dict[int, int] = {}
+    for t in ticks:
+        if lo <= t <= hi:
+            tw[t // DAY_US] = tw.get(t // DAY_US, 0) + 1
+    gw = {
+        r["bucket"]: r["cnt"]
+        for r in time_bucket_count(
+            spark, out, "ts", DAY_US, where=("ts", lo, hi)
+        ).collect()
+    }
+    assert gw == tw
+    # origin mid-data: buckets go negative, floor (not trunc) semantics
+    origin = ticks[300]
+    gn = {
+        r["bucket"]: (r["bucket_start"], r["cnt"])
+        for r in time_bucket_count(
+            spark, out, "ts", DAY_US, origin=origin
+        ).collect()
+    }
+    tn: dict[int, int] = {}
+    for t in ticks:
+        tn[(t - origin) // DAY_US] = tn.get((t - origin) // DAY_US, 0) + 1
+    assert {b: c for b, (_s, c) in gn.items()} == tn
+    assert all(s == origin + b * DAY_US for b, (s, _c) in gn.items())
+    assert min(gn) < 0
+    # date32 column buckets in days
+    gd = {
+        r["bucket"]: r["cnt"]
+        for r in time_bucket_count(spark, out, "day", 7).collect()
+    }
+    td: dict[int, int] = {}
+    for v in tbl.column("day").cast(pa.int32()).to_pylist():
+        td[v // 7] = td.get(v // 7, 0) + 1
+    assert gd == td
+
+
+@pytest.mark.parametrize("layout", ["nested", "wide"])
+def test_time_bucket_count_claims_from_metadata(spark, tmp_path, layout):
+    """Time-clustered blocks whose bounds land in one bucket answer from
+    zone metadata alone — pinned the hard way: tampering EVERY payload
+    byte stream leaves the rollup exact while decode refuses via CRC."""
+    import shutil
+
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from xml2arrow_spark.manifest import CodecManifest
+    from xml2arrow_spark.operators.dataset import (
+        decode_dataset,
+        encode_parquet_dataset,
+        time_bucket_count,
+    )
+
+    src = str(tmp_path / f"src_{layout}")
+    out = str(tmp_path / f"ds_{layout}")
+    os.makedirs(src)
+    n = 300  # 100 rows per day, block_rows=100 -> every block one bucket
+    start = 1_704_067_200_000_000
+    # irregular intra-day jitter so payloads are non-empty (a constant
+    # stride delta-packs to ZERO bytes — nothing to tamper)
+    ts = [
+        start + (i // 100) * DAY_US + (i % 100) * 1000 + (i * i) % 997
+        for i in range(n)
+    ]
+    tbl = pa.table({
+        "event_id": pa.array(
+            np.array([(i * 7919) % n for i in range(n)], dtype=np.int64)
+        ),
+        "ts": pa.array(np.array(ts, dtype=np.int64), type=pa.timestamp("us")),
+    })
+    pq.write_table(tbl, os.path.join(src, "part-0.parquet"))
+    man = CodecManifest.auto_for(from_arrow_schema(tbl.schema), block_rows=100)
+    encode_parquet_dataset(spark, src, out, manifest=man, layout=layout)
+
+    bdir = os.path.join(out, "blocks")
+    n_flipped = 0
+    for fn in os.listdir(bdir):
+        if not fn.endswith(".parquet"):
+            continue
+        fpath = os.path.join(bdir, fn)
+        t0 = pq.read_table(fpath)
+        rows = t0.to_pylist()
+        for r in rows:
+            if layout == "nested":
+                for ci in range(len(r["cols"])):
+                    payload = bytearray(r["cols"][ci]["data"])
+                    if payload:
+                        payload[len(payload) // 2] ^= 0x01
+                        r["cols"][ci]["data"] = bytes(payload)
+                        n_flipped += 1
+            else:
+                for col in ("c_event_id__data", "c_ts__data"):
+                    payload = bytearray(r[col])
+                    if payload:
+                        payload[len(payload) // 2] ^= 0x01
+                        r[col] = bytes(payload)
+                        n_flipped += 1
+        pq.write_table(pa.Table.from_pylist(rows, schema=t0.schema), fpath)
+        crc = os.path.join(bdir, "." + fn + ".crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+    assert n_flipped > 0  # a zero-byte payload would make this test vacuous
+    spark.catalog.refreshByPath(bdir)
+
+    base = start // DAY_US
+    for lb in (128 << 20, 0):
+        got = {
+            r["bucket"]: r["cnt"]
+            for r in time_bucket_count(
+                spark, out, "ts", DAY_US, local_bytes=lb
+            ).collect()
+        }
+        assert got == {base: 100, base + 1: 100, base + 2: 100}
+    with pytest.raises(Exception):
+        decode_dataset(spark, out).collect()
+
+
+def test_time_bucket_count_validation(spark, tds):
+    out, _tbl = tds
+    from xml2arrow_spark.operators.dataset import time_bucket_count
+
+    with pytest.raises(ValueError, match="positive tick int"):
+        time_bucket_count(spark, out, "ts", 0)
+    with pytest.raises(ValueError, match="positive tick int"):
+        time_bucket_count(spark, out, "ts", 1.5)
+    with pytest.raises(ValueError, match="lacks encoded column"):
+        time_bucket_count(spark, out, "nope", DAY_US)
+
+
 def test_count_where_temporal_ticks(spark, tds):
     """Time-range predicates on the metadata-accelerated aggregates:
     bounds are storage-unit tick ints (zone stats + mask kernel share the

@@ -3226,6 +3226,339 @@ def value_histogram(
     )
 
 
+def time_bucket_count(
+    spark,
+    out_path: str,
+    column: str,
+    width: int,
+    origin: int = 0,
+    n_tasks: int | None = None,
+    local_bytes: int = 128 << 20,
+    where=None,
+):
+    """Exact fixed-width time-bucket rollup — ``SELECT floor((ticks -
+    origin) / width) AS bucket, COUNT(*) GROUP BY bucket`` over a stored
+    dataset's timestamp/date (or integer) column, with the bucketing done
+    INSIDE the per-block walk so the shuffle carries (bucket, count)
+    pairs, never per-value tallies: unlike :func:`group_count` /
+    :func:`value_histogram`, whose envelope is the column's cardinality,
+    this stays KB-scale on a NEAR-UNIQUE column — exactly the shape of
+    event timestamps, where "rows per day over 10^12 events" must not
+    ship 10^12 distinct micros through a shuffle.
+
+    ``width``/``origin`` are storage-unit ticks (epoch micros for Spark
+    timestamps, days for date32 — the unit the zone stats share, same
+    contract as the temporal ``where`` bounds). Bucket indexes use exact
+    FLOOR division (negative ticks land left of the origin, python/numpy
+    ``//`` semantics; an SQL oracle needs the two-step floor-division
+    identity, see the round-4 gotcha). NULLs never count.
+
+    Zone degeneration: a block whose stated bounds land in ONE bucket
+    contributes ``(bucket, n_rows - n_null)`` from metadata alone — on
+    time-clustered data (ingest order IS time order) the everyday daily
+    rollup becomes a stats scan that never touches payload. ``where``
+    composes with :func:`count_where`'s classification (pruned blocks
+    skip, interior blocks take the unmasked path, straddlers mask).
+
+    Scale-adaptive dispatch like :func:`count_where`. Returns a DataFrame
+    ``(bucket bigint, bucket_start bigint, cnt bigint)`` — non-empty
+    buckets only, ordered by bucket; ``bucket_start = origin +
+    bucket * width`` (ticks) for direct rendering.
+    """
+    import yaml
+
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.blocks import value_counts_column
+    from xml2arrow_spark.operators.encode import split_schema_ddl
+    from xml2arrow_spark.sources.files import parquet_file_infos, plan_parquet_tasks
+
+    if not isinstance(width, int) or isinstance(width, bool) or width < 1:
+        raise ValueError(f"width must be a positive tick int, got {width!r}")
+    if not isinstance(origin, int) or isinstance(origin, bool):
+        raise ValueError(f"origin must be a tick int, got {origin!r}")
+    with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
+        side = yaml.safe_load(f.read())
+    by_name = split_schema_ddl(side["schema_ddl"])
+    if column not in by_name:
+        raise ValueError(
+            f"dataset lacks encoded column {column!r}; it has {sorted(by_name)}"
+        )
+    col_type = by_name[column].split(None, 1)[1].strip().lower()
+    if col_type not in (
+        *_CW_INT_TYPES, "timestamp", "timestamp_ntz", "date"
+    ):
+        raise ValueError(
+            f"time_bucket_count needs a timestamp/date/int column, got "
+            f"{column} {col_type}"
+        )
+    wide = side.get("layout", "nested") == "wide"
+    conj = (
+        _resolve_conjuncts(by_name, where, "time_bucket_count")
+        if where is not None
+        else None
+    )
+
+    def _bucket(t: int) -> int:
+        return (t - origin) // width  # python floor: exact for negatives
+
+    def _claim(vmin, vmax, n_null, br):
+        """(bucket, count) from zone metadata alone, or None: sound when
+        the stated tick bounds land in the SAME bucket (every non-null
+        row is between them, hence in that bucket); all-null blocks
+        contribute nothing (NULLs never count)."""
+        if n_null is None:
+            return None
+        if n_null == br:
+            return ()  # provably empty contribution
+        if vmin is None or vmax is None:
+            return None
+        b = _bucket(vmin)
+        if b != _bucket(vmax):
+            return None
+        return (b, br - n_null)
+
+    def _tally(tally, meta_json, data, mask=None):
+        vals, counts, _n_null = value_counts_column(meta_json, data, mask=mask)
+        if not len(vals):
+            return
+        if pa.types.is_timestamp(vals.type):
+            ticks = vals.cast(pa.int64())
+        elif pa.types.is_date(vals.type):
+            ticks = vals.cast(pa.int32()).cast(pa.int64())
+        else:
+            ticks = vals.cast(pa.int64())
+        import numpy as np
+
+        tk = np.asarray(ticks)
+        buckets = (tk - np.int64(origin)) // np.int64(width)  # numpy floors
+        for b, c in zip(buckets.tolist(), counts.tolist()):
+            tally[b] = tally.get(b, 0) + c
+
+    def _file_buckets(fpath, pq_mod):
+        """One file's {bucket: count}; claimable blocks never touch
+        payload (wide layout: payload columns read only when some block
+        of the file needs the kernel)."""
+        tally: dict = {}
+        if wide:
+            avail = set(pq_mod.read_schema(fpath).names)
+            claim_want = [
+                "n_rows",
+                f"c_{column}__vmin_i", f"c_{column}__vmax_i",
+                f"c_{column}__n_null",
+            ]
+            have_claim = set(claim_want) <= avail
+            fstat: list[tuple] = []
+            if conj is not None:
+                for col, _values, _lo, _hi, cat in conj:
+                    zmin, zmax = _ZONE_SUFFIXES[cat]
+                    fstat.append(tuple(
+                        n if n in avail else None
+                        for n in (f"c_{col}__{zmin}", f"c_{col}__{zmax}",
+                                  f"c_{col}__n_null")
+                    ))
+            read_cols = (claim_want if have_claim else ["n_rows"]) + [
+                n for trip in fstat for n in trip if n is not None
+            ]
+            kernel_idx: list[int] = []
+            boundary_idx: list[int] = []
+            if (have_claim or conj is not None) and "n_rows" in avail:
+                st = pq_mod.read_table(fpath, columns=sorted(set(read_cols)))
+                rows_col = st.column("n_rows")
+                for i in range(st.num_rows):
+                    br = rows_col[i].as_py()
+                    if not br:
+                        continue
+                    if conj is not None:
+                        kind = _classify_where(conj, [
+                            tuple(
+                                st.column(n)[i].as_py()
+                                if n is not None
+                                else None
+                                for n in trip
+                            )
+                            for trip in fstat
+                        ])
+                        if kind == "pruned":
+                            continue
+                        if kind == "boundary":
+                            boundary_idx.append(i)
+                            continue
+                    claim = _claim(
+                        st.column(f"c_{column}__vmin_i")[i].as_py(),
+                        st.column(f"c_{column}__vmax_i")[i].as_py(),
+                        st.column(f"c_{column}__n_null")[i].as_py(),
+                        br,
+                    ) if have_claim else None
+                    if claim is not None:
+                        if claim:
+                            b, c = claim
+                            tally[b] = tally.get(b, 0) + c
+                    else:
+                        kernel_idx.append(i)
+            elif conj is not None:
+                boundary_idx = list(range(pq_mod.read_metadata(fpath).num_rows))
+            else:
+                kernel_idx = list(range(pq_mod.read_metadata(fpath).num_rows))
+            if kernel_idx or boundary_idx:
+                cols = [f"c_{column}__meta", f"c_{column}__data"]
+                if boundary_idx:
+                    cols += [
+                        x for col, _v, _l, _h, _c in conj
+                        for x in (f"c_{col}__meta", f"c_{col}__data")
+                    ]
+                cols = list(dict.fromkeys(cols))
+                pay = pq_mod.read_table(fpath, columns=cols)
+                arrays = {c: pay.column(c).combine_chunks() for c in cols}
+                for i in kernel_idx:
+                    _tally(
+                        tally,
+                        arrays[f"c_{column}__meta"][i].as_py(),
+                        arrays[f"c_{column}__data"][i].as_py(),
+                    )
+                for i in boundary_idx:
+                    mask = _conj_boundary_mask(conj, lambda c, i=i: (
+                        arrays[f"c_{c}__meta"][i].as_py(),
+                        arrays[f"c_{c}__data"][i].as_py(),
+                    ))
+                    if mask is None:
+                        continue
+                    _tally(
+                        tally,
+                        arrays[f"c_{column}__meta"][i].as_py(),
+                        arrays[f"c_{column}__data"][i].as_py(),
+                        mask=mask,
+                    )
+        else:
+            tbl = pq_mod.read_table(fpath, columns=["n_rows", "cols"])
+            cols_col = tbl.column("cols").combine_chunks()
+            rows_col = tbl.column("n_rows")
+            entry_fields = {
+                f.name for f in tbl.schema.field("cols").type.value_type
+            }
+            has_stats = {"n_null", "vmin_i", "vmax_i"} <= entry_fields
+            for row in range(len(cols_col)):
+                entries = cols_col[row].values
+                names = entries.field("name").to_pylist()
+                try:
+                    zi = names.index(column)
+                except ValueError:
+                    raise ValueError(
+                        f"block lacks an entry for {column!r}; the "
+                        f"sidecar schema and the blocks files disagree"
+                    ) from None
+                br = rows_col[row].as_py()
+                if not br:
+                    continue
+                mask = None
+                if conj is not None:
+                    stats = []
+                    for col, _values, _lo, _hi, cat in conj:
+                        zmin, zmax = _ZONE_SUFFIXES[cat]
+                        try:
+                            fi = names.index(col)
+                        except ValueError:
+                            raise ValueError(
+                                f"block lacks an entry for {col!r}; the "
+                                f"sidecar schema and the blocks files "
+                                f"disagree"
+                            ) from None
+                        stats.append(tuple(
+                            entries.field(f)[fi].as_py()
+                            if f in entry_fields
+                            else None
+                            for f in (zmin, zmax, "n_null")
+                        ))
+                    kind = _classify_where(conj, stats)
+                    if kind == "pruned":
+                        continue
+                    if kind == "boundary":
+                        mask = _conj_boundary_mask(conj, lambda c: (
+                            entries.field("meta")[names.index(c)].as_py(),
+                            entries.field("data")[names.index(c)].as_py(),
+                        ))
+                        if mask is None:
+                            continue
+                claim = None
+                if has_stats and mask is None:
+                    claim = _claim(
+                        entries.field("vmin_i")[zi].as_py(),
+                        entries.field("vmax_i")[zi].as_py(),
+                        entries.field("n_null")[zi].as_py(),
+                        br,
+                    )
+                if claim is not None:
+                    if claim:
+                        b, c = claim
+                        tally[b] = tally.get(b, 0) + c
+                else:
+                    _tally(
+                        tally,
+                        entries.field("meta")[zi].as_py(),
+                        entries.field("data")[zi].as_py(),
+                        mask=mask,
+                    )
+        return tally
+
+    def _finish(total: dict):
+        items = sorted(total.items())
+        return spark.createDataFrame(
+            pa.table({
+                "bucket": pa.array([b for b, _c in items], type=pa.int64()),
+                "bucket_start": pa.array(
+                    [origin + b * width for b, _c in items], type=pa.int64()
+                ),
+                "cnt": pa.array([c for _b, c in items], type=pa.int64()),
+            }),
+            schema="bucket bigint, bucket_start bigint, cnt bigint",
+        )
+
+    infos = parquet_file_infos(os.path.join(out_path, "blocks"))
+    if sum(sz for _p, sz in infos) <= local_bytes:
+        import pyarrow.parquet as pq_local
+
+        total: dict = {}
+        for fp, _sz in infos:
+            for b, c in _file_buckets(fp, pq_local).items():
+                total[b] = total.get(b, 0) + c
+        return _finish(total)
+
+    def sum_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        from xml2arrow_spark.env import limit_arrow_threads
+
+        limit_arrow_threads(1)
+        for b in batches:
+            path_lists = b.column(b.schema.get_field_index("path")).to_pylist()
+            for fpath in (p for paths in path_lists for p in paths):
+                tally = _file_buckets(fpath, pq)
+                if not tally:
+                    continue
+                items = list(tally.items())
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([x for x, _c in items], type=pa.int64()),
+                        pa.array([c for _x, c in items], type=pa.int64()),
+                    ],
+                    names=["bucket", "cnt"],
+                )
+
+    tasks = plan_parquet_tasks(spark, os.path.join(out_path, "blocks"), n_tasks)
+    per_file = tasks.mapInArrow(sum_files, "bucket bigint, cnt bigint")
+    return (
+        per_file.groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(
+            "bucket",
+            (F.lit(origin) + F.col("bucket") * F.lit(width))
+            .cast("long").alias("bucket_start"),
+            "cnt",
+        )
+        .orderBy("bucket")
+    )
+
+
 def top_k_rows(
     spark,
     out_path: str,

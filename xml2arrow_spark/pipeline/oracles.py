@@ -1199,6 +1199,16 @@ def dataset_column_stats_sql() -> str:
                 "AND TIMESTAMP '1998-12-31'",
                 agg_expr="l_orderkey",
             ),
+            # the time-bucket rollup (180-day buckets over epoch micros;
+            # ticks are non-negative here, so truncating // equals floor)
+            "SELECT 'tbucket:' || CAST(b AS VARCHAR) AS column, "
+            "CAST(b * 15552000000000 AS BIGINT) AS vmin_i, "
+            "CAST(-1 AS BIGINT) AS vmax_i, -1.0 AS vmin_d, -1.0 AS vmax_d, "
+            "CAST(0 AS BIGINT) AS n_unstated, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(-1 AS BIGINT) AS n_nonnull, CAST(-1 AS BIGINT) AS sum_i "
+            "FROM (SELECT date_diff('microsecond', TIMESTAMP '1970-01-01', "
+            "l_shipdate) // 15552000000000 AS b FROM lineitem) GROUP BY b",
             where_row(
                 "where:flag_in",
                 "l_returnflag IN ('A', 'R') AND l_linenumber IN (1, 3, 5)",
