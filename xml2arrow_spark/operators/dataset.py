@@ -3300,7 +3300,21 @@ def time_bucket_count(
     )
 
     def _bucket(t: int) -> int:
-        return (t - origin) // width  # python floor: exact for negatives
+        """Python-int floor bucket (exact for negatives, cannot wrap) +
+        the refusal contract: a bucket index or bucket_start label that
+        cannot fit int64 REFUSES rather than wrapping — shift the origin
+        or widen the width (width=1 over a ±2^62 tick span is a request
+        for 2^63+ labels, not a rollup)."""
+        b = (t - origin) // width
+        if not (-(1 << 63) <= b < (1 << 63)) or not (
+            -(1 << 63) <= origin + b * width < (1 << 63)
+        ):
+            raise ArithmeticError(
+                f"time_bucket_count bucket for tick {t} (origin {origin}, "
+                f"width {width}) is outside int64; refusing rather than "
+                f"wrapping (ANSI contract)"
+            )
+        return b
 
     def _claim(vmin, vmax, n_null, br):
         """(bucket, count) from zone metadata alone, or None: sound when
@@ -3331,9 +3345,25 @@ def time_bucket_count(
         import numpy as np
 
         tk = np.asarray(ticks)
-        buckets = (tk - np.int64(origin)) // np.int64(width)  # numpy floors
-        for b, c in zip(buckets.tolist(), counts.tolist()):
-            tally[b] = tally.get(b, 0) + c
+        # vectorized only when the shift provably fits int64 (extreme
+        # ticks with a far origin would WRAP the numpy subtraction, and a
+        # wrapped bucket is a silently wrong answer); otherwise fold in
+        # unbounded python ints — same values either way, pinned by the
+        # randomized sweep
+        tmin, tmax = int(tk.min()), int(tk.max())
+        if (
+            -(1 << 63) <= tmin - origin
+            and tmax - origin < (1 << 63)
+        ):
+            buckets = (tk - np.int64(origin)) // np.int64(width)  # floors
+            # int64-bound check on the extremes covers every bucket
+            _bucket(tmin)
+            _bucket(tmax)
+            for b, c in zip(buckets.tolist(), counts.tolist()):
+                tally[b] = tally.get(b, 0) + c
+        else:
+            for t, c in zip(tk.tolist(), counts.tolist()):
+                tally[_bucket(t)] = tally.get(_bucket(t), 0) + c
 
     def _file_buckets(fpath, pq_mod):
         """One file's {bucket: count}; claimable blocks never touch
@@ -3546,17 +3576,16 @@ def time_bucket_count(
 
     tasks = plan_parquet_tasks(spark, os.path.join(out_path, "blocks"), n_tasks)
     per_file = tasks.mapInArrow(sum_files, "bucket bigint, cnt bigint")
-    return (
-        per_file.groupBy("bucket")
-        .agg(F.sum("cnt").alias("cnt"))
-        .select(
-            "bucket",
-            (F.lit(origin) + F.col("bucket") * F.lit(width))
-            .cast("long").alias("bucket_start"),
-            "cnt",
-        )
-        .orderBy("bucket")
-    )
+    # KB-scale finish (one row per bucket): collect and label driver-side
+    # in unbounded python ints — a Spark-side origin + bucket*width would
+    # ANSI-overflow on the bucket*width INTERMEDIATE for extreme origins
+    # even when bucket_start itself fits int64 (false refusal)
+    total = {
+        r["bucket"]: r["cnt"]
+        for r in per_file.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    return _finish(total)
 
 
 def top_k_rows(
