@@ -328,6 +328,46 @@ def main() -> None:
             shutil.rmtree(qdir, ignore_errors=True)
             shutil.rmtree(qzdir, ignore_errors=True)
 
+    # temporal variant (r05 session 4): event timestamps in ingest order —
+    # sorted micros with jittered inter-arrivals, the universal crawl/event
+    # shape. The engine's auto chain picks delta (+zstd squeezes the
+    # near-constant residuals); parquet-zstd stores the same column from
+    # its own encodings. Ratio <1 = engine smaller.
+    with timed("event_ts_sweep", baselines):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from xml2arrow_spark.manifest import ColumnPolicy
+
+        rng = np.random.default_rng(23)
+        n_t = 400_000
+        gaps = rng.exponential(250_000, n_t).astype(np.int64) + 1  # ~4/s
+        ts_col = 1_704_067_200_000_000 + np.cumsum(gaps)
+        t_tbl = pa.table({
+            "ts": pa.array(ts_col, type=pa.timestamp("us")),
+        })
+        tdir = tempfile.mkdtemp(prefix="bench_ts_")
+        tzdir = tempfile.mkdtemp(prefix="bench_tsz_")
+        try:
+            pq.write_table(t_tbl, os.path.join(tdir, "part-0.parquet"))
+            spark.read.parquet(tdir).repartition(8).write.mode(
+                "overwrite"
+            ).option("compression", "zstd").parquet(tzdir)
+            tzb = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(tzdir) for f in fs
+                if f.endswith(".parquet")
+            )
+            tman = CodecManifest(columns={"ts": ColumnPolicy(codec="auto+zstd")})
+            tagg = encode_parquet_stats(
+                spark, tdir, manifest=tman, n_tasks=8
+            ).agg(F.sum("out_bytes").alias("ob")).collect()[0]
+            extra["event_ts_vs_zstd"] = round(int(tagg["ob"]) / tzb, 4)
+        finally:
+            shutil.rmtree(tdir, ignore_errors=True)
+            shutil.rmtree(tzdir, ignore_errors=True)
+
     # -- q3: documents tokenize -> encode -> decode -> verify ----------------
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
 

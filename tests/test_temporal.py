@@ -339,6 +339,63 @@ def test_time_bucket_count_claims_from_metadata(spark, tmp_path, layout):
         decode_dataset(spark, out).collect()
 
 
+def test_temporal_survives_checkpoint_mutations(spark, tmp_path):
+    """Timestamp columns ride the row-level checkpoint dataset through a
+    full upsert + delete cycle bit-identically (the unit-rewrite path
+    re-encodes temporal blocks like any other), and point lookups
+    project them."""
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.manifest import CodecManifest
+    from xml2arrow_spark.operators.checkpoint import (
+        delete_rows,
+        encode_dataset,
+        lookup_rows,
+        read_encoded_dataset,
+        upsert_rows,
+    )
+
+    ds = str(tmp_path / "ds")
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(
+            F.col("event_id").cast("string").alias("doc_id"),
+            "ts", "event_type",
+        )
+    )
+    man = CodecManifest.auto_for(ev.schema, block_rows=256)
+    encode_dataset(ev, ds, man, n_units=4)
+    batch = ev.filter("doc_id LIKE '%7'").withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    upsert_rows(batch, ds)
+    delete_rows(ev.filter("doc_id LIKE '%3'").select("doc_id"), ds)
+    truth = ev.filter("doc_id NOT LIKE '%3'").withColumn(
+        "ts",
+        F.when(
+            F.col("doc_id").like("%7"),
+            F.col("ts") + F.expr("INTERVAL 1 HOUR"),
+        ).otherwise(F.col("ts")),
+    )
+    back = read_encoded_dataset(spark, ds)
+    mism = (
+        truth.alias("a").join(back.alias("b"), "doc_id", "full_outer")
+        .filter(~F.col("a.ts").eqNullSafe(F.col("b.ts"))).count()
+    )
+    assert mism == 0
+    assert back.count() == truth.count()
+    probe = spark.createDataFrame([("17",), ("20",)], "doc_id string")
+    got = {
+        r["doc_id"]: r["ts"]
+        for r in lookup_rows(probe, ds, columns=["doc_id", "ts"]).collect()
+    }
+    want = {
+        r["doc_id"]: r["ts"]
+        for r in truth.filter(F.col("doc_id").isin("17", "20")).collect()
+    }
+    assert got == want and len(got) == 2
+
+
 def test_time_bucket_count_validation(spark, tds):
     out, _tbl = tds
     from xml2arrow_spark.operators.dataset import time_bucket_count
