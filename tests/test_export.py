@@ -177,11 +177,72 @@ def test_unordered_export(spark, ds, tmp_path):
     assert verify_export(spark, dest)["ok"]
 
 
-def test_refuses_non_integer_id(spark, ds, tmp_path):
+def test_refuses_unsupported_id_type(spark, tmp_path):
     from xml2arrow_spark.errors import EncodeTypeError
 
+    src = str(tmp_path / "src")
+    dsd = str(tmp_path / "ds")
+    os.makedirs(src)
+    pq.write_table(
+        pa.table({"v": pa.array([1.5, 2.5]), "k": pa.array([1, 2])}),
+        os.path.join(src, "part-0.parquet"),
+    )
+    encode_parquet_dataset(spark, src, dsd)
     with pytest.raises(EncodeTypeError):
-        export_slice(spark, ds, str(tmp_path / "out"), id_col="source")
+        export_slice(spark, dsd, str(tmp_path / "out"), id_col="v")
+
+
+def test_string_id_and_curated_family_export(spark, tmp_path):
+    """String doc_ids shard deterministically through xxhash64, and
+    curated=True exports the family-joined view — a backfilled quality
+    column lands in the shards with NULLs for uncovered rows."""
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.manifest import CodecManifest
+    from xml2arrow_spark.operators.checkpoint import add_columns, encode_dataset
+
+    dsd = str(tmp_path / "ds")
+    docs = spark.createDataFrame(
+        [(f"d{i:03d}", i % 97, f"s{i % 3}") for i in range(N)],
+        "doc_id string, n_tok int, source string",
+    )
+    man = CodecManifest.auto_for(docs.schema, block_rows=128)
+    encode_dataset(docs, dsd, man, n_units=4)
+    add_columns(
+        docs.filter("n_tok % 2 = 0").select(
+            "doc_id", (F.col("n_tok") * 2).alias("q_score")
+        ),
+        dsd,
+        "quality",
+    )
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    ma = export_slice(
+        spark, dsd, a, id_col="doc_id",
+        columns=["n_tok", "q_score"], curated=True, n_shards=5,
+    )
+    mb = export_slice(
+        spark, dsd, b, id_col="doc_id",
+        columns=["n_tok", "q_score"], curated=True, n_shards=5,
+    )
+    assert ma["shards"] == mb["shards"] and ma["n_rows"] == N
+    got = read_export(spark, a)
+    assert {"doc_id", "n_tok", "q_score", "pos", "shard"} <= set(got.columns)
+    rows = {r["doc_id"]: (r["n_tok"], r["q_score"]) for r in got.collect()}
+    assert len(rows) == N
+    for i in range(N):
+        want_q = (i % 97) * 2 if (i % 97) % 2 == 0 else None
+        assert rows[f"d{i:03d}"] == (i % 97, want_q)
+    assert verify_export(spark, a)["ok"]
+    # physical pos order holds for the string-id window too
+    for d in sorted(os.listdir(a)):
+        if d.startswith("shard="):
+            for fn in os.listdir(os.path.join(a, d)):
+                if fn.endswith(".parquet"):
+                    pos = pq.read_table(
+                        os.path.join(a, d, fn), columns=["pos"]
+                    ).column("pos").to_pylist()
+                    assert pos == sorted(pos)
 
 
 def test_no_manifest_refused(spark, ds, tmp_path):

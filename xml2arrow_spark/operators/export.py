@@ -90,6 +90,7 @@ def export_slice(
     order: bool = True,
     mode: str = "error",
     compression: str = "zstd",
+    curated: bool = False,
 ) -> dict:
     """Decode a pruned slice of the stored dataset at ``dataset_path`` and
     write it to ``dest`` as ``shard=<i>/`` parquet directories plus a
@@ -99,9 +100,21 @@ def export_slice(
     :func:`~xml2arrow_spark.operators.dataset.decode_dataset` semantics
     (the slice is pruned at the block level and selected inside the decode
     kernel — unqualified payload never crosses the Arrow boundary).
-    ``id_col`` must be an integer column of the dataset; it is decoded
-    even when not in ``columns`` (shard assignment and the fingerprint
-    need it) and always present in the output.
+    ``id_col`` must be an integer or string column of the dataset; it is
+    decoded even when not in ``columns`` (shard assignment and the
+    fingerprint need it) and always present in the output. Integer ids
+    shard through the oracle-portable shuffle hash
+    (:func:`~xml2arrow_spark.pipeline.sampling.shuffle_order`); string
+    ids (the curated corpus's doc_id) through xxhash64 — equally
+    deterministic across runs and cluster sizes, just not reproducible in
+    a SQL oracle.
+
+    ``curated=True`` reads through :func:`~xml2arrow_spark.operators
+    .checkpoint.read_encoded_dataset` instead — the row-level checkpoint
+    dataset's curated view, so ``columns`` may name COLUMN-FAMILY columns
+    (a backfilled quality score exports alongside the base payload;
+    family-uncovered rows carry NULL) and row filters stay base-column
+    exact.
 
     ``order=True`` adds the deterministic training order: ``pos`` is the
     dense 0-based rank within the shard by (shuffle-hash, id), and rows
@@ -139,34 +152,70 @@ def export_slice(
             f"dataset lacks encoded column {id_col!r}; it has {sorted(by_name)}"
         )
     id_type = by_name[id_col].split(None, 1)[1].strip().lower()
-    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+    if id_type not in ("tinyint", "smallint", "int", "bigint", "string"):
         raise EncodeTypeError(
-            f"export_slice needs an integer id column for deterministic "
-            f"shard assignment, got {id_col} {id_type}"
+            f"export_slice needs an integer or string id column for "
+            f"deterministic shard assignment, got {id_col} {id_type}"
         )
     if columns is None:
         out_cols = list(by_name)
     else:
         out_cols = list(dict.fromkeys([*columns, id_col]))
 
-    df = decode_dataset(
-        spark, dataset_path, columns=out_cols,
-        zone_filter=zone_filter, row_filter=row_filter,
-    )
+    if curated:
+        from xml2arrow_spark.operators.checkpoint import read_encoded_dataset
+
+        df = read_encoded_dataset(
+            spark, dataset_path,
+            columns=None if columns is None else out_cols,
+            zone_filter=zone_filter, row_filter=row_filter, id_col=id_col,
+        )
+        out_cols = list(df.columns)
+    else:
+        df = decode_dataset(
+            spark, dataset_path, columns=out_cols,
+            zone_filter=zone_filter, row_filter=row_filter,
+        )
     if order:
-        # shuffle_order's rank window already exchanges on `shard` and
-        # leaves each partition sorted (shard, pos) — the partitioned sink
-        # streams that order straight into the shard files, no second
-        # exchange and no extra sort
-        sharded = shuffle_order(df, n_shards=n_shards, id_col=id_col)
+        if id_type == "string":
+            # xxhash-based twin of shuffle_order for string ids: same
+            # plan shape (ONE exchange — the rank window's own), same
+            # determinism; ties broken by the id itself
+            from pyspark.sql import Window
+
+            rh = F.xxhash64(F.col(id_col))
+            w = Window.partitionBy("shard").orderBy("_rh", id_col)
+            sharded = (
+                df.withColumn("_rh", rh)
+                .withColumn(
+                    "shard",
+                    F.pmod(F.col("_rh"), F.lit(int(n_shards))).cast("int"),
+                )
+                .withColumn(
+                    "pos", (F.row_number().over(w) - F.lit(1)).cast("long")
+                )
+                .drop("_rh")
+            )
+        else:
+            # shuffle_order's rank window already exchanges on `shard` and
+            # leaves each partition sorted (shard, pos) — the partitioned
+            # sink streams that order straight into the shard files, no
+            # second exchange and no extra sort
+            sharded = shuffle_order(df, n_shards=n_shards, id_col=id_col)
         data_cols = [*out_cols, "pos"]
     else:
         from xml2arrow_spark.pipeline import sqlgen as G
 
-        rh = F.expr(G.shuffle_hash_expr(id_col, "spark"))
-        sharded = df.withColumn(
-            "shard", (rh % F.lit(int(n_shards))).cast("int")
-        ).repartition(n_shards, "shard")
+        if id_type == "string":
+            rh = F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(n_shards)))
+            sharded = df.withColumn("shard", rh.cast("int")).repartition(
+                n_shards, "shard"
+            )
+        else:
+            rh = F.expr(G.shuffle_hash_expr(id_col, "spark"))
+            sharded = df.withColumn(
+                "shard", (rh % F.lit(int(n_shards))).cast("int")
+            ).repartition(n_shards, "shard")
         data_cols = list(out_cols)
 
     (
@@ -200,7 +249,8 @@ def export_slice(
         "n_rows": sum(s["n_rows"] for s in shards),
         "fp_mod": _FP_MOD,
         "schema_ddl": ", ".join(
-            f"{n} {by_name[n].split(None, 1)[1]}" for n in out_cols
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.select(*out_cols).schema.fields
         ) + (", pos bigint" if order else ""),
         "shards": shards,
     }
