@@ -1588,7 +1588,8 @@ def q_encode_dataset_resume(spark, sf_dir):
     completed units encodes ONLY the missing half (re-encode-nothing is
     pinned by tests/test_checkpoint.py on manifest row counts). The decoded
     dataset must equal the raw oracle — resume is invisible to results.
-    Further legs below exercise delete, upsert, column families, and
+    Further legs below exercise delete, upsert, column families,
+    merge-on-read tombstones (pending at read time), snapshots, and
     Bloom-indexed point lookups over the same dataset.
     Reference analog: parser-reuse/state-isolation round trips
     (/root/reference/tests/integration_tests.rs:176-269)."""
@@ -1645,6 +1646,15 @@ def q_encode_dataset_resume(spark, sf_dir):
         path,
         "quality",
     )
+    # r05 tombstone leg (merge-on-read soft delete): ids ending in '4' are
+    # tombstoned — an O(batch) metadata write, zero payload bytes touched,
+    # NOT folded before the reads below. The 'all' leg must hide them via
+    # the read-side anti-join; the 'post-delete' snapshot was frozen BEFORE
+    # this, so the 'snap' leg must still SHOW them (soft deletes are not
+    # time travel) — leaking either way hash-mismatches the oracle.
+    from xml2arrow_spark.operators.tombstones import tombstone_rows
+
+    tombstone_rows(tok.filter("doc_id LIKE '%4'").select("doc_id"), path)
     # r05 bloom leg: point lookups through the per-block Bloom index built
     # AFTER the mutations above (its partitions were invalidated+rebuilt by
     # delete/upsert; this full build also covers the family tree's base).

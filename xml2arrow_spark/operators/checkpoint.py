@@ -27,7 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from xml2arrow_spark.manifest import CodecManifest
-from xml2arrow_spark.operators import bloomidx
+from xml2arrow_spark.operators import bloomidx, tombstones
 from xml2arrow_spark.operators.encode import decode_table, encode_table
 
 __all__ = [
@@ -384,13 +384,21 @@ def read_encoded_dataset(
             "so kernel-side selection on them cannot reproduce SQL "
             "semantics — filter after the read instead"
         )
-    need_id = bool(fam_want)
+    # merge-on-read: pending tombstones (see operators/tombstones.py) hide
+    # their rows from every live read via one anti-join; None in the common
+    # no-tombstones case, so the plan is untouched then
+    tomb = tombstones.tombstones_df(spark, path, id_col)
+    need_id = bool(fam_want) or tomb is not None
     base_sel = ([id_col] if need_id and id_col not in base_want else []) + base_want
     ddl = ", ".join(base_cols[c] for c in base_sel)
     blocks = spark.read.parquet(os.path.join(path, "blocks"))
     out = decode_table(
         blocks, ddl, zone_filter=_side_filter(base_cols), row_filter=row_filter
     )
+    if tomb is not None:
+        # unhinted like the upsert anti-join: a takedown list broadcasts
+        # under AQE, a giant pending set degrades to a shuffled join
+        out = out.join(tomb, id_col, "left_anti")
     for fam, cols in fam_want.items():
         fddl = ", ".join([fams[fam][id_col]] + [fams[fam][c] for c in cols])
         fblocks = spark.read.parquet(
@@ -536,6 +544,14 @@ def _rewrite_units(
     os.rename(mdir + ".new", mdir)
     shutil.rmtree(mdir + ".old")
 
+    # pending tombstones of the rewritten units were folded by the callers
+    # (their kept rows are anti-joined) — clear the folded partitions. A
+    # crash between the swap and here leaves them pending: reads then
+    # anti-join ids that are already physically gone (harmless), and a
+    # replay of the same mutation clears them (documented crash window —
+    # an upsert-re-inserted id is hidden until the replay).
+    tombstones.clear_units(path, affected)
+
     # Bloom-index refresh LAST (data + lineage are already consistent):
     # rebuild only the surviving affected units — O(affected units), the
     # same order as the rewrite itself. Emptied units stay absent from the
@@ -599,6 +615,12 @@ def delete_rows(ids: DataFrame, path: str, id_col: str = "doc_id") -> dict:
     )
     decoded = decode_table(blocks, ddl)
     kept = decoded.join(F.broadcast(ids), id_col, "left_anti")
+    # fold the affected units' pending tombstones in the same rewrite (the
+    # units are being re-encoded anyway); _rewrite_units clears the folded
+    # partitions after its manifest swap
+    tomb = tombstones.tombstones_df(spark, path, id_col, units=affected)
+    if tomb is not None:
+        kept = kept.join(tomb, id_col, "left_anti")
     rows_before, rows_after = _rewrite_units(
         spark, path, manifest, n_units, id_col, affected, kept, presort
     )
@@ -714,6 +736,13 @@ def upsert_rows(rows: DataFrame, path: str, id_col: str = "doc_id") -> dict:
     )
     decoded = decode_table(blocks, ddl)
     kept = decoded.join(ids, id_col, "left_anti")
+    # fold pending tombstones of the affected units into this rewrite —
+    # on KEPT rows only: the incoming batch is NEW content, so an upsert
+    # re-inserting a tombstoned id makes the new version visible (the
+    # tombstone applied to the old version, which this rewrite removes)
+    tomb = tombstones.tombstones_df(spark, path, id_col, units=affected)
+    if tomb is not None:
+        kept = kept.join(tomb, id_col, "left_anti")
     rows_before, rows_after = _rewrite_units(
         spark, path, manifest, n_units, id_col, affected,
         kept.unionByName(incoming), presort,
@@ -820,6 +849,11 @@ def lookup_rows(
     out = decode_table(
         _pruned(os.path.join(path, "blocks")), ddl, row_filter=rf
     ).join(F.broadcast(ids), id_col, "left_semi")
+    # merge-on-read: a tombstoned id must read as absent; the tombstone
+    # scan partition-prunes to the units this batch touches
+    tomb = tombstones.tombstones_df(spark, path, id_col, units=affected)
+    if tomb is not None:
+        out = out.join(tomb, id_col, "left_anti")
     for fam, cols in fam_want.items():
         fddl = ", ".join([fams[fam][id_col]] + [fams[fam][c] for c in cols])
         fdec = decode_table(
@@ -1056,6 +1090,15 @@ def audit_dataset(
             report[f"{tname}:bloom:{col}"] = bloomidx.audit_index(
                 spark, tree_path, col, deep=deep
             )
+    # pending tombstones are healthy state (merge-on-read deletes awaiting
+    # their fold), but an operator running fsck should SEE them — they gate
+    # the metadata-accelerated aggregates until apply_tombstones folds them
+    if tombstones.has_pending(path):
+        report["tombstones"] = {
+            "pending_units": tombstones.pending_units(path),
+            "pending_ids": tombstones.pending_count(path),
+            "ok": True,
+        }
     return report
 
 

@@ -65,6 +65,17 @@ METADATA_DDL = (
 
 MANIFEST_SIDECAR = "_manifest.yaml"
 
+def _refuse_pending_tombstones(out_path: str) -> None:
+    """Every stored-dataset read in this module answers from block stats
+    and/or raw block payload — neither can see pending merge-on-read
+    tombstones (operators/tombstones.py), so proceeding would silently
+    include soft-deleted rows. Refuse loudly; read_encoded_dataset applies
+    them, apply_tombstones() folds them."""
+    from xml2arrow_spark.operators.tombstones import refuse_pending
+
+    refuse_pending(out_path, "stored-dataset read")
+
+
 # Unit placement identity for FILE-level datasets: unit_id = file_idx from
 # the lexicographically-sorted file list (sources/files.py). Recorded in the
 # sidecar and verified before resume, like checkpoint.PLACEMENT_ID — if the
@@ -382,6 +393,7 @@ def dataset_column_stats(spark, out_path: str):
 
     from xml2arrow_spark.operators.encode import split_schema_ddl
 
+    _refuse_pending_tombstones(out_path)
     with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
         side = yaml.safe_load(f.read())
     names = list(split_schema_ddl(side["schema_ddl"]))
@@ -731,6 +743,7 @@ def count_where(
     )
     from xml2arrow_spark.sources.files import plan_parquet_tasks
 
+    _refuse_pending_tombstones(out_path)
     with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
         side = yaml.safe_load(f.read())
     by_name = split_schema_ddl(side["schema_ddl"])
@@ -1415,6 +1428,7 @@ def group_count(
     from xml2arrow_spark.operators.encode import split_schema_ddl
     from xml2arrow_spark.sources.files import parquet_file_infos, plan_parquet_tasks
 
+    _refuse_pending_tombstones(out_path)
     with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
         side = yaml.safe_load(f.read())
     by_name = split_schema_ddl(side["schema_ddl"])
@@ -2093,6 +2107,7 @@ def group_aggs(
 
     if not agg_cols:
         raise ValueError("group_aggs needs at least one agg column")
+    _refuse_pending_tombstones(out_path)
     with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
         side = yaml.safe_load(f.read())
     by_name = split_schema_ddl(side["schema_ddl"])
@@ -2661,6 +2676,7 @@ def top_k(
 
     if k < 1:
         raise ValueError(f"top_k needs k >= 1, got {k}")
+    _refuse_pending_tombstones(out_path)
     with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
         side = yaml.safe_load(f.read())
     by_name = split_schema_ddl(side["schema_ddl"])
@@ -3119,6 +3135,7 @@ def exact_quantiles(
             rank = max(1, (q * n + 999) // 1000)
             out_q.append(q)
             out_v.append(values[bisect.bisect_left(cums, rank)])
+    _refuse_pending_tombstones(out_path)
     with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
         side = yaml.safe_load(f.read())
     by_name = split_schema_ddl(side["schema_ddl"])
@@ -3182,6 +3199,7 @@ def value_histogram(
 
     if n_bins < 1:
         raise ValueError(f"value_histogram needs n_bins >= 1, got {n_bins}")
+    _refuse_pending_tombstones(out_path)
     with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
         side = yaml.safe_load(f.read())
     by_name = split_schema_ddl(side["schema_ddl"])
@@ -3277,6 +3295,7 @@ def time_bucket_count(
         raise ValueError(f"width must be a positive tick int, got {width!r}")
     if not isinstance(origin, int) or isinstance(origin, bool):
         raise ValueError(f"origin must be a tick int, got {origin!r}")
+    _refuse_pending_tombstones(out_path)
     with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
         side = yaml.safe_load(f.read())
     by_name = split_schema_ddl(side["schema_ddl"])
@@ -3919,6 +3938,7 @@ def decode_dataset(
     )
     from xml2arrow_spark.sources.files import plan_parquet_tasks
 
+    _refuse_pending_tombstones(out_path)
     with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
         side = yaml.safe_load(f.read())
     by_name = split_schema_ddl(side["schema_ddl"])  # decimal(p,0)-safe

@@ -47,11 +47,12 @@ def encode_dataset_resume_sql() -> str:
     replaces ids ending in '3' with 16-token truncations and inserts ids
     ending in '9' under ``doc_id || '::v2'`` -> ADD_COLUMNS that backfills a
     quality-score column family for ids ending in '1' (uncovered rows read
-    as the -1 sentinel) -> Bloom-indexed point LOOKUP of ids ending in '5'
-    (the 'lookup' leg). The oracle states the final row set directly over
-    the raw projection — resume, delete, upsert, the family join, and the
-    Bloom block filter must all be invisible except for exactly these row
-    edits."""
+    as the -1 sentinel) -> TOMBSTONE (merge-on-read soft delete, left
+    pending) of ids ending in '4' -> Bloom-indexed point LOOKUP of ids
+    ending in '5' (the 'lookup' leg). The oracle states the final row set
+    directly over the raw projection — resume, delete, upsert, the family
+    join, the read-side tombstone anti-join, and the Bloom block filter
+    must all be invisible except for exactly these row edits."""
     return f"""
 WITH t AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -78,7 +79,11 @@ SELECT doc_id, n_tok, source,
        CASE WHEN doc_id LIKE '%1' THEN n_tok % 31 ELSE -1 END AS q_score
 FROM final
 )
-SELECT *, 'all' AS leg FROM proj
+-- live-tree leg: ids ending in '4' were TOMBSTONED (merge-on-read soft
+-- delete, pending — not folded) after the snapshot below was frozen; the
+-- live read must hide them. Replaced ids end '3' and inserted ids end
+-- '::v2', so the LIKE touches only original base rows, as in the engine.
+SELECT *, 'all' AS leg FROM proj WHERE doc_id NOT LIKE '%4'
 UNION ALL
 -- bloom leg: the engine serves these rows through Bloom-pruned point
 -- lookups; the truth is simply the same projection restricted to the batch
