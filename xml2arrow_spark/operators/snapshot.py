@@ -37,6 +37,8 @@ __all__ = [
     "snapshot_path",
     "list_snapshots",
     "drop_snapshot",
+    "expire_snapshots",
+    "vacuum",
     "SNAPSHOTS_DIR",
 ]
 
@@ -123,3 +125,87 @@ def drop_snapshot(path: str, tag: str) -> bool:
         return False
     shutil.rmtree(final)
     return True
+
+
+def expire_snapshots(
+    path: str,
+    keep: list[str] | None = None,
+    retain_last: int | None = None,
+) -> list[str]:
+    """Retention policy for snapshots (Iceberg's ``expire_snapshots``):
+    drop every tag NOT in ``keep``, except the ``retain_last`` most
+    recently CREATED ones (directory mtime — tag names carry no time).
+    Storage is reclaimed per inode by the filesystem link count, exactly
+    as :func:`drop_snapshot`. Returns the dropped tags. With neither
+    argument this is a no-op (never mass-delete by default)."""
+    if keep is None and retain_last is None:
+        return []
+    keep_set = set(keep or [])
+    tags = list_snapshots(path)
+    if retain_last:
+        by_age = sorted(
+            tags, key=lambda t: os.path.getmtime(snapshot_path(path, t))
+        )
+        keep_set.update(by_age[-retain_last:])
+    dropped = [t for t in tags if t not in keep_set]
+    for t in dropped:
+        drop_snapshot(path, t)
+    return dropped
+
+
+def vacuum(path: str) -> dict:
+    """Remove crash debris from a dataset tree — the GC sweep every
+    long-lived 10^12-sequence dataset needs: each crash-safe write in the
+    engine stages under a temp name and renames (sidecars, metadata
+    appends, Bloom partitions, compaction outputs, snapshot staging,
+    mutation staging), so a kill can strand ``*.inprogress`` / ``*.tmp``
+    files, ``.rewrite_tmp`` dirs, and ``snapshots/.tmp-<tag>`` staging
+    dirs. All of them are ignorable by contract (readers never look at
+    temp names) but cost bytes forever; vacuum deletes them and heals a
+    torn manifest swap. CONTRACT: run with no active writer on the tree,
+    like compaction — a live writer's in-flight temp file is
+    indistinguishable from debris. Structured-streaming checkpoint dirs
+    (``*_checkpoint``) are skipped: Spark owns their temp-file lifecycle.
+    Unmanifested block partitions are NOT touched — they are the encode
+    crash window that resume REPAIRS (deleting them would turn a resumable
+    run into data loss); audit_dataset reports them.
+
+    Returns ``{"files_removed", "dirs_removed", "bytes_reclaimed"}``."""
+    from xml2arrow_spark.operators.checkpoint import _heal_torn_swap
+
+    n_files = n_dirs = n_bytes = 0
+    for root, dirs, files in os.walk(path):
+        pruned = []
+        for d in list(dirs):
+            full = os.path.join(root, d)
+            if d.endswith("_checkpoint"):
+                pruned.append(d)
+            elif d == ".rewrite_tmp" or (
+                os.path.basename(root) == SNAPSHOTS_DIR and d.startswith(".tmp-")
+            ):
+                n_bytes += sum(
+                    os.path.getsize(os.path.join(r, f))
+                    for r, _, fs in os.walk(full)
+                    for f in fs
+                )
+                shutil.rmtree(full, ignore_errors=True)
+                n_dirs += 1
+                pruned.append(d)
+        dirs[:] = [d for d in dirs if d not in pruned]
+        for f in files:
+            if f.endswith(".inprogress") or f.endswith(".tmp"):
+                full = os.path.join(root, f)
+                try:
+                    n_bytes += os.path.getsize(full)
+                    os.remove(full)
+                    n_files += 1
+                except OSError:
+                    pass
+    # heal LAST so the sweep above counted .rewrite_tmp itself (the heal
+    # also removes it); the rename makes a torn manifest swap readable again
+    _heal_torn_swap(path)
+    return {
+        "files_removed": n_files,
+        "dirs_removed": n_dirs,
+        "bytes_reclaimed": n_bytes,
+    }

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession, functions as F
 
-__all__ = ["merge_stream", "run_merge_stream"]
+__all__ = ["merge_stream", "run_merge_stream", "tombstone_stream"]
 
 
 def merge_stream(
@@ -85,6 +85,51 @@ def merge_stream(
         .option(
             "checkpointLocation",
             checkpoint_dir or os.path.join(dataset_path, "_merge_checkpoint"),
+        )
+        .trigger(availableNow=True)
+    )
+
+
+def tombstone_stream(
+    spark: SparkSession,
+    source_dir: str,
+    dataset_path: str,
+    id_col: str = "doc_id",
+    id_type: str = "string",
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 4,
+):
+    """Continuous takedown feed: a directory of id batches (right-to-be-
+    forgotten requests, moderation flags) soft-deletes rows as it lands —
+    ``foreachBatch`` over :func:`~xml2arrow_spark.operators.tombstones.
+    tombstone_rows`, the merge-on-read twin of :func:`merge_stream`.
+
+    The delivery contract is the easiest of the three streams: tombstone
+    writes are append-only and duplicate-INSENSITIVE, so at-least-once
+    epoch replay needs no resolution rule at all — a replayed epoch lands
+    redundant id rows that change nothing. Each batch costs O(batch)
+    metadata; the periodic :func:`~xml2arrow_spark.operators.tombstones.
+    apply_tombstones` fold (or any delete/upsert touching the same units)
+    reclaims the payload bytes."""
+    import os
+
+    from xml2arrow_spark.operators.tombstones import tombstone_rows
+
+    src = (
+        spark.readStream.schema(f"{id_col} {id_type}")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def _tombstone(batch_df, epoch_id: int) -> None:
+        tombstone_rows(batch_df, dataset_path, id_col=id_col)
+
+    return (
+        src.writeStream.foreachBatch(_tombstone)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir
+            or os.path.join(dataset_path, "_tombstone_checkpoint"),
         )
         .trigger(availableNow=True)
     )
