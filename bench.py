@@ -568,6 +568,24 @@ def main() -> None:
                 spark, ds_path, columns=["doc_id", "n_tok", "q_score"]
             ).agg(F.sum(F.coalesce("q_score", F.lit(0)))).collect(),
         )
+        # deletion tiers, priced against each other on the SAME id batch:
+        # q18d merge-on-read tombstone (O(batch) metadata write; later reps
+        # append duplicate ids — harmless by contract) vs q18e the eager
+        # delete (decode + re-encode every affected unit; rep 1 removes the
+        # rows and folds the pending tombstones, later reps rewrite the
+        # same units with zero deletions — the same unit-rewrite work)
+        from xml2arrow_spark.operators.checkpoint import delete_rows
+        from xml2arrow_spark.operators.tombstones import tombstone_rows
+
+        del_ids = batch.select("doc_id").cache()
+        del_ids.count()
+        best_of("q18d_tombstone_batch", lambda: tombstone_rows(del_ids, ds_path))
+        best_of("q18e_eager_delete", lambda: delete_rows(del_ids, ds_path))
+        if queries.get("q18e_eager_delete"):
+            extra["tombstone_vs_eager_delete"] = round(
+                queries["q18d_tombstone_batch"] / queries["q18e_eager_delete"], 3
+            )
+        del_ids.unpersist()
         tok_docs.unpersist()
         batch.unpersist()
     finally:
@@ -952,7 +970,8 @@ def main() -> None:
             v
             for k, v in queries.items()
             if not k.startswith(
-                ("q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19")
+                ("q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18",
+                 "q19", "q20")
             )
         ),
         3,

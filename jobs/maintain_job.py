@@ -10,9 +10,14 @@ spark-submit, not a notebook).
 Actions (one JSON metrics line on stdout, non-zero exit on failure):
 
     delete      --ids  <parquet dir with the id column>
+    tombstone   --ids  <parquet dir>  (merge-on-read soft delete, O(batch))
+    apply-tombstones        (fold every pending tombstone into the blocks)
     upsert      --rows <parquet dir with every encoded column>
     add-family  --rows <parquet dir: id + new columns> --family NAME
     lookup      --ids  <parquet dir> --out <parquet dir for the rows>
+    snapshot    --tag NAME  (zero-copy freeze)
+    expire-snapshots [--keep a,b] [--retain-last N]
+    vacuum                  (crash-debris GC sweep; no active writers)
     audit       [--deep]   (exit 1 if any tree fails reconciliation)
 
 Build the --py-files archive with ``tools/make_pyfiles_zip.sh``.
@@ -30,7 +35,11 @@ def main() -> int:
     ap.add_argument("--dataset", required=True)
     ap.add_argument(
         "--action", required=True,
-        choices=["delete", "upsert", "add-family", "lookup", "audit"],
+        choices=[
+            "delete", "tombstone", "apply-tombstones", "upsert",
+            "add-family", "lookup", "snapshot", "expire-snapshots",
+            "vacuum", "audit",
+        ],
     )
     ap.add_argument("--ids", default=None, help="parquet dir of ids")
     ap.add_argument("--rows", default=None, help="parquet dir of row batches")
@@ -38,6 +47,11 @@ def main() -> int:
     ap.add_argument("--out", default=None, help="lookup output parquet dir")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--deep", action="store_true", help="audit: decode + CRC")
+    ap.add_argument("--tag", default=None, help="snapshot tag")
+    ap.add_argument("--keep", default=None,
+                    help="expire-snapshots: comma-separated tags to keep")
+    ap.add_argument("--retain-last", type=int, default=None,
+                    help="expire-snapshots: keep the N newest")
     args = ap.parse_args()
 
     from xml2arrow_spark.env import recommended_spark_confs, set_kernel_malloc_env
@@ -64,6 +78,33 @@ def main() -> int:
     if args.action == "delete":
         ids = spark.read.parquet(_need(args.ids, "ids"))
         out = cp.delete_rows(ids, args.dataset, id_col=args.id_col)
+    elif args.action == "tombstone":
+        from xml2arrow_spark.operators.tombstones import tombstone_rows
+
+        ids = spark.read.parquet(_need(args.ids, "ids"))
+        out = tombstone_rows(ids, args.dataset, id_col=args.id_col)
+    elif args.action == "apply-tombstones":
+        from xml2arrow_spark.operators.tombstones import apply_tombstones
+
+        out = apply_tombstones(spark, args.dataset, id_col=args.id_col)
+    elif args.action == "snapshot":
+        from xml2arrow_spark.operators.snapshot import snapshot_dataset
+
+        out = snapshot_dataset(args.dataset, _need(args.tag, "tag"))
+    elif args.action == "expire-snapshots":
+        from xml2arrow_spark.operators.snapshot import expire_snapshots
+
+        out = {
+            "dropped": expire_snapshots(
+                args.dataset,
+                keep=args.keep.split(",") if args.keep else None,
+                retain_last=args.retain_last,
+            )
+        }
+    elif args.action == "vacuum":
+        from xml2arrow_spark.operators.snapshot import vacuum
+
+        out = vacuum(args.dataset)
     elif args.action == "upsert":
         rows = spark.read.parquet(_need(args.rows, "rows"))
         out = cp.upsert_rows(rows, args.dataset, id_col=args.id_col)

@@ -157,3 +157,20 @@ def test_spark_submit_pyfiles_maintain_job(spark, sf_dir, tmp_path):
         expect.alias("a").join(got.alias("b"), "doc_id")
         .filter("a.tokens IS DISTINCT FROM b.tokens").count() == 0
     )
+
+    # merge-on-read tier through the same deployment path: tombstone a
+    # 3-id batch, fold it, vacuum the tree — three more separate JVMs
+    ids_dir = str(tmp_path / "doomed")
+    tok.select("doc_id").orderBy("doc_id").limit(3).write.parquet(ids_dir)
+    p3 = submit("--action", "tombstone", "--ids", ids_dir)
+    assert p3.returncode == 0, f"stderr:\n{p3.stderr[-4000:]}"
+    m3 = json.loads([l for l in p3.stdout.splitlines() if l.startswith("{")][-1])
+    assert m3["ids_tombstoned"] == 3
+    p4 = submit("--action", "apply-tombstones")
+    assert p4.returncode == 0, f"stderr:\n{p4.stderr[-4000:]}"
+    m4 = json.loads([l for l in p4.stdout.splitlines() if l.startswith("{")][-1])
+    assert m4["rows_deleted"] == 3
+    p5 = submit("--action", "vacuum")
+    assert p5.returncode == 0, f"stderr:\n{p5.stderr[-4000:]}"
+    spark.catalog.refreshByPath(os.path.join(ds, "blocks"))
+    assert read_encoded_dataset(spark, ds).count() == expect.count() - 3
