@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from xml2arrow_spark.manifest import CodecManifest
 from xml2arrow_spark.operators import bloomidx, tombstones
 from xml2arrow_spark.operators.encode import decode_table, encode_table
+from xml2arrow_spark.operators.lease import with_dataset_lease
 
 __all__ = [
     "plan_units",
@@ -178,6 +179,7 @@ def _unit_rollup_aggs():
     ]
 
 
+@with_dataset_lease
 def encode_dataset(
     df: DataFrame,
     path: str,
@@ -564,6 +566,7 @@ def _rewrite_units(
     return rows_before, rows_after
 
 
+@with_dataset_lease
 def delete_rows(ids: DataFrame, path: str, id_col: str = "doc_id") -> dict:
     """Row-level delete on an encoded dataset — the right-to-be-forgotten /
     post-hoc curation pass. At 10^12-sequence scale a deletion batch must
@@ -632,6 +635,7 @@ def delete_rows(ids: DataFrame, path: str, id_col: str = "doc_id") -> dict:
     }
 
 
+@with_dataset_lease
 def upsert_rows(rows: DataFrame, path: str, id_col: str = "doc_id") -> dict:
     """Merge a batch of rows into an encoded dataset — replace-by-id for ids
     already present, insert for new ids (MERGE INTO semantics, the

@@ -92,8 +92,9 @@ def snapshot_dataset(path: str, tag: str) -> dict:
         if rel == ".":
             dirs[:] = [d for d in dirs if d not in _EXCLUDE_DIRS]
         for f in files:
-            # skip torn-write debris; everything durable is snapshot-worthy
-            if f.endswith(".inprogress"):
+            # skip torn-write debris and the live writer lease; everything
+            # durable is snapshot-worthy
+            if f.endswith(".inprogress") or f == "_LEASE":
                 continue
             src = os.path.join(root, f)
             dst_dir = staging if rel == "." else os.path.join(staging, rel)
@@ -172,7 +173,13 @@ def vacuum(path: str) -> dict:
 
     Returns ``{"files_removed", "dirs_removed", "bytes_reclaimed"}``."""
     from xml2arrow_spark.operators.checkpoint import _heal_torn_swap
+    from xml2arrow_spark.operators.lease import dataset_lease
 
+    with dataset_lease(path):
+        return _vacuum_locked(path, _heal_torn_swap)
+
+
+def _vacuum_locked(path: str, _heal_torn_swap) -> dict:
     n_files = n_dirs = n_bytes = 0
     for root, dirs, files in os.walk(path):
         pruned = []

@@ -57,6 +57,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from xml2arrow_spark.operators import lease as _lease
+
 __all__ = [
     "TOMBSTONES_DIR",
     "tombstone_rows",
@@ -139,11 +141,16 @@ def refuse_pending(path: str, op: str) -> None:
         )
 
 
+@_lease.with_dataset_lease
 def tombstone_rows(ids: DataFrame, path: str, id_col: str = "doc_id") -> dict:
     """Soft-delete a batch of ids: stage them as tombstone files, touching
     ZERO payload bytes. Cost is O(batch) — the cheap tier of the deletion
     story (delete_rows is the eager fold). Absent ids are legal (the fold
     is a no-op for them), NULL ids are refused (no identity to delete).
+
+    Holds the writer lease: a tombstone landing between a concurrent
+    rewrite's fold (which read the pending set) and its partition clear
+    would be wiped without ever being applied.
 
     Returns ``{"affected_units", "ids_tombstoned"}``."""
     from xml2arrow_spark.operators.checkpoint import (
