@@ -105,3 +105,70 @@ def test_mutations_hold_the_lease(spark, tmp_path):
     assert m["ids_tombstoned"] == 3
     m = delete_rows(ids, path)  # folds the tombstones it finds
     assert not os.path.exists(os.path.join(path, LEASE_NAME))
+
+
+def test_two_threads_serialize_through_the_lease(spark, tmp_path):
+    """Two genuinely concurrent writers (threads sharing the session) with
+    wait_s: both succeed — the second blocks until the first releases —
+    and the final state is both mutations applied (disjoint ids, so the
+    serialization order is unobservable). Without the lease these could
+    interleave on the shared staging dir and the manifest swap."""
+    import threading
+
+    from xml2arrow_spark.manifest import CodecManifest
+    from xml2arrow_spark.operators import lease as L
+    from xml2arrow_spark.operators.checkpoint import (
+        delete_rows,
+        encode_dataset,
+        read_encoded_dataset,
+        upsert_rows,
+    )
+    from xml2arrow_spark.sources import tokens_dataframe
+
+    path = str(tmp_path / "ds")
+    df = tokens_dataframe(spark, 600, variant="skewed_zipf", n_partitions=2).cache()
+    encode_dataset(
+        df, path, CodecManifest.auto_for(df.schema, block_rows=256), n_units=4
+    )
+    rows = df.limit(40).collect()
+    doomed = [r["doc_id"] for r in rows[:10]]
+    from pyspark.sql import functions as F
+
+    batch = (
+        df.filter(F.col("doc_id").isin([r["doc_id"] for r in rows[10:20]]))
+        .withColumn("tokens", F.expr("slice(tokens, 1, 4)"))
+        .withColumn("n_tok", F.expr("CAST(size(tokens) AS INT)"))
+    )
+
+    # make every mutation WAIT for the lease instead of refusing
+    orig = L.dataset_lease
+    patched = lambda p, ttl_s=L.DEFAULT_TTL_S, wait_s=0.0: orig(
+        p, ttl_s=ttl_s, wait_s=60.0
+    )
+    L.dataset_lease = patched
+    errs = []
+    try:
+        def run(fn):
+            def go():
+                try:
+                    fn()
+                except Exception as e:  # surfaced below — threads swallow
+                    errs.append(e)
+            return go
+
+        t1 = threading.Thread(target=run(lambda: delete_rows(
+            spark.createDataFrame([(d,) for d in doomed], "doc_id string"), path
+        )))
+        t2 = threading.Thread(target=run(lambda: upsert_rows(batch, path)))
+        t1.start(); t2.start(); t1.join(120); t2.join(120)
+    finally:
+        L.dataset_lease = orig
+    assert not errs, errs
+
+    got = read_encoded_dataset(spark, path)
+    assert got.count() == 600 - 10
+    assert got.filter(got.doc_id.isin(doomed)).count() == 0
+    short = got.join(batch.select("doc_id"), "doc_id", "left_semi")
+    assert short.count() == 10
+    assert short.filter("n_tok > 4").count() == 0  # the upsert's edit landed
+    df.unpersist()
