@@ -172,3 +172,29 @@ def test_two_threads_serialize_through_the_lease(spark, tmp_path):
     assert short.count() == 10
     assert short.filter("n_tok > 4").count() == 0  # the upsert's edit landed
     df.unpersist()
+
+
+def test_file_dataset_sinks_hold_the_lease(spark, tmp_path):
+    """encode_parquet_dataset (resume) and compact_dataset serialize
+    through the same lease on out_path — two concurrent compactions
+    racing the leftover sweep is the same unrepairable class."""
+    from xml2arrow_spark.operators.dataset import (
+        compact_dataset,
+        encode_parquet_dataset,
+    )
+    from xml2arrow_spark.sources import tokens_dataframe
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    tokens_dataframe(spark, 400, variant="skewed_zipf", n_partitions=4).write.parquet(src)
+    with dataset_lease(out):
+        with pytest.raises(LeaseHeldError):
+            encode_parquet_dataset(spark, src, out)
+    encode_parquet_dataset(spark, src, out)
+    with dataset_lease(out):
+        with pytest.raises(LeaseHeldError):
+            compact_dataset(spark, out, target_files=2)
+    m = compact_dataset(spark, out, target_files=2)
+    assert m["files_after"] <= 2
+    assert not os.path.exists(os.path.join(out, LEASE_NAME))

@@ -29,6 +29,7 @@ from typing import Iterator
 import pyarrow as pa
 
 from xml2arrow_spark.manifest import CodecManifest
+from xml2arrow_spark.operators.lease import with_dataset_lease as _with_dataset_lease
 from xml2arrow_spark.operators.encode import (
     BLOCKS_SCHEMA_DDL,
     _blockify,
@@ -97,6 +98,7 @@ def _completed_units(spark, out_path: str) -> set[int]:
     return set(col.to_pylist())
 
 
+@_with_dataset_lease(arg=2, kw="out_path")
 def encode_parquet_dataset(
     spark,
     in_path: str,
@@ -3680,6 +3682,7 @@ def top_k_rows(
     )
 
 
+@_with_dataset_lease(arg=1, kw="out_path")
 def compact_dataset(
     spark, out_path: str, target_files: int = 8, n_tasks: int | None = None
 ) -> dict:

@@ -135,19 +135,23 @@ def dataset_lease(path: str, ttl_s: float = DEFAULT_TTL_S, wait_s: float = 0.0):
                 pass
 
 
-def with_dataset_lease(fn):
-    """Decorator for mutation entry points whose dataset root is the
-    SECOND positional argument (or the ``path`` keyword) — the shared
-    signature of encode_dataset / delete_rows / upsert_rows /
-    tombstone_rows. The root is created if absent (a first encode holds
-    the lease on the directory it is about to populate)."""
+def with_dataset_lease(fn=None, *, arg: int = 1, kw: str = "path"):
+    """Decorator for mutation entry points: the dataset root is positional
+    argument ``arg`` (default: second — the shared signature of
+    encode_dataset / delete_rows / upsert_rows / tombstone_rows) or the
+    ``kw`` keyword (``out_path`` for the file-dataset sinks). The root is
+    created if absent (a first encode holds the lease on the directory it
+    is about to populate)."""
     import functools
 
-    @functools.wraps(fn)
-    def inner(*args, **kwargs):
-        path = kwargs["path"] if "path" in kwargs else args[1]
-        os.makedirs(path, exist_ok=True)
-        with dataset_lease(path):
-            return fn(*args, **kwargs)
+    def deco(f):
+        @functools.wraps(f)
+        def inner(*args, **kwargs):
+            path = kwargs[kw] if kw in kwargs else args[arg]
+            os.makedirs(path, exist_ok=True)
+            with dataset_lease(path):
+                return f(*args, **kwargs)
 
-    return inner
+        return inner
+
+    return deco(fn) if fn is not None else deco
