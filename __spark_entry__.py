@@ -569,6 +569,7 @@ def q_dataset_column_stats(spark, sf_dir):
     import os
 
     from xml2arrow_spark.operators.dataset import (
+        any_of,
         count_where,
         dataset_column_stats,
         encode_parquet_dataset,
@@ -919,6 +920,26 @@ def q_dataset_column_stats(spark, sf_dir):
             agg_col="l_orderkey",
         )
     ).unionByName(
+        # DISJUNCTIVE predicate (r05 session 6): any_of closes the
+        # predicate algebra under OR. The two one-sided ranges are the
+        # NOT BETWEEN rewrite over the range-clustered key, so blocks
+        # inside neither disjunct PRUNE, blocks fully inside one claim
+        # interior (count AND sum from metadata), and the straddlers
+        # fold OR'd masks; the oracle re-filters with SQL OR
+        leg(
+            "wor:okey",
+            any_of(("l_orderkey", None, 5000), ("l_orderkey", 25000, None)),
+            agg_col="l_linenumber",
+        )
+    ).unionByName(
+        # ...and a mixed-category OR (string disjunct OR float disjunct):
+        # floats never claim, so every surviving block drives the OR'd
+        # codec-aware mask path
+        leg(
+            "wor:mixed",
+            any_of(("l_returnflag", "A", "A"), ("l_quantity", None, 10.0)),
+        )
+    ).unionByName(
         # codec-stream GROUP BY counts: dict_str bincount (string key)
         group_leg("group:flag=", "l_returnflag")
     ).unionByName(
@@ -969,6 +990,16 @@ def q_dataset_column_stats(spark, sf_dir):
         gsum_leg(
             "ginwhere:flag=", "l_returnflag", "l_orderkey",
             where=("l_linenumber", [1, 2, 4]),
+        )
+    ).unionByName(
+        # grouped aggregation under OR (r05 session 6): the DNF
+        # classifier composes with the masked group kernel — the
+        # disjuncts straddle different block ranges of the clustered key
+        gsum_leg(
+            "gwor:flag=", "l_returnflag", "l_orderkey",
+            where=any_of(
+                ("l_orderkey", None, 5000), ("l_orderkey", 25000, None)
+            ),
         )
     ).unionByName(
         # top-k pushdown (r05 continuation): ORDER BY ... LIMIT answered

@@ -30,6 +30,7 @@ import pyarrow as pa
 
 from xml2arrow_spark.manifest import CodecManifest
 from xml2arrow_spark.operators.lease import with_dataset_lease as _with_dataset_lease
+from xml2arrow_spark.operators.predicates import any_of, not_between  # noqa: F401 (re-export)
 from xml2arrow_spark.operators.encode import (
     BLOCKS_SCHEMA_DDL,
     _blockify,
@@ -56,6 +57,8 @@ __all__ = [
     "top_k_rows",
     "exact_quantiles",
     "value_histogram",
+    "any_of",
+    "not_between",
     "METADATA_DDL",
 ]
 
@@ -491,10 +494,30 @@ def _resolve_conjuncts(by_name: dict, predicate, caller: str):
     .decode_table`'s ``row_filter`` takes). Returns
     ``[(col, values, lo, hi, cat)]`` with ``cat`` in ``{'i','d','s'}``;
     ``values`` is None for range conjuncts, and lo/hi are None for
-    IN-list conjuncts."""
+    IN-list conjuncts.
+
+    ``predicate`` may also be an :class:`~xml2arrow_spark.operators
+    .predicates.AnyOf` (``any_of(...)``) — a DISJUNCTION of such
+    conjunctions (DNF). The resolved form is then the flat conjunct list
+    across every disjunct with the disjunct spans attached
+    (:class:`~xml2arrow_spark.operators.predicates.DnfConjuncts`), so the
+    per-conjunct stats fetching at every call site is unchanged and only
+    the classifier/mask combiners see the OR structure."""
     import math
 
     from xml2arrow_spark.operators.encode import normalize_zone_filters
+    from xml2arrow_spark.operators.predicates import AnyOf, DnfConjuncts
+
+    if isinstance(predicate, AnyOf):
+        flat: list[tuple] = []
+        groups: list[tuple[int, int]] = []
+        for d in predicate.disjuncts:
+            sub = _resolve_conjuncts(by_name, d, caller)
+            groups.append((len(flat), len(flat) + len(sub)))
+            flat.extend(sub)
+        if len(groups) == 1:  # any_of(x) IS x — no OR machinery
+            return flat
+        return DnfConjuncts(flat, groups)
 
     preds = normalize_zone_filters(predicate)
     if not preds:
@@ -590,7 +613,23 @@ def _classify_where(conj, stats):
     [vmin, vmax] — sound for truncated string bounds too, vmin understates
     the true min and vmax overstates the true max; interior only when the
     block is provably single-valued (vmin == vmax, truncation-safe) on a
-    set member with a null-free column."""
+    set member with a null-free column.
+
+    Under a DNF predicate (``conj`` carries ``groups`` — see
+    :func:`_resolve_conjuncts`) the per-disjunct verdicts combine as:
+    pruned only when EVERY disjunct prunes; interior when ANY disjunct is
+    interior (its interior already proves ALL rows match, so the union
+    does too); else boundary."""
+    groups = getattr(conj, "groups", None)
+    if groups is not None:
+        kinds = [
+            _classify_where(list(conj[a:b]), stats[a:b]) for a, b in groups
+        ]
+        if all(k == "pruned" for k in kinds):
+            return "pruned"
+        if any(k == "interior" for k in kinds):
+            return "interior"
+        return "boundary"
     interior = True
     for (_col, values, lo, hi, cat), (vmin, vmax, n_null) in zip(conj, stats):
         if values is not None:
@@ -632,10 +671,25 @@ def _conj_boundary_mask(conj, pair_of):
     conjuncts decode and compare as float64, the same widening
     count_where's boundary path uses. NULL/NaN rows fail, matching SQL
     WHERE. Returns a numpy row mask, or None when no row matches (the
-    block contributes nothing)."""
+    block contributes nothing).
+
+    Under a DNF predicate the row mask is the OR of the per-disjunct
+    conjunction masks (a row matches when any disjunct does; NULL/NaN
+    rows fail every disjunct, matching SQL WHERE on a DNF)."""
     import pyarrow.compute as pc
 
     from xml2arrow_spark.operators.encode import match_mask_column
+
+    groups = getattr(conj, "groups", None)
+    if groups is not None:
+        import numpy as np
+
+        out = None
+        for a, b in groups:
+            m = _conj_boundary_mask(list(conj[a:b]), pair_of)
+            if m is not None:
+                out = m if out is None else np.logical_or(out, m)
+        return out
 
     mask = None
     for col, values, lo, hi, cat in conj:
@@ -729,7 +783,12 @@ def count_where(
     point falls outside its zone range, claims interior when provably
     single-valued on a set member, and otherwise evaluates the set once
     per distinct value / run on the codec streams. Columns must be scalar
-    int/float/string/decimal; bound types must match the column category. Returns a ONE-ROW DataFrame
+    int/float/string/decimal; bound types must match the column category.
+    ``predicate`` may also be :func:`~xml2arrow_spark.operators.predicates
+    .any_of` — a DISJUNCTION of such conjunctions (DNF): a block prunes
+    only when every disjunct prunes it, claims interior only when one
+    disjunct provably matches ALL its rows, and a boundary block's row
+    mask is the OR of the per-disjunct masks. Returns a ONE-ROW DataFrame
     ``(n_match, n_blocks, n_pruned, n_interior, n_boundary[, n_sum, n_min,
     n_max])`` — n_match and the aggregates are exact, the rest are the
     classification telemetry that makes the skip rates observable (the
@@ -764,17 +823,46 @@ def count_where(
                 f"agg_col must be an integer column; {agg_col!r} is {styp}"
             )
     suffixes = _ZONE_SUFFIXES
-    single = len(conj) == 1
+    groups = getattr(conj, "groups", None)
+    single = groups is None and len(conj) == 1
 
     def _classify(stats, zsum, s_nnull, avmin, avmax):
         """stats: per-conjunct (vmin, vmax, n_null, block_rows) ->
         (kind, metadata count, (sum, min, max) or None). Conservative:
         anything unknown degrades to boundary (decode), never to a wrong
-        answer."""
+        answer.
+
+        DNF combining (``groups`` set): pruned only when every disjunct
+        prunes. An interior claim is usable only when a disjunct provably
+        matches ALL rows (count == block_rows): the single-conjunct
+        interior-with-null-subtraction claim matches only that column's
+        non-null rows, and rows it fails may match ANOTHER disjunct, so
+        the union size is unknowable from metadata — such blocks degrade
+        to boundary. A full-rows disjunct also makes the block's stored
+        agg stats exactly the matched set's aggregates, so the trip claim
+        carries over untouched."""
+        if groups is not None:
+            res = [
+                _classify_conj(
+                    list(conj[a:b]), stats[a:b], b - a == 1,
+                    zsum, s_nnull, avmin, avmax,
+                )
+                for a, b in groups
+            ]
+            if all(k == "pruned" for k, _c, _t in res):
+                return "pruned", 0, None
+            rows = stats[0][3]
+            for k, c, trip in res:
+                if k == "interior" and c == rows:
+                    return "interior", c, trip
+            return "boundary", 0, None
+        return _classify_conj(conj, stats, single, zsum, s_nnull, avmin, avmax)
+
+    def _classify_conj(sub, stats, single, zsum, s_nnull, avmin, avmax):
         interior = True
         nulls: list[int] = []
         rows = 0
-        for (col, values, lo, hi, cat), (vmin, vmax, n_null, block_rows) in zip(conj, stats):
+        for (col, values, lo, hi, cat), (vmin, vmax, n_null, block_rows) in zip(sub, stats):
             rows = block_rows
             if values is not None:
                 # IN-list conjunct: pruned when every point falls outside
@@ -824,7 +912,7 @@ def count_where(
             # presence needs the agg column's own null count
             provable = zsum is not None and s_nnull is not None and (
                 all(n == 0 for n in nulls)
-                or (single and conj[0][0] == agg_col)
+                or (single and sub[0][0] == agg_col)
             )
             if provable:
                 if rows - s_nnull == 0:  # no non-null value matched
@@ -843,29 +931,46 @@ def count_where(
         materializing the values); float conjuncts decode and compare as
         float64 (exact widening; the bound stays the double the oracle
         compares against). The agg column decodes only when a row
-        actually matched. Returns (count, (sum, min, max) or None)."""
+        actually matched. Returns (count, (sum, min, max) or None).
+
+        Under a DNF predicate the row mask is the OR of the per-disjunct
+        conjunction masks (NULL/NaN rows fail every disjunct)."""
         import pyarrow.compute as pc
 
-        mask = None
-        for col, values, lo, hi, cat in conj:
-            if cat == "d":
-                arr = pc.cast(decode_column(*pair_of(col)), pa.float64())
-                if values is not None:
-                    m = pc.fill_null(pc.is_in(
-                        arr, value_set=pa.array(values, type=pa.float64())
-                    ), False)
+        def _mask_of(sub):
+            mask = None
+            for col, values, lo, hi, cat in sub:
+                if cat == "d":
+                    arr = pc.cast(decode_column(*pair_of(col)), pa.float64())
+                    if values is not None:
+                        m = pc.fill_null(pc.is_in(
+                            arr, value_set=pa.array(values, type=pa.float64())
+                        ), False)
+                    else:
+                        m = None
+                        if lo is not None:
+                            m = pc.greater_equal(arr, pa.scalar(lo))
+                        if hi is not None:
+                            mh = pc.less_equal(arr, pa.scalar(hi))
+                            m = mh if m is None else pc.and_kleene(m, mh)
                 else:
-                    m = None
-                    if lo is not None:
-                        m = pc.greater_equal(arr, pa.scalar(lo))
-                    if hi is not None:
-                        mh = pc.less_equal(arr, pa.scalar(hi))
-                        m = mh if m is None else pc.and_kleene(m, mh)
-            else:
-                m = match_mask_column(*pair_of(col), values, lo, hi)
-                if m is None:
-                    return 0, None  # a conjunct matched zero rows
-            mask = m if mask is None else pc.and_kleene(mask, m)
+                    m = match_mask_column(*pair_of(col), values, lo, hi)
+                    if m is None:
+                        return None  # a conjunct matched zero rows
+                mask = m if mask is None else pc.and_kleene(mask, m)
+            return mask
+
+        if groups is None:
+            mask = _mask_of(conj)
+        else:
+            mask = None
+            for a, b in groups:
+                m = _mask_of(list(conj[a:b]))
+                if m is not None:
+                    m = pc.fill_null(m, False)
+                    mask = m if mask is None else pc.or_(mask, m)
+        if mask is None:
+            return 0, None  # no disjunct matched any row
         s = pc.sum(mask)
         cnt = int(s.as_py() or 0)
         if agg_col is None or cnt == 0:
@@ -958,7 +1063,7 @@ def count_where(
             if boundary_idx:
                 # only now touch payload, and only the filter cols
                 # (+ the sum column)
-                pay_cols = [c for c, _v, _l, _h, _c2 in conj]
+                pay_cols = list(dict.fromkeys(c for c, _v, _l, _h, _c2 in conj))
                 if agg_col is not None and agg_col not in pay_cols:
                     pay_cols.append(agg_col)
                 need = [x for col in pay_cols

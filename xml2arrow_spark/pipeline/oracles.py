@@ -1219,6 +1219,18 @@ def dataset_column_stats_sql() -> str:
                 "l_returnflag IN ('A', 'R') AND l_linenumber IN (1, 3, 5)",
                 agg_expr="l_orderkey",
             ),
+            # the DNF legs (any_of): SQL OR re-filtered from the raw table
+            # -- an unsound OR-prune, a bad full-rows interior claim, or a
+            # mis-OR'd boundary mask all hash-mismatch
+            where_row(
+                "wor:okey",
+                "l_orderkey <= 5000 OR l_orderkey >= 25000",
+                agg_expr="l_linenumber",
+            ),
+            where_row(
+                "wor:mixed",
+                "l_returnflag = 'A' OR l_quantity <= 10.0",
+            ),
             group_row("group:flag=", "l_returnflag"),
             group_row("group:line=", "l_linenumber"),
             gsum_row("gsum:flag=", "l_returnflag", "l_orderkey"),
@@ -1244,6 +1256,10 @@ def dataset_column_stats_sql() -> str:
             gsum_row(
                 "ginwhere:flag=", "l_returnflag", "l_orderkey",
                 cond="l_linenumber IN (1, 2, 4)",
+            ),
+            gsum_row(
+                "gwor:flag=", "l_returnflag", "l_orderkey",
+                cond="l_orderkey <= 5000 OR l_orderkey >= 25000",
             ),
             # group_aggs legs: the engine computes both columns in one
             # pass; the oracle re-aggregates each separately
