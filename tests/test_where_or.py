@@ -326,6 +326,30 @@ def test_quantiles_and_histogram_where_or(spark, ds):
     assert hist == expect
 
 
+def test_decode_row_filter_or(spark, ds):
+    # the selective-decode read path: any_of pushes an OR'd row selection
+    # inside the decode kernel -- only matching rows cross Arrow
+    from xml2arrow_spark.operators.dataset import decode_dataset
+
+    pred = any_of(("id", 0, 99), [("tag", "zzz", "zzz"), ("qty", 5, 6)])
+    got = sorted(
+        r["id"] for r in decode_dataset(
+            spark, ds, columns=["id"], row_filter=pred
+        ).collect()
+    )
+    expect = sorted(x["id"] for x in _rows() if _match(x, pred.disjuncts))
+    assert got == expect
+    # filter columns outside the projection, mixed float disjunct
+    pred2 = any_of(("val", 440.0, None), ("qty", [0]))
+    got2 = sorted(
+        r["id"] for r in decode_dataset(
+            spark, ds, columns=["id"], row_filter=pred2
+        ).collect()
+    )
+    expect2 = sorted(x["id"] for x in _rows() if _match(x, pred2.disjuncts))
+    assert got2 == expect2
+
+
 def test_any_of_validation(spark, ds):
     with pytest.raises(ValueError):
         any_of()

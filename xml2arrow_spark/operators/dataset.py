@@ -4033,8 +4033,10 @@ def decode_dataset(
     blocks gather only the matching rows — the result is EXACT on the
     filter columns, only the matches cross the Arrow boundary, and filter
     columns need not be in ``columns`` (they are read for the mask and
-    dropped). Pair with the corresponding ``zone_filter`` so
-    non-overlapping blocks never reach the kernel at all."""
+    dropped). ``any_of(...)`` lifts the row filter to a DISJUNCTION (the
+    per-disjunct masks OR; only a block NO disjunct matches skips). Pair
+    with the corresponding ``zone_filter`` so non-overlapping blocks
+    never reach the kernel at all."""
     import yaml
 
     from xml2arrow_spark.operators.encode import (

@@ -863,9 +863,29 @@ def normalize_row_filters(row_filter) -> list[tuple]:
     = inclusive range with optional open sides; ``row_filter`` may be one
     conjunct or a list of them. Filter columns need NOT be in the decoded
     projection — they are read for the mask and dropped (filter on the id,
-    project the text)."""
+    project the text).
+
+    ``row_filter`` may also be an :class:`~xml2arrow_spark.operators
+    .predicates.AnyOf` (``any_of(...)``) — a DISJUNCTION of such
+    conjunctions: the returned list is then the flat conjunct list with
+    the disjunct spans attached (``.groups``), and
+    :func:`apply_row_filters` ORs the per-disjunct masks."""
+    from xml2arrow_spark.operators.predicates import AnyOf, DnfConjuncts
+
     if row_filter is None:
         return []
+    if isinstance(row_filter, AnyOf):
+        flat: list[tuple] = []
+        groups: list[tuple[int, int]] = []
+        for d in row_filter.disjuncts:
+            sub = normalize_row_filters(d)
+            if not sub:
+                raise ValueError("any_of disjuncts must be non-empty")
+            groups.append((len(flat), len(flat) + len(sub)))
+            flat.extend(sub)
+        if len(groups) == 1:  # any_of(x) IS x
+            return flat
+        return DnfConjuncts(flat, groups)
     preds = (
         [row_filter] if isinstance(row_filter, tuple) else list(row_filter)
     )
@@ -899,11 +919,30 @@ def apply_row_filters(rfs, pair, out_names):
     maps at most one projected filter column to its pre-gathered rows
     (the single-conjunct fused fast path of
     :func:`~xml2arrow_spark.operators.blocks.match_decode_column`).
-    ``pair(col)`` yields a column's (meta_json, payload)."""
+    ``pair(col)`` yields a column's (meta_json, payload).
+
+    Under a DNF row filter (``rfs`` carries ``.groups``) the mask is the
+    OR of the per-disjunct conjunction masks — a row survives when any
+    disjunct matches it; NULL/NaN rows fail every disjunct. The fused
+    single-conjunct fast path stays conjunction-only (a DNF always has
+    several conjuncts)."""
     import pyarrow.compute as pc
 
     if not rfs:
         return None, {}
+    groups = getattr(rfs, "groups", None)
+    if groups is not None:
+        mask = None
+        for a, b in groups:
+            fr = apply_row_filters(list(rfs[a:b]), pair, ())
+            if fr is None:
+                continue  # this disjunct matched no row
+            m, _sel = fr
+            m = pc.fill_null(m, False)
+            mask = m if mask is None else pc.or_(mask, m)
+        if mask is None or not pc.any(mask).as_py():
+            return None
+        return mask, {}
     if len(rfs) == 1 and rfs[0][0] in out_names:
         col, vv, lo, hi = rfs[0]
         md = match_decode_column(*pair(col), vv, lo, hi)
@@ -961,7 +1000,10 @@ def decode_table(blocks_df, schema_ddl: str, zone_filter=None, row_filter=None):
     and a zero-match conjunct skips the block before any other kernel.
     Filter columns need NOT be in the decoded projection (filter on the
     id, project the text): their streams are read for the mask and
-    dropped.
+    dropped. ``any_of(...)`` (:mod:`~xml2arrow_spark.operators
+    .predicates`) lifts either shape to a DISJUNCTION: per-disjunct
+    conjunction masks OR together, and only a block NO disjunct matches
+    skips.
 
     ``schema_ddl`` may name a SUBSET of the encoded columns. Nested layout:
     only the named entries are decoded (CPU pruning — the payload bytes of
