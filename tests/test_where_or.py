@@ -350,6 +350,56 @@ def test_decode_row_filter_or(spark, ds):
     assert got2 == expect2
 
 
+def test_zone_filter_or_prunes_and_keeps(spark, ds):
+    # zone_filter=any_of keeps a block when ANY disjunct can intersect it:
+    # with id-clustered 100-row blocks the two disjoint windows keep
+    # exactly two blocks (200 rows decode), and pairing the same DNF as
+    # row_filter returns the exact union
+    from xml2arrow_spark.operators.dataset import decode_dataset
+
+    zf = any_of(("id", 0, 49), ("id", 700, 749))
+    sup = decode_dataset(spark, ds, columns=["id"], zone_filter=zf).collect()
+    ids = sorted(r["id"] for r in sup)
+    assert len(ids) == 200  # exactly the two kept blocks
+    assert set(range(50)) <= set(ids) and set(range(700, 750)) <= set(ids)
+    exact = sorted(
+        r["id"]
+        for r in decode_dataset(
+            spark, ds, columns=["id"], zone_filter=zf, row_filter=zf
+        ).collect()
+    )
+    assert exact == list(range(50)) + list(range(700, 750))
+
+
+def test_zone_filter_or_mixed_category(spark, ds):
+    # disjuncts on different columns: every block keeps via the tag side
+    # in the first half and the id side elsewhere; row filter makes exact
+    from xml2arrow_spark.operators.dataset import decode_dataset
+
+    zf = any_of([("tag", "aaa", "aaa")], [("id", 850, 899)])
+    exact = sorted(
+        r["id"]
+        for r in decode_dataset(
+            spark, ds, columns=["id"], zone_filter=zf, row_filter=zf
+        ).collect()
+    )
+    assert exact == list(range(450)) + list(range(850, 900))
+
+
+def test_top_k_rows_where_or(spark, ds):
+    from xml2arrow_spark.operators.dataset import top_k_rows
+
+    pred = any_of(("id", 0, 99), [("tag", "zzz", "zzz"), ("qty", 5, 6)])
+    got = sorted(
+        r["id"]
+        for r in top_k_rows(spark, ds, "id", 5, where=pred).collect()
+    )
+    matched = sorted(
+        (x["id"] for x in _rows() if _match(x, pred.disjuncts)), reverse=True
+    )
+    assert got == sorted(matched[:5])
+
+
 def test_any_of_validation(spark, ds):
     with pytest.raises(ValueError):
         any_of()

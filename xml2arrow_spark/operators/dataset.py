@@ -3773,11 +3773,22 @@ def top_k_rows(
     zone_filters = [rf]
     if where is not None:
         from xml2arrow_spark.operators.encode import normalize_zone_filters
+        from xml2arrow_spark.operators.predicates import AnyOf, any_of as _any_of
 
-        for pred in normalize_zone_filters(where):
-            row_filters.append(pred)
-            if len(pred) == 3:  # range conjuncts also prune whole blocks
-                zone_filters.append(pred)
+        if isinstance(where, AnyOf):
+            # distribute the rank threshold into each disjunct:
+            # thr AND (D1 OR D2)  ==  (thr AND D1) OR (thr AND D2);
+            # the threshold range still zone-prunes on its own, the
+            # disjuncts' ranges cannot AND-prune so they stay row-level
+            row_filters = _any_of(*[
+                [rf] + ([d] if isinstance(d, tuple) else list(d))
+                for d in where.disjuncts
+            ])
+        else:
+            for pred in normalize_zone_filters(where):
+                row_filters.append(pred)
+                if len(pred) == 3:  # range conjuncts also prune blocks
+                    zone_filters.append(pred)
     return decode_dataset(
         spark, out_path,
         n_tasks=n_tasks,
@@ -4064,10 +4075,14 @@ def decode_dataset(
         out_names = list(columns)
     ddl = ", ".join(by_name[n] for n in out_names)
     wide = side.get("layout", "nested") == "wide"
-    # (column, lo, hi, vmin-field, vmax-field) per conjunct
+    # (column, lo, hi, vmin-field, vmax-field) per conjunct; zf_groups
+    # carries the disjunct spans when the filter is a DNF (any_of) —
+    # a block is kept when ANY disjunct's every range can intersect it
+    _zfs_norm = normalize_zone_filters(zone_filter)
+    zf_groups = getattr(_zfs_norm, "groups", None)
     zfs = [
         (c, lo, hi, *_zone_suffixes(lo, hi))
-        for (c, lo, hi) in normalize_zone_filters(zone_filter)
+        for (c, lo, hi) in _zfs_norm
     ]
 
     rfs = normalize_row_filters(row_filter)
@@ -4102,19 +4117,32 @@ def decode_dataset(
                     if zfs:
                         import pyarrow.dataset as pads
 
-                        expr = None
-                        for zf_col, zf_lo, zf_hi, zf_min, zf_max in zfs:
+                        def _one(zf):
+                            zf_col, zf_lo, zf_hi, zf_min, zf_max = zf
                             fmin = pads.field(f"c_{zf_col}__{zf_min}")
                             fmax = pads.field(f"c_{zf_col}__{zf_max}")
                             # expression filter over top-level zone columns:
                             # parquet row-group statistics prune the IO, then
                             # the row-level (= block-level) filter applies
-                            # exactly; conjuncts AND together
-                            one = (
+                            # exactly; conjuncts AND together, disjuncts OR
+                            return (
                                 fmin.is_null() | fmax.is_null()
                                 | ((fmin <= zf_hi) & (fmax >= zf_lo))
                             )
-                            expr = one if expr is None else (expr & one)
+
+                        if zf_groups is None:
+                            expr = None
+                            for zf in zfs:
+                                one = _one(zf)
+                                expr = one if expr is None else (expr & one)
+                        else:
+                            expr = None
+                            for ga, gb in zf_groups:
+                                g = None
+                                for zf in zfs[ga:gb]:
+                                    one = _one(zf)
+                                    g = one if g is None else (g & one)
+                                expr = g if expr is None else (expr | g)
                         kwargs["filters"] = expr
                     tbl = pq.read_table(fpath, columns=need, **kwargs)  # pruned IO
                     metas = {n: tbl.column(f"c_{n}__meta").combine_chunks()
@@ -4156,19 +4184,27 @@ def decode_dataset(
                 for row in range(len(cols_col)):
                     entries = cols_col[row].values  # zero-copy struct view
                     names = entries.field("name").to_pylist()
-                    pruned = False
-                    for zf_col, zf_lo, zf_hi, zf_min, zf_max in zfs:
-                        try:
-                            zi = names.index(zf_col)
-                        except ValueError:
-                            continue  # no stats entry for the column: keep
-                        if not _zone_keep(
-                            entries.field(zf_min)[zi].as_py(),
-                            entries.field(zf_max)[zi].as_py(),
-                            zf_lo, zf_hi,
-                        ):
-                            pruned = True  # any failing conjunct drops it
-                            break
+                    def _conj_keeps(sub):
+                        for zf_col, zf_lo, zf_hi, zf_min, zf_max in sub:
+                            try:
+                                zi = names.index(zf_col)
+                            except ValueError:
+                                continue  # no stats entry: keep
+                            if not _zone_keep(
+                                entries.field(zf_min)[zi].as_py(),
+                                entries.field(zf_max)[zi].as_py(),
+                                zf_lo, zf_hi,
+                            ):
+                                return False  # a failing conjunct drops it
+                        return True
+
+                    if zf_groups is None:
+                        pruned = zfs and not _conj_keeps(zfs)
+                    else:
+                        # DNF: kept when ANY disjunct's ranges all keep
+                        pruned = not any(
+                            _conj_keeps(zfs[ga:gb]) for ga, gb in zf_groups
+                        )
                     if pruned:
                         continue  # whole block pruned before any kernel
                     metas = entries.field("meta")

@@ -43,6 +43,7 @@ __all__ = [
     "decode_table",
     "prune_blocks",
     "prune_blocks_any",
+    "prune_blocks_dnf",
     "normalize_zone_filters",
     "split_schema_ddl",
     "BLOCKS_SCHEMA_DDL",
@@ -776,9 +777,36 @@ def _zone_suffixes(lo, hi) -> tuple[str, str]:
 def normalize_zone_filters(zone_filter) -> list[tuple]:
     """``zone_filter`` may be one (column, lo, hi) tuple or a LIST of them
     (a conjunction — a block survives only if every predicate can match
-    it). Returns the list form."""
+    it). Returns the list form.
+
+    ``any_of(...)`` (:mod:`~xml2arrow_spark.operators.predicates`) lifts
+    the filter to a DISJUNCTION of such conjunctions: the returned list is
+    then flat across every disjunct with the disjunct spans attached
+    (``.groups``), and the pruning consumers keep a block when ANY
+    disjunct could match it (both-bounds ranges only — zone pruning has
+    no one-sided or IN-list shape; use ``prune_blocks_any`` for points)."""
+    from xml2arrow_spark.operators.predicates import AnyOf, DnfConjuncts
+
     if zone_filter is None:
         return []
+    if isinstance(zone_filter, AnyOf):
+        flat: list[tuple] = []
+        groups: list[tuple[int, int]] = []
+        for d in zone_filter.disjuncts:
+            sub = normalize_zone_filters(d)
+            if not sub:
+                raise ValueError("any_of disjuncts must be non-empty")
+            for t in sub:
+                if len(t) != 3 or t[1] is None or t[2] is None:
+                    raise ValueError(
+                        "zone-filter disjuncts must be both-bounds "
+                        f"(column, lo, hi) ranges, got {t!r}"
+                    )
+            groups.append((len(flat), len(flat) + len(sub)))
+            flat.extend(sub)
+        if len(groups) == 1:  # any_of(x) IS x
+            return flat
+        return DnfConjuncts(flat, groups)
     if isinstance(zone_filter, tuple):
         return [zone_filter]
     return list(zone_filter)
@@ -802,6 +830,12 @@ def prune_blocks(blocks_df, column: str, lo, hi):
     to parquet row-group statistics — two pruning levels from one set of
     stats.
     """
+    return blocks_df.filter(_prune_keep_cond(blocks_df, column, lo, hi))
+
+
+def _prune_keep_cond(blocks_df, column: str, lo, hi):
+    """:func:`prune_blocks`'s keep condition as a Column (missing stats
+    always keep), composable into conjunctions and disjunctions."""
     from pyspark.sql import functions as F
 
     suffix_min, suffix_max = _zone_suffixes(lo, hi)
@@ -814,7 +848,24 @@ def prune_blocks(blocks_df, column: str, lo, hi):
         )
         vmin = entry[suffix_min]
         vmax = entry[suffix_max]
-    keep = vmin.isNull() | vmax.isNull() | ((F.lit(lo) <= vmax) & (vmin <= F.lit(hi)))
+    return vmin.isNull() | vmax.isNull() | (
+        (F.lit(lo) <= vmax) & (vmin <= F.lit(hi))
+    )
+
+
+def prune_blocks_dnf(blocks_df, zfs):
+    """Zone-map pruning for a DNF zone filter (``zfs`` from
+    :func:`normalize_zone_filters` with ``.groups``): keep a block when
+    ANY disjunct's every range can intersect it — the OR-pushdown rule
+    parquet/Iceberg use (``Or(l, r)`` prunes only when both sides prune).
+    Same conservative contract as :func:`prune_blocks`."""
+    keep = None
+    for a, b in zfs.groups:
+        g = None
+        for col, lo, hi in zfs[a:b]:
+            c = _prune_keep_cond(blocks_df, col, lo, hi)
+            g = c if g is None else (g & c)
+        keep = g if keep is None else (keep | g)
     return blocks_df.filter(keep)
 
 
@@ -1014,8 +1065,12 @@ def decode_table(blocks_df, schema_ddl: str, zone_filter=None, row_filter=None):
     """
     from pyspark.sql.types import StructType
 
-    for zf in normalize_zone_filters(zone_filter):
-        blocks_df = prune_blocks(blocks_df, *zf)
+    zfs = normalize_zone_filters(zone_filter)
+    if getattr(zfs, "groups", None) is not None:
+        blocks_df = prune_blocks_dnf(blocks_df, zfs)
+    else:
+        for zf in zfs:
+            blocks_df = prune_blocks(blocks_df, *zf)
     out_schema = StructType.fromDDL(schema_ddl)
     out_names = [f.name for f in out_schema.fields]
     rfs = normalize_row_filters(row_filter)
