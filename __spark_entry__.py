@@ -806,6 +806,20 @@ def q_dataset_column_stats(spark, sf_dir):
             .alias("sum_i"),
         )
 
+    def gdx_leg(prefix, key, column):
+        # exact per-group COUNT(DISTINCT) on the codec streams, through
+        # the DISTRIBUTED pair roll-up
+        from xml2arrow_spark.pipeline.sketches import group_distinct
+
+        df = group_distinct(spark, out, key, column, local_bytes=0)
+        return df.select(*_topk_sentinels(
+            F.concat(
+                F.lit(prefix),
+                F.coalesce(F.col(key).cast("string"), F.lit("<null>")),
+            ),
+            F.col("n_distinct").cast("long"),
+        ))
+
     def gkmv_leg(prefix, key, column, kk):
         # per-group KMV distinct estimate on the codec streams; the
         # PORTABLE hash makes the estimate itself oracle-pinnable
@@ -1052,6 +1066,12 @@ def q_dataset_column_stats(spark, sf_dir):
         # reproduces the portable hash + k-min window + integer estimate
         # bit-for-bit — an approximation a gate can still pin exactly
         gkmv_leg("gkmv:flag=", "l_returnflag", "l_orderkey", 64)
+    ).unionByName(
+        # EXACT grouped COUNT(DISTINCT) on the codec streams (r05 session
+        # 6): per-block distinct (group, value) pairs are the map-side
+        # combine, the roll-up shuffles distinct pairs only; the oracle
+        # recomputes count(DISTINCT) from the raw table
+        gdx_leg("gdx:flag=", "l_returnflag", "l_linenumber")
     ).unionByName(
         # composite-key GROUP BY COUNT (r05 continuation): one mixed-radix
         # code stream per block, never a per-row tuple build

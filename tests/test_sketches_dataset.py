@@ -167,3 +167,77 @@ def test_where_and_validation(spark, ds, duck):
     assert group_distinct_est(
         spark, ds, "src", "tok", where=("id", 10 ** 9, None)
     ).count() == 0
+
+
+def test_group_distinct_exact_both_paths(spark, ds, duck):
+    from xml2arrow_spark.pipeline.sketches import group_distinct
+
+    exact = {
+        r[0]: r[1]
+        for r in duck.execute(
+            "SELECT src, count(DISTINCT tok) FROM t GROUP BY src"
+        ).fetchall()
+    }
+    for lb in (128 << 20, 0):
+        got = {
+            r["src"]: r["n_distinct"]
+            for r in group_distinct(
+                spark, ds, "src", "tok", local_bytes=lb
+            ).collect()
+        }
+        assert got == exact, lb
+    assert None in got  # the NULL key is its own group
+
+
+def test_group_distinct_where_or(spark, ds, duck):
+    from xml2arrow_spark.operators.predicates import any_of
+    from xml2arrow_spark.pipeline.sketches import group_distinct
+
+    exact = {
+        r[0]: r[1]
+        for r in duck.execute(
+            "SELECT src, count(DISTINCT tok) FROM t "
+            "WHERE id <= 1500 OR id >= 7500 GROUP BY src"
+        ).fetchall()
+    }
+    for lb in (128 << 20, 0):
+        got = {
+            r["src"]: r["n_distinct"]
+            for r in group_distinct(
+                spark, ds, "src", "tok", local_bytes=lb,
+                where=any_of(("id", None, 1500), ("id", 7500, None)),
+            ).collect()
+        }
+        assert got == exact, lb
+
+
+def test_group_distinct_cap_refuses(spark, ds):
+    from xml2arrow_spark.pipeline.sketches import group_distinct
+
+    with pytest.raises(ValueError, match="max_pairs"):
+        group_distinct(spark, ds, "src", "tok", max_pairs=100)
+    with pytest.raises(ValueError, match="max_pairs"):
+        group_distinct(spark, ds, "src", "tok", max_pairs=0)
+
+
+def test_distinct_ops_refuse_pending_tombstones(spark, tmp_path):
+    """Both distinct operators are stats-answering aggregates: counting
+    soft-deleted rows would silently misreport, so pending tombstones
+    must refuse (the operators/dataset.py contract)."""
+    from xml2arrow_spark.operators.checkpoint import encode_dataset
+    from xml2arrow_spark.operators.tombstones import tombstone_rows
+    from xml2arrow_spark.pipeline.sketches import group_distinct, group_distinct_est
+    from xml2arrow_spark.sources import tokens_dataframe
+
+    out = str(tmp_path / "ds")
+    df = tokens_dataframe(spark, 400, n_partitions=2)
+    man = CodecManifest.auto_for(df.schema, block_rows=128)
+    encode_dataset(df, out, man, n_units=4)
+    doomed = [r["doc_id"] for r in df.select("doc_id").limit(3).collect()]
+    tombstone_rows(
+        spark.createDataFrame([(i,) for i in doomed], "doc_id string"), out
+    )
+    with pytest.raises(ValueError, match="tombstone"):
+        group_distinct_est(spark, out, "source", "n_tok")
+    with pytest.raises(ValueError, match="tombstone"):
+        group_distinct(spark, out, "source", "n_tok")

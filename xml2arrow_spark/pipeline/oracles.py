@@ -1385,6 +1385,19 @@ def dataset_column_stats_sql() -> str:
             "FROM lineitem WHERE l_orderkey IS NOT NULL)"
             ") WHERE rn <= 64 GROUP BY src)"
         ]
+        # the group_distinct leg: the EXACT twin -- the oracle recomputes
+        # count(DISTINCT) from the raw table, so a dropped pair, a
+        # double-counted dictionary slot, or a lost NULL-key group all
+        # hash-mismatch
+        + [
+            "SELECT 'gdx:flag=' || COALESCE(CAST(l_returnflag AS VARCHAR), "
+            "'<null>') AS column, "
+            "CAST(count(DISTINCT l_linenumber) AS BIGINT) AS vmin_i, "
+            "CAST(-1 AS BIGINT) AS vmax_i, -1.0 AS vmin_d, -1.0 AS vmax_d, "
+            "CAST(0 AS BIGINT) AS n_unstated, CAST(-1 AS BIGINT) AS n_rows, "
+            "CAST(-1 AS BIGINT) AS n_nonnull, CAST(-1 AS BIGINT) AS sum_i "
+            "FROM lineitem GROUP BY l_returnflag"
+        ]
         # the exact_quantiles legs: one row per milli-quantile, the rank
         # recomputed with integer ceil division over a cumulative window —
         # the identical arithmetic the engine uses, so no float rank can

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from xml2arrow_spark.pipeline import sqlgen as G
 
 __all__ = ["kmv_distinct", "kmv_token_vocab", "group_distinct_est",
-           "kmv_hash_np", "KMV_K"]
+           "group_distinct", "kmv_hash_np", "KMV_K"]
 
 KMV_K = 256
 
@@ -172,9 +172,7 @@ def group_distinct_est(
     )
     from xml2arrow_spark.operators.dataset import (
         _CW_INT_TYPES,
-        _ZONE_SUFFIXES,
-        _classify_where,
-        _conj_boundary_mask,
+        _refuse_pending_tombstones,
         _resolve_conjuncts,
         MANIFEST_SIDECAR,
     )
@@ -186,6 +184,10 @@ def group_distinct_est(
 
     if k < 1:
         raise ValueError(f"group_distinct_est needs k >= 1, got {k}")
+    # block stats cannot see row-level soft deletes: counting tombstoned
+    # rows would silently misreport (the same contract every metadata-
+    # accelerated aggregate in operators/dataset.py enforces)
+    _refuse_pending_tombstones(out_path)
     with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
         side = yaml.safe_load(f.read())
     by_name = split_schema_ddl(side["schema_ddl"])
@@ -243,128 +245,9 @@ def group_distinct_est(
 
     def _file_hashes(fpath, pq_mod):
         """One file's {key_or_None: sorted <=k smallest distinct hashes}."""
-        tally: dict = {}
-        if wide:
-            avail = set(pq_mod.read_schema(fpath).names)
-            fstat: list[tuple] = []
-            if conj is not None:
-                for col, _values, _lo, _hi, cat in conj:
-                    zmin, zmax = _ZONE_SUFFIXES[cat]
-                    fstat.append(tuple(
-                        n if n in avail else None
-                        for n in (f"c_{col}__{zmin}", f"c_{col}__{zmax}",
-                                  f"c_{col}__n_null")
-                    ))
-            kinds = None
-            if conj is not None:
-                stat_cols = [n for trip in fstat for n in trip if n is not None]
-                if stat_cols:
-                    st = pq_mod.read_table(fpath, columns=sorted(set(stat_cols)))
-                    n_blocks = st.num_rows
-                else:
-                    st = None
-                    n_blocks = pq_mod.read_metadata(fpath).num_rows
-                kinds = [
-                    _classify_where(conj, [
-                        tuple(
-                            st.column(n)[i].as_py()
-                            if (st is not None and n is not None)
-                            else None
-                            for n in trip
-                        )
-                        for trip in fstat
-                    ])
-                    for i in range(n_blocks)
-                ]
-                if all(kd == "pruned" for kd in kinds):
-                    return tally
-            cols = [
-                f"c_{key}__meta", f"c_{key}__data",
-                f"c_{column}__meta", f"c_{column}__data",
-            ]
-            if conj is not None:
-                cols += [
-                    x for col, _v, _l, _h, _c in conj
-                    for x in (f"c_{col}__meta", f"c_{col}__data")
-                ]
-            cols = list(dict.fromkeys(cols))
-            pay = pq_mod.read_table(fpath, columns=cols)
-            arrays = {c: pay.column(c).combine_chunks() for c in cols}
-            for i in range(pay.num_rows):
-                mask = None
-                if kinds is not None:
-                    if kinds[i] == "pruned":
-                        continue
-                    if kinds[i] == "boundary":
-                        mask = _conj_boundary_mask(conj, lambda c, i=i: (
-                            arrays[f"c_{c}__meta"][i].as_py(),
-                            arrays[f"c_{c}__data"][i].as_py(),
-                        ))
-                        if mask is None:
-                            continue
-                _block_hashes(
-                    tally,
-                    (arrays[f"c_{key}__meta"][i].as_py(),
-                     arrays[f"c_{key}__data"][i].as_py()),
-                    (arrays[f"c_{column}__meta"][i].as_py(),
-                     arrays[f"c_{column}__data"][i].as_py()),
-                    mask,
-                )
-        else:
-            tbl = pq_mod.read_table(fpath, columns=["cols"])
-            cols_col = tbl.column("cols").combine_chunks()
-            entry_fields = {
-                f.name for f in tbl.schema.field("cols").type.value_type
-            }
-            for row in range(len(cols_col)):
-                entries = cols_col[row].values
-                names = entries.field("name").to_pylist()
-                try:
-                    ki = names.index(key)
-                    vi = names.index(column)
-                except ValueError:
-                    raise ValueError(
-                        f"block lacks an entry for {key!r}/{column!r}; the "
-                        f"sidecar schema and the blocks files disagree"
-                    ) from None
-                mask = None
-                if conj is not None:
-                    stats = []
-                    for col, _values, _lo, _hi, cat in conj:
-                        zmin, zmax = _ZONE_SUFFIXES[cat]
-                        try:
-                            fi = names.index(col)
-                        except ValueError:
-                            raise ValueError(
-                                f"block lacks an entry for {col!r}; the "
-                                f"sidecar schema and the blocks files "
-                                f"disagree"
-                            ) from None
-                        stats.append(tuple(
-                            entries.field(f)[fi].as_py()
-                            if f in entry_fields
-                            else None
-                            for f in (zmin, zmax, "n_null")
-                        ))
-                    kind = _classify_where(conj, stats)
-                    if kind == "pruned":
-                        continue
-                    if kind == "boundary":
-                        mask = _conj_boundary_mask(conj, lambda c: (
-                            entries.field("meta")[names.index(c)].as_py(),
-                            entries.field("data")[names.index(c)].as_py(),
-                        ))
-                        if mask is None:
-                            continue
-                _block_hashes(
-                    tally,
-                    (entries.field("meta")[ki].as_py(),
-                     entries.field("data")[ki].as_py()),
-                    (entries.field("meta")[vi].as_py(),
-                     entries.field("data")[vi].as_py()),
-                    mask,
-                )
-        return tally
+        return _fold_blocks_file(
+            fpath, pq_mod, key, column, conj, wide, _block_hashes
+        )
 
     def _estimate(hashes: list) -> int:
         n_h = len(hashes)
@@ -429,3 +312,337 @@ def group_distinct_est(
     tasks = plan_parquet_tasks(spark, os.path.join(out_path, "blocks"), n_tasks)
     pairs = tasks.mapInArrow(hash_files, part_ddl).distinct()
     return _kmv_agg(pairs, [key], k)
+
+
+def _fold_blocks_file(fpath, pq_mod, key, column, conj, wide, on_block):
+    """Walk one blocks file, classify blocks against the (possibly DNF)
+    ``conj`` via the shared zone classifier, and call
+    ``on_block(tally, key_pair, val_pair, mask)`` for every surviving
+    block. The block walk shared by the per-group distinct operators
+    (:func:`group_distinct_est`, :func:`group_distinct`); returns the
+    accumulated tally dict."""
+    from xml2arrow_spark.operators.dataset import (
+        _ZONE_SUFFIXES,
+        _classify_where,
+        _conj_boundary_mask,
+    )
+
+    tally: dict = {}
+    if wide:
+        avail = set(pq_mod.read_schema(fpath).names)
+        fstat: list[tuple] = []
+        if conj is not None:
+            for col, _values, _lo, _hi, cat in conj:
+                zmin, zmax = _ZONE_SUFFIXES[cat]
+                fstat.append(tuple(
+                    n if n in avail else None
+                    for n in (f"c_{col}__{zmin}", f"c_{col}__{zmax}",
+                              f"c_{col}__n_null")
+                ))
+        kinds = None
+        if conj is not None:
+            stat_cols = [n for trip in fstat for n in trip if n is not None]
+            if stat_cols:
+                st = pq_mod.read_table(fpath, columns=sorted(set(stat_cols)))
+                n_blocks = st.num_rows
+            else:
+                st = None
+                n_blocks = pq_mod.read_metadata(fpath).num_rows
+            kinds = [
+                _classify_where(conj, [
+                    tuple(
+                        st.column(n)[i].as_py()
+                        if (st is not None and n is not None)
+                        else None
+                        for n in trip
+                    )
+                    for trip in fstat
+                ])
+                for i in range(n_blocks)
+            ]
+            if all(kd == "pruned" for kd in kinds):
+                return tally
+        cols = [
+            f"c_{key}__meta", f"c_{key}__data",
+            f"c_{column}__meta", f"c_{column}__data",
+        ]
+        if conj is not None:
+            cols += [
+                x for col, _v, _l, _h, _c in conj
+                for x in (f"c_{col}__meta", f"c_{col}__data")
+            ]
+        cols = list(dict.fromkeys(cols))
+        pay = pq_mod.read_table(fpath, columns=cols)
+        arrays = {c: pay.column(c).combine_chunks() for c in cols}
+        for i in range(pay.num_rows):
+            mask = None
+            if kinds is not None:
+                if kinds[i] == "pruned":
+                    continue
+                if kinds[i] == "boundary":
+                    mask = _conj_boundary_mask(conj, lambda c, i=i: (
+                        arrays[f"c_{c}__meta"][i].as_py(),
+                        arrays[f"c_{c}__data"][i].as_py(),
+                    ))
+                    if mask is None:
+                        continue
+            on_block(
+                tally,
+                (arrays[f"c_{key}__meta"][i].as_py(),
+                 arrays[f"c_{key}__data"][i].as_py()),
+                (arrays[f"c_{column}__meta"][i].as_py(),
+                 arrays[f"c_{column}__data"][i].as_py()),
+                mask,
+            )
+    else:
+        tbl = pq_mod.read_table(fpath, columns=["cols"])
+        cols_col = tbl.column("cols").combine_chunks()
+        entry_fields = {
+            f.name for f in tbl.schema.field("cols").type.value_type
+        }
+        for row in range(len(cols_col)):
+            entries = cols_col[row].values
+            names = entries.field("name").to_pylist()
+            try:
+                ki = names.index(key)
+                vi = names.index(column)
+            except ValueError:
+                raise ValueError(
+                    f"block lacks an entry for {key!r}/{column!r}; the "
+                    f"sidecar schema and the blocks files disagree"
+                ) from None
+            mask = None
+            if conj is not None:
+                stats = []
+                for col, _values, _lo, _hi, cat in conj:
+                    zmin, zmax = _ZONE_SUFFIXES[cat]
+                    try:
+                        fi = names.index(col)
+                    except ValueError:
+                        raise ValueError(
+                            f"block lacks an entry for {col!r}; the "
+                            f"sidecar schema and the blocks files "
+                            f"disagree"
+                        ) from None
+                    stats.append(tuple(
+                        entries.field(f)[fi].as_py()
+                        if f in entry_fields
+                        else None
+                        for f in (zmin, zmax, "n_null")
+                    ))
+                kind = _classify_where(conj, stats)
+                if kind == "pruned":
+                    continue
+                if kind == "boundary":
+                    mask = _conj_boundary_mask(conj, lambda c: (
+                        entries.field("meta")[names.index(c)].as_py(),
+                        entries.field("data")[names.index(c)].as_py(),
+                    ))
+                    if mask is None:
+                        continue
+            on_block(
+                tally,
+                (entries.field("meta")[ki].as_py(),
+                 entries.field("data")[ki].as_py()),
+                (entries.field("meta")[vi].as_py(),
+                 entries.field("data")[vi].as_py()),
+                mask,
+            )
+    return tally
+
+
+def group_distinct(
+    spark,
+    out_path: str,
+    key: str,
+    column: str,
+    n_tasks: int | None = None,
+    local_bytes: int = 128 << 20,
+    where=None,
+    max_pairs: int = 8_000_000,
+):
+    """EXACT per-group ``COUNT(DISTINCT column)`` over a STORED dataset,
+    computed on the codec streams — the exact twin of
+    :func:`group_distinct_est`. Per block, the key's group codes ride
+    :func:`~xml2arrow_spark.operators.blocks.group_codes_column`
+    (dict/rle/dict_str — key values never materialize per row), the value
+    column decodes once, and ONLY the block's distinct ``(group, value)``
+    pairs survive (``np.unique`` — per-block dedup is the map-side
+    combine). Exactness has an irreducible price the estimator does not
+    pay: distinct pairs must MEET to dedup across blocks, so the
+    distributed roll-up shuffles one row per per-file-distinct (key,
+    value) pair — bounded by ``files x true_distinct``, not by corpus
+    rows, and honest about it: ``max_pairs`` (default 8M) caps the
+    per-file pair tally and REFUSES with a pointer at
+    :func:`group_distinct_est` instead of silently OOMing a 10^12-row
+    high-cardinality column. Use this for bounded-cardinality columns
+    (vocab ids, categories, buckets); use the KMV estimate everywhere
+    else.
+
+    Integer value columns only (mirrors the estimator; fingerprint
+    strings first); NULL values never count (SQL COUNT(DISTINCT)); the
+    NULL key is its own group. ``where`` takes count_where's range /
+    IN-list conjunctions or an ``any_of`` DNF: zone-pruned blocks skip
+    unread, straddling blocks mask first. Scale-adaptive dispatch like
+    the exact aggregates. Returns ``(key, n_distinct bigint)``.
+    """
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import yaml
+
+    from xml2arrow_spark.operators.blocks import (
+        decode_column,
+        group_codes_column,
+    )
+    from xml2arrow_spark.operators.dataset import (
+        _CW_INT_TYPES,
+        _refuse_pending_tombstones,
+        _resolve_conjuncts,
+        MANIFEST_SIDECAR,
+    )
+    from xml2arrow_spark.operators.encode import split_schema_ddl
+    from xml2arrow_spark.sources.files import (
+        parquet_file_infos,
+        plan_parquet_tasks,
+    )
+
+    if max_pairs < 1:
+        raise ValueError(f"group_distinct needs max_pairs >= 1, got {max_pairs}")
+    _refuse_pending_tombstones(out_path)
+    with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
+        side = yaml.safe_load(f.read())
+    by_name = split_schema_ddl(side["schema_ddl"])
+    for col in (key, column):
+        if col not in by_name:
+            raise ValueError(
+                f"dataset lacks encoded column {col!r}; it has {sorted(by_name)}"
+            )
+    key_type = by_name[key].split(None, 1)[1].lower()
+    if "float" in key_type or "double" in key_type or "array" in key_type:
+        raise ValueError(
+            f"group_distinct needs a scalar int/string/bool/decimal "
+            f"key, got {key} {key_type}"
+        )
+    val_type = by_name[column].split(None, 1)[1].strip().lower()
+    if val_type not in _CW_INT_TYPES:
+        raise ValueError(
+            f"group_distinct needs an integer value column, got "
+            f"{column} {val_type}: fingerprint strings first"
+        )
+    wide = side.get("layout", "nested") == "wide"
+    conj = (
+        _resolve_conjuncts(by_name, where, "group_distinct")
+        if where is not None
+        else None
+    )
+
+    def _cap_check(tally):
+        if sum(len(s) for s in tally.values()) > max_pairs:
+            raise ValueError(
+                f"group_distinct exceeded max_pairs={max_pairs} distinct "
+                f"(key, value) pairs in one file's tally: exact distinct "
+                f"counting must materialize every distinct pair — for "
+                f"high-cardinality columns use group_distinct_est (KMV, "
+                f"bounded at k hashes per group) or raise max_pairs"
+            )
+
+    def _block_pairs(tally, key_pair, val_pair, mask):
+        dictionary, codes = group_codes_column(*key_pair)
+        arr = decode_column(*val_pair)
+        valid = np.asarray(arr.is_valid()) if arr.null_count else None
+        if mask is not None:
+            valid = mask if valid is None else (valid & mask)
+        if valid is not None:
+            v = arr.fill_null(0).to_numpy()[valid]
+            gcodes = codes[valid]
+        else:
+            v = arr.to_numpy()
+            gcodes = codes
+        if not v.size:
+            return
+        pairs = np.unique(
+            np.stack([gcodes.astype(np.int64), v.astype(np.int64)], axis=1),
+            axis=0,
+        )
+        keys = dictionary.to_pylist() + [None]
+        starts = np.searchsorted(pairs[:, 0], np.arange(len(keys)))
+        ends = np.searchsorted(pairs[:, 0], np.arange(1, len(keys) + 1))
+        for g, kv in enumerate(keys):
+            lo, hi = int(starts[g]), int(ends[g])
+            if lo == hi:
+                continue
+            tally.setdefault(kv, set()).update(pairs[lo:hi, 1].tolist())
+        _cap_check(tally)
+
+    def _file_pairs(fpath, pq_mod):
+        """One file's {key_or_None: set of distinct values}."""
+        return _fold_blocks_file(
+            fpath, pq_mod, key, column, conj, wide, _block_pairs
+        )
+
+    infos = parquet_file_infos(os.path.join(out_path, "blocks"))
+    if sum(s for _p, s in infos) <= local_bytes:
+        import pyarrow.parquet as pq_local
+
+        total: dict = {}
+        for fp, _s in infos:
+            for kv, vs in _file_pairs(fp, pq_local).items():
+                total.setdefault(kv, set()).update(vs)
+                _cap_check(total)
+        items = list(total.items())
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        lsch = to_arrow_schema(
+            StructType.fromDDL(f"{by_name[key]}, n_distinct bigint")
+        )
+        # arrow-backed LocalRelation — the KB-metadata finish rule
+        return spark.createDataFrame(pa.table({
+            key: pa.array([kv for kv, _v in items], type=lsch.field(0).type),
+            "n_distinct": pa.array(
+                [len(vs) for _kv, vs in items], type=pa.int64()
+            ),
+        }), schema=f"{by_name[key]}, n_distinct bigint")
+
+    from typing import Iterator
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    part_ddl = f"{by_name[key]}, v bigint"
+    out_schema = to_arrow_schema(StructType.fromDDL(part_ddl))
+
+    def pair_files(batches: "Iterator[pa.RecordBatch]"):
+        import pyarrow.parquet as pq
+
+        from xml2arrow_spark.env import limit_arrow_threads
+
+        limit_arrow_threads(1)
+        for b in batches:
+            path_lists = b.column(b.schema.get_field_index("path")).to_pylist()
+            for fpath in (p for paths in path_lists for p in paths):
+                tally = _file_pairs(fpath, pq)
+                if not tally:
+                    continue
+                ks, vs = [], []
+                for kv, vv in tally.items():
+                    ks += [kv] * len(vv)
+                    vs += list(vv)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ks, type=out_schema.field(0).type),
+                        pa.array(vs, type=pa.int64()),
+                    ],
+                    names=[key, "v"],
+                )
+
+    tasks = plan_parquet_tasks(spark, os.path.join(out_path, "blocks"), n_tasks)
+    # per-file partials are already distinct; the global dedup is ONE
+    # (key, value) shuffle bounded by files x true_distinct, then a
+    # KB-scale grouped count
+    pairs = tasks.mapInArrow(pair_files, part_ddl).distinct()
+    return pairs.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct")
+    )
