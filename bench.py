@@ -933,6 +933,69 @@ def main() -> None:
             2,
         )
 
+        # q19v/q19w: DISJUNCTIVE predicate (any_of) — the NOT BETWEEN
+        # shape over the clustered key: blocks inside neither disjunct
+        # prune, blocks fully inside one claim count+sum from metadata;
+        # baseline is the column-pruned decode + OR filter for the same
+        # answer.
+        from xml2arrow_spark.operators.dataset import any_of
+
+        or_pred = any_of(
+            ("l_orderkey", None, 1000), ("l_orderkey", int(okey_hi), None)
+        )
+        best_of(
+            "q19v_count_where_or_meta",
+            lambda: count_where(
+                spark, cw_ds, or_pred, agg_col="l_linenumber"
+            ).collect(),
+        )
+        best_of(
+            "q19w_count_or_via_decode",
+            lambda: decode_dataset(
+                spark, cw_ds, columns=["l_orderkey", "l_linenumber"]
+            )
+            .filter(
+                (F.col("l_orderkey") <= 1000)
+                | (F.col("l_orderkey") >= int(okey_hi))
+            )
+            .agg(F.count("*"), F.sum("l_linenumber"))
+            .collect(),
+        )
+        extra["count_where_or_speedup"] = round(
+            queries["q19w_count_or_via_decode"]
+            / queries["q19v_count_where_or_meta"],
+            2,
+        )
+
+        # q19x/q19y: EXACT grouped COUNT(DISTINCT) on the codec streams
+        # (per-block distinct pairs = map-side combine, distinct-pair
+        # shuffle only) vs the decode + countDistinct a user without the
+        # operator would run.
+        from xml2arrow_spark.pipeline.sketches import group_distinct
+
+        best_of(
+            "q19x_group_distinct_codec",
+            # default scale-adaptive dispatch (what a user runs): the
+            # metadata-scale dataset answers driver-side, large ones fan out
+            lambda: group_distinct(
+                spark, cw_ds, "l_returnflag", "l_linenumber"
+            ).collect(),
+        )
+        best_of(
+            "q19y_group_distinct_via_decode",
+            lambda: decode_dataset(
+                spark, cw_ds, columns=["l_returnflag", "l_linenumber"]
+            )
+            .groupBy("l_returnflag")
+            .agg(F.countDistinct("l_linenumber"))
+            .collect(),
+        )
+        extra["group_distinct_speedup"] = round(
+            queries["q19y_group_distinct_via_decode"]
+            / queries["q19x_group_distinct_codec"],
+            2,
+        )
+
         # q20: training-shard export (pruned decode -> deterministic
         # shard+order -> partitioned sink -> verified manifest) vs the
         # bare decode+write a user without the manifest/order would run —
