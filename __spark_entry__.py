@@ -496,27 +496,36 @@ def q_dataset_wide_subset(spark, sf_dir):
 
 
 def q_dataset_compact_roundtrip(spark, sf_dir):
-    """Compaction under the driver gate: a 12-file encoded dataset is
-    merged to <=3 generation-named compact files, then fused-decoded; the
-    oracle is the raw projection — compaction concatenates immutable
-    blocks and must be invisible to results (was pytest-only in r3)."""
+    """Maintenance rewrites under the driver gate. Leg 1 (compaction): a
+    12-file encoded dataset is merged to <=3 generation-named compact
+    files, then fused-decoded — compaction concatenates immutable blocks
+    and must be invisible to results (was pytest-only in r3). Leg 2
+    (reclustering, r05 session 6): the SAME ingest-ordered dataset is
+    rewritten range-clustered on l_orderkey (decode -> globally sorted
+    staging -> re-encode, the Iceberg rewrite_data_files(sort_order)
+    analog) and fused-decoded — a rewrite that drops, duplicates, or
+    mutates any row hash-mismatches. The oracle is the raw projection
+    UNION ALL'd once per leg (row sets compare order-free)."""
     import os
 
     from xml2arrow_spark.operators.dataset import (
         compact_dataset,
         decode_dataset,
         encode_parquet_dataset,
+        recluster_dataset,
     )
 
     base = _scratch("cds_")
     src = os.path.join(base, "src")
     out = os.path.join(base, "ds")
+    rc = os.path.join(base, "rc")
     _lineitem(spark, sf_dir).select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     ).repartition(12).write.mode("overwrite").parquet(src)
     encode_parquet_dataset(spark, src, out)
+    recluster_dataset(spark, out, rc, presort=["l_orderkey"], n_files=4)
     compact_dataset(spark, out, target_files=3)
-    return decode_dataset(spark, out)
+    return decode_dataset(spark, out).unionByName(decode_dataset(spark, rc))
 
 
 def q_dataset_column_stats(spark, sf_dir):

@@ -34,9 +34,13 @@ from xml2arrow_spark.operators.dataset import (
 N = 6000
 
 
+_ALL_IDS = np.random.default_rng(7).permutation(np.arange(3 * N)).astype(np.int64)
+
+
 def _table(seed: int) -> pa.Table:
-    rng = np.random.default_rng(seed)
-    ids = rng.permutation(np.arange(seed * N, (seed + 1) * N)).astype(np.int64)
+    # a slice of ONE global permutation: every file's id range spans the
+    # whole domain, so zone maps prune NOTHING before reclustering
+    ids = _ALL_IDS[seed * N:(seed + 1) * N]
     qty = (ids * 7919 % 1000).astype(np.int64)
     ts = pa.array(
         (1_700_000_000_000_000 + ids * 1_000_003).astype("datetime64[us]")
@@ -100,8 +104,12 @@ def _one_cw(spark, path, pred):
 
 def test_recluster_zorder_prunes_second_axis(spark, src_ds, tmp_path):
     dest = str(tmp_path / "rz")
+    man = CodecManifest.auto_for(
+        from_arrow_schema(_table(0).schema), block_rows=512
+    )
     recluster_dataset(
-        spark, src_ds, dest, presort=["id", "qty"], cluster="zorder"
+        spark, src_ds, dest, presort=["id", "qty"], cluster="zorder",
+        manifest=man,
     )
     assert _multiset(decode_dataset(spark, dest)) == _multiset(
         decode_dataset(spark, src_ds)

@@ -47,6 +47,7 @@ __all__ = [
     "encode_parquet_dataset",
     "decode_dataset",
     "compact_dataset",
+    "recluster_dataset",
     "dataset_metrics",
     "dataset_column_stats",
     "count_where",
@@ -4003,6 +4004,103 @@ def compact_dataset(
         "files_after": len(rows),
         "bytes": int(sum(r["nbytes"] for r in rows)),
     }
+
+
+def recluster_dataset(
+    spark,
+    src_path: str,
+    dest_path: str,
+    presort: list[str],
+    cluster: str = "lex",
+    n_files: int | None = None,
+    manifest: CodecManifest | None = None,
+    layout: str | None = None,
+    n_tasks: int | None = None,
+) -> dict:
+    """Clustering maintenance: rewrite a stored dataset ordered by new
+    clustering keys — the Iceberg ``rewrite_data_files(sort_order)`` /
+    Delta Z-ORDER maintenance analog. A corpus accreted in ingest order
+    (or degraded by merges) has zone maps that prune nothing on the query
+    key; reclustering restores metadata-priced scans: fused decode →
+    GLOBALLY range-partitioned sorted staging (cross-file clustering, one
+    shuffle — the only one in the pipeline) → fused re-encode with
+    ``presort``/``cluster`` into ``dest_path``. Codecs re-auto-select on
+    the re-sorted stats by default (runs get longer, deltas tighter —
+    reclustering usually SHRINKS the dataset), or pass ``manifest`` to
+    pin them; ``layout`` defaults to the source's.
+
+    Writes a NEW dataset directory rather than mutating in place: the
+    commit point is the sidecar landing after the data (the same order
+    every sink uses), the source stays readable throughout, and a crashed
+    recluster can never corrupt it — swap by snapshot/rename when ready,
+    exactly Iceberg's rewrite-then-commit split. Resume-safe: the staged
+    sort is reused when complete (``_SUCCESS`` marker), so a crash
+    mid-encode resumes against the SAME staged files — re-sampling range
+    boundaries against partially-encoded units could lose or duplicate
+    tie rows; a crash mid-staging rewrites the staging wholesale before
+    any unit encodes. The inner encode holds ``dest_path``'s writer
+    lease; concurrent recluster calls collide there. Timestamp columns
+    are staged as TIMESTAMP_MICROS explicitly — Spark's INT96 parquet
+    default would silently change the storage tick unit the temporal
+    zone stats and predicates are expressed in.
+
+    Returns the encode metrics plus ``n_files`` (the staged/encoded unit
+    count; default = the source's block-file count).
+    """
+    import shutil
+
+    import yaml
+
+    from xml2arrow_spark.operators.encode import split_schema_ddl
+
+    presort = list(presort or [])
+    if not presort:
+        raise ValueError("recluster_dataset needs at least one presort column")
+    with open(os.path.join(src_path, MANIFEST_SIDECAR)) as f:
+        side = yaml.safe_load(f.read())
+    by_name = split_schema_ddl(side["schema_ddl"])
+    missing = [c for c in presort if c not in by_name]
+    if missing:
+        raise ValueError(
+            f"dataset lacks encoded column(s) {missing}; "
+            f"it has {sorted(by_name)}"
+        )
+    if layout is None:
+        layout = side.get("layout", "nested")
+    if n_files is None:
+        blocks_dir = os.path.join(src_path, "blocks")
+        n_files = max(1, sum(
+            1 for f in os.listdir(blocks_dir) if f.endswith(".parquet")
+        ))
+    staging = os.path.join(dest_path, "_recluster_src")
+    if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+        # (re)stage: decode_dataset refuses pending tombstones itself, so
+        # soft-deleted rows can never be resurrected into the rewrite
+        df = decode_dataset(spark, src_path, n_tasks=n_tasks)
+        ts_key = "spark.sql.parquet.outputTimestampType"
+        try:
+            prior = spark.conf.get(ts_key)
+        except Exception:
+            prior = None
+        try:
+            spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+            (
+                df.repartitionByRange(int(n_files), *presort)
+                .sortWithinPartitions(*presort)
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+        finally:
+            if prior is None:
+                spark.conf.unset(ts_key)
+            else:
+                spark.conf.set(ts_key, prior)
+    metrics = encode_parquet_dataset(
+        spark, staging, dest_path, manifest=manifest, n_tasks=n_tasks,
+        layout=layout, presort=presort, cluster=cluster,
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+    return {**metrics, "n_files": int(n_files)}
 
 
 def decode_dataset(

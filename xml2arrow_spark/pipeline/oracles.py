@@ -1038,8 +1038,12 @@ FROM embeddings
 
 
 def dataset_compact_roundtrip_sql() -> str:
-    # compaction concatenates immutable blocks; decode equals the raw table
+    # two maintenance-rewrite legs, each row-identical to the raw table:
+    # compaction (concatenates immutable blocks) and reclustering (decode
+    # -> globally sorted staging -> re-encode) -- one raw projection per leg
     return """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+UNION ALL
 SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
 """
 
