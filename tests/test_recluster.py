@@ -135,3 +135,24 @@ def test_recluster_validation(spark, src_ds, tmp_path):
         recluster_dataset(
             spark, src_ds, str(tmp_path / "rv2"), presort=["nope"]
         )
+
+
+def test_recluster_drop_column(spark, src_ds, tmp_path):
+    # the DROP COLUMN rewrite: reclustering with a projection leaves the
+    # dropped column behind entirely
+    dest = str(tmp_path / "rd")
+    recluster_dataset(
+        spark, src_ds, dest, presort=["id"], columns=["id", "qty"]
+    )
+    got = decode_dataset(spark, dest)
+    assert set(got.columns) == {"id", "qty"}
+    want = collections.Counter(
+        (r["id"], r["qty"])
+        for r in decode_dataset(spark, src_ds, columns=["id", "qty"]).collect()
+    )
+    assert collections.Counter((r["id"], r["qty"]) for r in got.collect()) == want
+    with pytest.raises(ValueError, match="presort column"):
+        recluster_dataset(
+            spark, src_ds, str(tmp_path / "rd2"), presort=["id"],
+            columns=["qty"],
+        )

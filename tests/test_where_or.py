@@ -411,3 +411,22 @@ def test_any_of_validation(spark, ds):
         not_between("val", 1.0, 5.0)
     with pytest.raises(ValueError):
         count_where(spark, ds, any_of(("nope", 0, 1), ("id", 0, 1)))
+
+
+def test_not_in(spark, ds):
+    from xml2arrow_spark.operators.predicates import not_in
+
+    pred = not_in("id", [5, 6, 7, 300, 899])
+    r = _one(count_where(spark, ds, pred))
+    assert r["n_match"] == N - 5
+    # adjacent points produce no empty gap; null column excluded
+    pred2 = not_in("qty", [0, 1, 2])
+    r2 = _one(count_where(spark, ds, pred2))
+    expect = sum(
+        1 for x in _rows() if x["qty"] is not None and x["qty"] not in (0, 1, 2)
+    )
+    assert r2["n_match"] == expect
+    with pytest.raises(ValueError):
+        not_in("id", [])
+    with pytest.raises(ValueError):
+        not_in("val", [1.5])

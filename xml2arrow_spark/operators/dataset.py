@@ -30,7 +30,11 @@ import pyarrow as pa
 
 from xml2arrow_spark.manifest import CodecManifest
 from xml2arrow_spark.operators.lease import with_dataset_lease as _with_dataset_lease
-from xml2arrow_spark.operators.predicates import any_of, not_between  # noqa: F401 (re-export)
+from xml2arrow_spark.operators.predicates import (  # noqa: F401 (re-export)
+    any_of,
+    not_between,
+    not_in,
+)
 from xml2arrow_spark.operators.encode import (
     BLOCKS_SCHEMA_DDL,
     _blockify,
@@ -60,6 +64,7 @@ __all__ = [
     "value_histogram",
     "any_of",
     "not_between",
+    "not_in",
     "METADATA_DDL",
 ]
 
@@ -4016,6 +4021,7 @@ def recluster_dataset(
     manifest: CodecManifest | None = None,
     layout: str | None = None,
     n_tasks: int | None = None,
+    columns: list[str] | None = None,
 ) -> dict:
     """Clustering maintenance: rewrite a stored dataset ordered by new
     clustering keys — the Iceberg ``rewrite_data_files(sort_order)`` /
@@ -4044,6 +4050,11 @@ def recluster_dataset(
     default would silently change the storage tick unit the temporal
     zone stats and predicates are expressed in.
 
+    ``columns`` projects the rewrite — the DROP COLUMN maintenance analog
+    (rewrite the corpus without the deprecated/PII column; wide layout:
+    the dropped column's payload is never read off disk). Must include
+    every ``presort`` column.
+
     Returns the encode metrics plus ``n_files`` (the staged/encoded unit
     count; default = the source's block-file count).
     """
@@ -4065,6 +4076,13 @@ def recluster_dataset(
             f"dataset lacks encoded column(s) {missing}; "
             f"it has {sorted(by_name)}"
         )
+    if columns is not None:
+        dropped_sort = [c for c in presort if c not in columns]
+        if dropped_sort:
+            raise ValueError(
+                f"columns= must include every presort column; "
+                f"missing {dropped_sort}"
+            )
     if layout is None:
         layout = side.get("layout", "nested")
     if n_files is None:
@@ -4076,7 +4094,7 @@ def recluster_dataset(
     if not os.path.exists(os.path.join(staging, "_SUCCESS")):
         # (re)stage: decode_dataset refuses pending tombstones itself, so
         # soft-deleted rows can never be resurrected into the rewrite
-        df = decode_dataset(spark, src_path, n_tasks=n_tasks)
+        df = decode_dataset(spark, src_path, n_tasks=n_tasks, columns=columns)
         ts_key = "spark.sql.parquet.outputTimestampType"
         try:
             prior = spark.conf.get(ts_key)

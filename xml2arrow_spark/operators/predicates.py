@@ -32,7 +32,7 @@ derived query contract, mirroring parquet/Iceberg filter pushdown where
 
 from __future__ import annotations
 
-__all__ = ["AnyOf", "any_of", "not_between"]
+__all__ = ["AnyOf", "any_of", "not_between", "not_in"]
 
 
 class AnyOf:
@@ -87,6 +87,34 @@ def not_between(column: str, lo, hi, *, step=1) -> AnyOf:
             "complement of a float or string range is not a closed range)"
         )
     return AnyOf([(column, None, lo - step), (column, hi + step, None)])
+
+
+def not_in(column: str, values, *, step=1) -> AnyOf:
+    """The DNF rewrite of ``column NOT IN (values)`` for DISCRETE
+    categories: the complement of a point set is the union of the gaps
+    between consecutive sorted points (plus the two open tails), each a
+    closed range at ``step`` granularity. Exact SQL semantics: NULL rows
+    fail both forms (NULL NOT IN (...) is not TRUE). Adjacent points
+    produce no empty gap disjunct. Integer/temporal-tick values only —
+    floats and strings have no portable predecessor/successor. The
+    disjunct count is ``len(values) + 1``, so keep the set at predicate
+    scale (a takedown list of thousands belongs in an anti-join, not a
+    zone predicate)."""
+    vals = sorted(set(values))
+    if not vals:
+        raise ValueError("not_in needs at least one value")
+    if any(isinstance(v, bool) or not isinstance(v, int) for v in vals):
+        raise ValueError(
+            "not_in supports integer/temporal-tick values only (the "
+            "complement of a float or string point set is not a union "
+            "of closed ranges)"
+        )
+    disjuncts: list[tuple] = [(column, None, vals[0] - step)]
+    for a, b in zip(vals, vals[1:]):
+        if a + step <= b - step:
+            disjuncts.append((column, a + step, b - step))
+    disjuncts.append((column, vals[-1] + step, None))
+    return AnyOf(disjuncts)
 
 
 class DnfConjuncts(list):
