@@ -19,6 +19,11 @@ Actions (one JSON metrics line on stdout, non-zero exit on failure):
     expire-snapshots [--keep a,b] [--retain-last N]
     vacuum                  (crash-debris GC sweep; no active writers)
     audit       [--deep]   (exit 1 if any tree fails reconciliation)
+    recluster   --out <new dataset dir> --presort col[,col...]
+                [--cluster lex|zorder] [--n-files N] [--columns a,b]
+                (rewrite a FUSED FILE dataset sorted by new clustering
+                keys into a new directory — the rewrite_data_files
+                (sort_order) maintenance pass; the source never mutates)
 
 Build the --py-files archive with ``tools/make_pyfiles_zip.sh``.
 """
@@ -38,9 +43,16 @@ def main() -> int:
         choices=[
             "delete", "tombstone", "apply-tombstones", "upsert",
             "add-family", "lookup", "snapshot", "expire-snapshots",
-            "vacuum", "audit",
+            "vacuum", "audit", "recluster",
         ],
     )
+    ap.add_argument("--presort", default=None,
+                    help="recluster: comma-separated clustering columns")
+    ap.add_argument("--cluster", default="lex", choices=["lex", "zorder"])
+    ap.add_argument("--n-files", type=int, default=None,
+                    help="recluster: output unit count")
+    ap.add_argument("--columns", default=None,
+                    help="recluster: comma-separated projection (drop columns)")
     ap.add_argument("--ids", default=None, help="parquet dir of ids")
     ap.add_argument("--rows", default=None, help="parquet dir of row batches")
     ap.add_argument("--family", default=None)
@@ -112,6 +124,15 @@ def main() -> int:
         rows = spark.read.parquet(_need(args.rows, "rows"))
         out = cp.add_columns(
             rows, args.dataset, _need(args.family, "family"), id_col=args.id_col
+        )
+    elif args.action == "recluster":
+        from xml2arrow_spark.operators.dataset import recluster_dataset
+
+        out = recluster_dataset(
+            spark, args.dataset, _need(args.out, "out"),
+            presort=_need(args.presort, "presort").split(","),
+            cluster=args.cluster, n_files=args.n_files,
+            columns=args.columns.split(",") if args.columns else None,
         )
     elif args.action == "lookup":
         ids = spark.read.parquet(_need(args.ids, "ids"))

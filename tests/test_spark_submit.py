@@ -174,3 +174,50 @@ def test_spark_submit_pyfiles_maintain_job(spark, sf_dir, tmp_path):
     assert p5.returncode == 0, f"stderr:\n{p5.stderr[-4000:]}"
     spark.catalog.refreshByPath(os.path.join(ds, "blocks"))
     assert read_encoded_dataset(spark, ds).count() == expect.count() - 3
+
+    # clustering maintenance through the same deployment path: a FUSED
+    # FILE dataset reclustered by a separate JVM; the in-process session
+    # verifies the rewrite decodes row-identical and the sidecar records
+    # the sort
+    from xml2arrow_spark.operators.dataset import (
+        decode_dataset,
+        encode_parquet_dataset,
+    )
+
+    fsrc = str(tmp_path / "fsrc")
+    fds = str(tmp_path / "fds")
+    rdst = str(tmp_path / "rdst")
+    (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .select("l_orderkey", "l_linenumber")
+        .repartition(4)
+        .write.parquet(fsrc)
+    )
+    encode_parquet_dataset(spark, fsrc, fds)
+    p6 = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[4]",
+            "--driver-memory", "4g",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.ui.showConsoleProgress=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "maintain_job.py"),
+            "--dataset", fds,
+            "--action", "recluster",
+            "--out", rdst,
+            "--presort", "l_orderkey",
+            "--n-files", "4",
+        ],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=360,
+    )
+    assert p6.returncode == 0, f"stdout:\n{p6.stdout}\nstderr:\n{p6.stderr[-4000:]}"
+    m6 = json.loads([l for l in p6.stdout.splitlines() if l.startswith("{")][-1])
+    assert m6["n_files"] == 4
+    assert decode_dataset(spark, rdst).count() == decode_dataset(spark, fds).count()
+    import yaml
+
+    with open(os.path.join(rdst, "_manifest.yaml")) as f:
+        assert yaml.safe_load(f.read()).get("presort") == ["l_orderkey"]
