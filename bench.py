@@ -968,9 +968,14 @@ def main() -> None:
         )
 
         # q19x/q19y: EXACT grouped COUNT(DISTINCT) on the codec streams
-        # (per-block distinct pairs = map-side combine, distinct-pair
-        # shuffle only) vs the decode + countDistinct a user without the
-        # operator would run.
+        # within an id window — the representative shape ("distinct X per
+        # source in this slice"): the where= range composes with zone
+        # pruning so non-overlapping blocks never read their pair streams;
+        # the baseline is the decode + filter + countDistinct a user
+        # without the operator would run. (Unfiltered, the operator is
+        # roughly at par with the 32-way decode baseline on a narrow
+        # low-cardinality column — its value is the pruning composition
+        # and the max_pairs/no-silent-misreport contract.)
         from xml2arrow_spark.pipeline.sketches import group_distinct
 
         best_of(
@@ -978,13 +983,18 @@ def main() -> None:
             # default scale-adaptive dispatch (what a user runs): the
             # metadata-scale dataset answers driver-side, large ones fan out
             lambda: group_distinct(
-                spark, cw_ds, "l_returnflag", "l_linenumber"
+                spark, cw_ds, "l_returnflag", "l_linenumber",
+                where=pred,
             ).collect(),
         )
         best_of(
             "q19y_group_distinct_via_decode",
             lambda: decode_dataset(
-                spark, cw_ds, columns=["l_returnflag", "l_linenumber"]
+                spark, cw_ds,
+                columns=["l_returnflag", "l_linenumber", "l_orderkey"],
+            )
+            .filter(
+                (F.col("l_orderkey") >= pred[1]) & (F.col("l_orderkey") <= pred[2])
             )
             .groupBy("l_returnflag")
             .agg(F.countDistinct("l_linenumber"))

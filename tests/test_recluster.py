@@ -156,3 +156,41 @@ def test_recluster_drop_column(spark, src_ds, tmp_path):
             spark, src_ds, str(tmp_path / "rd2"), presort=["id"],
             columns=["qty"],
         )
+
+
+def test_vacuum_leaves_recluster_staging(spark, src_ds, tmp_path):
+    """A crashed recluster's staged sort is RESUME state, not debris:
+    deleting it between crash and re-run would let the re-stage sample
+    different range boundaries against already-encoded units (tie rows
+    could duplicate or vanish). vacuum must leave it untouched."""
+    import shutil
+
+    from xml2arrow_spark.operators.snapshot import vacuum
+
+    dest = str(tmp_path / "vc")
+    # simulate the crash window: staging complete, encode not started
+    # (mirror the real staging write, incl. its TIMESTAMP_MICROS pin —
+    # an INT96 staging would change the storage tick unit)
+    staging = os.path.join(dest, "_recluster_src")
+    df = decode_dataset(spark, src_ds)
+    ts_key = "spark.sql.parquet.outputTimestampType"
+    prior = spark.conf.get(ts_key)
+    try:
+        spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+        df.repartitionByRange(3, "id").sortWithinPartitions("id") \
+            .write.mode("overwrite").parquet(staging)
+    finally:
+        spark.conf.set(ts_key, prior)
+    assert os.path.exists(os.path.join(staging, "_SUCCESS"))
+    # plant real debris beside it to prove the sweep still works
+    open(os.path.join(dest, "stray.tmp"), "w").write("x")
+    rep = vacuum(dest)
+    assert rep["files_removed"] >= 1
+    assert os.path.exists(os.path.join(staging, "_SUCCESS"))
+    # the interrupted rewrite then completes off the SAME staging
+    recluster_dataset(spark, src_ds, dest, presort=["id"], n_files=3)
+    assert _multiset(decode_dataset(spark, dest)) == _multiset(
+        decode_dataset(spark, src_ds)
+    )
+    assert not os.path.exists(staging)  # cleaned after the completed encode
+    shutil.rmtree(dest, ignore_errors=True)
