@@ -241,3 +241,50 @@ def test_distinct_ops_refuse_pending_tombstones(spark, tmp_path):
         group_distinct_est(spark, out, "source", "n_tok")
     with pytest.raises(ValueError, match="tombstone"):
         group_distinct(spark, out, "source", "n_tok")
+
+
+def test_group_distinct_composite_key(spark, ds, duck):
+    """COMPOSITE key through the mixed-radix code stream: exact distinct
+    ids per (src, tok), NULL components included, both dispatch paths."""
+    from xml2arrow_spark.pipeline.sketches import group_distinct
+
+    exact = {
+        (r[0], r[1]): r[2]
+        for r in duck.execute(
+            "SELECT src, tok, count(DISTINCT id) FROM t GROUP BY src, tok"
+        ).fetchall()
+    }
+    for lb in (128 << 20, 0):
+        got = {
+            (r["src"], r["tok"]): r["n_distinct"]
+            for r in group_distinct(
+                spark, ds, ["src", "tok"], "id", local_bytes=lb
+            ).collect()
+        }
+        assert got == exact, lb
+    assert any(k[0] is None for k in got)  # NULL key component survives
+    assert any(k[1] is None for k in got)
+
+
+def test_group_distinct_est_composite_key(spark, ds, duck):
+    """The estimator under a composite key: the oracle reproduces the
+    portable hash + per-(src,tok-bucket) k-min window bit-for-bit."""
+    from xml2arrow_spark.pipeline.sketches import group_distinct_est
+
+    # k above every composite group's cardinality (the largest are the
+    # NULL-tok groups, ~90 distinct ids): the sketch never fills, so the
+    # estimate is EXACT by construction and comparable to count(DISTINCT)
+    exact = {
+        (r[0], r[1]): r[2]
+        for r in duck.execute(
+            "SELECT src, tok, count(DISTINCT id) FROM t GROUP BY src, tok"
+        ).fetchall()
+    }
+    for lb in (128 << 20, 0):
+        got = {
+            (r["src"], r["tok"]): r["n_distinct_est"]
+            for r in group_distinct_est(
+                spark, ds, ["src", "tok"], "id", k=512, local_bytes=lb
+            ).collect()
+        }
+        assert got == exact, lb

@@ -108,6 +108,43 @@ def kmv_hash_np(v):
     return (r * r % M + r * A) % M
 
 
+def _block_group_keys(key_pairs):
+    """One block's ``(keys, codes)`` for a (possibly COMPOSITE) group key:
+    a single key column rides :func:`~xml2arrow_spark.operators.blocks
+    .group_codes_column` (dictionary slots + the NULL slot), several ride
+    :func:`~xml2arrow_spark.operators.blocks.composite_group_codes`
+    (compacted mixed-radix codes; ``keys[j]`` is then a tuple with None
+    components for NULLs)."""
+    from xml2arrow_spark.operators.blocks import (
+        composite_group_codes,
+        group_codes_column,
+    )
+
+    if len(key_pairs) == 1:
+        dictionary, codes = group_codes_column(*key_pairs[0])
+        return dictionary.to_pylist() + [None], codes
+    return composite_group_codes(key_pairs)
+
+
+def _normalize_key_cols(key, by_name, caller):
+    """str|list key -> validated list of scalar-typed key columns."""
+    key_cols = [key] if isinstance(key, str) else list(key)
+    if not key_cols:
+        raise ValueError(f"{caller} needs at least one key column")
+    for kc in key_cols:
+        if kc not in by_name:
+            raise ValueError(
+                f"dataset lacks encoded column {kc!r}; it has {sorted(by_name)}"
+            )
+        kt = by_name[kc].split(None, 1)[1].lower()
+        if "float" in kt or "double" in kt or "array" in kt:
+            raise ValueError(
+                f"{caller} needs scalar int/string/bool/decimal key(s), "
+                f"got {kc} {kt}"
+            )
+    return key_cols
+
+
 def _kmv_merge(acc: list, hashes, k: int) -> list:
     """Merge sorted distinct hash lists, keep the k smallest distinct."""
     if not acc:
@@ -151,7 +188,9 @@ def group_distinct_est(
 
     Integer value columns only (the portable hash is integer arithmetic);
     NULL values never count (SQL COUNT(DISTINCT)); the NULL key is its own
-    group. ``where`` takes count_where's range/IN-list conjunctions: zone-
+    group; ``key`` may be a LIST of columns — a COMPOSITE key combined on
+    the mixed-radix code stream (every NULL combination its own group).
+    ``where`` takes count_where's range/IN-list conjunctions: zone-
     pruned blocks skip unread, provably-inside blocks hash unmasked, and
     straddling blocks mask first — there is no metadata claim (distinct
     hashes need the values), so interior just means "no mask".
@@ -166,10 +205,7 @@ def group_distinct_est(
     import pyarrow as pa
     import yaml
 
-    from xml2arrow_spark.operators.blocks import (
-        decode_column,
-        group_codes_column,
-    )
+    from xml2arrow_spark.operators.blocks import decode_column
     from xml2arrow_spark.operators.dataset import (
         _CW_INT_TYPES,
         _refuse_pending_tombstones,
@@ -191,17 +227,11 @@ def group_distinct_est(
     with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
         side = yaml.safe_load(f.read())
     by_name = split_schema_ddl(side["schema_ddl"])
-    for col in (key, column):
-        if col not in by_name:
-            raise ValueError(
-                f"dataset lacks encoded column {col!r}; it has {sorted(by_name)}"
-            )
-    key_type = by_name[key].split(None, 1)[1].lower()
-    if "float" in key_type or "double" in key_type or "array" in key_type:
+    if column not in by_name:
         raise ValueError(
-            f"group_distinct_est needs a scalar int/string/bool/decimal "
-            f"key, got {key} {key_type}"
+            f"dataset lacks encoded column {column!r}; it has {sorted(by_name)}"
         )
+    key_cols = _normalize_key_cols(key, by_name, "group_distinct_est")
     val_type = by_name[column].split(None, 1)[1].strip().lower()
     if val_type not in _CW_INT_TYPES:
         raise ValueError(
@@ -216,8 +246,8 @@ def group_distinct_est(
         else None
     )
 
-    def _block_hashes(tally, key_pair, val_pair, mask):
-        dictionary, codes = group_codes_column(*key_pair)
+    def _block_hashes(tally, key_pairs, val_pair, mask):
+        keys, codes = _block_group_keys(key_pairs)
         arr = decode_column(*val_pair)
         valid = np.asarray(arr.is_valid()) if arr.null_count else None
         if mask is not None:
@@ -233,7 +263,6 @@ def group_distinct_est(
         h = kmv_hash_np(v)
         # distinct (code, hash), sorted — then the first k per code
         pairs = np.unique(np.stack([gcodes, h], axis=1), axis=0)
-        keys = dictionary.to_pylist() + [None]
         starts = np.searchsorted(pairs[:, 0], np.arange(len(keys)))
         ends = np.searchsorted(pairs[:, 0], np.arange(1, len(keys) + 1))
         for g, kv in enumerate(keys):
@@ -246,7 +275,7 @@ def group_distinct_est(
     def _file_hashes(fpath, pq_mod):
         """One file's {key_or_None: sorted <=k smallest distinct hashes}."""
         return _fold_blocks_file(
-            fpath, pq_mod, key, column, conj, wide, _block_hashes
+            fpath, pq_mod, key_cols, column, conj, wide, _block_hashes
         )
 
     def _estimate(hashes: list) -> int:
@@ -268,21 +297,28 @@ def group_distinct_est(
         from pyspark.sql.pandas.types import to_arrow_schema
         from pyspark.sql.types import StructType
 
+        key_ddl = ", ".join(by_name[kc] for kc in key_cols)
         lsch = to_arrow_schema(
-            StructType.fromDDL(f"{by_name[key]}, n_distinct_est bigint")
+            StructType.fromDDL(f"{key_ddl}, n_distinct_est bigint")
         )
-        return spark.createDataFrame(pa.table({
-            key: pa.array([kv for kv, _h in items], type=lsch.field(0).type),
-            "n_distinct_est": pa.array(
-                [_estimate(hs) for _kv, hs in items], type=pa.int64()
-            ),
-        }), schema=f"{by_name[key]}, n_distinct_est bigint")
+        krows = [kv if isinstance(kv, tuple) else (kv,) for kv, _h in items]
+        cols = {
+            kc: pa.array([r[i] for r in krows], type=lsch.field(i).type)
+            for i, kc in enumerate(key_cols)
+        }
+        cols["n_distinct_est"] = pa.array(
+            [_estimate(hs) for _kv, hs in items], type=pa.int64()
+        )
+        return spark.createDataFrame(
+            pa.table(cols), schema=f"{key_ddl}, n_distinct_est bigint"
+        )
 
     from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import StructType
     from typing import Iterator
 
-    part_ddl = f"{by_name[key]}, h bigint"
+    key_ddl = ", ".join(by_name[kc] for kc in key_cols)
+    part_ddl = f"{key_ddl}, h bigint"
     out_schema = to_arrow_schema(StructType.fromDDL(part_ddl))
 
     def hash_files(batches: "Iterator[pa.RecordBatch]"):
@@ -297,30 +333,34 @@ def group_distinct_est(
                 tally = _file_hashes(fpath, pq)
                 if not tally:
                     continue
-                ks, hs = [], []
+                ks: list = [[] for _ in key_cols]
+                hs: list = []
                 for kv, hh in tally.items():
-                    ks += [kv] * len(hh)
+                    t = kv if isinstance(kv, tuple) else (kv,)
+                    for i in range(len(key_cols)):
+                        ks[i] += [t[i]] * len(hh)
                     hs += hh
                 yield pa.RecordBatch.from_arrays(
                     [
-                        pa.array(ks, type=out_schema.field(0).type),
-                        pa.array(hs, type=pa.int64()),
-                    ],
-                    names=[key, "h"],
+                        pa.array(ks[i], type=out_schema.field(i).type)
+                        for i in range(len(key_cols))
+                    ] + [pa.array(hs, type=pa.int64())],
+                    names=list(key_cols) + ["h"],
                 )
 
     tasks = plan_parquet_tasks(spark, os.path.join(out_path, "blocks"), n_tasks)
     pairs = tasks.mapInArrow(hash_files, part_ddl).distinct()
-    return _kmv_agg(pairs, [key], k)
+    return _kmv_agg(pairs, key_cols, k)
 
 
-def _fold_blocks_file(fpath, pq_mod, key, column, conj, wide, on_block):
+def _fold_blocks_file(fpath, pq_mod, key_cols, column, conj, wide, on_block):
     """Walk one blocks file, classify blocks against the (possibly DNF)
     ``conj`` via the shared zone classifier, and call
-    ``on_block(tally, key_pair, val_pair, mask)`` for every surviving
-    block. The block walk shared by the per-group distinct operators
-    (:func:`group_distinct_est`, :func:`group_distinct`); returns the
-    accumulated tally dict."""
+    ``on_block(tally, key_pairs, val_pair, mask)`` for every surviving
+    block (``key_pairs`` = one (meta, payload) pair per key column — the
+    COMPOSITE-key generalization). The block walk shared by the per-group
+    distinct operators (:func:`group_distinct_est`,
+    :func:`group_distinct`); returns the accumulated tally dict."""
     from xml2arrow_spark.operators.dataset import (
         _ZONE_SUFFIXES,
         _classify_where,
@@ -363,9 +403,8 @@ def _fold_blocks_file(fpath, pq_mod, key, column, conj, wide, on_block):
             if all(kd == "pruned" for kd in kinds):
                 return tally
         cols = [
-            f"c_{key}__meta", f"c_{key}__data",
-            f"c_{column}__meta", f"c_{column}__data",
-        ]
+            x for k in key_cols for x in (f"c_{k}__meta", f"c_{k}__data")
+        ] + [f"c_{column}__meta", f"c_{column}__data"]
         if conj is not None:
             cols += [
                 x for col, _v, _l, _h, _c in conj
@@ -388,8 +427,11 @@ def _fold_blocks_file(fpath, pq_mod, key, column, conj, wide, on_block):
                         continue
             on_block(
                 tally,
-                (arrays[f"c_{key}__meta"][i].as_py(),
-                 arrays[f"c_{key}__data"][i].as_py()),
+                [
+                    (arrays[f"c_{k}__meta"][i].as_py(),
+                     arrays[f"c_{k}__data"][i].as_py())
+                    for k in key_cols
+                ],
                 (arrays[f"c_{column}__meta"][i].as_py(),
                  arrays[f"c_{column}__data"][i].as_py()),
                 mask,
@@ -404,11 +446,11 @@ def _fold_blocks_file(fpath, pq_mod, key, column, conj, wide, on_block):
             entries = cols_col[row].values
             names = entries.field("name").to_pylist()
             try:
-                ki = names.index(key)
+                kis = [names.index(k) for k in key_cols]
                 vi = names.index(column)
             except ValueError:
                 raise ValueError(
-                    f"block lacks an entry for {key!r}/{column!r}; the "
+                    f"block lacks an entry for {key_cols!r}/{column!r}; the "
                     f"sidecar schema and the blocks files disagree"
                 ) from None
             mask = None
@@ -442,8 +484,11 @@ def _fold_blocks_file(fpath, pq_mod, key, column, conj, wide, on_block):
                         continue
             on_block(
                 tally,
-                (entries.field("meta")[ki].as_py(),
-                 entries.field("data")[ki].as_py()),
+                [
+                    (entries.field("meta")[ki].as_py(),
+                     entries.field("data")[ki].as_py())
+                    for ki in kis
+                ],
                 (entries.field("meta")[vi].as_py(),
                  entries.field("data")[vi].as_py()),
                 mask,
@@ -481,7 +526,9 @@ def group_distinct(
 
     Integer value columns only (mirrors the estimator; fingerprint
     strings first); NULL values never count (SQL COUNT(DISTINCT)); the
-    NULL key is its own group. ``where`` takes count_where's range /
+    NULL key is its own group, and ``key`` may be a LIST of columns (a
+    COMPOSITE key on the mixed-radix code stream — 'distinct X per
+    (source, day)'). ``where`` takes count_where's range /
     IN-list conjunctions or an ``any_of`` DNF: zone-pruned blocks skip
     unread, straddling blocks mask first. Scale-adaptive dispatch like
     the exact aggregates. Returns ``(key, n_distinct bigint)``.
@@ -492,10 +539,7 @@ def group_distinct(
     import pyarrow as pa
     import yaml
 
-    from xml2arrow_spark.operators.blocks import (
-        decode_column,
-        group_codes_column,
-    )
+    from xml2arrow_spark.operators.blocks import decode_column
     from xml2arrow_spark.operators.dataset import (
         _CW_INT_TYPES,
         _refuse_pending_tombstones,
@@ -514,17 +558,11 @@ def group_distinct(
     with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
         side = yaml.safe_load(f.read())
     by_name = split_schema_ddl(side["schema_ddl"])
-    for col in (key, column):
-        if col not in by_name:
-            raise ValueError(
-                f"dataset lacks encoded column {col!r}; it has {sorted(by_name)}"
-            )
-    key_type = by_name[key].split(None, 1)[1].lower()
-    if "float" in key_type or "double" in key_type or "array" in key_type:
+    if column not in by_name:
         raise ValueError(
-            f"group_distinct needs a scalar int/string/bool/decimal "
-            f"key, got {key} {key_type}"
+            f"dataset lacks encoded column {column!r}; it has {sorted(by_name)}"
         )
+    key_cols = _normalize_key_cols(key, by_name, "group_distinct")
     val_type = by_name[column].split(None, 1)[1].strip().lower()
     if val_type not in _CW_INT_TYPES:
         raise ValueError(
@@ -548,8 +586,8 @@ def group_distinct(
                 f"bounded at k hashes per group) or raise max_pairs"
             )
 
-    def _block_pairs(tally, key_pair, val_pair, mask):
-        dictionary, codes = group_codes_column(*key_pair)
+    def _block_pairs(tally, key_pairs, val_pair, mask):
+        keys, codes = _block_group_keys(key_pairs)
         arr = decode_column(*val_pair)
         valid = np.asarray(arr.is_valid()) if arr.null_count else None
         if mask is not None:
@@ -566,7 +604,6 @@ def group_distinct(
             np.stack([gcodes.astype(np.int64), v.astype(np.int64)], axis=1),
             axis=0,
         )
-        keys = dictionary.to_pylist() + [None]
         starts = np.searchsorted(pairs[:, 0], np.arange(len(keys)))
         ends = np.searchsorted(pairs[:, 0], np.arange(1, len(keys) + 1))
         for g, kv in enumerate(keys):
@@ -579,7 +616,7 @@ def group_distinct(
     def _file_pairs(fpath, pq_mod):
         """One file's {key_or_None: set of distinct values}."""
         return _fold_blocks_file(
-            fpath, pq_mod, key, column, conj, wide, _block_pairs
+            fpath, pq_mod, key_cols, column, conj, wide, _block_pairs
         )
 
     infos = parquet_file_infos(os.path.join(out_path, "blocks"))
@@ -595,23 +632,30 @@ def group_distinct(
         from pyspark.sql.pandas.types import to_arrow_schema
         from pyspark.sql.types import StructType
 
+        key_ddl = ", ".join(by_name[kc] for kc in key_cols)
         lsch = to_arrow_schema(
-            StructType.fromDDL(f"{by_name[key]}, n_distinct bigint")
+            StructType.fromDDL(f"{key_ddl}, n_distinct bigint")
+        )
+        krows = [kv if isinstance(kv, tuple) else (kv,) for kv, _v in items]
+        cols = {
+            kc: pa.array([r[i] for r in krows], type=lsch.field(i).type)
+            for i, kc in enumerate(key_cols)
+        }
+        cols["n_distinct"] = pa.array(
+            [len(vs) for _kv, vs in items], type=pa.int64()
         )
         # arrow-backed LocalRelation — the KB-metadata finish rule
-        return spark.createDataFrame(pa.table({
-            key: pa.array([kv for kv, _v in items], type=lsch.field(0).type),
-            "n_distinct": pa.array(
-                [len(vs) for _kv, vs in items], type=pa.int64()
-            ),
-        }), schema=f"{by_name[key]}, n_distinct bigint")
+        return spark.createDataFrame(
+            pa.table(cols), schema=f"{key_ddl}, n_distinct bigint"
+        )
 
     from typing import Iterator
 
     from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import StructType
 
-    part_ddl = f"{by_name[key]}, v bigint"
+    key_ddl = ", ".join(by_name[kc] for kc in key_cols)
+    part_ddl = f"{key_ddl}, v bigint"
     out_schema = to_arrow_schema(StructType.fromDDL(part_ddl))
 
     def pair_files(batches: "Iterator[pa.RecordBatch]"):
@@ -626,16 +670,19 @@ def group_distinct(
                 tally = _file_pairs(fpath, pq)
                 if not tally:
                     continue
-                ks, vs = [], []
+                ks: list = [[] for _ in key_cols]
+                vs: list = []
                 for kv, vv in tally.items():
-                    ks += [kv] * len(vv)
+                    t = kv if isinstance(kv, tuple) else (kv,)
+                    for i in range(len(key_cols)):
+                        ks[i] += [t[i]] * len(vv)
                     vs += list(vv)
                 yield pa.RecordBatch.from_arrays(
                     [
-                        pa.array(ks, type=out_schema.field(0).type),
-                        pa.array(vs, type=pa.int64()),
-                    ],
-                    names=[key, "v"],
+                        pa.array(ks[i], type=out_schema.field(i).type)
+                        for i in range(len(key_cols))
+                    ] + [pa.array(vs, type=pa.int64())],
+                    names=list(key_cols) + ["v"],
                 )
 
     tasks = plan_parquet_tasks(spark, os.path.join(out_path, "blocks"), n_tasks)
@@ -643,6 +690,6 @@ def group_distinct(
     # (key, value) shuffle bounded by files x true_distinct, then a
     # KB-scale grouped count
     pairs = tasks.mapInArrow(pair_files, part_ddl).distinct()
-    return pairs.groupBy(key).agg(
+    return pairs.groupBy(*key_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n_distinct")
     )
