@@ -288,3 +288,30 @@ def test_group_distinct_est_composite_key(spark, ds, duck):
             ).collect()
         }
         assert got == exact, lb
+
+
+def test_group_distinct_string_values(spark, ds, duck):
+    """String value columns ride the dict_str CODE stream: distinct
+    (group, value-code) pairs per block, dictionary-mapped after. Keyed
+    on tok (int), counting distinct src strings, NULLs excluded."""
+    from xml2arrow_spark.pipeline.sketches import group_distinct
+
+    # both distinct operators group the NON-NULL (key, value) pair
+    # stream -- SQL's WHERE value IS NOT NULL before GROUP BY -- so a
+    # group whose values are all NULL does not appear (the estimator's
+    # long-pinned semantics; the exact twin matches it)
+    exact = {
+        r[0]: r[1]
+        for r in duck.execute(
+            "SELECT tok, count(DISTINCT src) FROM t "
+            "WHERE src IS NOT NULL GROUP BY tok"
+        ).fetchall()
+    }
+    for lb in (128 << 20, 0):
+        got = {
+            r["tok"]: r["n_distinct"]
+            for r in group_distinct(
+                spark, ds, "tok", "src", local_bytes=lb
+            ).collect()
+        }
+        assert got == exact, lb

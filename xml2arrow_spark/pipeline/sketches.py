@@ -524,8 +524,15 @@ def group_distinct(
     (vocab ids, categories, buckets); use the KMV estimate everywhere
     else.
 
-    Integer value columns only (mirrors the estimator; fingerprint
-    strings first); NULL values never count (SQL COUNT(DISTINCT)); the
+    Integer AND string value columns (strings stay on the dict_str CODE
+    stream — distinct (group, value-code) pairs first, the small distinct
+    set maps through the dictionary after; the exact twin needs no
+    portable hash, so the estimator's int-only restriction does not
+    apply. Floats refuse: SQL DISTINCT treats NaNs as equal, IEEE does
+    not). NULL values never count, and a group whose values are ALL
+    NULL does not appear — both distinct operators group the non-null
+    (key, value) pair stream, i.e. SQL's ``WHERE value IS NOT NULL``
+    before the GROUP BY (the estimator's gate-pinned semantics); the
     NULL key is its own group, and ``key`` may be a LIST of columns (a
     COMPOSITE key on the mixed-radix code stream — 'distinct X per
     (source, day)'). ``where`` takes count_where's range /
@@ -564,10 +571,12 @@ def group_distinct(
         )
     key_cols = _normalize_key_cols(key, by_name, "group_distinct")
     val_type = by_name[column].split(None, 1)[1].strip().lower()
-    if val_type not in _CW_INT_TYPES:
+    val_is_str = val_type == "string"
+    if not val_is_str and val_type not in _CW_INT_TYPES:
         raise ValueError(
-            f"group_distinct needs an integer value column, got "
-            f"{column} {val_type}: fingerprint strings first"
+            f"group_distinct needs an integer or string value column, got "
+            f"{column} {val_type}: float DISTINCT is not portable (SQL "
+            f"treats NaNs as equal, IEEE does not)"
         )
     wide = side.get("layout", "nested") == "wide"
     conj = (
@@ -588,16 +597,30 @@ def group_distinct(
 
     def _block_pairs(tally, key_pairs, val_pair, mask):
         keys, codes = _block_group_keys(key_pairs)
-        arr = decode_column(*val_pair)
-        valid = np.asarray(arr.is_valid()) if arr.null_count else None
-        if mask is not None:
-            valid = mask if valid is None else (valid & mask)
-        if valid is not None:
-            v = arr.fill_null(0).to_numpy()[valid]
-            gcodes = codes[valid]
+        if val_is_str:
+            # string values stay on the CODE stream (dict_str never
+            # materializes per-row strings): distinct (group, value-code)
+            # pairs first, the (small) distinct set maps through the
+            # dictionary after. The dictionary MAY repeat a value (RLE
+            # run values are not uniqued) — set semantics absorb that.
+            from xml2arrow_spark.operators.blocks import group_codes_column
+
+            vdict, vcodes = group_codes_column(*val_pair)
+            vals_list = vdict.to_pylist()
+            valid = vcodes != len(vals_list)  # drop the NULL slot
+            if mask is not None:
+                valid &= np.asarray(mask, dtype=bool)
+            v = vcodes[valid]
         else:
-            v = arr.to_numpy()
-            gcodes = codes
+            arr = decode_column(*val_pair)
+            valid = np.asarray(arr.is_valid()) if arr.null_count else None
+            if mask is not None:
+                valid = mask if valid is None else (valid & mask)
+            if valid is not None:
+                v = arr.fill_null(0).to_numpy()[valid]
+            else:
+                v = arr.to_numpy()
+        gcodes = codes[valid] if valid is not None else codes
         if not v.size:
             return
         pairs = np.unique(
@@ -610,7 +633,10 @@ def group_distinct(
             lo, hi = int(starts[g]), int(ends[g])
             if lo == hi:
                 continue
-            tally.setdefault(kv, set()).update(pairs[lo:hi, 1].tolist())
+            vv = pairs[lo:hi, 1].tolist()
+            if val_is_str:
+                vv = [vals_list[c] for c in vv]
+            tally.setdefault(kv, set()).update(vv)
         _cap_check(tally)
 
     def _file_pairs(fpath, pq_mod):
@@ -655,7 +681,7 @@ def group_distinct(
     from pyspark.sql.types import StructType
 
     key_ddl = ", ".join(by_name[kc] for kc in key_cols)
-    part_ddl = f"{key_ddl}, v bigint"
+    part_ddl = f"{key_ddl}, v " + ("string" if val_is_str else "bigint")
     out_schema = to_arrow_schema(StructType.fromDDL(part_ddl))
 
     def pair_files(batches: "Iterator[pa.RecordBatch]"):
@@ -681,7 +707,7 @@ def group_distinct(
                     [
                         pa.array(ks[i], type=out_schema.field(i).type)
                         for i in range(len(key_cols))
-                    ] + [pa.array(vs, type=pa.int64())],
+                    ] + [pa.array(vs, type=out_schema.field(len(key_cols)).type)],
                     names=list(key_cols) + ["v"],
                 )
 
