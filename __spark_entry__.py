@@ -963,6 +963,19 @@ def q_dataset_column_stats(spark, sf_dir):
             any_of(("l_returnflag", "A", "A"), ("l_quantity", None, 10.0)),
         )
     ).unionByName(
+        # ...and a TEMPORAL OR (two disjoint shipping seasons, bounds as
+        # epoch-micros ticks — the storage unit the zone stats share):
+        # blocks between the windows prune, windows claim interior, the
+        # oracle re-filters with TIMESTAMP literals under SQL OR
+        leg(
+            "wor:ship",
+            any_of(
+                ("l_shipdate", 788_918_400_000_000, 820_454_400_000_000),
+                ("l_shipdate", 883_612_800_000_000, 915_148_800_000_000),
+            ),
+            agg_col="l_orderkey",
+        )
+    ).unionByName(
         # codec-stream GROUP BY counts: dict_str bincount (string key)
         group_leg("group:flag=", "l_returnflag")
     ).unionByName(

@@ -1235,6 +1235,14 @@ def dataset_column_stats_sql() -> str:
                 "wor:mixed",
                 "l_returnflag = 'A' OR l_quantity <= 10.0",
             ),
+            where_row(
+                "wor:ship",
+                "l_shipdate BETWEEN TIMESTAMP '1995-01-01' "
+                "AND TIMESTAMP '1996-01-01' "
+                "OR l_shipdate BETWEEN TIMESTAMP '1998-01-01' "
+                "AND TIMESTAMP '1999-01-01'",
+                agg_expr="l_orderkey",
+            ),
             group_row("group:flag=", "l_returnflag"),
             group_row("group:line=", "l_linenumber"),
             gsum_row("gsum:flag=", "l_returnflag", "l_orderkey"),
