@@ -168,3 +168,67 @@ def test_randomized_dnf_group_counts(spark, ds):
             for r in group_count(spark, ds, "tag", where=pred).collect()
         }
         assert got == expect, (case, disjuncts)
+
+
+def test_randomized_dnf_row_filter_decode(spark, ds):
+    """The selective decode under random DNFs: the kernel-side OR mask
+    must return exactly the brute-matched id set."""
+    rng = random.Random(23)
+    from xml2arrow_spark.operators.dataset import decode_dataset
+
+    for case in range(8):
+        disjuncts = [
+            [_rand_conjunct(rng) for _ in range(rng.randrange(1, 3))]
+            for _ in range(rng.randrange(2, 4))
+        ]
+        pred = any_of(*disjuncts)
+        expect = sorted(
+            r["id"] for r in _ROWS if any(_match_conj(r, d) for d in disjuncts)
+        )
+        got = sorted(
+            r["id"]
+            for r in decode_dataset(
+                spark, ds, columns=["id"], row_filter=pred
+            ).collect()
+        )
+        assert got == expect, (case, disjuncts)
+
+
+def test_randomized_dnf_zone_filter_superset(spark, ds):
+    """zone_filter=any_of alone returns a SUPERSET of the matching rows
+    (conservative pruning); paired with the same DNF as row_filter it is
+    exact. Random both-bounds range disjuncts only (the zone shape)."""
+    rng = random.Random(31)
+    from xml2arrow_spark.operators.dataset import decode_dataset
+
+    def _zone_conjunct():
+        col = rng.choice(["id", "qty"])
+        if col == "id":
+            a = rng.choice([0, 99, 100, 150, 400, 799, 1100])
+            return (col, a, a + rng.choice([0, 1, 99, 100, 250]))
+        a = rng.randrange(0, 12)
+        return (col, a, min(11, a + rng.randrange(0, 6)))
+
+    for case in range(6):
+        disjuncts = [
+            [_zone_conjunct() for _ in range(rng.randrange(1, 3))]
+            for _ in range(rng.randrange(2, 4))
+        ]
+        pred = any_of(*disjuncts)
+        expect = sorted(
+            r["id"] for r in _ROWS if any(_match_conj(r, d) for d in disjuncts)
+        )
+        sup = {
+            r["id"]
+            for r in decode_dataset(
+                spark, ds, columns=["id"], zone_filter=pred
+            ).collect()
+        }
+        assert set(expect) <= sup, case  # superset contract
+        exact = sorted(
+            r["id"]
+            for r in decode_dataset(
+                spark, ds, columns=["id"], zone_filter=pred, row_filter=pred
+            ).collect()
+        )
+        assert exact == expect, (case, disjuncts)
