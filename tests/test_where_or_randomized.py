@@ -232,3 +232,41 @@ def test_randomized_dnf_zone_filter_superset(spark, ds):
             ).collect()
         )
         assert exact == expect, (case, disjuncts)
+
+
+def test_not_rewrites_cover_exact_complements():
+    """Property: the not_between / not_in DNF rewrites partition the
+    integer line exactly — every point is in the original predicate XOR
+    in some rewrite disjunct (pure evaluation, no Spark)."""
+    from hypothesis import given, settings, strategies as st
+
+    from xml2arrow_spark.operators.predicates import not_between, not_in
+
+    def in_range(v, lo, hi):
+        return (lo is None or v >= lo) and (hi is None or v <= hi)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(-50, 50), st.integers(0, 30), st.integers(-80, 80)
+    )
+    def check_between(a, w, v):
+        d = not_between("c", a, a + w).disjuncts
+        inside = a <= v <= a + w
+        matched = any(in_range(v, lo, hi) for _c, lo, hi in d)
+        assert matched != inside
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.sets(st.integers(-40, 40), min_size=1, max_size=8),
+        st.integers(-60, 60),
+    )
+    def check_in(values, v):
+        d = not_in("c", values).disjuncts
+        matched = any(in_range(v, lo, hi) for _c, lo, hi in d)
+        assert matched != (v in values)
+        # and no empty/inverted gap disjunct exists
+        for _c, lo, hi in d:
+            assert lo is None or hi is None or lo <= hi
+
+    check_between()
+    check_in()
