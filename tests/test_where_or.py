@@ -430,3 +430,45 @@ def test_not_in(spark, ds):
         not_in("id", [])
     with pytest.raises(ValueError):
         not_in("val", [1.5])
+
+
+def test_one_sided_zone_filter_prunes(spark, ds):
+    """A one-sided range zone filter must actually PRUNE (it used to be
+    typed onto the null-filled float zone pair — sound but silently
+    vacuous): on the id-clustered blocks, id >= 700 keeps exactly the
+    last two blocks per layout, and the decoded superset shows it."""
+    from xml2arrow_spark.operators.dataset import decode_dataset
+
+    ids = sorted(
+        r["id"]
+        for r in decode_dataset(
+            spark, ds, columns=["id"], zone_filter=("id", 700, None)
+        ).collect()
+    )
+    assert ids == list(range(700, 900))  # 2 of 9 blocks survived
+    ids2 = sorted(
+        r["id"]
+        for r in decode_dataset(
+            spark, ds, columns=["id"], zone_filter=("id", None, 149)
+        ).collect()
+    )
+    assert ids2 == list(range(0, 200))  # blocks [0,100) + [100,200)
+    # strings too: a one-sided bound types onto the string pair now --
+    # pure-aaa blocks prune, the mixed [400,500) block plus the pure-zzz
+    # blocks survive (superset contract: 500 rows, not the 450 matches)
+    n = decode_dataset(
+        spark, ds, columns=["id"], zone_filter=("tag", "zzz", None)
+    ).count()
+    assert n == 500
+
+
+def test_one_sided_zone_dnf(spark, ds):
+    # the DNF zone shape accepts one-sided disjuncts now
+    from xml2arrow_spark.operators.dataset import decode_dataset
+
+    zf = any_of(("id", None, 99), ("id", 800, None))
+    ids = sorted(
+        r["id"]
+        for r in decode_dataset(spark, ds, columns=["id"], zone_filter=zf).collect()
+    )
+    assert ids == list(range(0, 100)) + list(range(800, 900))

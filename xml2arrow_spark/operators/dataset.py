@@ -4209,8 +4209,13 @@ def decode_dataset(
             )
 
     def _zone_keep(vmin, vmax, lo, hi) -> bool:
-        # prune_blocks semantics: missing stats always keep
-        return vmin is None or vmax is None or (lo <= vmax and vmin <= hi)
+        # prune_blocks semantics: missing stats always keep; a None bound
+        # is one-sided (tests only the bounded side)
+        return (
+            vmin is None
+            or vmax is None
+            or ((lo is None or lo <= vmax) and (hi is None or vmin <= hi))
+        )
 
     def decode_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
@@ -4240,11 +4245,17 @@ def decode_dataset(
                             # expression filter over top-level zone columns:
                             # parquet row-group statistics prune the IO, then
                             # the row-level (= block-level) filter applies
-                            # exactly; conjuncts AND together, disjuncts OR
-                            return (
-                                fmin.is_null() | fmax.is_null()
-                                | ((fmin <= zf_hi) & (fmax >= zf_lo))
-                            )
+                            # exactly; conjuncts AND together, disjuncts OR;
+                            # a None bound is one-sided
+                            cond = None
+                            if zf_lo is not None:
+                                cond = fmax >= zf_lo
+                            if zf_hi is not None:
+                                c2 = fmin <= zf_hi
+                                cond = c2 if cond is None else (cond & c2)
+                            if cond is None:
+                                return ~fmin.is_null() | fmin.is_null()
+                            return fmin.is_null() | fmax.is_null() | cond
 
                         if zf_groups is None:
                             expr = None

@@ -766,10 +766,17 @@ def split_schema_ddl(ddl: str) -> dict[str, str]:
 
 
 def _zone_suffixes(lo, hi) -> tuple[str, str]:
-    """Zone-stat column pair for a predicate's bound type."""
-    if isinstance(lo, str) and isinstance(hi, str):
+    """Zone-stat column pair for a predicate's bound type. A ``None``
+    bound is one-sided — the pair is typed by the bound that IS present
+    (previously a one-sided int/string range fell through to the float
+    pair, whose null-filled stats kept every block: sound, but the prune
+    was silently vacuous)."""
+    probe = [b for b in (lo, hi) if b is not None]
+    if probe and all(isinstance(b, str) for b in probe):
         return "vmin_s", "vmax_s"
-    if isinstance(lo, int) and isinstance(hi, int):
+    if probe and all(
+        isinstance(b, int) and not isinstance(b, bool) for b in probe
+    ):
         return "vmin_i", "vmax_i"
     return "vmin_d", "vmax_d"
 
@@ -783,8 +790,8 @@ def normalize_zone_filters(zone_filter) -> list[tuple]:
     the filter to a DISJUNCTION of such conjunctions: the returned list is
     then flat across every disjunct with the disjunct spans attached
     (``.groups``), and the pruning consumers keep a block when ANY
-    disjunct could match it (both-bounds ranges only — zone pruning has
-    no one-sided or IN-list shape; use ``prune_blocks_any`` for points)."""
+    disjunct could match it (ranges with at least one bound — no IN-list
+    shape; use ``prune_blocks_any`` for points)."""
     from xml2arrow_spark.operators.predicates import AnyOf, DnfConjuncts
 
     if zone_filter is None:
@@ -797,10 +804,10 @@ def normalize_zone_filters(zone_filter) -> list[tuple]:
             if not sub:
                 raise ValueError("any_of disjuncts must be non-empty")
             for t in sub:
-                if len(t) != 3 or t[1] is None or t[2] is None:
+                if len(t) != 3 or (t[1] is None and t[2] is None):
                     raise ValueError(
-                        "zone-filter disjuncts must be both-bounds "
-                        f"(column, lo, hi) ranges, got {t!r}"
+                        "zone-filter disjuncts must be (column, lo, hi) "
+                        f"ranges with at least one bound, got {t!r}"
                     )
             groups.append((len(flat), len(flat) + len(sub)))
             flat.extend(sub)
@@ -848,9 +855,15 @@ def _prune_keep_cond(blocks_df, column: str, lo, hi):
         )
         vmin = entry[suffix_min]
         vmax = entry[suffix_max]
-    return vmin.isNull() | vmax.isNull() | (
-        (F.lit(lo) <= vmax) & (vmin <= F.lit(hi))
-    )
+    cond = None
+    if lo is not None:
+        cond = F.lit(lo) <= vmax
+    if hi is not None:
+        c2 = vmin <= F.lit(hi)
+        cond = c2 if cond is None else (cond & c2)
+    if cond is None:  # both bounds open: nothing to prune on
+        return F.lit(True)
+    return vmin.isNull() | vmax.isNull() | cond
 
 
 def prune_blocks_dnf(blocks_df, zfs):
