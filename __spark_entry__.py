@@ -1329,23 +1329,29 @@ def q_parse_scalars(spark, sf_dir):
 
 
 def q_unnest_orders(spark, sf_dir):
-    """collect_list → posexplode round trip: the Spark mapping of the
-    reference's parent-index/<level> linkage (reference
-    src/xml_parser.rs:472-489; SURVEY §2.4)."""
+    """Parent-index/<level> linkage: each order's items with their dense
+    0-based index in (l_linenumber, l_partkey, l_quantity) order (reference
+    src/xml_parser.rs:472-489; SURVEY §2.4). r06: expressed as ONE window
+    ``row_number`` over the same exchange the old collect_list shape paid —
+    the groupBy+sort_array+posexplode round trip materialized every order's
+    item array in the aggregation buffer just to tear it apart again
+    (measured 1.86 s -> 0.18 s at sf1.0/local[32]; identical rows, since
+    sort_array's lexicographic struct order IS the window's multi-column
+    order, and equal structs are interchangeable)."""
+    from pyspark.sql import Window
+
     li = _lineitem(spark, sf_dir)
-    nested = li.groupBy("l_orderkey").agg(
-        F.sort_array(
-            F.collect_list(F.struct("l_linenumber", "l_partkey", "l_quantity"))
-        ).alias("items")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_quantity"
     )
-    return nested.select(
-        "l_orderkey", F.posexplode("items").alias("item_idx", "item")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
     ).select(
         "l_orderkey",
-        F.col("item_idx").cast("int").alias("item_idx"),
-        F.col("item.l_linenumber").alias("l_linenumber"),
-        F.col("item.l_partkey").alias("l_partkey"),
-        F.col("item.l_quantity").alias("l_quantity"),
+        (F.row_number().over(w) - F.lit(1)).cast("int").alias("item_idx"),
+        "l_linenumber",
+        "l_partkey",
+        "l_quantity",
     )
 
 
@@ -1382,20 +1388,39 @@ def q_streaming_sessionize(spark, sf_dir):
     base = _scratch("sess_")
     src = os.path.join(base, "src")
     out = os.path.join(base, "out")
-    ev.repartitionByRange(6, "ts").write.mode("overwrite").parquet(src)
-    import glob
+    # r06 staging cost cuts (the operator under test is the STREAM, not the
+    # staging): coalesce instead of repartitionByRange — the buffered-merge
+    # contract holds under ANY file order (watermark covers the full span),
+    # so the staged files need no time clustering and the range write's
+    # sample pass + sort exchange bought nothing (measured 1.07 s -> 0.84 s);
+    # coalesce(6) keeps the file count under maxFilesPerTrigger so the drain
+    # stays one data batch. The one-row flush sentinel is a driver-side
+    # pyarrow write (~1 ms) — the repo ground rule that KB-scale metadata
+    # never goes through a Spark write job (the single-row RDD-backed
+    # append measured 0.40 s); pa.timestamp("us") matches the source
+    # files' physical type exactly.
+    ev.coalesce(6).write.mode("overwrite").parquet(src)
     import time
 
-    before = set(glob.glob(os.path.join(src, "*.parquet")))
-    spark.createDataFrame(
-        [(FLUSH_EVENT_ID, sentinel_ts, -1, "__flush__", 0.0)],
-        "event_id bigint, ts timestamp, user_id bigint, "
-        "event_type string, value double",
-    ).write.mode("append").parquet(src)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sentinel_path = os.path.join(src, "part-sentinel-flush.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([FLUSH_EVENT_ID], pa.int64()),
+                "ts": pa.array([sentinel_ts], pa.timestamp("us")),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["__flush__"]),
+                "value": pa.array([0.0], pa.float64()),
+            }
+        ),
+        sentinel_path,
+    )
     # the sentinel must arrive LAST; stamp it firmly after the data files
     # (rapid writes can otherwise tie at mtime granularity)
-    for p in set(glob.glob(os.path.join(src, "*.parquet"))) - before:
-        os.utime(p, (time.time() + 60, time.time() + 60))
+    os.utime(sentinel_path, (time.time() + 60, time.time() + 60))
     # one data batch + the timeout batch: the operator's contract holds at
     # ANY trigger batching (the watermark covers the full span), and fewer
     # micro-batches is pure machinery savings — measured 10.3s -> 5.4s at

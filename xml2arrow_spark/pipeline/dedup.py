@@ -27,6 +27,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from xml2arrow_spark.operators.partitioning import widen_scan
 from xml2arrow_spark.pipeline import sqlgen as G
 
 __all__ = [
@@ -314,7 +315,9 @@ def _with_dshingles(docs: DataFrame, text_col: str) -> DataFrame:
     ``shingles_expr`` indexes it 3× per output element, and inlining the
     tokenizer expression there would re-tokenize the doc per shingle —
     O(len²) per row (measured ~10× slowdown at 500 docs)."""
-    out = docs.withColumn("_toks", F.expr(G.word_tokens_arr(text_col, SPARK)))
+    out = widen_scan(docs).withColumn(
+        "_toks", F.expr(G.word_tokens_arr(text_col, SPARK))
+    )
     return out.withColumn(
         "dtoks", F.expr(G.adistinct(G.shingles_expr("_toks", SPARK), SPARK))
     ).drop("_toks")
@@ -362,6 +365,7 @@ def token_span_dedup(
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
     keys_path: str | None = None,
+    max_frequent_keys: int = 8_000_000,
 ) -> DataFrame:
     """Exact SUB-SEQUENCE dedup over the token table (the Lee-et-al-style
     substring pass, at the boilerplate-removal threshold): every ``span``-
@@ -376,37 +380,134 @@ def token_span_dedup(
     not k tokens; both engines compute the identical key, so oracle parity
     never depends on collision-freedom (~2^-62 per pair).
 
-    Scale shape: window keys are one narrow per-row transform (no
-    shuffle); the document-frequency table is a hash agg on the key; the
-    frequent-key set is tiny by construction (each survivor of
-    ``df > max_df`` represents > max_df corpus rows), so the semi-join
-    back broadcasts under AQE; per-doc frequent starts are a sparse array
-    and removal is an O(|starts|)-per-token array filter, never an
-    explode of the token payload. ``keys_path`` materializes the window
-    relation to parquet once (the two-phase ``sig_path`` discipline) so
-    the frequency agg and the frequent-starts probe read it instead of
-    each recomputing the O(n·k) key transform over the full payload —
-    the shape to use at corpus scale. Reference analog: the reference dedups
-    at record grain only; this is the sub-record member of the family.
+    Runtime path (r06): a vectorized two-pass mapInArrow kernel
+    (:mod:`xml2arrow_spark.pipeline.fast_text` — the minhash_batch
+    discipline; the SQL template remains the oracle-checkable spec and the
+    fallback). Pass 1 computes per-batch PARTIAL document frequencies of
+    the window keys in numpy (each doc is one row, so partials sum
+    exactly) and ships only (key, partial) pairs — the exploded window
+    relation never exists as Spark rows, which removed a full
+    posexplode + count_distinct shuffle of |windows| rows AND the
+    ``keys_path`` materialization the two-branch SQL shape needed
+    (measured 9.1 s -> 1.1 s at sf1.0/local[32]). The frequent-key set
+    (df > max_df) is tiny by the boilerplate-sparsity argument — each
+    survivor represents > max_df corpus rows — and broadcasts to pass 2,
+    which computes coverage, the kept sequence and its fold entirely
+    in-kernel, one output row per doc, no joins. If the frequent set ever
+    exceeds ``max_frequent_keys`` (degenerate boilerplate corpus), the
+    operator falls back to the pure-SQL join shape instead of growing the
+    driver (``keys_path`` is honored there; the kernel path does not need
+    it).
 
     Returns null-free per-doc scalars
     ``(id_col, n_tok, n_frequent_spans, n_kept, kept_fp)`` — ``kept_fp``
     is the shared base-31 rolling fold of the CLEANED token array, so the
     oracle pins the surviving sequence bit-for-bit without shipping it.
     """
-    from xml2arrow_spark.pipeline.textstats import FINGERPRINT_MOD
+    import numpy as np
+    import pyarrow as pa
+
+    from xml2arrow_spark.operators.partitioning import widen_scan as _widen
 
     k = int(span)
     if k < 1:
         raise ValueError("span must be >= 1")
+    spark = tokens_df.sparkSession
+    narrow = _widen(tokens_df.select(id_col, tokens_col))
+
+    def p1(batches):
+        from xml2arrow_spark.env import limit_arrow_threads
+        from xml2arrow_spark.pipeline.fast_text import (
+            list_column_views,
+            null_rows_emptied,
+            span_partial_counts,
+        )
+
+        limit_arrow_threads(1)
+        for b in batches:
+            vals, offs, valid = list_column_views(b.column(1))
+            if not valid.all():
+                vals, offs = null_rows_emptied(vals, offs, valid)
+            uk, counts = span_partial_counts(vals, offs, k)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(uk, type=pa.int64()),
+                 pa.array(counts, type=pa.int64())],
+                names=["skey", "pdf"],
+            )
+
+    parts = narrow.mapInArrow(p1, "skey bigint, pdf bigint")
+    freq_rows = (
+        parts.groupBy("skey")
+        .agg(F.sum("pdf").alias("df"))
+        .filter(F.col("df") > int(max_df))
+        .select("skey")
+        .limit(int(max_frequent_keys) + 1)
+        .collect()
+    )
+    if len(freq_rows) > max_frequent_keys:
+        return _token_span_dedup_sql(
+            tokens_df, k, max_df, id_col, tokens_col, keys_path
+        )
+    freq = np.sort(np.asarray([r[0] for r in freq_rows], dtype=np.int64))
+    bfreq = spark.sparkContext.broadcast(freq)
+    id_type = tokens_df.schema[id_col].dataType.simpleString()
+    ddl = (
+        f"{id_col} {id_type}, n_tok int, n_frequent_spans int, "
+        f"n_kept int, kept_fp bigint"
+    )
+
+    def p2(batches):
+        from xml2arrow_spark.env import limit_arrow_threads
+        from xml2arrow_spark.pipeline.fast_text import (
+            list_column_views,
+            null_rows_emptied,
+            span_clean_segments,
+        )
+
+        limit_arrow_threads(1)
+        fs = bfreq.value
+        for b in batches:
+            vals, offs, valid = list_column_views(b.column(1))
+            all_valid = bool(valid.all())
+            if not all_valid:
+                vals, offs = null_rows_emptied(vals, offs, valid)
+            nf, nk, fp = span_clean_segments(vals, offs, k, fs)
+            lens = np.diff(offs)
+            mask = None if all_valid else ~valid
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    pa.array(lens.astype(np.int32), mask=mask),
+                    pa.array(nf.astype(np.int32)),
+                    pa.array(nk.astype(np.int32)),
+                    pa.array(fp, type=pa.int64()),
+                ],
+                names=[id_col, "n_tok", "n_frequent_spans", "n_kept",
+                       "kept_fp"],
+            )
+
+    return narrow.mapInArrow(p2, ddl)
+
+
+def _token_span_dedup_sql(
+    tokens_df: DataFrame,
+    k: int,
+    max_df: int,
+    id_col: str,
+    tokens_col: str,
+    keys_path: str | None,
+) -> DataFrame:
+    """The pure-SQL join shape of :func:`token_span_dedup` — the oracle
+    spec, and the fallback when the frequent-key set is too large to
+    broadcast. ``keys_path`` materializes the window relation to parquet
+    once (the two-phase ``sig_path`` discipline) so the frequency agg and
+    the frequent-starts probe read it instead of each recomputing the
+    O(n·k) key transform over the full payload."""
+    from xml2arrow_spark.pipeline.textstats import FINGERPRINT_MOD
+
     keys = F.expr(G.span_keys_expr(tokens_col, k, SPARK))
     windows = tokens_df.select(id_col, F.posexplode(keys).alias("start0", "skey"))
     if keys_path:
-        # two-phase shape (the sig_path discipline): the window relation
-        # feeds BOTH the frequency agg and the frequent-starts semi-join —
-        # without materialization each branch recomputes the O(n*k) key
-        # transform over the full token payload. No executor-storage
-        # cache: parquet is the reliable store, immune to memory pressure.
         windows.write.mode("overwrite").parquet(keys_path)
         windows = tokens_df.sparkSession.read.parquet(keys_path)
     frequent = (
@@ -1020,7 +1121,7 @@ def minhash_signatures_fast(
             arrays += [out[name] for name in bands]
             yield pa.RecordBatch.from_arrays(arrays, names=[id_col, "sig", *bands])
 
-    return docs.select(id_col, text_col).mapInArrow(fn, ddl)
+    return widen_scan(docs.select(id_col, text_col)).mapInArrow(fn, ddl)
 
 
 def minhash_signatures_parquet(
@@ -1081,6 +1182,6 @@ def simhash_ids_fast(
                 names=[id_col, "simhash"],
             )
 
-    return docs.select(id_col, text_col).mapInArrow(
+    return widen_scan(docs.select(id_col, text_col)).mapInArrow(
         fn, f"{id_col} {id_type}, simhash bigint"
     )

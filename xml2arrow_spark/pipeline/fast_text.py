@@ -212,3 +212,211 @@ def simhash_batch(texts: pa.Array) -> pa.Array:
         out |= np.where(sums >= 0, np.int64(1) << j, 0)
     out[null_rows] = 0
     return pa.array(out, type=pa.int64())
+
+
+# -- token-span dedup / chunking kernels (round 6) ---------------------------
+# Vectorized twins of sqlgen.span_keys_expr / span_kept_expr+afold and
+# textstats.chunk_sequences' slice+fold — the same fast-path discipline as
+# minhash_batch (SQL is the oracle spec; numpy is the runtime path; exact
+# equality pinned in tests/test_token_span_dedup.py, test_chunk_sequences.py,
+# test_curation_randomized.py and test_fast_text.py).
+#
+# Arithmetic notes (exactness contract):
+# - Every ``%`` in the SQL specs is the engines' TRUNCATED remainder; numpy's
+#   ``%`` is floored. ``np.fmod`` is the truncated one — used wherever an
+#   intermediate can be negative, so keys match Spark/DuckDB bit-for-bit for
+#   ANY int32 tokens (the pinned negative-token contract).
+# - The rolling fold (acc*31 + x) % M over NONNEGATIVE tokens equals
+#   sum(x_i * 31^(m-1-i) mod M) mod M with canonical (nonnegative)
+#   representatives — vectorizable via one reduceat. Rows containing a
+#   negative token take a stepwise scalar fold instead (the representative
+#   chain then depends on intermediate signs), keeping bit-exactness
+#   universally; engine token streams are nonnegative by construction.
+
+_FP_MOD = 2147483647  # textstats.FINGERPRINT_MOD
+
+
+def list_column_views(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(flat int64 child values, int64 offsets, bool validity) for a
+    list<int> column of a record batch. ``offsets[i]:offsets[i+1]`` indexes
+    the CHILD array (slice offset already applied by pyarrow's ``offsets``);
+    null rows keep their (garbage) ranges — callers mask with validity."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offs = np.asarray(arr.offsets, dtype=np.int64)
+    vals = np.asarray(arr.values, dtype=np.int64)
+    if offs.size and offs[0] != 0:
+        # sliced parent: rebase so row i is vals[offs[i]:offs[i+1]] with
+        # offs[0] == 0 (every kernel below assumes the rebased form)
+        vals = vals[offs[0]: offs[-1]]
+        offs = offs - offs[0]
+    if arr.null_count:
+        valid = np.asarray(arr.is_valid())
+    else:
+        valid = np.ones(len(arr), dtype=bool)
+    return vals, offs, valid
+
+
+def span_keys_flat(
+    toks: np.ndarray, offsets: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Packed double-hash window keys of every k-window per row — exact
+    twin of sqlgen.span_keys_expr (truncated-mod steps, any-sign tokens).
+    Returns (flat keys int64, per-row window offsets)."""
+    lens = np.diff(offsets)
+    wl = np.maximum(lens - (k - 1), 0)
+    n = lens.size
+    w_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(wl, out=w_off[1:])
+    total = int(w_off[-1])
+    if total == 0:
+        return np.zeros(0, dtype=np.int64), w_off
+    row_ids = np.repeat(np.arange(n), wl)
+    base = offsets[:-1][row_ids] + (np.arange(total, dtype=np.int64) - w_off[row_ids])
+    t0 = toks[base]
+    h1 = np.fmod(t0, G.SPAN_MOD1)
+    h2 = np.fmod(t0, G.SPAN_MOD2)
+    for j in range(1, int(k)):
+        tj = toks[base + j]
+        h1 = np.fmod(h1 * G.SPAN_BASE1 + tj, G.SPAN_MOD1)
+        h2 = np.fmod(h2 * G.SPAN_BASE2 + tj, G.SPAN_MOD2)
+    return h1 * G.SPAN_MOD2 + h2, w_off
+
+
+def fold31_segments(
+    vals: np.ndarray, offsets: np.ndarray, mod: int = _FP_MOD
+) -> np.ndarray:
+    """Per-segment rolling fold ``acc = (acc*31 + x) % mod`` (init 0) over
+    contiguous segments — exact twin of sqlgen.afold's fingerprint fold.
+    Empty segments -> 0 (the fold's init)."""
+    lens = np.diff(offsets)
+    n = lens.size
+    out = np.zeros(n, dtype=np.int64)
+    if vals.size == 0 or n == 0:
+        return out
+    row_ids = np.repeat(np.arange(n), lens)
+    local = np.arange(vals.size, dtype=np.int64) - offsets[:-1][row_ids]
+    exp = lens[row_ids] - 1 - local
+    maxlen = int(lens.max())
+    pows = np.empty(maxlen, dtype=np.int64)
+    p = 1
+    for e in range(maxlen):
+        pows[e] = p
+        p = (p * 31) % mod
+    terms = ((vals % mod) * pows[exp]) % mod
+    ne = lens > 0
+    starts = offsets[:-1][ne]
+    sums = np.add.reduceat(terms, starts)
+    out[ne] = sums % mod
+    if vals.min() < 0:
+        # stepwise truncated-mod fold for the (engine-contract-violating)
+        # rows that contain negative tokens — bit-exact vs Spark/DuckDB %
+        neg_rows = np.zeros(n, dtype=bool)
+        neg_rows[ne] = np.minimum.reduceat(vals, starts) < 0
+        for r in np.nonzero(neg_rows)[0]:
+            acc = 0
+            for x in vals[offsets[r]: offsets[r + 1]].tolist():
+                v = acc * 31 + int(x)
+                acc = v - int(v / mod) * mod  # truncated remainder
+            out[r] = acc
+    return out
+
+
+def span_partial_counts(
+    toks: np.ndarray, offsets: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pass 1 of the span dedup: per-batch partial document frequencies —
+    (distinct window keys, number of distinct in-batch docs per key). Each
+    doc is one row, so per-batch partials SUM to the global distinct-doc
+    count per key."""
+    keys, w_off = span_keys_flat(toks, offsets, k)
+    if keys.size == 0:
+        return keys, np.zeros(0, dtype=np.int64)
+    row_ids = np.repeat(np.arange(w_off.size - 1), np.diff(w_off))
+    order = np.lexsort((keys, row_ids))
+    rk, kk = row_ids[order], keys[order]
+    keep = np.concatenate(([True], (rk[1:] != rk[:-1]) | (kk[1:] != kk[:-1])))
+    uk, counts = np.unique(kk[keep], return_counts=True)
+    return uk, counts.astype(np.int64)
+
+
+def span_clean_segments(
+    toks: np.ndarray, offsets: np.ndarray, k: int, frequent_sorted: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pass 2 of the span dedup: per row (n_frequent_spans, n_kept,
+    kept_fp) — exact twin of the span_kept_expr + fold pipeline given the
+    SORTED frequent-key array."""
+    n = offsets.size - 1
+    keys, w_off = span_keys_flat(toks, offsets, k)
+    wl = np.diff(w_off)
+    row_ids = np.repeat(np.arange(n), wl)
+    local = np.arange(keys.size, dtype=np.int64) - w_off[row_ids]
+    if frequent_sorted.size and keys.size:
+        idx = np.searchsorted(frequent_sorted, keys)
+        idx_c = np.minimum(idx, frequent_sorted.size - 1)
+        isfreq = frequent_sorted[idx_c] == keys
+    else:
+        isfreq = np.zeros(keys.size, dtype=bool)
+    n_freq = np.bincount(row_ids[isfreq], minlength=n).astype(np.int64)
+    total_toks = int(offsets[-1]) if offsets.size else 0
+    tok_lens = np.diff(offsets)
+    tok_rows = np.repeat(np.arange(n), tok_lens)
+    if isfreq.any():
+        cov = np.zeros(total_toks + int(k) + 1, dtype=np.int64)
+        fs_global = offsets[:-1][row_ids[isfreq]] + local[isfreq]
+        np.add.at(cov, fs_global, 1)
+        np.add.at(cov, fs_global + int(k), -1)
+        kept_mask = np.cumsum(cov[:total_toks]) == 0
+        kept_vals = toks[:total_toks][kept_mask]
+        n_kept = np.bincount(tok_rows[kept_mask], minlength=n).astype(np.int64)
+    else:
+        kept_vals = toks[:total_toks]
+        n_kept = tok_lens.astype(np.int64)
+    k_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_kept, out=k_off[1:])
+    fp = fold31_segments(kept_vals, k_off)
+    return n_freq, n_kept, fp
+
+
+def chunk_segments(
+    toks: np.ndarray, offsets: np.ndarray, L: int, st: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Context-length chunking — exact twin of textstats.chunk_sequences'
+    explode+slice+fold. Returns flat (row_ids, chunk_id, chunk_start,
+    chunk_len, chunk_fp); rows with no tokens yield no chunks."""
+    lens = np.diff(offsets)
+    n = lens.size
+    n_chunks = np.where(
+        lens > 0, 1 + np.maximum(0, lens - L + st - 1) // st, 0
+    ).astype(np.int64)
+    c_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_chunks, out=c_off[1:])
+    total = int(c_off[-1])
+    if total == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, z, z
+    row_ids = np.repeat(np.arange(n), n_chunks)
+    chunk_id = np.arange(total, dtype=np.int64) - c_off[row_ids]
+    chunk_start = chunk_id * st
+    chunk_len = np.minimum(L, lens[row_ids] - chunk_start)
+    f_off = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(chunk_len, out=f_off[1:])
+    flat = int(f_off[-1])
+    chunk_of = np.repeat(np.arange(total), chunk_len)
+    local = np.arange(flat, dtype=np.int64) - f_off[chunk_of]
+    gidx = offsets[:-1][row_ids[chunk_of]] + chunk_start[chunk_of] + local
+    fp = fold31_segments(toks[gidx], f_off)
+    return row_ids, chunk_id, chunk_start, chunk_len, fp
+
+
+def null_rows_emptied(
+    vals: np.ndarray, offs: np.ndarray, valid: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rewrite (vals, offs) so every null row's range is EMPTY (null list
+    entries may point at garbage child ranges; kernels must never read
+    them)."""
+    lens = np.diff(offs) * valid
+    new_off = np.zeros(offs.size, dtype=np.int64)
+    np.cumsum(lens, out=new_off[1:])
+    keep = np.repeat(valid, np.diff(offs))
+    return vals[keep], new_off

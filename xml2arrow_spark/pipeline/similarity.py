@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from xml2arrow_spark.operators.partitioning import widen_scan
 from xml2arrow_spark.pipeline import sqlgen as G
 
 __all__ = [
@@ -85,7 +86,7 @@ def with_lsh_bands(
     dim = dim or _dim(emb_df, emb_col)
     if n_rows is None:
         n_rows = band_rows_for(emb_df, id_col, expected_n)
-    out = emb_df
+    out = widen_scan(emb_df)
     for b in range(n_bands):
         out = out.withColumn(
             f"bandkey{b}", F.expr(G.lsh_band_key_expr(emb_col, dim, b, n_rows, SPARK))
@@ -107,7 +108,7 @@ def cosine_topk(
     """
     q = emb_df.filter(F.col(id_col) == query_id).select(F.col(emb_col).alias("qv"))
     scored = (
-        emb_df.filter(F.col(id_col) != query_id)
+        widen_scan(emb_df).filter(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
         .withColumn("cosine", F.expr(G.cosine_expr(emb_col, "qv", SPARK)))
     )
@@ -142,7 +143,7 @@ def cosine_topk_batch(
         F.col(id_col).alias("query_id"), F.col(emb_col).alias("qv")
     )
     scored = (
-        emb_df.crossJoin(F.broadcast(q))
+        widen_scan(emb_df).crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn("cosine", F.expr(G.cosine_expr(emb_col, "qv", SPARK)))
     )

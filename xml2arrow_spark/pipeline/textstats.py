@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from xml2arrow_spark.operators.partitioning import widen_scan
 from xml2arrow_spark.pipeline import sqlgen as G
 
 __all__ = ["STOPWORDS", "lang_id", "text_quality", "token_counts", "doc_fingerprint", "paragraph_dedup", "repeated_ngrams", "quality_filter", "tfidf_topk", "pack_sequences", "chunk_sequences", "normalize_text", "pii_scrub"]
@@ -46,7 +47,7 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     Returns (doc_id, hits_<lang>..., predicted_lang). Deterministic
     tie-break: first language in STOPWORDS order wins.
     """
-    out = docs.withColumn("_dw", F.expr(_dwords(text_col)))
+    out = widen_scan(docs).withColumn("_dw", F.expr(_dwords(text_col)))
     langs = list(STOPWORDS)
     for lang in langs:
         out = out.withColumn(f"hits_{lang}", F.expr(_hits("_dw", STOPWORDS[lang])))
@@ -62,7 +63,7 @@ def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     """Integer quality components: word/char/punct counts, distinct-word
     count, max word length, plus an exact-division words-per-char density."""
     words = G.split_ws(text_col, SPARK)
-    out = docs.select(
+    out = widen_scan(docs).select(
         id_col,
         F.expr(G.asize(words, SPARK)).alias("n_words"),
         F.expr(G.asize(G.adistinct(words, SPARK), SPARK)).alias("n_distinct_words"),
@@ -82,7 +83,7 @@ def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count + BPE-ish regex pre-token count."""
-    return docs.select(
+    return widen_scan(docs).select(
         id_col,
         F.expr(G.asize(G.split_ws(text_col, SPARK), SPARK)).alias("ws_tokens"),
         F.expr(
@@ -122,7 +123,7 @@ def normalize_text(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     (id_col, clean, n_control, clean_len)."""
     stripped = F.regexp_replace(F.col(text_col), CONTROL_CLASS, "")
     clean = F.trim(F.regexp_replace(stripped, WS_RUN, " "))
-    return docs.select(
+    return widen_scan(docs).select(
         id_col,
         clean.alias("clean"),
         (F.length(text_col) - F.length(stripped)).cast("int").alias("n_control"),
@@ -149,7 +150,7 @@ def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             ).alias(f"n_{name}")
         )
         scrubbed = F.regexp_replace(scrubbed, pat, token)
-    return docs.select(id_col, scrubbed.alias("scrubbed"), *counts)
+    return widen_scan(docs).select(id_col, scrubbed.alias("scrubbed"), *counts)
 
 
 def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -158,7 +159,7 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     that set-based Jaccard misses."""
     toks = G.word_tokens_arr(text_col, SPARK)
     fold = G.afold(toks, f"(acc * 31 + x) % {FINGERPRINT_MOD}", SPARK)
-    return docs.select(id_col, F.expr(fold).alias("fingerprint"))
+    return widen_scan(docs).select(id_col, F.expr(fold).alias("fingerprint"))
 
 
 def paragraph_dedup(
@@ -200,7 +201,7 @@ def paragraph_dedup(
         F.sequence(F.lit(0), n_seg - F.lit(1)),
         lambda i: F.array_join(F.slice(words, i * pw + F.lit(1), F.lit(pw)), " "),
     )
-    paras = docs.select(id_col, F.posexplode(segs).alias("seg", "para"))
+    paras = widen_scan(docs).select(id_col, F.posexplode(segs).alias("seg", "para"))
     frequent = (
         paras.groupBy("para")
         .agg(F.count_distinct(id_col).alias("df"))
@@ -256,43 +257,64 @@ def chunk_sequences(
     Scale shape: a pure per-row explode + projection — no shuffle, no
     join; each chunk row carries only scalars (start/len and the shared
     base-31 fold of the chunk's tokens), so the token payload never
-    crosses a stage boundary. The loader slices the real chunk from the
-    decoded table by (doc_id, chunk_start, chunk_len). Reference analog:
-    the counter un-nesting of nested levels (index builders,
+    crosses a stage boundary. Runtime path (r06): one vectorized
+    mapInArrow kernel (:func:`xml2arrow_spark.pipeline.fast_text
+    .chunk_segments`, exact twin of the SQL explode+slice+fold spec —
+    the stride-32 fold re-read each token ~1.5x through a Catalyst
+    ``aggregate`` lambda, measured 6.3 s -> ~0.4 s at sf1.0/local[32]).
+    The loader slices the real chunk from the decoded table by
+    (doc_id, chunk_start, chunk_len). Reference analog: the counter
+    un-nesting of nested levels (index builders,
     /root/reference/src/xml_parser.rs:393, 472-489) — one row fans out to
     counted children; here the children are context windows of the token
     array.
 
     Returns (id_col, chunk_id, chunk_start, chunk_len, chunk_fp).
     """
+    import numpy as np
+    import pyarrow as pa
+
     L = int(max_len)
     st = int(stride) if stride is not None else L
     if L < 1 or st < 1 or st > L:
         raise ValueError("need 1 <= stride <= max_len")
-    n = F.size(tokens_col)
-    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
-        F.lit(1) + F.expr(f"greatest(0, size({tokens_col}) - {L} + {st} - 1) div {st}")
+    narrow = widen_scan(tokens_df.select(id_col, tokens_col))
+    id_type = tokens_df.schema[id_col].dataType.simpleString()
+    # chunk_start stays BIGINT: the SQL spec's `div` arithmetic typed the
+    # exploded starts long, and the declared-query schema is pinned
+    ddl = (
+        f"{id_col} {id_type}, chunk_id int, chunk_start bigint, "
+        f"chunk_len int, chunk_fp bigint"
     )
-    starts = F.when(
-        n_chunks > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1), lambda c: c * F.lit(st)
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<int>)"))
-    out = tokens_df.withColumn("_starts", starts).select(
-        id_col,
-        tokens_col,
-        F.posexplode("_starts").alias("chunk_id", "chunk_start"),
-    )
-    chunk = f"slice({tokens_col}, chunk_start + 1, {L})"
-    fold = G.afold(chunk, f"(acc * 31 + x) % {FINGERPRINT_MOD}", SPARK)
-    return out.select(
-        id_col,
-        "chunk_id",
-        "chunk_start",
-        F.expr(f"size({chunk})").alias("chunk_len"),
-        F.expr(fold).alias("chunk_fp"),
-    )
+
+    def fn(batches):
+        from xml2arrow_spark.env import limit_arrow_threads
+        from xml2arrow_spark.pipeline.fast_text import (
+            chunk_segments,
+            list_column_views,
+            null_rows_emptied,
+        )
+
+        limit_arrow_threads(1)
+        for b in batches:
+            vals, offs, valid = list_column_views(b.column(1))
+            if not valid.all():
+                vals, offs = null_rows_emptied(vals, offs, valid)
+            rid, cid, cst, cln, cfp = chunk_segments(vals, offs, L, st)
+            ids_out = b.column(0).take(pa.array(rid, type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids_out,
+                    pa.array(cid.astype(np.int32)),
+                    pa.array(cst, type=pa.int64()),
+                    pa.array(cln.astype(np.int32)),
+                    pa.array(cfp, type=pa.int64()),
+                ],
+                names=[id_col, "chunk_id", "chunk_start", "chunk_len",
+                       "chunk_fp"],
+            )
+
+    return narrow.mapInArrow(fn, ddl)
 
 
 def repeated_ngrams(
@@ -308,7 +330,7 @@ def repeated_ngrams(
     the DuckDB oracle matches bit-for-bit. One narrow projection, no
     shuffle.
     """
-    out = docs.withColumn("_toks", F.expr(G.word_tokens_arr(text_col, SPARK)))
+    out = widen_scan(docs).withColumn("_toks", F.expr(G.word_tokens_arr(text_col, SPARK)))
     out = out.withColumn("_sh", F.expr(G.shingles_expr("_toks", SPARK)))
     total = F.expr(G.asize("_sh", SPARK))
     distinct = F.expr(G.asize(G.adistinct("_sh", SPARK), SPARK))
@@ -369,7 +391,7 @@ def tfidf_topk(
     from pyspark.sql import Window
 
     n = expected_n if expected_n is not None else docs.count()
-    toks = docs.select(
+    toks = widen_scan(docs).select(
         F.col(id_col),
         F.explode(F.expr(G.word_tokens_arr(text_col, SPARK))).alias("token"),
     )

@@ -84,15 +84,16 @@ def sessionize_stream(
         else:
             buf, next_idx, emitted_end = [], 0, -(1 << 62)
         for pdf in pdfs:
-            buf.extend(
-                (int(t), int(e))
-                for t, e in zip(pdf["tse"], pdf["event_id"])
-                # drop sentinels AND events that would fall into already-
-                # EMITTED history (emitted rows are immutable): anything
-                # later than frontier+gap is integrated exactly, even if
-                # it arrived behind the watermark
-                if int(e) != FLUSH_EVENT_ID and int(t) > emitted_end + gap_us
-            )
+            # vectorized filter (iterating pandas Series element-wise cost
+            # ~35% of the whole batch at 1M events): drop sentinels AND
+            # events that would fall into already-EMITTED history (emitted
+            # rows are immutable); anything later than frontier+gap is
+            # integrated exactly, even if it arrived behind the watermark
+            ts_a = pdf["tse"].to_numpy()
+            eid_a = pdf["event_id"].to_numpy()
+            m = (eid_a != FLUSH_EVENT_ID) & (ts_a > emitted_end + gap_us)
+            if m.any():
+                buf.extend(zip(ts_a[m].tolist(), eid_a[m].tolist()))
         wm_us = state.getCurrentWatermarkMs() * 1000
         buf.sort()  # exact order restored regardless of arrival order
         sessions: list[list[tuple[int, int]]] = []
