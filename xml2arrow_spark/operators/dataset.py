@@ -1202,11 +1202,11 @@ def count_where(
         return acc[:8]
 
     if total_bytes <= local_bytes:
-        import pyarrow.parquet as pq_local
+        from xml2arrow_spark.sources.files import map_local_files
 
         acc = zero
-        for fp, _s in infos:
-            acc = _fold(acc, _process_file(fp, pq_local))
+        for res in map_local_files(infos, _process_file):
+            acc = _fold(acc, res)
         # one-row ARROW-backed LocalRelation (LocalTableScan): collects in
         # ~30 ms; a python-list createDataFrame is RDD-backed (~0.3 s per
         # action) and even range(1).select(lit...) pays a 1-task job
@@ -1416,11 +1416,11 @@ def _group_count_composite(
 
     infos = parquet_file_infos(os.path.join(out_path, "blocks"))
     if sum(sz for _p, sz in infos) <= local_bytes:
-        import pyarrow.parquet as pq_local
+        from xml2arrow_spark.sources.files import map_local_files
 
         total: dict = {}
-        for fp, _sz in infos:
-            for kt, c in _file_counts(fp, pq_local).items():
+        for fc in map_local_files(infos, _file_counts):
+            for kt, c in fc.items():
                 total[kt] = total.get(kt, 0) + c
         items = list(total.items())
         # arrow-backed LocalRelation — see the single-key local finish
@@ -1773,11 +1773,11 @@ def group_count(
 
     infos = parquet_file_infos(os.path.join(out_path, "blocks"))
     if sum(s for _p, s in infos) <= local_bytes:
-        import pyarrow.parquet as pq_local
+        from xml2arrow_spark.sources.files import map_local_files
 
         total: dict = {}
-        for fp, _s in infos:
-            for v, c in _file_counts(fp, pq_local).items():
+        for fc in map_local_files(infos, _file_counts):
+            for v, c in fc.items():
                 total[v] = total.get(v, 0) + c
         # arrow-backed LocalRelation (LocalTableScan), NOT a python-list
         # createDataFrame: the latter is RDD-backed and every action runs
@@ -2060,11 +2060,11 @@ def _group_aggs_composite(
     nk = len(keys)
     infos = parquet_file_infos(os.path.join(out_path, "blocks"))
     if sum(sz for _p, sz in infos) <= local_bytes:
-        import pyarrow.parquet as pq_local
+        from xml2arrow_spark.sources.files import map_local_files
 
         total: dict = {}
-        for fp, _sz in infos:
-            for kt, (c, trips) in _file_sums(fp, pq_local).items():
+        for fs_ in map_local_files(infos, _file_sums):
+            for kt, (c, trips) in fs_.items():
                 _merge(total, kt, c, trips)
         rows = []
         for kt, (c, trips) in total.items():
@@ -2557,11 +2557,11 @@ def group_aggs(
 
     infos = parquet_file_infos(os.path.join(out_path, "blocks"))
     if sum(s for _p, s in infos) <= local_bytes:
-        import pyarrow.parquet as pq_local
+        from xml2arrow_spark.sources.files import map_local_files
 
         total: dict = {}
-        for fp, _s in infos:
-            for v, (c, trips) in _file_sums(fp, pq_local).items():
+        for fs_ in map_local_files(infos, _file_sums):
+            for v, (c, trips) in fs_.items():
                 _merge(total, v, c, trips)
         rows = []
         for v, (c, trips) in total.items():
@@ -3044,16 +3044,18 @@ def top_k(
 
     infos = parquet_file_infos(os.path.join(out_path, "blocks"))
     if sum(s for _p, s in infos) <= local_bytes:
-        import pyarrow.parquet as pq_local
+        from xml2arrow_spark.sources.files import map_local_files
 
-        # pass 1: every block's rank bound (wide: stats columns only);
-        # pass 2: ONE globally rank-ordered visit — payload IO happens
-        # per file only when some block of it is actually folded
+        # pass 1: every block's rank bound (wide: stats columns only),
+        # per-file scans overlapped on the driver pool; pass 2: ONE
+        # globally rank-ordered visit — payload IO happens per file only
+        # when some block of it is actually folded
         getters = {}
         fpairs = {}
         items = []
-        for fi, (fp, _s) in enumerate(infos):
-            bounds, kinds, getter, fpair = _scan_blocks(fp, pq_local)
+        for fi, (bounds, kinds, getter, fpair) in enumerate(
+            map_local_files(infos, _scan_blocks)
+        ):
             getters[fi] = getter
             fpairs[fi] = fpair
             items += [
@@ -3677,11 +3679,11 @@ def time_bucket_count(
 
     infos = parquet_file_infos(os.path.join(out_path, "blocks"))
     if sum(sz for _p, sz in infos) <= local_bytes:
-        import pyarrow.parquet as pq_local
+        from xml2arrow_spark.sources.files import map_local_files
 
         total: dict = {}
-        for fp, _sz in infos:
-            for b, c in _file_buckets(fp, pq_local).items():
+        for fb in map_local_files(infos, _file_buckets):
+            for b, c in fb.items():
                 total[b] = total.get(b, 0) + c
         return _finish(total)
 

@@ -414,6 +414,17 @@ def token_span_dedup(
         raise ValueError("span must be >= 1")
     spark = tokens_df.sparkSession
     narrow = _widen(tokens_df.select(id_col, tokens_col))
+    if keys_path:
+        # two-phase materialization (the sig_path discipline), r06 form:
+        # both kernel passes need the token relation, and when it is a
+        # DERIVED projection (tokenize over the raw corpus) each pass
+        # would recompute it — measured 1.28 s/pass at sf1.0 for the
+        # tokenize+Arrow conversion alone vs ~0.45 s to write the narrow
+        # relation once and scan it twice. (The SQL fallback materializes
+        # the exploded WINDOW relation here instead — its two branches
+        # consume windows, not tokens.)
+        narrow.write.mode("overwrite").parquet(keys_path)
+        narrow = _widen(spark.read.parquet(keys_path))
 
     def p1(batches):
         from xml2arrow_spark.env import limit_arrow_threads
@@ -601,10 +612,10 @@ def lsh_near_dup_pairs(
     # reads it for every band branch and both join sides. No executor-storage
     # cache, no InMemoryRelation; the signature table is also the natural
     # checkpoint for incremental dedup runs.
-    sig_cols = with_minhash(docs, text_col).select(
-        F.col(id_col).alias("doc"), "dtoks",
-        *[f"band{b}" for b in range(G.MINHASH_BANDS)],
-    )
+    # phase-1 signatures via the vectorized kernel (r06): the SQL
+    # with_minhash tree remains the oracle spec; the kernel is its
+    # element-exact twin and computes sig+bands+dtoks in one numpy pass
+    sig_cols = minhash_bands_dtoks_fast(docs, text_col, id_col, id_alias="doc")
     spark = docs.sparkSession
     if sig_path is not None:
         # batch 0 of the store; the bands table (partitioned by band_pos)
@@ -1120,6 +1131,45 @@ def minhash_signatures_fast(
             arrays = [b.column(b.schema.get_field_index(id_col)), out["sig"]]
             arrays += [out[name] for name in bands]
             yield pa.RecordBatch.from_arrays(arrays, names=[id_col, "sig", *bands])
+
+    return widen_scan(docs.select(id_col, text_col)).mapInArrow(fn, ddl)
+
+
+def minhash_bands_dtoks_fast(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    id_alias: str = "doc",
+) -> DataFrame:
+    """Vectorized (id, dtoks, band0..band{B-1}) — the signature relation
+    the banded pair generators materialize (phase 1 of the two-phase
+    sig store). Same numpy kernel as :func:`minhash_signatures_fast`
+    (element-exact twin of the SQL spec, tests/test_fast_text.py), plus
+    the distinct-shingle set itself; dtoks comes out SORTED rather than
+    in the SQL twin's first-occurrence order — every consumer is
+    set-valued (sizes / intersect sizes), so element order is not part
+    of any contract. Measured 2.0 s -> ~0.7 s for the q5 phase-1 write
+    at sf1.0/local[32]."""
+    import pyarrow as pa
+
+    from xml2arrow_spark.pipeline.fast_text import minhash_batch
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    bands = [f"band{b}" for b in range(G.MINHASH_BANDS)]
+    ddl = f"{id_alias} {id_type}, dtoks array<bigint>, " + ", ".join(
+        f"{b} bigint" for b in bands
+    )
+
+    def fn(batches):
+        from xml2arrow_spark.env import limit_arrow_threads
+
+        limit_arrow_threads(1)
+        for b in batches:
+            out = minhash_batch(b.column(1), with_dtoks=True)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), out["dtoks"], *[out[name] for name in bands]],
+                names=[id_alias, "dtoks", *bands],
+            )
 
     return widen_scan(docs.select(id_col, text_col)).mapInArrow(fn, ddl)
 

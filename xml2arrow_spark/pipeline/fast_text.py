@@ -141,10 +141,15 @@ def _segment_min(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return out
 
 
-def minhash_batch(texts: pa.Array) -> dict[str, pa.Array]:
+def minhash_batch(texts: pa.Array, with_dtoks: bool = False) -> dict[str, pa.Array]:
     """sig (list<int64>, K values, null elements for shingle-less docs) and
     band0..band{B-1} (int64, null for shingle-less docs) per input text.
-    Exact twin of sqlgen.minhash_expr/band_expr over dedup's shingle set."""
+    Exact twin of sqlgen.minhash_expr/band_expr over dedup's shingle set.
+
+    ``with_dtoks=True`` additionally returns ``dtoks`` — each row's
+    DISTINCT shingle set as list<int64> (SORTED order, not the SQL twin's
+    first-occurrence order: every consumer is set-valued — sizes and
+    intersect sizes — so element order is not part of any contract)."""
     texts = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
     n = len(texts)
     null_mask = np.zeros(n, dtype=bool)
@@ -174,6 +179,11 @@ def minhash_batch(texts: pa.Array) -> dict[str, pa.Array]:
         pa.array(np.arange(n + 1, dtype=np.int32) * K, type=pa.int32()), sig_values
     )
     out: dict[str, pa.Array] = {"sig": sig_arr}
+    if with_dtoks:
+        out["dtoks"] = pa.ListArray.from_arrays(
+            pa.array(s_offsets, type=pa.int64()).cast(pa.int32()),
+            pa.array(sh, type=pa.int64()),
+        )
     R = G.MINHASH_ROWS
     for b_i in range(G.MINHASH_BANDS):
         band = sigs[:, b_i * R].copy()
@@ -420,3 +430,77 @@ def null_rows_emptied(
     np.cumsum(lens, out=new_off[1:])
     keep = np.repeat(valid, np.diff(offs))
     return vals[keep], new_off
+
+
+def paragraph_views(
+    texts: pa.Array, pw: int
+) -> tuple[pa.Array, np.ndarray, np.ndarray, pa.Array]:
+    """Per-text runs of ``pw`` consecutive whitespace words, byte-SLICED
+    out of the original text buffer (split-on-' '/join-' ' is an exact
+    round trip, so each "paragraph" is a contiguous byte range of its
+    text — the Arrow re-slice trick: new offsets over the same data, no
+    per-row python). Exact twin of textstats.paragraph_dedup's
+    ``array_join(slice(split(text,' '), i*pw+1, pw), ' ')`` segments.
+
+    ``texts`` must be null-free (callers filter; SQL drops null-text docs
+    from the output entirely). Returns (paras StringArray, row id per
+    para, words-per-para, words ListArray — for the token fold)."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_rows = len(texts)
+    words = pc.split_pattern(texts.cast(pa.large_string()), " ")
+    words = words.cast(pa.list_(pa.string()))
+    w_offs = np.asarray(words.offsets, dtype=np.int64)
+    flat = words.flatten()
+    so = np.frombuffer(flat.buffers()[1], dtype=np.int32)[
+        flat.offset: flat.offset + len(flat) + 1
+    ].astype(np.int64)
+    wbytes = np.diff(so)
+    wcount = np.diff(w_offs)
+    # word start byte offset WITHIN its row's text: running (len+1) within
+    # the row, via one global cumsum minus the row base
+    step = wbytes + 1
+    g = np.cumsum(step) - step
+    rows_of_word = np.repeat(np.arange(n_rows), wcount)
+    base = np.zeros(wbytes.size, dtype=np.int64)
+    if wbytes.size:
+        base = g[w_offs[:-1][rows_of_word]]
+    wstart = g - base
+    # paragraph geometry: ceil(wcount/pw) segments per row (>=1 — split
+    # of any non-null string yields at least one word)
+    n_seg = -(-wcount // pw)
+    p_off = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(n_seg, out=p_off[1:])
+    total_p = int(p_off[-1])
+    row_of_para = np.repeat(np.arange(n_rows), n_seg)
+    local_p = np.arange(total_p, dtype=np.int64) - p_off[row_of_para]
+    first_w = w_offs[:-1][row_of_para] + local_p * pw
+    last_w = (
+        w_offs[:-1][row_of_para]
+        + np.minimum(local_p * pw + pw, wcount[row_of_para])
+        - 1
+    )
+    pstart = wstart[first_w]
+    pend = wstart[last_w] + wbytes[last_w]
+    plen = pend - pstart
+    # gather the para bytes from the ORIGINAL text buffer
+    t_so = np.frombuffer(texts.buffers()[1], dtype=np.int32)[
+        texts.offset: texts.offset + n_rows + 1
+    ].astype(np.int64)
+    t_data = np.frombuffer(texts.buffers()[2], dtype=np.uint8)
+    out_off = np.zeros(total_p + 1, dtype=np.int64)
+    np.cumsum(plen, out=out_off[1:])
+    total_b = int(out_off[-1])
+    para_of_byte = np.repeat(np.arange(total_p), plen)
+    local_b = np.arange(total_b, dtype=np.int64) - out_off[para_of_byte]
+    gsrc = t_so[:-1][row_of_para[para_of_byte]] + pstart[para_of_byte] + local_b
+    out = t_data[gsrc]
+    paras = pa.StringArray.from_buffers(
+        total_p,
+        pa.py_buffer(out_off.astype(np.int32).tobytes()),
+        pa.py_buffer(out.tobytes()),
+    )
+    wpp = last_w - first_w + 1
+    return paras, row_of_para, wpp, words

@@ -286,11 +286,11 @@ def group_distinct_est(
 
     infos = parquet_file_infos(os.path.join(out_path, "blocks"))
     if sum(s for _p, s in infos) <= local_bytes:
-        import pyarrow.parquet as pq_local
+        from xml2arrow_spark.sources.files import map_local_files
 
         total: dict = {}
-        for fp, _s in infos:
-            for kv, hs in _file_hashes(fp, pq_local).items():
+        for fh in map_local_files(infos, _file_hashes):
+            for kv, hs in fh.items():
                 total[kv] = _kmv_merge(total.get(kv, []), hs, k)
         items = list(total.items())
         # arrow-backed LocalRelation — the KB-metadata finish rule
@@ -647,11 +647,11 @@ def group_distinct(
 
     infos = parquet_file_infos(os.path.join(out_path, "blocks"))
     if sum(s for _p, s in infos) <= local_bytes:
-        import pyarrow.parquet as pq_local
+        from xml2arrow_spark.sources.files import map_local_files
 
         total: dict = {}
-        for fp, _s in infos:
-            for kv, vs in _file_pairs(fp, pq_local).items():
+        for fps in map_local_files(infos, _file_pairs):
+            for kv, vs in fps.items():
                 total.setdefault(kv, set()).update(vs)
                 _cap_check(total)
         items = list(total.items())

@@ -156,10 +156,44 @@ def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive rolling-hash fingerprint of the word-token stream:
     fold acc = (acc*31 + token) % (2^31-1). Detects reordered-content docs
-    that set-based Jaccard misses."""
-    toks = G.word_tokens_arr(text_col, SPARK)
-    fold = G.afold(toks, f"(acc * 31 + x) % {FINGERPRINT_MOD}", SPARK)
-    return widen_scan(docs).select(id_col, F.expr(fold).alias("fingerprint"))
+    that set-based Jaccard misses. Runtime path (r06): vectorized
+    mapInArrow kernel (word_tokens_batch + fold31_segments — both exact
+    twins of the SQL spec, tests/test_fast_text.py); null text -> null
+    fingerprint, as the SQL fold over a null array yields."""
+    import numpy as np
+    import pyarrow as pa
+
+    narrow = widen_scan(docs.select(id_col, text_col))
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def fn(batches):
+        import pyarrow.compute as pc
+
+        from xml2arrow_spark.env import limit_arrow_threads
+        from xml2arrow_spark.pipeline.fast_text import (
+            fold31_segments,
+            word_tokens_batch,
+        )
+
+        limit_arrow_threads(1)
+        for b in batches:
+            texts = b.column(1)
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            mask = None
+            if texts.null_count:
+                mask = ~np.asarray(texts.is_valid())
+                texts = texts.fill_null("")
+            words = pc.split_pattern(texts.cast(pa.large_string()), " ")
+            words = words.cast(pa.list_(pa.string()))
+            toks, t_offs = word_tokens_batch(words)
+            fp = fold31_segments(toks, t_offs, FINGERPRINT_MOD)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), pa.array(fp, type=pa.int64(), mask=mask)],
+                names=[id_col, "fingerprint"],
+            )
+
+    return narrow.mapInArrow(fn, f"{id_col} {id_type}, fingerprint bigint")
 
 
 def paragraph_dedup(
@@ -168,6 +202,7 @@ def paragraph_dedup(
     id_col: str = "doc_id",
     para_words: int = 8,
     max_df: int = 2,
+    max_frequent_paras: int = 2_000_000,
 ) -> DataFrame:
     """CCNet-style paragraph-level dedup: drop globally-frequent paragraphs
     from every document, keep the rest in original order.
@@ -177,24 +212,150 @@ def paragraph_dedup(
     trick as the PII gate); a paragraph appearing in more than ``max_df``
     distinct documents is boilerplate and is dropped everywhere.
 
-    Scale shape: segmentation is a narrow per-row array transform (no
-    shuffle); the document-frequency table is one hash aggregation on the
-    paragraph text; the removal is a left-anti join against only the
-    FREQUENT paragraphs — a tiny relation by construction (each survivor
-    of the HAVING df > max_df filter represents > max_df corpus rows), so
-    AQE broadcasts it at any corpus size where boilerplate is sparse; no
-    broadcast hint so a pathological boilerplate-heavy corpus degrades to
-    a shuffled anti-join instead of an OOM. Reassembly is one groupBy on
-    the doc id. Reference analog: the reference dedups at record grain
-    only (/root/reference/src/xml_parser.rs has no sub-document pass);
-    this is the sub-document operator production LLM corpora add on top.
+    Runtime path (r06): a vectorized two-pass mapInArrow kernel (the
+    token_span_dedup discipline; the SQL join shape below remains the
+    oracle spec and the fallback). Paragraphs are byte-SLICES of the
+    original text buffer (:func:`xml2arrow_spark.pipeline.fast_text
+    .paragraph_views` — split/join on ' ' round-trips exactly, so no
+    string is ever rebuilt); pass 1 ships only per-batch distinct
+    (paragraph, partial-df) pairs — the exploded paragraph relation,
+    its count_distinct shuffle, the anti-join and the collect_list
+    regroup never exist as Spark rows (measured 1.65 s -> ~0.6 s at
+    sf1.0/local[32], after the widen_scan fix had already taken the SQL
+    shape from 6.2 s). The frequent set (df > max_df) is tiny by
+    construction — each survivor represents > max_df corpus rows — and
+    broadcasts to pass 2, which drops covered paragraphs and folds the
+    kept text in-kernel, one output row per doc. A frequent set beyond
+    ``max_frequent_paras`` (degenerate boilerplate corpus) falls back to
+    the SQL join shape instead of growing the driver.
 
     Returns (id_col, n_paras, n_kept, clean_len, clean_fp) — null-free
     scalars; clean_fp is the rolling-hash fingerprint of the CLEANED text
     (doc_fingerprint's fold), so the oracle pins the reassembled bytes
     without shipping them.
     """
+    import numpy as np
+    import pyarrow as pa
+
     pw = int(para_words)
+    spark = docs.sparkSession
+    narrow = widen_scan(docs.select(id_col, text_col))
+
+    def p1(batches):
+        import pyarrow.compute as pc
+
+        from xml2arrow_spark.env import limit_arrow_threads
+        from xml2arrow_spark.pipeline.fast_text import paragraph_views
+
+        limit_arrow_threads(1)
+        for b in batches:
+            texts = b.column(1)
+            if texts.null_count:
+                keep = pc.is_valid(texts)
+                texts = texts.filter(keep)
+            if len(texts) == 0:
+                continue
+            paras, rows, _wpp, _words = paragraph_views(texts, pw)
+            d = paras.dictionary_encode()
+            codes = np.asarray(d.indices).astype(np.int64)
+            key = np.unique((rows << 32) | codes)
+            uc, counts = np.unique(key & 0xFFFFFFFF, return_counts=True)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    d.dictionary.take(pa.array(uc, type=pa.int64())),
+                    pa.array(counts.astype(np.int64)),
+                ],
+                names=["para", "pdf"],
+            )
+
+    parts = narrow.mapInArrow(p1, "para string, pdf bigint")
+    freq_rows = (
+        parts.groupBy("para")
+        .agg(F.sum("pdf").alias("df"))
+        .filter(F.col("df") > int(max_df))
+        .select("para")
+        .limit(int(max_frequent_paras) + 1)
+        .collect()
+    )
+    if len(freq_rows) > max_frequent_paras:
+        return _paragraph_dedup_sql(docs, text_col, id_col, pw, max_df)
+    bfreq = spark.sparkContext.broadcast([r[0] for r in freq_rows])
+    id_type = docs.schema[id_col].dataType.simpleString()
+    ddl = (
+        f"{id_col} {id_type}, n_paras bigint, n_kept bigint, "
+        f"clean_len int, clean_fp bigint"
+    )
+
+    def p2(batches):
+        import pyarrow.compute as pc
+
+        from xml2arrow_spark.env import limit_arrow_threads
+        from xml2arrow_spark.pipeline.fast_text import (
+            fold31_segments,
+            paragraph_views,
+            word_tokens_batch,
+        )
+
+        limit_arrow_threads(1)
+        freq_set = pa.array(bfreq.value, type=pa.string())
+        for b in batches:
+            ids, texts = b.column(0), b.column(1)
+            if texts.null_count:
+                keep = pc.is_valid(texts)
+                ids, texts = ids.filter(keep), texts.filter(keep)
+            n = len(texts)
+            if n == 0:
+                continue
+            paras, rows, wpp, words = paragraph_views(texts, pw)
+            if len(freq_set):
+                kept_p = ~np.asarray(
+                    pc.is_in(paras, value_set=freq_set)
+                )
+            else:
+                kept_p = np.ones(len(paras), dtype=bool)
+            n_paras = np.bincount(rows, minlength=n).astype(np.int64)
+            n_kept = np.bincount(rows[kept_p], minlength=n).astype(np.int64)
+            pchars = np.asarray(pc.utf8_length(paras)).astype(np.int64)
+            clen = np.zeros(n, dtype=np.int64)
+            if kept_p.any():
+                np.add.at(clen, rows[kept_p], pchars[kept_p])
+            clen += np.maximum(n_kept - 1, 0)  # the ' ' separators
+            toks, _t_offs = word_tokens_batch(words)
+            kept_w = np.repeat(kept_p, wpp)
+            rows_of_word = np.repeat(rows, wpp)
+            kt = toks[kept_w]
+            kw_rows = rows_of_word[kept_w]
+            k_lens = np.bincount(kw_rows, minlength=n)
+            k_off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(k_lens, out=k_off[1:])
+            fp = fold31_segments(kt, k_off, FINGERPRINT_MOD)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(n_paras),
+                    pa.array(n_kept),
+                    pa.array(clen.astype(np.int32)),
+                    pa.array(fp, type=pa.int64()),
+                ],
+                names=[id_col, "n_paras", "n_kept", "clean_len", "clean_fp"],
+            )
+
+    return narrow.mapInArrow(p2, ddl)
+
+
+def _paragraph_dedup_sql(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    pw: int,
+    max_df: int,
+) -> DataFrame:
+    """The pure-SQL join shape of :func:`paragraph_dedup` — the oracle
+    spec, and the fallback when the frequent set is too large to
+    broadcast. Segmentation is a narrow per-row array transform; the
+    document-frequency table is one hash aggregation on the paragraph
+    text; removal is a left-anti join against only the FREQUENT
+    paragraphs; reassembly is one groupBy on the doc id."""
     words = F.split(F.col(text_col), " ")
     n_seg = F.floor((F.size(words) + F.lit(pw - 1)) / pw).cast("int")
     segs = F.transform(

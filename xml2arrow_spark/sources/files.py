@@ -152,3 +152,20 @@ def scan_map_arrow(
                     yield from fn(batch)
 
     return tasks.mapInArrow(run, output_ddl)
+
+
+def map_local_files(infos, fn):
+    """Evaluate ``fn(path, pyarrow.parquet)`` for every ``(path, size)`` in
+    ``infos`` IN ORDER, returning the per-file results (callers merge
+    sequentially, so their folds stay bit-deterministic).
+
+    Deliberately SEQUENTIAL: an r06 ThreadPoolExecutor variant was
+    measured at sf1.0/local[32] and made every metadata-aggregate local
+    dispatch ~2x SLOWER (group_sum 0.63 s -> 1.63 s, count_where[str]
+    0.37 s -> 1.37 s, group_aggs 1.5 s -> 2.4 s): the per-file work is
+    dominated by many SMALL per-block numpy/python steps that hold the
+    GIL, so threads only add contention. Kept as the single chokepoint so
+    a future free-threaded/pool experiment edits one place."""
+    import pyarrow.parquet as pq_local
+
+    return [fn(fp, pq_local) for fp, _s in infos]
