@@ -446,6 +446,12 @@ def encode_table(
     required = frozenset(c for c in cols if not manifest.columns[c].nullable)
     block_rows = manifest.block_rows
     if unit_col is None:
+        # NOTE (r06): no widen_scan here — encode respects the CALLER's
+        # partitioning (an explicit coalesce/repartition upstream is a
+        # deliberate block-geometry choice; test_files_encode pins the
+        # fused path against encode_table(coalesce(1)) byte-for-byte).
+        # Small-scan fan-out happens at the sources instead
+        # (tokenize_documents).
         projected = df.select(*cols)  # Catalyst prunes the scan to these columns
         if presort:
             projected = projected.sortWithinPartitions(*presort)

@@ -156,44 +156,13 @@ def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive rolling-hash fingerprint of the word-token stream:
     fold acc = (acc*31 + token) % (2^31-1). Detects reordered-content docs
-    that set-based Jaccard misses. Runtime path (r06): vectorized
-    mapInArrow kernel (word_tokens_batch + fold31_segments — both exact
-    twins of the SQL spec, tests/test_fast_text.py); null text -> null
-    fingerprint, as the SQL fold over a null array yields."""
-    import numpy as np
-    import pyarrow as pa
-
-    narrow = widen_scan(docs.select(id_col, text_col))
-    id_type = docs.schema[id_col].dataType.simpleString()
-
-    def fn(batches):
-        import pyarrow.compute as pc
-
-        from xml2arrow_spark.env import limit_arrow_threads
-        from xml2arrow_spark.pipeline.fast_text import (
-            fold31_segments,
-            word_tokens_batch,
-        )
-
-        limit_arrow_threads(1)
-        for b in batches:
-            texts = b.column(1)
-            if isinstance(texts, pa.ChunkedArray):
-                texts = texts.combine_chunks()
-            mask = None
-            if texts.null_count:
-                mask = ~np.asarray(texts.is_valid())
-                texts = texts.fill_null("")
-            words = pc.split_pattern(texts.cast(pa.large_string()), " ")
-            words = words.cast(pa.list_(pa.string()))
-            toks, t_offs = word_tokens_batch(words)
-            fp = fold31_segments(toks, t_offs, FINGERPRINT_MOD)
-            yield pa.RecordBatch.from_arrays(
-                [b.column(0), pa.array(fp, type=pa.int64(), mask=mask)],
-                names=[id_col, "fingerprint"],
-            )
-
-    return narrow.mapInArrow(fn, f"{id_col} {id_type}, fingerprint bigint")
+    that set-based Jaccard misses. (r06 note: a mapInArrow kernel twin was
+    measured SLOWER than this codegen'd fold — 0.95 s vs 0.45 s at
+    sf1.0/local[32] — because shipping the text across the Python boundary
+    costs more than the fold itself; the SQL shape stays.)"""
+    toks = G.word_tokens_arr(text_col, SPARK)
+    fold = G.afold(toks, f"(acc * 31 + x) % {FINGERPRINT_MOD}", SPARK)
+    return widen_scan(docs).select(id_col, F.expr(fold).alias("fingerprint"))
 
 
 def paragraph_dedup(
@@ -551,12 +520,58 @@ def tfidf_topk(
     """
     from pyspark.sql import Window
 
+    import numpy as np
+    import pyarrow as pa
+
     n = expected_n if expected_n is not None else docs.count()
-    toks = widen_scan(docs).select(
-        F.col(id_col),
-        F.explode(F.expr(G.word_tokens_arr(text_col, SPARK))).alias("token"),
-    )
-    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    # r06: the tf relation is computed ENTIRELY in-kernel — a document is
+    # one row, so per-(doc, token) counts never need the explode + groupBy
+    # shuffle of every token occurrence the SQL shape paid (the oracle's
+    # explode/count spec is unchanged; token values come from the
+    # element-exact word_tokens_batch twin). One sort per batch groups
+    # (row, token) runs; run lengths are the tf counts.
+    narrow = widen_scan(docs.select(id_col, text_col))
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def tf_fn(batches):
+        import pyarrow.compute as pc
+
+        from xml2arrow_spark.env import limit_arrow_threads
+        from xml2arrow_spark.pipeline.fast_text import word_tokens_batch
+
+        limit_arrow_threads(1)
+        for b in batches:
+            ids, texts = b.column(0), b.column(1)
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            if texts.null_count:
+                # SQL: explode of a null token array emits no rows
+                keep = pc.is_valid(texts)
+                ids, texts = ids.filter(keep), texts.filter(keep)
+            if len(texts) == 0:
+                continue
+            words = pc.split_pattern(texts.cast(pa.large_string()), " ")
+            words = words.cast(pa.list_(pa.string()))
+            toks, offs = word_tokens_batch(words)
+            lens = np.diff(offs)
+            rows = np.repeat(np.arange(lens.size), lens)
+            # tokens are word_token values in [0, VOCAB) — pack (row, tok)
+            # into one int64 key, one sort, run lengths = tf
+            key = rows * np.int64(G.VOCAB) + toks
+            key.sort()
+            keep = np.concatenate(([True], key[1:] != key[:-1]))
+            uk = key[keep]
+            tf_counts = np.diff(np.concatenate((np.flatnonzero(keep), [key.size])))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(uk // G.VOCAB, type=pa.int64())),
+                    pa.array(uk % G.VOCAB, type=pa.int64()),
+                    pa.array(tf_counts.astype(np.int64)),
+                ],
+                names=[id_col, "token", "tf"],
+            )
+
+    tf = narrow.mapInArrow(tf_fn, f"{id_col} {id_type}, token bigint, tf bigint")
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
     scored = tf.join(df, "token").withColumn(
         # positive operands: truncating div == floor div in both engines
