@@ -623,17 +623,24 @@ def group_distinct(
         gcodes = codes[valid] if valid is not None else codes
         if not v.size:
             return
-        pairs = np.unique(
-            np.stack([gcodes.astype(np.int64), v.astype(np.int64)], axis=1),
-            axis=0,
+        # distinct (group, value) pairs via lexsort + run-boundary keep:
+        # np.unique(axis=0) sorts a VOID view (~3x slower, measured 1.8 s
+        # of the 2.2 s block walk at sf1.0 before r06)
+        g_a = gcodes.astype(np.int64)
+        v_a = v.astype(np.int64)
+        order = np.lexsort((v_a, g_a))
+        g_s, v_s = g_a[order], v_a[order]
+        keep = np.concatenate(
+            ([True], (g_s[1:] != g_s[:-1]) | (v_s[1:] != v_s[:-1]))
         )
-        starts = np.searchsorted(pairs[:, 0], np.arange(len(keys)))
-        ends = np.searchsorted(pairs[:, 0], np.arange(1, len(keys) + 1))
+        pg, pv = g_s[keep], v_s[keep]
+        starts = np.searchsorted(pg, np.arange(len(keys)))
+        ends = np.searchsorted(pg, np.arange(1, len(keys) + 1))
         for g, kv in enumerate(keys):
             lo, hi = int(starts[g]), int(ends[g])
             if lo == hi:
                 continue
-            vv = pairs[lo:hi, 1].tolist()
+            vv = pv[lo:hi].tolist()
             if val_is_str:
                 vv = [vals_list[c] for c in vv]
             tally.setdefault(kv, set()).update(vv)
