@@ -74,8 +74,12 @@ def _is_stale(info: dict | None) -> bool:
     if info.get("host") == socket.gethostname():
         try:
             os.kill(int(info["pid"]), 0)
-        except (OSError, ValueError):
+        except (ProcessLookupError, ValueError):
             return True  # same host, holder process is gone
+        except PermissionError:
+            pass  # EPERM: the holder is ALIVE under another uid (r06 /
+            # ADVICE r05: treating any OSError as dead would steal a
+            # live same-host lease held by a different user)
     return False
 
 
@@ -107,10 +111,18 @@ def dataset_lease(path: str, ttl_s: float = DEFAULT_TTL_S, wait_s: float = 0.0):
         except FileExistsError:
             info = _read(lpath)
             if _is_stale(info):
-                # steal: unlink + retry the atomic create — two stealers
-                # still race ONE O_EXCL create and exactly one wins
+                # steal via atomic RENAME (r06 / ADVICE r05): a bare
+                # unlink raced — between one stealer's read and unlink,
+                # another stealer could already have unlinked the stale
+                # file AND created its own fresh lease, which the first
+                # stealer would then delete, leaving TWO live writers.
+                # os.rename of the stale file has exactly one winner
+                # (the loser gets FileNotFoundError and re-enters the
+                # loop, where it sees the winner's fresh lease).
+                steal = f"{lpath}.steal-{uuid.uuid4().hex}"
                 try:
-                    os.unlink(lpath)
+                    os.rename(lpath, steal)
+                    os.unlink(steal)
                 except FileNotFoundError:
                     pass
                 continue
@@ -126,11 +138,26 @@ def dataset_lease(path: str, ttl_s: float = DEFAULT_TTL_S, wait_s: float = 0.0):
         yield mine["owner"]
     finally:
         # release only OUR lease — if someone stole it (we overran our
-        # TTL), their file must survive
-        info = _read(lpath)
-        if info is not None and info.get("owner") == mine["owner"]:
+        # TTL), their file must survive. Same rename discipline as the
+        # steal (r06): rename-away first (one winner), THEN inspect; a
+        # plain read-then-unlink could delete a stealer's fresh lease
+        # created between the read and the unlink. If the renamed file
+        # turns out not to be ours, hard-link it back (refuses if a newer
+        # lease already appeared) and drop the temp name either way.
+        rel = f"{lpath}.release-{mine['owner'][:12]}"
+        try:
+            os.rename(lpath, rel)
+        except FileNotFoundError:
+            pass
+        else:
+            info = _read(rel)
+            if info is not None and info.get("owner") != mine["owner"]:
+                try:
+                    os.link(rel, lpath)
+                except (FileExistsError, OSError):
+                    pass
             try:
-                os.unlink(lpath)
+                os.unlink(rel)
             except FileNotFoundError:
                 pass
 

@@ -45,7 +45,12 @@ __all__ = [
 SNAPSHOTS_DIR = "snapshots"
 _SNAP_SIDEVAR = "_snapshot.yaml"
 # transient state never belongs in a frozen view
-_EXCLUDE_DIRS = {SNAPSHOTS_DIR, ".rewrite_tmp"}
+# _recluster_src (r06 / ADVICE r05): recluster's decoded staging copy of
+# the whole corpus. Live only while the DEST dataset has no sidecar yet
+# (pre-commit resume state); once the sidecar exists it is abandoned
+# debris — excluded from snapshots always (a frozen view must never
+# hardlink a staging copy) and vacuumed when the commit is provably done.
+_EXCLUDE_DIRS = {SNAPSHOTS_DIR, ".rewrite_tmp", "_recluster_src"}
 
 
 def snapshot_path(path: str, tag: str) -> str:
@@ -187,8 +192,19 @@ def _vacuum_locked(path: str, _heal_torn_swap) -> dict:
             full = os.path.join(root, d)
             if d.endswith("_checkpoint"):
                 pruned.append(d)
-            elif d == ".rewrite_tmp" or (
-                os.path.basename(root) == SNAPSHOTS_DIR and d.startswith(".tmp-")
+            elif (
+                d == ".rewrite_tmp"
+                or (
+                    d == "_recluster_src"
+                    # staging is live resume state only PRE-commit: the
+                    # sibling sidecar existing proves the recluster
+                    # committed and the copy is abandoned (ADVICE r05)
+                    and os.path.exists(os.path.join(root, "_manifest.yaml"))
+                )
+                or (
+                    os.path.basename(root) == SNAPSHOTS_DIR
+                    and d.startswith(".tmp-")
+                )
             ):
                 n_bytes += sum(
                     os.path.getsize(os.path.join(r, f))

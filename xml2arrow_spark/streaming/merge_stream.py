@@ -122,7 +122,23 @@ def tombstone_stream(
     )
 
     def _tombstone(batch_df, epoch_id: int) -> None:
-        tombstone_rows(batch_df, dataset_path, id_col=id_col)
+        # a concurrent lease holder (apply_tombstones / compaction /
+        # upsert) must not FAIL the streaming query: the micro-batch is
+        # replay-idempotent, so briefly retry for the lease instead of
+        # surfacing LeaseHeldError (r06 / ADVICE r05)
+        import time as _time
+
+        from xml2arrow_spark.operators.lease import LeaseHeldError
+
+        deadline = _time.time() + 15.0
+        while True:
+            try:
+                tombstone_rows(batch_df, dataset_path, id_col=id_col)
+                return
+            except LeaseHeldError:
+                if _time.time() >= deadline:
+                    raise
+                _time.sleep(0.25)
 
     return (
         src.writeStream.foreachBatch(_tombstone)
