@@ -407,7 +407,23 @@ def dataset_column_stats(spark, out_path: str):
     _refuse_pending_tombstones(out_path)
     with open(os.path.join(out_path, MANIFEST_SIDECAR)) as f:
         side = yaml.safe_load(f.read())
-    names = list(split_schema_ddl(side["schema_ddl"]))
+    by_name_ddl = split_schema_ddl(side["schema_ddl"])
+    names = list(by_name_ddl)
+    # temporal columns NEVER surface sum_i (r06 correctness fix, inherited
+    # from r05): SQL has no SUM over timestamps/dates, and the declared
+    # oracle pins sum_i = NULL for them unconditionally. The per-block
+    # zsum_i ticks exist for the interior claims of count_where/
+    # time_bucket and stay untouched; only this roll-up masks them.
+    # (Latent before: a SMALL dataset's tick total fits int64 and leaked
+    # a non-NULL sum, while larger ones refused — a scale-DEPENDENT
+    # answer for the same query, caught at sf0.001.)
+    _temporal = {
+        n
+        for n, decl in by_name_ddl.items()
+        if decl.split(None, 1)[1].strip().lower().startswith(
+            ("timestamp", "date")
+        )
+    }
     blocks = spark.read.parquet(os.path.join(out_path, "blocks"))
     stat_fields = ("vmin_i", "vmax_i", "vmin_d", "vmax_d", "vmin_s", "vmax_s")
     agg_fields = ("n_null", "zsum_i")
@@ -444,6 +460,14 @@ def dataset_column_stats(spark, out_path: str):
                 (F.col(f"c.{s}") if has_agg else F.lit(None).cast("long")).alias(s)
                 for s in agg_fields
             ],
+        )
+    if _temporal:
+        per_col = per_col.withColumn(
+            "zsum_i",
+            F.when(
+                F.col("column").isin(sorted(_temporal)),
+                F.lit(None).cast("long"),
+            ).otherwise(F.col("zsum_i")),
         )
     # a block counts as unstated when it contributes no bounds at all, OR
     # when its string upper bound was withheld (un-incrementable truncated
