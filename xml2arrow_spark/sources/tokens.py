@@ -185,16 +185,15 @@ TOKENIZE_ORACLE_SNIPPET = (
 def tokenize_documents(documents_df):
     """documents(doc_id,text,source,...) -> (doc_id string, tokens array<int32>, n_tok int32, source string).
 
-    r06: the source is widened scale-adaptively (operators/partitioning
-    .widen_scan) — a single small corpus file plans a handful of
-    byte-range splits, serializing every downstream per-row stage
-    (encode kernels, span/chunk kernels) on a sliver of the cluster;
-    corpus-scale inputs pass through untouched."""
+    r06 note: deliberately does NOT widen_scan its source. The text
+    operators that need fan-out widen their own narrow inputs; widening
+    HERE was measured a net wash-to-loss — it bought ~1 s on the
+    tokenize->encode roundtrips but cost the same across the maintenance
+    suite, whose tiny cached token relations then ran every follow-up
+    job at 32 tasks instead of ~12 (task overhead on KB-scale cached
+    data)."""
     from pyspark.sql import functions as F
 
-    from xml2arrow_spark.operators.partitioning import widen_scan
-
-    documents_df = widen_scan(documents_df)
     words = F.split(F.col("text"), " ")
     tok = F.transform(
         words,
