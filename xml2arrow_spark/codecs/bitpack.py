@@ -104,11 +104,13 @@ def unpack_uint(buf: bytes, n: int, width: int) -> np.ndarray:
     # ceil((width + 7) / 8) + 1 consecutive bytes; gather them with ONE
     # fancy index, fold big-endian, shift+mask. Replaces the
     # unpackbits -> pad -> packbits -> view chain (6 full-array
-    # temporaries) — measured ~3x on the FOR/delta decode hot path, which
-    # both the fused decode kernels and the driver-side metadata
-    # aggregates ride. Widths 57..63 would overflow the uint64 byte fold
-    # (9 gathered bytes) and keep the bit-matrix path.
-    use_gather = width <= 56
+    # temporaries) — measured 1.5-2x on 8192-value blocks (the FOR/delta
+    # decode hot path both the fused kernels and the driver-side metadata
+    # aggregates ride); below ~2k values the old path's fewer small
+    # allocations win (17 vs 25 us at 256), so tiny blocks keep it.
+    # Widths 57..63 would overflow the uint64 byte fold (9 gathered
+    # bytes) and keep the bit-matrix path too.
+    use_gather = width <= 56 and n >= 2048
     m = (width + 14) // 8  # bytes gathered per value (worst bit offset 7)
     mask = np.uint64((1 << width) - 1)
     for lo in range(0, n, _CHUNK):
