@@ -1003,22 +1003,15 @@ def _fold_group_aggs(keys, codes, aggs, mask=None, with_sq=False):
             v64 = v.astype(np.int64)
             hi = v64 >> 32
             lo = v64 & 0xFFFFFFFF
-        if v.size <= (1 << 20):
-            # bincount(weights=) is ~10x ufunc.at and EXACT here: each
-            # weight is an integer half with |w| <= 2^32, so every float64
-            # partial sum stays <= 2^20 * 2^32 = 2^52 < 2^53 — integer-
-            # exact in double throughout, then the int64 cast is lossless
-            hi_acc = np.bincount(
-                gcodes, weights=hi, minlength=K + 1
-            ).astype(np.int64)
-            lo_acc = np.bincount(
-                gcodes, weights=lo, minlength=K + 1
-            ).astype(np.int64)
-        else:
-            hi_acc = np.zeros(K + 1, dtype=np.int64)
-            lo_acc = np.zeros(K + 1, dtype=np.int64)
-            np.add.at(hi_acc, gcodes, hi)
-            np.add.at(lo_acc, gcodes, lo)
+        # NOTE (r06): a bincount(weights=) variant of these folds measured
+        # 4.7x SLOWER at the 8192-row/4-group block geometry — this
+        # numpy's ufunc.at has an indexed-loop fast path, and the float
+        # weight conversion + argsort for extrema cost more than they
+        # save. Keep the ufunc.at folds.
+        hi_acc = np.zeros(K + 1, dtype=np.int64)
+        lo_acc = np.zeros(K + 1, dtype=np.int64)
+        np.add.at(hi_acc, gcodes, hi)
+        np.add.at(lo_acc, gcodes, lo)
         sq_hi_acc = sq_lo_acc = None
         if with_sq:
             if v.size and (
@@ -1033,36 +1026,17 @@ def _fold_group_aggs(keys, codes, aggs, mask=None, with_sq=False):
             sq = (v.astype(np.int64) * v.astype(np.int64))  # provably exact
             sq_hi = sq >> 32
             sq_lo = sq & 0xFFFFFFFF
-            if v.size <= (1 << 20):
-                # same exactness argument as the linear sum: halves are
-                # integers < 2^32, partials stay < 2^53 in float64
-                sq_hi_acc = np.bincount(
-                    gcodes, weights=sq_hi, minlength=K + 1
-                ).astype(np.int64)
-                sq_lo_acc = np.bincount(
-                    gcodes, weights=sq_lo, minlength=K + 1
-                ).astype(np.int64)
-            else:
-                sq_hi_acc = np.zeros(K + 1, dtype=np.int64)
-                sq_lo_acc = np.zeros(K + 1, dtype=np.int64)
-                np.add.at(sq_hi_acc, gcodes, sq_hi)
-                np.add.at(sq_lo_acc, gcodes, sq_lo)
+            sq_hi_acc = np.zeros(K + 1, dtype=np.int64)
+            sq_lo_acc = np.zeros(K + 1, dtype=np.int64)
+            np.add.at(sq_hi_acc, gcodes, sq_hi)
+            np.add.at(sq_lo_acc, gcodes, sq_lo)
         # extrema in the value's native dtype (no overflow possible);
-        # sentinel slots are masked off by nn==0 below. One stable argsort
-        # + reduceat instead of two ufunc.at passes (~5x on 8k-row blocks)
+        # sentinel slots are masked off by nn==0 below
         info = np.iinfo(v.dtype)
         mn_acc = np.full(K + 1, info.max, dtype=v.dtype)
         mx_acc = np.full(K + 1, info.min, dtype=v.dtype)
-        if v.size:
-            g_order = np.argsort(gcodes, kind="stable")
-            gs = gcodes[g_order]
-            vs = v[g_order]
-            seg = np.flatnonzero(
-                np.concatenate(([True], gs[1:] != gs[:-1]))
-            )
-            gids = gs[seg]
-            mn_acc[gids] = np.minimum.reduceat(vs, seg)
-            mx_acc[gids] = np.maximum.reduceat(vs, seg)
+        np.minimum.at(mn_acc, gcodes, v)
+        np.maximum.at(mx_acc, gcodes, v)
         per_agg.append((nn, hi_acc, lo_acc, mn_acc, mx_acc,
                         sq_hi_acc, sq_lo_acc))
 
