@@ -98,6 +98,42 @@ def test_incremental_emission_and_disorder(spark, tmp_path):
     assert rows[(1, 2)].n_events == 1  # t=2000, closed by the sentinel
 
 
+def test_bucket_counts_agree(spark, tmp_path):
+    """The bucketed multi-user state body (r06) emits the SAME session set
+    at every bucket fan-out — n_buckets=1 (all users share one group, the
+    worst-case multi-user path) vs a spread-out fan-out vs the batch
+    operator, on a multi-user disordered stream."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    eid = 1
+    for user in range(1, 14):
+        for t in sorted(int(x) for x in rng.integers(0, 4000, 25)):
+            rows.append(_ev(eid, t, user))
+            eid += 1
+    rng.shuffle(rows)
+    b1, b2, b3 = rows[:120], rows[120:240], rows[240:]
+    batches = [b1, b2, b3, [_sentinel(20_000)]]
+    outs = []
+    for k, nb in enumerate((1, 7)):
+        src = _stage(spark, tmp_path, f"srcb{k}", batches)
+        got = run_sessionize_stream(
+            spark, src, str(tmp_path / f"outb{k}"), gap_seconds=100,
+            watermark_delay="4100 seconds", max_files_per_trigger=1,
+            n_buckets=nb,
+        )
+        outs.append(
+            sorted(tuple(r) for r in got.collect())
+        )
+    assert outs[0] == outs[1]
+    ev = spark.createDataFrame(b1 + b2 + b3, EV_DDL)
+    want = sorted(
+        tuple(r) for r in sessionize(ev, gap_seconds=100).collect()
+    )
+    assert outs[0] == want
+
+
 def test_late_into_emitted_history_dropped(spark, tmp_path):
     """An event that would fall into ALREADY-EMITTED history is dropped
     (emitted append-mode rows are immutable) — it neither mutates the
