@@ -79,16 +79,49 @@ def test_resolve_near_dups_long_chain(spark):
 
 def test_resolve_converges_logarithmically(spark):
     """Pointer jumping: an 80-node path must resolve within ~log2(80)+slack
-    rounds — plain 1-hop propagation would need ~80 and fail this cap."""
+    rounds — plain 1-hop propagation would need ~80 and fail this cap.
+    (local_threshold=0 forces the DISTRIBUTED loop: the r06 small-input
+    short-circuit would otherwise make this pin vacuous.)"""
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(79)], "doc_a bigint, doc_b bigint"
     )
     labels = {
         r["node"]: r["label"]
-        for r in dedup.resolve_near_dups(pairs, max_iters=10).collect()
+        for r in dedup.resolve_near_dups(
+            pairs, max_iters=10, local_threshold=0
+        ).collect()
     }
     assert set(labels.values()) == {0}
     assert len(labels) == 80
+
+
+def test_resolve_local_matches_distributed(spark):
+    """The r06 driver-local union-find short-circuit is an exact twin of
+    the distributed min-label loop: same labels on a random multi-component
+    graph (int ids) and on string ids, same schema either way."""
+    import random
+
+    rng = random.Random(11)
+    pairs_rows = [
+        (rng.randrange(0, 60), rng.randrange(0, 60)) for _ in range(90)
+    ]
+    pairs = spark.createDataFrame(pairs_rows, "doc_a bigint, doc_b bigint")
+    local = dedup.resolve_near_dups(pairs)
+    dist = dedup.resolve_near_dups(pairs, local_threshold=0)
+    assert local.schema == dist.schema
+    assert sorted(map(tuple, local.collect())) == sorted(
+        map(tuple, dist.collect())
+    )
+    spairs = spark.createDataFrame(
+        [(f"d{a:03d}", f"d{b:03d}") for a, b in pairs_rows],
+        "doc_a string, doc_b string",
+    )
+    slocal = dedup.resolve_near_dups(spairs)
+    sdist = dedup.resolve_near_dups(spairs, local_threshold=0)
+    assert slocal.schema == sdist.schema
+    assert sorted(map(tuple, slocal.collect())) == sorted(
+        map(tuple, sdist.collect())
+    )
 
 
 # -- two-phase signature table ----------------------------------------------

@@ -832,17 +832,78 @@ def decontaminate(
     return docs.join(hits.select(id_col), id_col, "left_anti")
 
 
+def _resolve_components_local(edges: DataFrame) -> DataFrame:
+    """Driver-local exact twin of the iterative min-label loop for SMALL
+    edge sets (r06, input = the narrow (src, dst) pair projection,
+    un-symmetrized): collect (src, dst) via Arrow, run
+    vectorized min-label propagation + pointer jumping over dense node
+    indices in numpy, return the (node, label) relation as a
+    pyarrow-backed LocalTableScan (repo ground rule: KB-scale finishes
+    never pay per-round Spark jobs — each distributed round costs two
+    shuffle joins + a convergence collect, ~0.4-0.6 s of pure machinery
+    at any input size).
+
+    Exactness: ``np.unique`` sorts nodes ascending (int order for ints;
+    for strings numpy's code-point order equals Spark's UTF8 binary order
+    on valid UTF-8), so the minimum DENSE index in a component maps back
+    to the minimum ORIGINAL id — the same fixpoint the distributed
+    ``least``/``min`` rounds converge to."""
+    import numpy as np
+    import pyarrow as pa
+
+    tbl = edges.toArrow()
+    src = tbl.column("src").to_numpy(zero_copy_only=False)
+    dst = tbl.column("dst").to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([src, dst]))
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    lab = np.arange(nodes.size, dtype=np.int64)
+    while True:
+        new = lab.copy()
+        # one propagation round over the edges, both directions (the input
+        # is the narrow pair projection — symmetrization is free here) ...
+        np.minimum.at(new, di, lab[si])
+        np.minimum.at(new, si, lab[di])
+        # ... then pointer-jump to the full fixpoint of label(label)
+        while True:
+            j = new[new]
+            if np.array_equal(j, new):
+                break
+            new = j
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    node_t = tbl.schema.field("src").type
+    out = pa.table(
+        {
+            "node": pa.array(nodes).cast(node_t),
+            "label": pa.array(nodes[lab]).cast(node_t),
+        }
+    )
+    return edges.sparkSession.createDataFrame(out)
+
+
 def resolve_near_dups(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 50,
     checkpoint_dir: str | None = None,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Near-dup pairs -> connected components: (node, label) with label =
     minimum doc id in the component — the keep/drop resolution every real
     dedup pipeline runs after pair generation (keep ``label``, drop the
     rest).
+
+    In the default (``checkpoint_dir=None``, single-JVM) mode, a
+    symmetrized edge set of at most ``local_threshold`` rows short-circuits
+    to :func:`_resolve_components_local` — identical labels without the
+    per-round join/collect machinery (near-dup pair sets are tiny relative
+    to their corpora; ~16 bytes/edge collected, so the default bounds the
+    driver pull at ~16 MB). Set ``local_threshold=0`` to force the
+    distributed loop; the reliable checkpointed mode never short-circuits
+    (its crash/resume contract is per-round).
 
     Iterative min-label propagation over the symmetrized edge set — each
     round joins labels to edges and takes the per-node min of neighbor
@@ -974,13 +1035,38 @@ def resolve_near_dups(
         )
     else:
         start_round = 0
-        edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        edges = _pin(
-            edges.unionAll(
-                pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-            ),
-            "edges",
-        )
+        if checkpoint_dir is None:
+            # pin the NARROW pair projection once (r06): the symmetrizing
+            # union below otherwise evaluates the full pair-generation
+            # subtree twice (two plan branches, no shared exchange)
+            base = pairs.select(
+                F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+            ).localCheckpoint()
+            # small-input short-circuit (r06): the count is one cheap job
+            # on the already-pinned blocks; above the threshold the
+            # distributed loop below runs exactly as before
+            if local_threshold and 2 * base.count() <= local_threshold:
+                return _resolve_components_local(base)
+            edges = _pin(
+                base.unionAll(
+                    base.select(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    )
+                ),
+                "edges",
+            )
+        else:
+            edges = pairs.select(
+                F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+            )
+            edges = _pin(
+                edges.unionAll(
+                    pairs.select(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    )
+                ),
+                "edges",
+            )
         labels = _pin(
             edges.select(F.col("src").alias("node"))
             .distinct()
