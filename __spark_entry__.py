@@ -1375,12 +1375,16 @@ def q_streaming_sessionize(spark, sf_dir):
     import os
 
     from xml2arrow_spark.streaming.sessionize_stream import (
+        EVENTS_NARROW_DDL,
         FLUSH_EVENT_ID,
         run_sessionize_stream,
     )
 
+    # guide §2.3 (project early), r06: stage ONLY the three columns the
+    # operator reads — event_type/value otherwise ride the staging write,
+    # the stream scan, the bucket shuffle and the Python boundary unused
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_id", "ts", "user_id", "event_type", "value"
+        "event_id", "ts", "user_id"
     )
     mm = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
     span = int((mm["hi"] - mm["lo"]).total_seconds()) + 60
@@ -1412,8 +1416,6 @@ def q_streaming_sessionize(spark, sf_dir):
                 "event_id": pa.array([FLUSH_EVENT_ID], pa.int64()),
                 "ts": pa.array([sentinel_ts], pa.timestamp("us")),
                 "user_id": pa.array([-1], pa.int64()),
-                "event_type": pa.array(["__flush__"]),
-                "value": pa.array([0.0], pa.float64()),
             }
         ),
         sentinel_path,
@@ -1428,7 +1430,7 @@ def q_streaming_sessionize(spark, sf_dir):
     # per-file-epoch shape stays covered by the mft=1 pytest pins.
     return run_sessionize_stream(
         spark, src, out, watermark_delay=f"{span} seconds",
-        max_files_per_trigger=16,
+        max_files_per_trigger=16, events_ddl=EVENTS_NARROW_DDL,
     )
 
 

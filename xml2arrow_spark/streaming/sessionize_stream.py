@@ -62,6 +62,10 @@ EVENTS_DDL = (
     "event_id bigint, ts timestamp, user_id bigint, event_type string, "
     "value double"
 )
+# the columns the operator actually reads — a caller that stages its own
+# source dir can stage just these (guide: project early; event_type/value
+# never cross the scan, the shuffle, or the Python boundary)
+EVENTS_NARROW_DDL = "event_id bigint, ts timestamp, user_id bigint"
 _OUT_DDL = (
     "user_id bigint, session_idx bigint, n_events bigint, "
     "t_start_us bigint, t_end_us bigint, dur_us bigint"
@@ -81,6 +85,7 @@ def sessionize_stream(
     watermark_delay: str = "0 seconds",
     max_files_per_trigger: int = 4,
     n_buckets: int | None = None,
+    events_ddl: str = EVENTS_DDL,
 ) -> DataFrame:
     """Streaming DataFrame of closed sessions (append mode) from a parquet
     directory stream of events.
@@ -88,7 +93,10 @@ def sessionize_stream(
     ``n_buckets`` sets the hash-bucket fan-out the per-user state is
     sharded into (default: ``max(128, 4 * defaultParallelism)`` — enough
     groups to spread over every shuffle partition at any core count while
-    keeping the per-group machinery cost amortized over many users)."""
+    keeping the per-group machinery cost amortized over many users).
+    ``events_ddl`` is the staged source schema; a caller that controls the
+    staging can pass :data:`EVENTS_NARROW_DDL` after staging only the three
+    columns the operator reads."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = gap_seconds * 1_000_000
@@ -231,7 +239,7 @@ def sessionize_stream(
             yield out
 
     stream = (
-        spark.readStream.schema(EVENTS_DDL)
+        spark.readStream.schema(events_ddl)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
         .withWatermark("ts", watermark_delay)
@@ -254,6 +262,7 @@ def run_sessionize_stream(
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int = 4,
     n_buckets: int | None = None,
+    events_ddl: str = EVENTS_DDL,
 ) -> DataFrame:
     """Drain the source with an availableNow query into ``out_dir`` and
     return the emitted session rows."""
@@ -262,5 +271,6 @@ def run_sessionize_stream(
     sessions = sessionize_stream(
         spark, source_dir, gap_seconds, watermark_delay,
         max_files_per_trigger=max_files_per_trigger, n_buckets=n_buckets,
+        events_ddl=events_ddl,
     )
     return drain_available_now(spark, sessions, out_dir, _OUT_DDL, checkpoint_dir)
