@@ -122,6 +122,10 @@ def test_resolve_local_matches_distributed(spark):
     assert sorted(map(tuple, slocal.collect())) == sorted(
         map(tuple, sdist.collect())
     )
+    # empty pair set: both paths return an empty (node, label) relation
+    empty = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    assert dedup.resolve_near_dups(empty).count() == 0
+    assert dedup.resolve_near_dups(empty, local_threshold=0).count() == 0
 
 
 # -- two-phase signature table ----------------------------------------------
