@@ -164,7 +164,12 @@ def test_band_union_carries_no_payload(spark, tmp_path):
         [(i, "the quick brown fox jumps over the lazy dog", "s", 44) for i in range(4)],
         "doc_id bigint, text string, source string, n_chars int",
     )
-    pairs = dedup.lsh_near_dup_pairs(docs, sig_path=str(tmp_path / "s2"))
+    # local_threshold_bytes=0 forces the DISTRIBUTED phase 2: the r06
+    # small-store short-circuit returns a LocalRelation and would make
+    # this plan pin vacuous
+    pairs = dedup.lsh_near_dup_pairs(
+        docs, sig_path=str(tmp_path / "s2"), local_threshold_bytes=0
+    )
     plan = pairs._jdf.queryExecution().optimizedPlan().toString()
     # the Union node's output must not include the payload column
     union_lines = [l for l in plan.splitlines() if "Union" in l]

@@ -164,6 +164,33 @@ def test_incremental_revision_latest_wins(spark, tmp_path):
     assert {(r.doc_a, r.doc_b) for r in p4} == {(1, 6)}  # not (2, 6)
 
 
+def test_near_dup_pairs_local_matches_distributed(spark, tmp_path, sf_dir):
+    """The r06 driver-local phase-2 short-circuit (small signature store)
+    is an exact twin of the distributed band-join + verify: same rows,
+    same schema, on the real fixture corpus and on a boilerplate clique,
+    both with string and bigint ids."""
+    import os
+
+    from xml2arrow_spark.pipeline import dedup
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    a = dedup.lsh_near_dup_pairs(docs, sig_path=str(tmp_path / "sl"))
+    b = dedup.lsh_near_dup_pairs(
+        docs, sig_path=str(tmp_path / "sd"), local_threshold_bytes=0
+    )
+    assert a.schema == b.schema
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) > 0
+    clique = _docs_df(spark, [(i, BOILER) for i in range(8)])
+    ca = dedup.lsh_near_dup_pairs(clique, sig_path=str(tmp_path / "cl"))
+    cb = dedup.lsh_near_dup_pairs(
+        clique, sig_path=str(tmp_path / "cd"), local_threshold_bytes=0
+    )
+    assert ca.schema == cb.schema
+    assert sorted(map(tuple, ca.collect())) == sorted(map(tuple, cb.collect()))
+
+
 def test_max_cell_drop_telemetry(spark, tmp_path):
     """The skew valve is never silent: a boilerplate clique larger than
     max_cell reports exactly its dropped cells and band rows."""

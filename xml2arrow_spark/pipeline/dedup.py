@@ -569,6 +569,138 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
+def _store_bytes(sig_path: str) -> int:
+    """Total on-disk bytes of a signature store's two tables (driver-side
+    os.walk — metadata-scale, no Spark job)."""
+    total = 0
+    for sub in (SIGS_SUBDIR, BANDS_SUBDIR):
+        for root, _dirs, files in os.walk(os.path.join(sig_path, sub)):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
+def _near_dup_pairs_store_local(
+    spark,
+    sig_path: str,
+    id_col: str,
+    threshold_milli: int,
+    max_cell: int | None,
+    max_local_pairs: int = 200_000,
+):
+    """Driver-local exact twin of phase 2 (band self-join + dedup + exact
+    Jaccard verify) for SMALL signature stores (r06): read both store
+    tables via pyarrow, generate candidate pairs per band cell in numpy,
+    verify with sorted-array intersections. The distributed shape pays ~8
+    partition-pruned scans + 3 exchanges of pure machinery at any input
+    size (measured overhead-bound earlier this round); for a store that
+    fits the driver comfortably that machinery IS the cost.
+
+    Returns ``(pairs_df, drop_metrics_df_or_None)`` or ``None`` when the
+    local path must not run: candidate count above ``max_local_pairs``
+    (the verify loop is per-pair python) or duplicate ids in the sigs
+    table (the SQL verify join would multiply such rows; only the
+    distributed path reproduces that faithfully). Exactness elsewhere:
+    cells/pairs/dedup/threshold math is integer, ``doc_a < doc_b`` uses
+    numpy's sort order which equals Spark's binary UTF8 order on valid
+    UTF-8 strings, dtoks are distinct+sorted by the phase-1 kernel
+    contract, and ``max_cell`` drops exactly the cells the distributed
+    ``_cap_cells`` drops (same telemetry counts)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    bands = pads.dataset(
+        os.path.join(sig_path, BANDS_SUBDIR), partitioning="hive"
+    ).to_table(columns=["sid", "band_key", "band_pos"])
+    sid = bands.column("sid").to_numpy(zero_copy_only=False)
+    key = bands.column("band_key").to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = bands.column("band_pos").to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq_sids, sidx = np.unique(sid, return_inverse=True)
+    order = np.lexsort((sidx, key, pos))
+    p, k, s = pos[order], key[order], sidx[order]
+    if p.size:
+        first = np.concatenate(([True], (p[1:] != p[:-1]) | (k[1:] != k[:-1])))
+        cell_start = np.flatnonzero(first)
+        cell_end = np.append(cell_start[1:], p.size)
+    else:
+        cell_start = cell_end = np.empty(0, np.int64)
+    cell_len = cell_end - cell_start
+    dropped_cells = dropped_rows = 0
+    keep = cell_len >= 2
+    if max_cell is not None:
+        big = cell_len > int(max_cell)
+        dropped_cells = int(big.sum())
+        dropped_rows = int(cell_len[big].sum())
+        keep &= ~big
+    kl = cell_len[keep]
+    if int((kl * (kl - 1) // 2).sum()) > max_local_pairs:
+        return None  # candidate blow-up: the distributed path owns this
+    parts_a, parts_b = [], []
+    for st, en in zip(cell_start[keep], cell_end[keep]):
+        cell = np.sort(s[st:en])
+        i, j = np.triu_indices(cell.size, k=1)
+        parts_a.append(cell[i])
+        parts_b.append(cell[j])
+    if parts_a:
+        a = np.concatenate(parts_a)
+        b = np.concatenate(parts_b)
+        ne = a != b  # a.doc < b.doc is strict: duplicate-sid cells pair nothing
+        pk = np.unique(a[ne] * np.int64(uniq_sids.size) + b[ne])
+        a, b = pk // uniq_sids.size, pk % uniq_sids.size
+    else:
+        a = b = np.empty(0, np.int64)
+    stab = pads.dataset(os.path.join(sig_path, SIGS_SUBDIR)).to_table(
+        columns=[id_col, "dtoks"]
+    )
+    sdoc = stab.column(id_col).to_numpy(zero_copy_only=False)
+    su = np.unique(sdoc)
+    if su.size != sdoc.size:
+        return None  # duplicate ids: only the SQL join shape is faithful
+    row_of_sorted = np.argsort(sdoc, kind="stable")
+    # dense band id -> sigs row index (every band sid exists in sigs:
+    # bands are derived from the written sigs)
+    row_of = row_of_sorted[np.searchsorted(sdoc[row_of_sorted], uniq_sids)]
+    dt = stab.column("dtoks").combine_chunks()
+    offs = dt.offsets.to_numpy()
+    vals = dt.values.to_numpy(zero_copy_only=False)
+    inter = np.empty(a.size, np.int64)
+    sz_a = np.empty(a.size, np.int64)
+    sz_b = np.empty(a.size, np.int64)
+    for t in range(a.size):
+        ra, rb = row_of[a[t]], row_of[b[t]]
+        xa = vals[offs[ra]:offs[ra + 1]]
+        xb = vals[offs[rb]:offs[rb + 1]]
+        sz_a[t] = xa.size
+        sz_b[t] = xb.size
+        inter[t] = np.intersect1d(xa, xb, assume_unique=True).size
+    union = sz_a + sz_b - inter
+    ok = inter * 1000 >= int(threshold_milli) * union
+    id_t = stab.schema.field(id_col).type
+    out_tbl = pa.table(
+        {
+            "doc_a": pa.array(uniq_sids[a[ok]]).cast(id_t),
+            "doc_b": pa.array(uniq_sids[b[ok]]).cast(id_t),
+            "inter_size": pa.array(inter[ok], type=pa.int32()),
+            "union_size": pa.array(union[ok], type=pa.int32()),
+        }
+    )
+    metrics = None
+    if max_cell is not None:
+        metrics = spark.createDataFrame(
+            pa.table(
+                {
+                    "n_cells_dropped": pa.array([dropped_cells], pa.int64()),
+                    "n_rows_dropped": pa.array([dropped_rows], pa.int64()),
+                }
+            )
+        )
+    return spark.createDataFrame(out_tbl), metrics
+
+
 def lsh_near_dup_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -576,6 +708,7 @@ def lsh_near_dup_pairs(
     threshold_milli: int = 800,
     sig_path: str | None = None,
     max_cell: int | None = None,
+    local_threshold_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash + exact-Jaccard verification.
 
@@ -629,6 +762,20 @@ def lsh_near_dup_pairs(
             batch_id=0, mode="overwrite",
             band_row_filter=F.size("dtoks") > 0,
         )
+        # small-store short-circuit (r06): phase 2 runs driver-locally when
+        # the written store is small (bytes checked via os.walk — no job);
+        # the local twin declines (returns None) on candidate blow-up or
+        # duplicate ids, falling through to the distributed shape below.
+        # local_threshold_bytes=0 disables.
+        if local_threshold_bytes and _store_bytes(sig_path) <= local_threshold_bytes:
+            loc = _near_dup_pairs_store_local(
+                spark, sig_path, "doc", threshold_milli, max_cell
+            )
+            if loc is not None:
+                out, metrics = loc
+                out._sig_cache = None
+                out._drop_metrics = metrics
+                return out
         sigs = read_signatures(spark, sig_path, "doc").filter(
             F.size("dtoks") > 0
         )
