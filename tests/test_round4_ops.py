@@ -164,6 +164,54 @@ def test_incremental_revision_latest_wins(spark, tmp_path):
     assert {(r.doc_a, r.doc_b) for r in p4} == {(1, 6)}  # not (2, 6)
 
 
+def test_local_bands_write_matches_spark(spark, tmp_path):
+    """The r06 driver-side bands derivation writes the SAME table the
+    Spark job writes (rows, dtypes), mixed batches included: batch 0 via
+    the local path, batch 1 appended via the forced Spark path, then
+    latest-wins reads resolve across both."""
+    from pyspark.sql import functions as SF
+
+    from xml2arrow_spark.pipeline import dedup
+    from xml2arrow_spark.pipeline import sqlgen as G
+
+    bands = [f"band{b}" for b in range(G.MINHASH_BANDS)]
+
+    def sigs_of(rows):
+        return dedup.with_minhash(_docs_df(spark, rows), "text").select(
+            SF.col("doc_id").alias("doc"), "dtoks", *bands
+        )
+
+    rows0 = [(i, f"{BOILER} variant {i}") for i in range(6)] + [(99, "x")]
+    for tag, kw in (
+        ("loc", {"band_row_filter_local": dedup._dtoks_nonempty_local()}),
+        ("spk", {"local_threshold_bytes": 0}),
+    ):
+        dedup.write_signatures(
+            sigs_of(rows0), str(tmp_path / tag), "doc", bands, batch_id=0,
+            mode="overwrite", band_row_filter=SF.size("dtoks") > 0, **kw,
+        )
+        dedup.write_signatures(
+            sigs_of([(2, "replacement text for doc two entirely")]),
+            str(tmp_path / tag), "doc", bands, batch_id=1, mode="append",
+            band_row_filter=SF.size("dtoks") > 0,
+            local_threshold_bytes=0,  # batch 1 always via the Spark path
+        )
+    got, want = (
+        dedup.stored_band_union(spark, str(tmp_path / t), G.MINHASH_BANDS,
+                                dedupe=True)
+        for t in ("loc", "spk")
+    )
+    assert got.schema == want.schema
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # raw tables match too (batch_id/row_hash carried identically)
+    ga = spark.read.parquet(str(tmp_path / "loc" / "bands"))
+    gb = spark.read.parquet(str(tmp_path / "spk" / "bands"))
+    assert dict(ga.dtypes) == dict(gb.dtypes)
+    assert sorted(map(tuple, ga.collect())) == sorted(map(tuple, gb.collect()))
+
+
 def test_near_dup_pairs_local_matches_distributed(spark, tmp_path, sf_dir):
     """The r06 driver-local phase-2 short-circuit (small signature store)
     is an exact twin of the distributed band-join + verify: same rows,

@@ -153,6 +153,110 @@ def next_batch_id(sig_path: str) -> int:
     return best + 1
 
 
+def _dtoks_nonempty_local():
+    """Local (pyarrow) twin of the ``F.size("dtoks") > 0`` band filter:
+    NULL dtoks yield a null mask entry, which and_kleene drops — the same
+    rows Spark's NULL-size semantics drop."""
+    import pyarrow.compute as pc
+
+    return (
+        ["dtoks"],
+        lambda t: pc.greater(pc.list_value_length(t.column("dtoks")), 0),
+    )
+
+
+def _write_bands_local(
+    sig_path: str,
+    id_col: str,
+    band_cols: list[str],
+    batch_id: int,
+    mode: str,
+    band_row_filter_local,
+    local_threshold_bytes: int,
+) -> bool:
+    """Driver-side twin of the bands-table derivation (r06): the Spark
+    path launches a full job (re-read the written sigs, 4-way union,
+    partitioned write — ~0.4-0.6 s of fixed machinery at local[32]) to
+    move KB-to-MB of metadata. For a sigs table under
+    ``local_threshold_bytes`` this builds the identical band rows with
+    pyarrow and writes them straight into the hive layout
+    (``bands/band_pos=<b>/``), byte-compatible with the Spark files: same
+    column set/types/nullability (sid, band_key int64 NOT NULL via the
+    same null→-1 coalesce, batch_id int32, row_hash int64) so mixed
+    Spark/pyarrow batches read as one table. Returns False (caller runs
+    the unchanged Spark derivation) when the sigs table is too big or
+    the filtered batch is empty (the Spark path's empty-write behaviour
+    is then preserved exactly)."""
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    sdir = os.path.join(sig_path, SIGS_SUBDIR)
+    if _store_dir_bytes(sdir) > local_threshold_bytes:
+        return False
+    need, mask_fn = band_row_filter_local or ([], None)
+    cols = [id_col, *band_cols, "batch_id", "row_hash", *need]
+    t = pads.dataset(sdir).to_table(columns=list(dict.fromkeys(cols)))
+    keep = pc.equal(t.column("batch_id"), pa.scalar(int(batch_id), pa.int32()))
+    if mask_fn is not None:
+        keep = pc.and_kleene(keep, mask_fn(t))
+    t = t.filter(keep)
+    if t.num_rows == 0:
+        return False
+    if any(t.schema.field(c).type != pa.int64() for c in band_cols):
+        # Spark's coalesce(col, lit(-1)) writes the PROMOTED type for
+        # non-bigint keys; only the bigint case is replicated here
+        return False
+    bdir = os.path.join(sig_path, BANDS_SUBDIR)
+    if mode == "overwrite":
+        shutil.rmtree(bdir, ignore_errors=True)
+    sid_t = t.schema.field(id_col).type
+    schema = pa.schema(
+        [
+            pa.field("sid", sid_t),
+            pa.field("band_key", pa.int64(), nullable=False),
+            pa.field("batch_id", pa.int32()),
+            pa.field("row_hash", pa.int64()),
+        ]
+    )
+    for b, col in enumerate(band_cols):
+        part = pa.table(
+            {
+                "sid": t.column(id_col),
+                "band_key": pc.fill_null(
+                    t.column(col).cast(pa.int64()), pa.scalar(-1, pa.int64())
+                ),
+                "batch_id": t.column("batch_id"),
+                "row_hash": t.column("row_hash"),
+            },
+            schema=schema,
+        )
+        pdir = os.path.join(bdir, f"band_pos={b}")
+        os.makedirs(pdir, exist_ok=True)
+        # dotfile-then-rename: readers ignore hidden files, so a crash
+        # mid-write never exposes a torn parquet file
+        name = f"part-local-{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(pdir, "." + name + ".tmp")
+        pq.write_table(part, tmp)
+        os.rename(tmp, os.path.join(pdir, name))
+    return True
+
+
+def _store_dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def write_signatures(
     sig_df: DataFrame,
     sig_path: str,
@@ -161,6 +265,8 @@ def write_signatures(
     batch_id: int,
     mode: str = "overwrite",
     band_row_filter=None,
+    band_row_filter_local=None,
+    local_threshold_bytes: int = 64 << 20,
 ) -> None:
     """Phase-1 write of the two-phase signature store: the full signature
     rows land in ``sigs/``; the exploded (sid, band_key) rows — derived
@@ -187,6 +293,20 @@ def write_signatures(
     sig_df.withColumn("batch_id", F.lit(int(batch_id))).withColumn(
         "row_hash", F.xxhash64(*band_cols)
     ).write.mode(mode).parquet(os.path.join(sig_path, SIGS_SUBDIR))
+    # r06 small-batch fast path: derive the bands rows driver-side from the
+    # written sigs files (no Spark job) when the caller supplied a local
+    # twin of (or no) band_row_filter — identical rows and file layout,
+    # falls through to the Spark derivation otherwise
+    if (
+        local_threshold_bytes
+        and (band_row_filter is None or band_row_filter_local is not None)
+        and _write_bands_local(
+            sig_path, id_col, band_cols, batch_id, mode,
+            band_row_filter_local if band_row_filter is not None else None,
+            local_threshold_bytes,
+        )
+    ):
+        return
     stored = spark.read.parquet(os.path.join(sig_path, SIGS_SUBDIR)).filter(
         F.col("batch_id") == int(batch_id)
     )
@@ -572,15 +692,10 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
 def _store_bytes(sig_path: str) -> int:
     """Total on-disk bytes of a signature store's two tables (driver-side
     os.walk — metadata-scale, no Spark job)."""
-    total = 0
-    for sub in (SIGS_SUBDIR, BANDS_SUBDIR):
-        for root, _dirs, files in os.walk(os.path.join(sig_path, sub)):
-            for f in files:
-                try:
-                    total += os.path.getsize(os.path.join(root, f))
-                except OSError:
-                    pass
-    return total
+    return sum(
+        _store_dir_bytes(os.path.join(sig_path, sub))
+        for sub in (SIGS_SUBDIR, BANDS_SUBDIR)
+    )
 
 
 def _near_dup_pairs_store_local(
@@ -761,6 +876,8 @@ def lsh_near_dup_pairs(
             [f"band{b}" for b in range(G.MINHASH_BANDS)],
             batch_id=0, mode="overwrite",
             band_row_filter=F.size("dtoks") > 0,
+            band_row_filter_local=_dtoks_nonempty_local(),
+            local_threshold_bytes=local_threshold_bytes,
         )
         # small-store short-circuit (r06): phase 2 runs driver-locally when
         # the written store is small (bytes checked via os.walk — no job);
@@ -886,6 +1003,7 @@ def lsh_near_dup_pairs_incremental(
         [f"band{b}" for b in range(G.MINHASH_BANDS)],
         batch_id=next_batch_id(sig_path), mode="append",
         band_row_filter=F.size("dtoks") > 0,
+        band_row_filter_local=_dtoks_nonempty_local(),
     )
     all_sigs = read_signatures(spark, sig_path, "doc", dedupe=True).filter(
         F.size("dtoks") > 0
