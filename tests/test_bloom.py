@@ -49,6 +49,34 @@ def test_block_bloom_no_false_negatives_and_low_fpr():
     assert _probe_block(bits2, m2, [_hash_pair("a")], 7)
 
 
+def test_bloom_local_build_matches_spark(spark, tmp_path):
+    """The r06 driver-local index build writes the SAME filter table the
+    Spark job writes — every (unit_id, block_id, m_bits, bits) row
+    identical, full rebuild and partial unit refresh alike."""
+    path = str(tmp_path / "bleq")
+    df = tokens_dataframe(spark, 2000, variant="low_card", n_partitions=4)
+    man = CodecManifest.auto_for(df.schema, block_rows=128)
+    encode_dataset(df, path, man, n_units=4)
+
+    def rows():
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(
+                    os.path.join(path, "bloomidx", "doc_id", "blocks")
+                ).collect(),
+            )
+        )
+
+    build_bloom_index(spark, path, "doc_id")  # local path (small blocks)
+    local_rows = rows()
+    build_bloom_index(spark, path, "doc_id", local_threshold_bytes=0)
+    assert rows() == local_rows and len(local_rows) > 0
+    # partial refresh of two units through the local path
+    build_bloom_index(spark, path, "doc_id", units=[0, 2])
+    assert rows() == local_rows
+
+
 def test_bloom_index_prunes_unclustered_lookup(spark, tmp_path):
     """The headline case: NO presort, so zone maps keep everything — the
     Bloom index must cut the decoded blocks to ~the probed ids' own blocks
