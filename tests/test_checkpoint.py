@@ -221,17 +221,17 @@ def test_delete_rows_crash_windows_repair_on_rerun(spark, tmp_path, monkeypatch)
     expect = df.join(_ids_df(spark, doomed), "doc_id", "left_anti")
 
     # window 1: crash right after the blocks overwrite
-    real = cp._unit_rollup_aggs
+    real = cp._unit_rollup_local
 
-    def boom():
+    def boom(*_a, **_k):
         raise RuntimeError("injected crash after blocks rewrite")
 
-    monkeypatch.setattr(cp, "_unit_rollup_aggs", boom)
+    monkeypatch.setattr(cp, "_unit_rollup_local", boom)
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="injected"):
         cp.delete_rows(_ids_df(spark, doomed), path)
-    monkeypatch.setattr(cp, "_unit_rollup_aggs", real)
+    monkeypatch.setattr(cp, "_unit_rollup_local", real)
     # data is already correct; the manifest still claims the old counts
     assert verify_roundtrip(expect, read_encoded_dataset(spark, path))["ok"]
     m = cp.delete_rows(_ids_df(spark, doomed), path)  # repair run
@@ -376,15 +376,15 @@ def test_upsert_rows_crash_windows_repair_on_rerun(spark, tmp_path, monkeypatch)
     ).cache()
     expect = df.join(batch.select("doc_id"), "doc_id", "left_anti").unionByName(batch)
 
-    real = cp._unit_rollup_aggs
+    real = cp._unit_rollup_local
 
-    def boom():
+    def boom(*_a, **_k):
         raise RuntimeError("injected crash after blocks rewrite")
 
-    monkeypatch.setattr(cp, "_unit_rollup_aggs", boom)
+    monkeypatch.setattr(cp, "_unit_rollup_local", boom)
     with _pytest.raises(RuntimeError, match="injected"):
         cp.upsert_rows(batch, path)
-    monkeypatch.setattr(cp, "_unit_rollup_aggs", real)
+    monkeypatch.setattr(cp, "_unit_rollup_local", real)
     # data already correct, lineage stale; replay repairs the lineage
     assert verify_roundtrip(expect, read_encoded_dataset(spark, path))["ok"]
     m = cp.upsert_rows(batch, path)
@@ -805,3 +805,64 @@ def test_materialize_bucketed_family_join_is_exchange_free(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS t_bkt_base")
     spark.sql("DROP TABLE IF EXISTS t_bkt_fam_quality")
     df.unpersist()
+
+
+def test_xxh64_twin_matches_spark(spark):
+    """xml2arrow_spark.xxh.xxh64 is Spark's xxhash64 bit-for-bit: random
+    strings across every length class (empty, <4, <8, <32, >=32 bytes)
+    including multi-byte UTF-8, plus the block-id shapes the lineage
+    rollup hashes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.xxh import xxh64
+
+    rng = random.Random(17)
+    alphabet = "abz019-_.тока€😀"
+    vals = ["", "0", "-1", str(2**62), "a" * 31, "b" * 32, "c" * 33]
+    vals += [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 90)))
+        for _ in range(300)
+    ]
+    vals += [str(rng.randrange(-(2**40), 2**40)) for _ in range(100)]
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "s string")
+        .select("s", F.xxhash64("s").alias("h"))
+        .collect()
+    )
+    for r in rows:
+        assert xxh64(r["s"].encode("utf-8")) == r["h"], r["s"]
+
+
+def test_local_rollup_matches_spark_aggs(spark, tmp_path):
+    """The r06 driver-side lineage rollup equals the Spark groupBy rollup
+    on the same written blocks — every manifest field including the
+    pmod-bounded xxhash64 checksum."""
+    from pyspark.sql import functions as F
+
+    from xml2arrow_spark.operators.checkpoint import (
+        _unit_rollup_aggs,
+        _unit_rollup_local,
+    )
+
+    df = tokens_dataframe(spark, 2000, variant="low_card", n_partitions=4)
+    man = CodecManifest.auto_for(df.schema, block_rows=128)
+    path = str(tmp_path / "rl")
+    encode_dataset(df, path, man, n_units=4)  # writes via the local rollup
+    blocks_dir = os.path.join(path, "blocks")
+    want = {
+        r["unit_id"]: r.asDict()
+        for r in spark.read.parquet(blocks_dir)
+        .groupBy("unit_id")
+        .agg(*_unit_rollup_aggs())
+        .collect()
+    }
+    got = {d["unit_id"]: d for d in _unit_rollup_local(blocks_dir, want)}
+    assert got == want
+    # and the manifest the encode wrote carries exactly these rows
+    stored = {
+        r["unit_id"]: r.asDict()
+        for r in spark.read.parquet(os.path.join(path, "manifest")).collect()
+    }
+    assert stored == want

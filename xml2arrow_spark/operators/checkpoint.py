@@ -163,7 +163,10 @@ def _manifest_schema():
 
 def _unit_rollup_aggs():
     """Per-unit lineage rollup — ONE definition so encode and delete can
-    never drift on what a manifest row means."""
+    never drift on what a manifest row means. (:func:`_unit_rollup_local`
+    is its exact driver-side twin for small written sets; the fsck/audit
+    recompute path deliberately stays on THIS Spark form, so every audit
+    cross-checks the twin.)"""
     return [
         F.count("*").alias("n_blocks"),
         F.sum("n_rows").alias("n_rows"),
@@ -177,6 +180,61 @@ def _unit_rollup_aggs():
             F.pmod(F.xxhash64(F.col("block_id").cast("string")), F.lit(2**31))
         ).alias("checksum"),
     ]
+
+
+def _unit_rollup_local(
+    blocks_dir: str, units, max_files: int = 256
+) -> list[dict] | None:
+    """Driver-side twin of the post-write lineage rollup (r06): the Spark
+    read-back is a full job to aggregate a handful of metadata columns
+    (parquet pruning keeps the payload bytes unread either way). This
+    reads the SAME written files with pyarrow and computes the same sums
+    plus the same checksum (``xxh64(str(block_id)) pmod 2^31`` summed —
+    :mod:`xml2arrow_spark.xxh` is Spark's ``xxhash64`` bit-for-bit).
+    Returns None above ``max_files`` files (sequential driver reads stop
+    being metadata-scale) — the caller then runs the Spark rollup; the
+    audit/fsck recompute path always stays distributed, so the twin is
+    cross-checked by every audit."""
+    import pyarrow.dataset as pads
+
+    from xml2arrow_spark.xxh import xxh64
+
+    units = sorted(int(u) for u in units)
+    n_files = 0
+    for u in units:
+        p = os.path.join(blocks_dir, f"unit_id={u}")
+        if os.path.isdir(p):
+            for _root, _dd, fs in os.walk(p):
+                n_files += sum(
+                    1 for f in fs if not f.startswith((".", "_"))
+                )
+    if n_files > max_files:
+        return None
+    out = []
+    for u in units:
+        p = os.path.join(blocks_dir, f"unit_id={u}")
+        if not os.path.isdir(p):
+            continue
+        t = pads.dataset(p).to_table(
+            columns=["block_id", "n_rows", "n_values", "in_bytes", "out_bytes"]
+        )
+        if t.num_rows == 0:
+            continue  # the Spark groupBy emits no row for an empty unit
+        bids = t.column("block_id").to_pylist()
+        out.append(
+            {
+                "unit_id": u,
+                "n_blocks": len(bids),
+                "n_rows": sum(t.column("n_rows").to_pylist()),
+                "n_values": sum(t.column("n_values").to_pylist()),
+                "in_bytes": sum(t.column("in_bytes").to_pylist()),
+                "out_bytes": sum(t.column("out_bytes").to_pylist()),
+                "checksum": sum(
+                    xxh64(str(b).encode("utf-8")) % (1 << 31) for b in bids
+                ),
+            }
+        )
+    return out
 
 
 @with_dataset_lease
@@ -259,13 +317,41 @@ def encode_dataset(
     blocks.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("unit_id").parquet(os.path.join(path, "blocks"))
-    # Lineage rollup from what was just written: parquet column pruning keeps
-    # this scan metadata-light (payload bytes in `cols` are never read).
-    written = spark.read.parquet(os.path.join(path, "blocks")).join(
-        F.broadcast(done), "unit_id", "left_anti"
-    )
-    meta_rows = written.groupBy("unit_id").agg(*_unit_rollup_aggs()).collect()
-    # ^ the distributed rollup; the rows themselves are KB-scale
+    # Lineage rollup from what was just written. The r06 driver-side twin
+    # reads the same files via pyarrow when the written set is small
+    # (units on disk minus manifested units == exactly the rows the Spark
+    # anti-join rollup reads, orphaned crash leftovers included); above
+    # the file threshold the distributed rollup runs unchanged.
+    import pyarrow.parquet as _pq
+
+    blocks_root = os.path.join(path, "blocks")
+    try:
+        done_ids = set(
+            _pq.read_table(
+                os.path.join(path, "manifest"), columns=["unit_id"]
+            )
+            .column("unit_id")
+            .to_pylist()
+        )
+    except Exception:
+        done_ids = set()
+    on_disk = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(blocks_root)
+        if d.startswith("unit_id=")
+    } if os.path.isdir(blocks_root) else set()
+    local_rows = _unit_rollup_local(blocks_root, on_disk - done_ids)
+    if local_rows is not None:
+        meta_rows = local_rows
+    else:
+        written = spark.read.parquet(blocks_root).join(
+            F.broadcast(done), "unit_id", "left_anti"
+        )
+        meta_rows = [
+            r.asDict()
+            for r in written.groupBy("unit_id").agg(*_unit_rollup_aggs()).collect()
+        ]
+    # ^ the rollup rows themselves are KB-scale
     if meta_rows:
         # manifest append driver-side + atomic — see operators/metadata.py
         import uuid
@@ -274,7 +360,7 @@ def encode_dataset(
 
         append_rows(
             os.path.join(path, "manifest"),
-            [r.asDict() for r in meta_rows],
+            meta_rows,
             _manifest_schema(),
             f"manifest-{uuid.uuid4().hex}.parquet",
         )
@@ -490,9 +576,18 @@ def _rewrite_units(
     staged_in = plan_units(rows, n_units, id_col)
     staged_in.write.parquet(tmpdir)
     staged = spark.read.schema(staged_in.schema).parquet(tmpdir)
-    survivors = {
-        r["unit_id"] for r in staged.select("unit_id").distinct().collect()
-    }
+    # survivors from the staged files driver-side (r06): the distinct was
+    # a full Spark job over the staging parquet to learn <= n_units small
+    # ints — pyarrow reads the one column in ms (same files, same rows)
+    import pyarrow.dataset as _pads
+
+    survivors = set(
+        _pads.dataset(tmpdir)
+        .to_table(columns=["unit_id"])
+        .column("unit_id")
+        .unique()
+        .to_pylist()
+    )
     # exact placement re-encode (same invariants as encode_dataset,
     # including the dataset's recorded clustering)
     todo = staged.repartition(n_units, id_col)
@@ -510,13 +605,20 @@ def _rewrite_units(
                 os.path.join(blocks_dir, f"unit_id={u}"), ignore_errors=True
             )
     if survivors:
-        written = spark.read.parquet(blocks_dir).filter(
-            F.col("unit_id").isin(sorted(survivors))
-        )
-        meta_rows = [
-            r.asDict()
-            for r in written.groupBy("unit_id").agg(*_unit_rollup_aggs()).collect()
-        ]
+        # r06: driver-side rollup twin over the freshly written files
+        # (read-what-was-written attestation preserved — same parquet
+        # bytes, pyarrow reader); Spark fallback above the file threshold
+        meta_rows = _unit_rollup_local(blocks_dir, survivors)
+        if meta_rows is None:
+            written = spark.read.parquet(blocks_dir).filter(
+                F.col("unit_id").isin(sorted(survivors))
+            )
+            meta_rows = [
+                r.asDict()
+                for r in written.groupBy("unit_id")
+                .agg(*_unit_rollup_aggs())
+                .collect()
+            ]
     else:
         meta_rows = []
     shutil.rmtree(tmpdir, ignore_errors=True)
