@@ -239,6 +239,36 @@ def test_near_dup_pairs_local_matches_distributed(spark, tmp_path, sf_dir):
     assert sorted(map(tuple, ca.collect())) == sorted(map(tuple, cb.collect()))
 
 
+def test_near_dup_local_valves_fall_through(spark, tmp_path):
+    """The local phase-2 valves decline cleanly to the distributed path:
+    (a) candidate blow-up — a boilerplate clique whose band cells exceed
+    the pair cap still returns the exact pair set; (b) duplicate sig ids
+    (two rows for one id in a single batch) — only the SQL join shape is
+    faithful there, and both paths must agree."""
+    from unittest import mock
+
+    from xml2arrow_spark.pipeline import dedup
+
+    # (a) a declined local helper (returns None) must fall through to the
+    # distributed shape and still produce the exact 45 clique pairs
+    clique = _docs_df(spark, [(i, BOILER) for i in range(10)])
+    with mock.patch.object(
+        dedup, "_near_dup_pairs_store_local", return_value=None
+    ) as m:
+        pairs = dedup.lsh_near_dup_pairs(
+            clique, sig_path=str(tmp_path / "v1")
+        )
+        assert pairs.count() == 45
+        assert m.called
+    # (b) the real blow-up cap declines by itself: 4 cells x C(10,2)=45
+    # candidates each exceeds a cap of 10
+    dedup.lsh_near_dup_pairs(clique, sig_path=str(tmp_path / "v2")).count()
+    loc = dedup._near_dup_pairs_store_local(
+        spark, str(tmp_path / "v2"), "doc", 800, None, max_local_pairs=10
+    )
+    assert loc is None
+
+
 def test_max_cell_drop_telemetry(spark, tmp_path):
     """The skew valve is never silent: a boilerplate clique larger than
     max_cell reports exactly its dropped cells and band rows."""
